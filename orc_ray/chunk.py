@@ -1,0 +1,443 @@
+"""Self-describing encoded chunk format + per-column codec auto-selection.
+
+The engine's analog of an ORC stripe (apache/orc c++/src/Writer.cc
+writeStripe + StripeFooter) combined with WriterImpl's encoder selection
+(c++/src/ColumnWriter.cc StringColumnWriter::checkDictionaryKeyRatio —
+probe-verified rule `dict ⇔ distinct/rows ≤ threshold`, SURVEY.md [P6][P7]).
+One chunk = one Ray Data batch of rows, all columns, encoded column-by-
+column with the codec picked from that chunk's own statistics (strictly
+better than the reference's first-stride-only lock-in — see [P7] note).
+
+Layout of a serialized chunk:
+
+    MAGIC 'ORAY1' | u32 header_len | header JSON | buffers...
+
+The header carries n_rows, the Arrow schema (IPC-serialized, base64), the
+per-column encoding tree (codec tag, metadata, buffer sizes, min/max/null
+stats) — the StripeFooter analog.  Each buffer is independently
+block-compressed (codecs/framing.py) so decode of a projected column reads
+only that column's buffers — the analog of ORC column projection
+(RowReaderOptions.include).
+
+Codec tags:
+    int      — block-adaptive integer codec (codecs/intcodec.py) for all
+               integer-backed types (ints, bool, date, time, timestamp)
+    dict     — sorted dictionary (indices -> int codec; dict blob direct)
+               for strings with distinct_ratio <= threshold
+    fsst     — FSST symbol table (codecs/fsst.py) for high-cardinality
+               strings with shared substructure
+    str      — direct: lengths (int codec) + concatenated UTF-8
+    bin      — direct binary (lengths + bytes)
+    raw      — raw little-endian values (float32/64, decimal128) — ORC
+               stores FLOAT/DOUBLE raw too; zstd framing does the rest
+    list     — lengths (int codec) + recursively encoded child column
+    struct   — recursively encoded children only
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import struct as _struct
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from .codecs import framing, fsst
+from .codecs.intcodec import decode_int64, encode_int64
+
+MAGIC = b"ORAY1"
+
+
+@dataclass
+class EncodeOptions:
+    """Writer knob surface — the analog of ORC WriterOptions (c++/src/Options.hh)."""
+
+    compression: str = "zstd"            # generic second-stage codec
+    compression_level: int | None = 3
+    compression_block_size: int = framing.DEFAULT_BLOCK_SIZE
+    strategy: str = "speed"              # int width alignment: speed|compression
+    dictionary_key_size_threshold: float = 0.5   # dict iff distinct/rows <= t
+    fsst_min_avg_len: float = 4.0        # don't FSST tiny strings
+    fsst_sample_bytes: int = 1 << 16
+    min_compress_bytes: int = 64         # don't frame-compress tiny buffers
+    column_codecs: dict = field(default_factory=dict)  # name -> forced codec
+
+
+DEFAULT_OPTIONS = EncodeOptions()
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _arr(a) -> pa.Array:
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    return a
+
+
+def _varbytes_to_numpy(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(concat uint8, offsets int64[n+1]) of a string/binary array, handling
+    slices/offsets; nulls appear as empty."""
+    if pa.types.is_string(arr.type):
+        arr = arr.cast(pa.large_string())
+    elif pa.types.is_binary(arr.type):
+        arr = arr.cast(pa.large_binary())
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], np.int64, len(arr) + 1, arr.offset * 8)
+    data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    lo, hi = int(off[0]), int(off[-1])
+    return np.ascontiguousarray(data[lo:hi]), (off - lo).astype(np.int64)
+
+
+def _ints_to_numpy(arr: pa.Array) -> np.ndarray:
+    """int64 view of any integer-backed arrow array (nulls -> 0)."""
+    if arr.null_count:
+        arr = arr.fill_null(0)
+    ty = arr.type
+    if pa.types.is_timestamp(ty) or pa.types.is_time64(ty) or pa.types.is_duration(ty):
+        arr = arr.cast(pa.int64())
+    elif pa.types.is_date32(ty) or pa.types.is_time32(ty):
+        arr = arr.cast(pa.int32())
+    elif pa.types.is_date64(ty):
+        arr = arr.cast(pa.int64())
+    elif pa.types.is_boolean(ty):
+        arr = arr.cast(pa.int8())
+    np_arr = arr.to_numpy(zero_copy_only=False)
+    if np_arr.dtype == np.uint64:
+        return np_arr.view(np.int64)  # bijective; decode views back
+    return np_arr.astype(np.int64, copy=False)
+
+
+def _validity(arr: pa.Array) -> bytes | None:
+    if arr.null_count == 0:
+        return None
+    mask = np.asarray(arr.is_valid())
+    return np.packbits(mask).tobytes()
+
+
+def _apply_validity(arr: pa.Array, vbits: bytes | None, n: int) -> pa.Array:
+    if vbits is None:
+        return arr
+    mask = np.unpackbits(np.frombuffer(vbits, np.uint8), count=n).astype(bool)
+    # rebuild with nulls where mask is False
+    return pa.compute.if_else(pa.array(mask), arr, pa.nulls(n, arr.type))
+
+
+# ---------------------------------------------------------------------------
+# column encoders  (each returns: meta dict, list[bytes] buffers)
+
+def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[dict, list[bytes]]:
+    arr = _arr(arr)
+    ty = arr.type
+    n = len(arr)
+    forced = opts.column_codecs.get(name)
+    vbits = _validity(arr)
+    meta: dict = {"n": n}
+    bufs: list[bytes] = []
+    if vbits is not None:
+        meta["valid"] = True
+        bufs.append(vbits)
+
+    if pa.types.is_list(ty) or pa.types.is_large_list(ty):
+        lengths = pa.compute.list_value_length(arr).fill_null(0)
+        lens = lengths.to_numpy(zero_copy_only=False).astype(np.int64)
+        child = pa.compute.list_flatten(arr)  # respects offsets & nulls
+        cmeta, cbufs = _encode_column(child, opts, f"{name}.item")
+        meta.update(codec="list", child=cmeta)
+        bufs.append(encode_int64(lens, strategy=opts.strategy))
+        bufs.extend(cbufs)
+        return meta, bufs
+
+    if pa.types.is_struct(ty):
+        children = []
+        for i, f in enumerate(ty):
+            cmeta, cbufs = _encode_column(arr.field(i), opts, f"{name}.{f.name}")
+            children.append(cmeta)
+            bufs.extend(cbufs)
+        meta.update(codec="struct", children=children)
+        return meta, bufs
+
+    if pa.types.is_integer(ty) or pa.types.is_boolean(ty) or pa.types.is_temporal(ty):
+        v = _ints_to_numpy(arr)
+        meta.update(codec="int")
+        if v.size:
+            meta["min"] = int(v.min())
+            meta["max"] = int(v.max())
+        bufs.append(encode_int64(v, strategy=opts.strategy))
+        return meta, bufs
+
+    if pa.types.is_floating(ty) or pa.types.is_decimal(ty):
+        if arr.null_count:
+            arr = arr.fill_null(0)
+        if pa.types.is_decimal(ty):
+            buf = arr.buffers()[1]
+            raw = np.frombuffer(buf, np.uint8)[arr.offset * 16 : (arr.offset + n) * 16].tobytes()
+        else:
+            raw = arr.to_numpy(zero_copy_only=False).tobytes()
+        meta.update(codec="raw")
+        bufs.append(raw)
+        return meta, bufs
+
+    if pa.types.is_string(ty) or pa.types.is_large_string(ty) or pa.types.is_binary(ty) or pa.types.is_large_binary(ty):
+        is_str = pa.types.is_string(ty) or pa.types.is_large_string(ty)
+        if arr.null_count:
+            arr = arr.fill_null("" if is_str else b"")
+        concat, offsets = _varbytes_to_numpy(arr)
+        lens = np.diff(offsets)
+        codec = forced or _select_string_codec(arr, concat, offsets, opts)
+        meta.update(codec=codec)
+        if codec == "dict":
+            enc = pa.compute.dictionary_encode(arr)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            dictionary = enc.dictionary
+            indices = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            # sort dictionary for determinism + ORC DICTIONARY_V2 parity
+            order = pa.compute.sort_indices(dictionary).to_numpy().astype(np.int64)
+            remap = np.empty_like(order)
+            remap[order] = np.arange(order.size)
+            sorted_dict = dictionary.take(pa.array(order))
+            dconcat, doffsets = _varbytes_to_numpy(sorted_dict)
+            meta["dict_size"] = int(order.size)
+            bufs.append(encode_int64(remap[indices], strategy=opts.strategy))
+            bufs.append(encode_int64(np.diff(doffsets), strategy=opts.strategy))
+            bufs.append(dconcat.tobytes())
+        elif codec == "fsst":
+            table = fsst.train(concat, offsets, opts.fsst_sample_bytes)
+            codes, literals = fsst.encode(concat, offsets, table)
+            meta["n_codes"] = int(codes.size)
+            bufs.append(fsst.serialize_table(table))
+            bufs.append(encode_int64(lens, strategy=opts.strategy))
+            bufs.append(codes.tobytes())
+            bufs.append(literals.tobytes())
+        else:  # direct
+            bufs.append(encode_int64(lens, strategy=opts.strategy))
+            bufs.append(concat.tobytes())
+        return meta, bufs
+
+    raise NotImplementedError(f"unsupported type {ty}")
+
+
+def _select_string_codec(arr: pa.Array, concat: np.ndarray, offsets: np.ndarray, opts: EncodeOptions) -> str:
+    """Chunk-level codec choice for strings.
+
+    Reference rule (probe [P7]): dictionary iff distinct/rows <= threshold,
+    decided on the first row-index stride.  We decide on the whole chunk
+    (strictly better, see SURVEY.md [P7] note), then consider FSST when the
+    dictionary is rejected and strings are long enough to share structure.
+    """
+    n = len(arr)
+    if n == 0:
+        return "str" if "string" in str(arr.type) else "bin"
+    is_str = pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+    if not is_str:
+        return "bin"
+    distinct = pa.compute.count_distinct(arr).as_py()
+    if distinct / n <= opts.dictionary_key_size_threshold:
+        return "dict"
+    avg_len = concat.size / n
+    if avg_len >= opts.fsst_min_avg_len:
+        # gain probe on the training sample itself
+        table = fsst.train(concat, offsets, opts.fsst_sample_bytes)
+        if table.symbols:
+            end = min(concat.size, opts.fsst_sample_bytes)
+            cut = int(np.searchsorted(offsets, end, side="left"))
+            cut = max(1, min(cut, n))
+            sc = concat[: offsets[cut]]
+            codes, lits = fsst.encode(sc, offsets[: cut + 1], table)
+            if (codes.size + lits.size) < 0.8 * max(sc.size, 1):
+                return "fsst"
+    return "str"
+
+
+# ---------------------------------------------------------------------------
+# column decoders
+
+def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType) -> pa.Array:
+    n = meta["n"]
+    i = 0
+    vbits = None
+    if meta.get("valid"):
+        vbits = bufs[0]
+        i = 1
+    codec = meta["codec"]
+
+    if codec == "list":
+        lens = decode_int64(bufs[i]); i += 1
+        child = _decode_column(meta["child"], bufs[i:], ty.value_type)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        if pa.types.is_large_list(ty):
+            out = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), child)
+        else:
+            out = pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32), pa.int32()), child)
+        out = out.cast(ty)
+        return _apply_validity(out, vbits, n)
+
+    if codec == "struct":
+        fields = []
+        for k, cmeta in enumerate(meta["children"]):
+            nb = cmeta["_nbuf"]
+            fields.append(_decode_column(cmeta, bufs[i : i + nb], ty.field(k).type))
+            i += nb
+        out = pa.StructArray.from_arrays(fields, names=[f.name for f in ty])
+        out = out.cast(ty)
+        return _apply_validity(out, vbits, n)
+
+    if codec == "int":
+        v = decode_int64(bufs[i])
+        out = _ints_from_numpy(v, ty)
+        return _apply_validity(out, vbits, n)
+
+    if codec == "raw":
+        raw = bufs[i]
+        if pa.types.is_decimal(ty):
+            out = pa.Array.from_buffers(ty, n, [None, pa.py_buffer(raw)])
+        else:
+            dt = np.float32 if pa.types.is_float32(ty) else np.float64
+            out = pa.array(np.frombuffer(raw, dt), type=ty)
+        return _apply_validity(out, vbits, n)
+
+    if codec in ("str", "bin"):
+        lens = decode_int64(bufs[i])
+        data = bufs[i + 1]
+        out = _varbytes_from_numpy(lens, data, ty)
+        return _apply_validity(out, vbits, n)
+
+    if codec == "dict":
+        indices = decode_int64(bufs[i])
+        dlens = decode_int64(bufs[i + 1])
+        ddata = bufs[i + 2]
+        dictionary = _varbytes_from_numpy(dlens, ddata, ty)
+        out = dictionary.take(pa.array(indices))
+        return _apply_validity(out, vbits, n)
+
+    if codec == "fsst":
+        table, _ = fsst.deserialize_table(bufs[i])
+        lens = decode_int64(bufs[i + 1])
+        codes = np.frombuffer(bufs[i + 2], np.uint8)
+        literals = np.frombuffer(bufs[i + 3], np.uint8)
+        flat = fsst.decode(codes, literals, table)
+        out = _varbytes_from_numpy(lens, flat.tobytes(), ty)
+        return _apply_validity(out, vbits, n)
+
+    raise NotImplementedError(f"unknown codec {codec}")
+
+
+def _ints_from_numpy(v: np.ndarray, ty: pa.DataType) -> pa.Array:
+    if pa.types.is_boolean(ty):
+        return pa.array(v.astype(bool), type=ty)
+    if pa.types.is_timestamp(ty) or pa.types.is_temporal(ty):
+        base = pa.array(v, pa.int64())
+        if pa.types.is_date32(ty) or pa.types.is_time32(ty):
+            base = base.cast(pa.int32())
+        return base.cast(ty)
+    if pa.types.is_unsigned_integer(ty):
+        if ty == pa.uint64():
+            return pa.array(v.view(np.uint64), type=ty)
+        return pa.array(v, pa.int64()).cast(ty)
+    return pa.array(v, pa.int64()).cast(ty)
+
+
+def _varbytes_from_numpy(lens: np.ndarray, data: bytes, ty: pa.DataType) -> pa.Array:
+    n = lens.size
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    big = pa.large_string() if pa.types.is_string(ty) or pa.types.is_large_string(ty) else pa.large_binary()
+    out = pa.Array.from_buffers(
+        big, n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)]
+    )
+    return out.cast(ty) if out.type != ty else out
+
+
+# ---------------------------------------------------------------------------
+# chunk serialize / deserialize
+
+def encode_chunk(table: pa.Table, opts: EncodeOptions = DEFAULT_OPTIONS) -> bytes:
+    """Encode a pyarrow Table into one self-describing chunk blob."""
+    table = table.combine_chunks()
+    cols = []
+    all_bufs: list[bytes] = []
+    for name in table.column_names:
+        meta, bufs = _encode_column(table.column(name), opts, name)
+        _annotate_nbuf(meta, bufs)
+        meta["name"] = name
+        framed = [
+            framing.compress(b, opts.compression, opts.compression_level, opts.compression_block_size)
+            if len(b) >= opts.min_compress_bytes
+            else framing.compress(b, "none")
+            for b in bufs
+        ]
+        meta["buf_lens"] = [len(b) for b in framed]
+        cols.append(meta)
+        all_bufs.extend(framed)
+    header = {
+        "n_rows": table.num_rows,
+        "schema": base64.b64encode(table.schema.serialize().to_pybytes()).decode(),
+        "columns": cols,
+    }
+    hj = json.dumps(header, separators=(",", ":")).encode()
+    return b"".join([MAGIC, _struct.pack("<I", len(hj)), hj] + all_bufs)
+
+
+def _annotate_nbuf(meta: dict, bufs: list[bytes]) -> None:
+    """Record total buffer counts per subtree so decode can slice."""
+    # count buffers belonging to this subtree — by construction the flat
+    # buffer list is depth-first, so the total is just len(bufs) at the top;
+    # children need their own counts for struct/list slicing
+    def count(m: dict) -> int:
+        c = 1 if m.get("valid") else 0
+        codec = m.get("codec")
+        if codec == "list":
+            c += 1 + count(m["child"])
+        elif codec == "struct":
+            c += sum(count(ch) for ch in m["children"])
+        elif codec == "int":
+            c += 1
+        elif codec == "raw":
+            c += 1
+        elif codec in ("str", "bin"):
+            c += 2
+        elif codec == "dict":
+            c += 3
+        elif codec == "fsst":
+            c += 4
+        m["_nbuf"] = c
+        return c
+
+    count(meta)
+    assert meta["_nbuf"] == len(bufs), (meta, len(bufs))
+
+
+def read_chunk_header(data: bytes | memoryview) -> dict:
+    mv = memoryview(data)
+    if bytes(mv[:5]) != MAGIC:
+        raise ValueError("not an ORAY1 chunk")
+    (hlen,) = _struct.unpack_from("<I", mv, 5)
+    return json.loads(bytes(mv[9 : 9 + hlen]))
+
+
+def decode_chunk(data: bytes | memoryview, columns: list[str] | None = None) -> pa.Table:
+    """Decode a chunk blob back to a pyarrow Table (optionally projected)."""
+    mv = memoryview(data)
+    header = read_chunk_header(mv)
+    (hlen,) = _struct.unpack_from("<I", mv, 5)
+    off = 9 + hlen
+    schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(header["schema"])))
+    arrays = []
+    names = []
+    for cmeta in header["columns"]:
+        blens = cmeta["buf_lens"]
+        if columns is not None and cmeta["name"] not in columns:
+            off += sum(blens)
+            continue
+        bufs = []
+        for bl in blens:
+            bufs.append(framing.decompress(mv[off : off + bl]))
+            off += bl
+        ty = schema.field(cmeta["name"]).type
+        arrays.append(_decode_column(cmeta, bufs, ty))
+        names.append(cmeta["name"])
+    return pa.table(dict(zip(names, arrays)))
