@@ -1,0 +1,142 @@
+"""Ray Data decode pipeline — the engine's read path (mirrors encode).
+
+The analog of the reference's read path (SURVEY.md §3.2): chunk files are
+read in parallel (one read task per chunk — the stripe-aligned-split idea
+from OrcInputFormat), decoded by the mirrored stateless kernels, with two
+pushdowns the reference also implements:
+
+- *column projection* (RowReaderOptions.include analog): only the
+  requested columns' buffers are decompressed/decoded — the chunk header
+  carries per-column buffer extents;
+- *stats pruning* (SearchArgument / pickRowGroups analog,
+  c++/src/sargs/SargsApplier.cc): simple predicates are evaluated against
+  per-chunk min/max from the lineage manifest, chunks that cannot match
+  are never read, and the residual predicate is applied exactly inside
+  map_batches.
+
+Returns a lazy ``ray.data.Dataset`` — consumption streams with
+backpressure; nothing is materialized driver-side.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import operator
+import os
+
+import pyarrow as pa
+
+import ray
+
+from ..chunk import decode_chunk
+from ..state import manifest as mstate
+
+_OPS = {
+    ">": operator.gt,
+    ">=": operator.ge,
+    "<": operator.lt,
+    "<=": operator.le,
+    "==": operator.eq,
+    "!=": operator.ne,
+}
+
+
+def _chunk_may_match(stats: dict, pred: tuple) -> bool:
+    """Conservative min/max test: False only if NO row can match."""
+    col, op, val = pred
+    st = stats.get(col)
+    if st is None:
+        return True
+    lo, hi = st["min"], st["max"]
+    if op == ">":
+        return hi > val
+    if op == ">=":
+        return hi >= val
+    if op == "<":
+        return lo < val
+    if op == "<=":
+        return lo <= val
+    if op == "==":
+        return lo <= val <= hi
+    return True  # != and unknown ops: cannot prune
+
+
+def list_chunks(out_dir: str, predicates: list[tuple] | None = None) -> tuple[list[str], int, int]:
+    """Chunk file paths (optionally stats-pruned). Returns (paths, kept, total)."""
+    man = mstate.read_manifest(out_dir)
+    if man.num_rows == 0:
+        paths = sorted(glob.glob(os.path.join(mstate.chunk_dir(out_dir), "*.oray")))
+        return paths, len(paths), len(paths)
+    ids = man.column("chunk_id").to_pylist()
+    stats = [json.loads(s) for s in man.column("stats").to_pylist()]
+    keep = []
+    for cid, st in zip(ids, stats):
+        if predicates and not all(_chunk_may_match(st, p) for p in predicates):
+            continue
+        keep.append(os.path.join(mstate.chunk_dir(out_dir), f"{cid}.oray"))
+    return sorted(keep), len(keep), len(ids)
+
+
+class _DecodeChunks:
+    def __init__(self, columns: list[str] | None, predicates: list[tuple] | None):
+        self.columns = columns
+        self.predicates = predicates
+        # decode must include predicate columns even when projected away
+        if columns is None:
+            self.decode_cols = None
+        else:
+            extra = [p[0] for p in predicates or [] if p[0] not in columns]
+            self.decode_cols = list(columns) + extra
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tables = []
+        for blob in batch.column("bytes").to_pylist():
+            t = decode_chunk(blob, columns=self.decode_cols)
+            if self.predicates:
+                mask = None
+                for col, op, val in self.predicates:
+                    if col not in t.column_names:
+                        continue
+                    m = _OPS[op](pc.field(col), pa.scalar(val))
+                    mask = m if mask is None else pc.and_(mask, m)
+                if mask is not None:
+                    t = t.filter(mask)
+            if self.columns is not None and t.column_names != self.columns:
+                t = t.select(self.columns)
+            tables.append(t)
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables).combine_chunks()
+
+
+def decode_dataset(
+    out_dir: str,
+    *,
+    columns: list[str] | None = None,
+    predicates: list[tuple] | None = None,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """Lazy decode of a chunk store into a Dataset of original rows.
+
+    ``predicates``: list of (column, op, value) tuples — applied both as
+    manifest min/max pruning (chunks skipped entirely) and exactly per
+    batch after decode.
+    """
+    paths, kept, total = list_chunks(out_dir, predicates)
+    if not paths:
+        return ray.data.from_arrow(pa.table({}))
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    ds = ray.data.read_binary_files(paths)
+    return ds.map_batches(
+        _DecodeChunks,
+        fn_constructor_args=(columns, predicates),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

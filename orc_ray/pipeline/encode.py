@@ -1,0 +1,220 @@
+"""Ray Data encode pipeline — the engine's write path.
+
+The analog of the reference's write path (SURVEY.md §3.1) re-expressed
+Ray-Data-first:
+
+    read_parquet(files, columns)           # one read task per fragment
+      -> [optional salted hash shuffle]    # skew-breaking co-location
+      -> map_batches(EncoderActor pool)    # stateful: dict/FSST tables per
+                                           #   (actor, column, chunk)
+      -> lineage records -> manifest parquet + driver commit
+
+Each batch becomes one self-describing chunk file (the stripe analog);
+the streaming executor pipelines read/encode/write with backpressure, so
+nothing materializes the full dataset.  Chunks are content-addressed and
+committed per input file via the manifest (state/manifest.py), which makes
+an interrupted run resumable (`resume=True`).
+
+Scale notes (the 100 TB design points):
+- batches are zero-copy Arrow (`batch_format="pyarrow"`); encode kernels
+  are the vectorized codecs from orc_ray.codecs — no per-row Python;
+- the salted shuffle mode (`partition_by="source"`) hash-partitions on
+  (source, floor(log2(n_tok))) — same-source text shares symbol tables
+  (better ratio) while the length-bucket salt bounds per-partition byte
+  volume against long-document skew, as the north star mandates;
+- chunk size is bounded by `batch_size` rows *and* Ray's block splitting,
+  so a worker holds O(batch) memory regardless of corpus size;
+- output is one file per chunk under chunks/ — a failed run re-encodes
+  only uncommitted inputs, and downstream reads parallelize per chunk.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from ..chunk import DEFAULT_OPTIONS, EncodeOptions, encode_chunk, read_chunk_header
+from ..state import manifest as mstate
+
+_PATH_COL = "__input_path"
+_SALT_COL = "__salt"
+
+
+def _resolve_files(input_paths) -> list[str]:
+    if isinstance(input_paths, (str, os.PathLike)):
+        input_paths = [input_paths]
+    out: list[str] = []
+    for p in input_paths:
+        p = str(p)
+        if os.path.isdir(p):
+            out.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+        else:
+            out.append(p)
+    return out
+
+
+class EncoderActor:
+    """Stateful encoder stage: one symbol table / dictionary per
+    (actor, column, chunk), built in the codec kernels; chunk files are
+    written from inside the task (no driver round-trip)."""
+
+    def __init__(self, out_dir: str, opts: EncodeOptions):
+        self.out_dir = out_dir
+        self.opts = opts
+        os.makedirs(mstate.chunk_dir(out_dir), exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        recs = {k: [] for k in ("chunk_id", "input_file", "n_rows", "raw_bytes", "enc_bytes", "codecs", "stats", "wall_ms")}
+        if _PATH_COL in batch.column_names:
+            paths = batch.column(_PATH_COL)
+            batch = batch.drop_columns([_PATH_COL])
+            uniq = pa.compute.unique(paths).to_pylist()
+            groups = [
+                (p, batch.filter(pa.compute.equal(paths, p))) if len(uniq) > 1 else (p, batch)
+                for p in uniq
+            ]
+        else:
+            groups = [("", batch)]
+        for path, sub in groups:
+            if _SALT_COL in sub.column_names:
+                sub = sub.drop_columns([_SALT_COL])
+            if sub.num_rows == 0:
+                continue
+            t0 = time.time()
+            payload = encode_chunk(sub, self.opts)
+            cid = hashlib.sha256(payload).hexdigest()[:24]
+            tmp = os.path.join(mstate.chunk_dir(self.out_dir), f".{cid}.tmp")
+            final = os.path.join(mstate.chunk_dir(self.out_dir), f"{cid}.oray")
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, final)  # atomic: a chunk file is whole or absent
+            hdr = read_chunk_header(payload)
+            codecs = {c["name"]: c["codec"] for c in hdr["columns"]}
+            stats = {
+                c["name"]: {"min": c["min"], "max": c["max"]}
+                for c in hdr["columns"]
+                if "min" in c
+            }
+            recs["chunk_id"].append(cid)
+            recs["input_file"].append(path)
+            recs["n_rows"].append(sub.num_rows)
+            recs["raw_bytes"].append(sub.nbytes)
+            recs["enc_bytes"].append(len(payload))
+            recs["codecs"].append(json.dumps(codecs))
+            recs["stats"].append(json.dumps(stats))
+            recs["wall_ms"].append((time.time() - t0) * 1e3)
+        return pa.table(recs, schema=mstate.MANIFEST_SCHEMA)
+
+
+def encode_dataset(
+    input_paths,
+    out_dir: str,
+    opts: EncodeOptions = DEFAULT_OPTIONS,
+    *,
+    columns: list[str] | None = None,
+    batch_size: int = 16384,
+    concurrency=None,
+    resume: bool = False,
+    partition_by: str | None = None,
+    salt_length_col: str | None = None,
+    ds=None,
+) -> dict:
+    """Encode parquet inputs into a chunk store; returns the commit record.
+
+    ``partition_by`` enables the salted hash shuffle (column name, e.g.
+    "source"); ``salt_length_col`` adds a floor(log2(len)) bucket from that
+    int column (e.g. "n_tok") to break long-document skew.  ``ds`` lets a
+    caller pass a pre-built Dataset instead of parquet paths (tests).
+    """
+    files = _resolve_files(input_paths) if ds is None else []
+    expected = {}
+    if ds is None:
+        todo = files
+        if resume:
+            committed = mstate.load_committed(out_dir)["files"]
+            mstate.clean_uncommitted(out_dir)
+            todo = [f for f in files if f not in committed]
+        for f in files:
+            expected[f] = pq.read_metadata(f).num_rows
+        if not todo:
+            return mstate.commit(out_dir, expected)
+        dataset = ray.data.read_parquet(todo, columns=columns, include_paths=True)
+        dataset = dataset.map_batches(
+            _rename_path_col, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        dataset = ds
+
+    if partition_by:
+        dataset = dataset.map_batches(
+            _AddSalt(partition_by, salt_length_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        # hash shuffle on the salt key: co-locates same-source rows while the
+        # length bucket bounds partition byte volume (north-star skew rule)
+        dataset = dataset.groupby(_SALT_COL).map_groups(
+            lambda g: g, batch_format="pyarrow"
+        )
+
+    if concurrency is None:
+        # actor pool sized to the cluster; reads/writes pipeline around it
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    os.makedirs(mstate.manifest_dir(out_dir), exist_ok=True)
+    man = dataset.map_batches(
+        EncoderActor,
+        fn_constructor_args=(out_dir, opts),
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    man.write_parquet(mstate.manifest_dir(out_dir))
+    return mstate.commit(out_dir, expected)
+
+
+def _rename_path_col(batch: pa.Table) -> pa.Table:
+    if "path" in batch.column_names:
+        names = [(_PATH_COL if n == "path" else n) for n in batch.column_names]
+        batch = batch.rename_columns(names)
+    return batch
+
+
+class _AddSalt:
+    def __init__(self, key_col: str, length_col: str | None):
+        self.key_col = key_col
+        self.length_col = length_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
+        n = batch.num_rows
+        key = batch.column(self.key_col)
+        # stable hash of the key column: crc32 per unique value (few), gathered
+        idx = pa.compute.dictionary_encode(key)
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
+        crcs = np.array(
+            [zlib.crc32(str(v).encode()) for v in idx.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        base = crcs[idx.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        if self.length_col:
+            ln = batch.column(self.length_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            bucket = np.zeros(n, dtype=np.int64)
+            nz = ln > 0
+            bucket[nz] = np.log2(ln[nz]).astype(np.int64)
+            salt = base * 16 + np.clip(bucket, 0, 15)
+        else:
+            salt = base
+        return batch.append_column(_SALT_COL, pa.array(salt))

@@ -1,0 +1,133 @@
+"""Lineage manifest — resumable, partition-committed encoded output.
+
+The reference's durability invariant is "the footer commits the file": an
+ORC file is unreadable until close() writes Footer+PostScript last
+(apache/orc c++/src/Writer.cc:writeStripe/close; SURVEY.md §4).  The engine
+reproduces that invariant at partition granularity, as the north star
+mandates:
+
+- every encode task appends one *lineage record* per chunk it writes
+  (chunk id = content hash of the encoded payload, input fragment, per-
+  column codec choices, rows, raw/encoded bytes, wall time) — written as
+  parquet by the same distributed pipeline that writes the chunks, so
+  there is no driver-side bottleneck;
+- an input file is *committed* only when the sum of its recorded chunk
+  rows equals the parquet metadata row count — the driver then lists it in
+  `_committed.json` (the footer analog);
+- resume = read `_committed.json`, skip committed inputs, delete orphan
+  chunks/records of uncommitted inputs, re-encode only those.
+
+Layout under an output directory:
+
+    chunks/<chunk_id>.oray        encoded chunk blobs (content-addressed)
+    manifest/*.parquet            lineage records (distributed write)
+    _committed.json               committed input files + totals (driver)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_SCHEMA = pa.schema(
+    [
+        ("chunk_id", pa.string()),
+        ("input_file", pa.string()),
+        ("n_rows", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("codecs", pa.string()),      # json: column -> codec tag
+        ("stats", pa.string()),       # json: column -> {min,max} (prunable cols)
+        ("wall_ms", pa.float64()),
+    ]
+)
+
+
+def chunk_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "chunks")
+
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest")
+
+
+def committed_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_committed.json")
+
+
+def load_committed(out_dir: str) -> dict:
+    p = committed_path(out_dir)
+    if not os.path.exists(p):
+        return {"files": {}, "totals": {}}
+    with open(p) as f:
+        return json.load(f)
+
+
+def read_manifest(out_dir: str) -> pa.Table:
+    files = sorted(glob.glob(os.path.join(manifest_dir(out_dir), "*.parquet")))
+    if not files:
+        return MANIFEST_SCHEMA.empty_table()
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def commit(out_dir: str, expected_rows: dict[str, int]) -> dict:
+    """Verify per-input-file chunk row counts against parquet metadata and
+    write `_committed.json`.  Returns the commit record."""
+    man = read_manifest(out_dir)
+    got: dict[str, int] = {}
+    if man.num_rows:
+        import pyarrow.compute as pc
+
+        grouped = man.group_by("input_file").aggregate([("n_rows", "sum")])
+        for f, r in zip(
+            grouped.column("input_file").to_pylist(), grouped.column("n_rows_sum").to_pylist()
+        ):
+            got[f] = int(r)
+    prev = load_committed(out_dir)["files"]
+    files = dict(prev)
+    for f, exp in expected_rows.items():
+        if got.get(f, -1) == exp:
+            files[f] = exp
+    totals = {
+        "committed_files": len(files),
+        "rows": int(sum(files.values())),
+        "enc_bytes": int(pa.compute.sum(man.column("enc_bytes")).as_py() or 0) if man.num_rows else 0,
+        "raw_bytes": int(pa.compute.sum(man.column("raw_bytes")).as_py() or 0) if man.num_rows else 0,
+    }
+    rec = {"files": files, "totals": totals}
+    tmp = committed_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rec, f, indent=1)
+    os.replace(tmp, committed_path(out_dir))
+    return rec
+
+
+def clean_uncommitted(out_dir: str) -> int:
+    """Delete chunks + lineage records belonging to uncommitted input files.
+    Returns number of chunks removed.  Called on resume before re-encoding."""
+    committed = set(load_committed(out_dir)["files"])
+    man = read_manifest(out_dir)
+    removed = 0
+    if man.num_rows:
+        keep_mask = [f in committed for f in man.column("input_file").to_pylist()]
+        drop_ids = [
+            cid
+            for cid, k in zip(man.column("chunk_id").to_pylist(), keep_mask)
+            if not k
+        ]
+        for cid in drop_ids:
+            p = os.path.join(chunk_dir(out_dir), f"{cid}.oray")
+            if os.path.exists(p):
+                os.remove(p)
+                removed += 1
+        if drop_ids:
+            kept = man.filter(pa.array(keep_mask))
+            for f in glob.glob(os.path.join(manifest_dir(out_dir), "*.parquet")):
+                os.remove(f)
+            if kept.num_rows:
+                pq.write_table(kept, os.path.join(manifest_dir(out_dir), "resume-kept.parquet"))
+    return removed

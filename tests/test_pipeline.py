@@ -1,0 +1,129 @@
+"""End-to-end Ray Data pipeline tests: encode -> chunk store + manifest ->
+decode, resume from manifest (F6), stats pruning, salted shuffle."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from orc_ray.chunk import EncodeOptions
+from orc_ray.fixtures import f1_corpus, write_f1_parquet
+from orc_ray.pipeline.decode import decode_dataset, list_chunks
+from orc_ray.pipeline.encode import encode_dataset
+from orc_ray.state import manifest as mstate
+
+
+@pytest.fixture(scope="module")
+def f1_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("f1in")
+    paths = write_f1_parquet(str(d), 8000, n_files=4)
+    return str(d), paths
+
+
+def _sorted_by_doc(t: pa.Table) -> pa.Table:
+    return t.sort_by("doc_id").combine_chunks()
+
+
+def test_encode_decode_roundtrip(ray_session, f1_files, tmp_path):
+    in_dir, paths = f1_files
+    out = str(tmp_path / "store")
+    rec = encode_dataset(in_dir, out, batch_size=1000)
+    assert rec["totals"]["committed_files"] == 4
+    assert rec["totals"]["rows"] == 8000
+    ds = decode_dataset(out)
+    got = _sorted_by_doc(ray_get_table(ds))
+    exp = _sorted_by_doc(pa.concat_tables([pq.read_table(p) for p in paths]))
+    assert got.equals(exp)  # bit-identical per-row (tokens list included)
+
+
+def ray_get_table(ds) -> pa.Table:
+    parts = [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)]
+    return pa.concat_tables(parts) if parts else pa.table({})
+
+
+def test_compression_vs_raw(ray_session, f1_files, tmp_path):
+    in_dir, paths = f1_files
+    out = str(tmp_path / "store")
+    rec = encode_dataset(in_dir, out, batch_size=4000)
+    tot = rec["totals"]
+    assert tot["enc_bytes"] < tot["raw_bytes"] / 2  # ≥2x lightweight+zstd
+
+
+def test_resume_skips_committed_and_completes(ray_session, f1_files, tmp_path):
+    """F6: kill after k committed inputs -> resume -> complete store that
+    decodes identically; committed chunks untouched."""
+    in_dir, paths = f1_files
+    out = str(tmp_path / "store")
+    # simulate an interrupted run: only 2 of 4 inputs were encoded+committed
+    encode_dataset(paths[:2], out, batch_size=1000)
+    first_chunks = set(os.listdir(mstate.chunk_dir(out)))
+    committed = mstate.load_committed(out)
+    assert len(committed["files"]) == 2
+
+    # resume over the full input list
+    rec = encode_dataset(paths, out, batch_size=1000, resume=True)
+    assert rec["totals"]["committed_files"] == 4
+    after = set(os.listdir(mstate.chunk_dir(out)))
+    assert first_chunks <= after  # committed chunks untouched (same ids)
+
+    got = _sorted_by_doc(ray_get_table(decode_dataset(out)))
+    exp = _sorted_by_doc(pa.concat_tables([pq.read_table(p) for p in paths]))
+    assert got.equals(exp)
+
+    # a second resume is a no-op (nothing left to encode)
+    n_before = len(os.listdir(mstate.chunk_dir(out)))
+    rec2 = encode_dataset(paths, out, batch_size=1000, resume=True)
+    assert rec2["totals"]["committed_files"] == 4
+    assert len(os.listdir(mstate.chunk_dir(out))) == n_before
+
+
+def test_projection_and_stats_pruning(ray_session, f1_files, tmp_path):
+    in_dir, paths = f1_files
+    out = str(tmp_path / "store")
+    encode_dataset(in_dir, out, batch_size=500)
+    # projection
+    t = ray_get_table(decode_dataset(out, columns=["doc_id", "n_tok"]))
+    assert t.column_names == ["doc_id", "n_tok"]
+    assert t.num_rows == 8000
+    # pruning: n_tok > huge value -> most chunks skipped entirely
+    _, kept, total = list_chunks(out, predicates=[("n_tok", ">", 2047)])
+    assert kept < total
+    got = ray_get_table(decode_dataset(out, predicates=[("n_tok", ">", 2047)]))
+    exp = pa.concat_tables([pq.read_table(p) for p in paths])
+    exp = exp.filter(pc.greater(exp.column("n_tok"), 2047))
+    assert got.num_rows == exp.num_rows
+    # exact residual filter correctness on a selective predicate
+    got2 = ray_get_table(decode_dataset(out, predicates=[("n_tok", "<=", 64)]))
+    exp2 = exp = pa.concat_tables([pq.read_table(p) for p in paths])
+    exp2 = exp2.filter(pc.less_equal(exp2.column("n_tok"), 64))
+    assert _sorted_by_doc(got2).equals(_sorted_by_doc(exp2))
+
+
+def test_salted_shuffle_mode(ray_session, f1_files, tmp_path):
+    in_dir, paths = f1_files
+    out = str(tmp_path / "store")
+    rec = encode_dataset(
+        in_dir, out, batch_size=1000, partition_by="source", salt_length_col="n_tok"
+    )
+    got = _sorted_by_doc(ray_get_table(decode_dataset(out)))
+    exp = _sorted_by_doc(pa.concat_tables([pq.read_table(p) for p in paths]))
+    assert got.equals(exp)
+
+
+def test_manifest_lineage_fields(ray_session, f1_files, tmp_path):
+    in_dir, paths = f1_files
+    out = str(tmp_path / "store")
+    encode_dataset(in_dir, out, batch_size=2000)
+    man = mstate.read_manifest(out)
+    assert man.num_rows >= 4
+    row = {k: man.column(k)[0].as_py() for k in man.column_names}
+    codecs = json.loads(row["codecs"])
+    assert codecs["tokens"] == "list" and codecs["source"] == "dict"
+    assert codecs["doc_id"] in ("fsst", "str")
+    assert row["n_rows"] > 0 and row["enc_bytes"] > 0
+    stats = json.loads(row["stats"])
+    assert "n_tok" in stats and stats["n_tok"]["min"] >= 8
