@@ -129,7 +129,8 @@ def decode_dataset(
     if not paths:
         return ray.data.from_arrow(pa.table({}))
     if concurrency is None:
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+        # autoscaling pool — see encode.py note on pool deadlock avoidance
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 1))
     ds = ray.data.read_binary_files(paths)
     return ds.map_batches(
         _DecodeChunks,

@@ -167,8 +167,10 @@ def encode_dataset(
         )
 
     if concurrency is None:
-        # actor pool sized to the cluster; reads/writes pipeline around it
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+        # autoscaling actor pool: starts small, grows to the cluster; never
+        # reserves the whole CPU budget up front (fixed pools deadlock when
+        # two pipelines' pools both demand all cores)
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 1))
     os.makedirs(mstate.manifest_dir(out_dir), exist_ok=True)
     man = dataset.map_batches(
         EncoderActor,

@@ -1,0 +1,254 @@
+"""Driver-contract query pipelines over /root/testdata tables.
+
+Every pipeline routes the data THROUGH the engine: the input parquet table
+is encoded into a chunk store (cached under /tmp, committed via the
+manifest), then decoded back as a streaming ray.data.Dataset, and the
+query operates on that decoded stream.  That makes the DuckDB oracle a
+check of the whole engine (codecs, chunk format, pipelines), not just of
+the query math — the analog of the reference's golden round-trip suites
+(TestVectorOrcFile) wired into live SQL comparison.
+
+No ray.init()/shutdown() here (driver owns the session).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from .chunk import DEFAULT_OPTIONS
+from .pipeline.decode import decode_dataset
+from .pipeline.encode import encode_dataset
+
+CACHE_ROOT = os.environ.get("ORC_RAY_CACHE", "/tmp/orc_ray_cache")
+
+
+def store_for(sf_dir: str, table: str) -> str:
+    """Encode `sf_dir/table.parquet` through the engine once; cached+resumable."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]
+    out = os.path.join(CACHE_ROOT, f"{table}-{key}")
+    expected = pq.read_metadata(src).num_rows
+    from .state.manifest import load_committed
+
+    rec = load_committed(out)
+    if rec["files"].get(src) != expected:
+        encode_dataset([src], out, DEFAULT_OPTIONS, resume=True, batch_size=16384)
+    return out
+
+
+def _decoded(sf_dir: str, table: str, columns=None, predicates=None):
+    return decode_dataset(store_for(sf_dir, table), columns=columns, predicates=predicates)
+
+
+def _to_table(ds) -> pa.Table:
+    parts = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(parts).combine_chunks() if parts else pa.table({})
+
+
+# ---------------------------------------------------------------------------
+# round-trip queries (engine identity vs SQL identity)
+
+def q_roundtrip_documents(sf_dir: str):
+    return _decoded(sf_dir, "documents")
+
+
+def q_roundtrip_lineitem(sf_dir: str):
+    return _decoded(sf_dir, "lineitem")
+
+
+def q_roundtrip_events(sf_dir: str):
+    return _decoded(sf_dir, "events")
+
+
+def q_roundtrip_embeddings(sf_dir: str):
+    return _decoded(sf_dir, "embeddings")
+
+
+def q_projection_pushdown(sf_dir: str):
+    return _decoded(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+
+def q_predicate_pushdown(sf_dir: str):
+    return _decoded(sf_dir, "lineitem", predicates=[("l_orderkey", "<", 100)])
+
+
+# ---------------------------------------------------------------------------
+# analytics over engine-decoded streams
+
+def q_agg_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style aggregate over the decoded lineitem stream."""
+    ds = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("l_discount", "sum"), ("l_quantity", "count")]
+        )
+        return g
+
+    # partial per-batch combine, then a tiny final groupby on the driver —
+    # pre-aggregation keeps the shuffle O(groups), not O(rows)
+    partials = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = partials.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("l_quantity_sum", "sum"), ("l_extendedprice_sum", "sum"), ("l_discount_sum", "sum"), ("l_quantity_count", "sum")]
+    )
+    cnt = final.column("l_quantity_count_sum").to_numpy().astype(np.int64)
+    out = pa.table(
+        {
+            "l_returnflag": final.column("l_returnflag"),
+            "l_linestatus": final.column("l_linestatus"),
+            "sum_qty": pc.round(final.column("l_quantity_sum_sum"), 2),
+            "sum_base_price": pc.round(final.column("l_extendedprice_sum_sum"), 2),
+            "avg_disc": pc.round(
+                pc.divide(final.column("l_discount_sum_sum"), pa.array(cnt.astype(np.float64))), 6
+            ),
+            "count_order": pa.array(cnt),
+        }
+    )
+    return out.sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def q_filter_groupby_events(sf_dir: str):
+    ds = _decoded(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("event_type").aggregate([("value", "sum"), ("value", "count")])
+
+    partials = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = partials.group_by("event_type").aggregate([("value_sum", "sum"), ("value_count", "sum")])
+    return pa.table(
+        {
+            "event_type": final.column("event_type"),
+            "total_value": pc.round(final.column("value_sum_sum"), 2),
+            "n_events": final.column("value_count_sum"),
+        }
+    ).sort_by("event_type")
+
+
+def q_join_orders_customer(sf_dir: str):
+    """Broadcast hash join: small side shipped once via ray.put, probed
+    inside map_batches — no all-to-all shuffle (SURVEY.md §7.3)."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())))
+    ds = _decoded(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    class AddSegment:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_pylist()
+            seg = pa.array([self.lookup.get(k) for k in keys], pa.string())
+            t = t.append_column("c_mktsegment", seg)
+            return t.group_by("c_mktsegment").aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+
+    partials = _to_table(
+        ds.map_batches(AddSegment, fn_constructor_args=(lookup_ref,), batch_format="pyarrow", concurrency=(1, 4))
+    )
+    final = partials.group_by("c_mktsegment").aggregate(
+        [("o_totalprice_sum", "sum"), ("o_totalprice_count", "sum")]
+    )
+    return pa.table(
+        {
+            "c_mktsegment": final.column("c_mktsegment"),
+            "revenue": pc.round(final.column("o_totalprice_sum_sum"), 2),
+            "n_orders": final.column("o_totalprice_count_sum"),
+        }
+    ).sort_by("c_mktsegment")
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup on document text: hash-shuffle groupby, keep min doc_id."""
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+    dd = ds.groupby("text").aggregate(ray.data.aggregate.Min("doc_id"))
+    t = _to_table(dd)
+    return pa.table(
+        {"text": t.column("text"), "doc_id": t.column("min(doc_id)")}
+    ).sort_by("doc_id")
+
+
+def q_text_stats(sf_dir: str):
+    """Vectorized text analysis over the decoded stream."""
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_chars = pc.utf8_length(text)
+        no_sp = pc.replace_substring(text, pattern=" ", replacement="")
+        n_spaces = pc.subtract(n_chars, pc.utf8_length(no_sp))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars_calc": n_chars.combine_chunks() if isinstance(n_chars, pa.ChunkedArray) else n_chars,
+                "n_spaces": n_spaces,
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES = {
+    "roundtrip_documents": q_roundtrip_documents,
+    "roundtrip_lineitem": q_roundtrip_lineitem,
+    "roundtrip_events": q_roundtrip_events,
+    "roundtrip_embeddings": q_roundtrip_embeddings,
+    "projection_pushdown": q_projection_pushdown,
+    "predicate_pushdown": q_predicate_pushdown,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "filter_groupby_events": q_filter_groupby_events,
+    "join_orders_customer": q_join_orders_customer,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+}
+
+ORACLE_SQL = {
+    "roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "roundtrip_lineitem": "SELECT * FROM lineitem",
+    "roundtrip_events": "SELECT * FROM events",
+    "roundtrip_embeddings": "SELECT * FROM embeddings",
+    "projection_pushdown": "SELECT l_orderkey, l_quantity FROM lineitem",
+    "predicate_pushdown": "SELECT * FROM lineitem WHERE l_orderkey < 100",
+    "agg_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "filter_groupby_events": """
+        SELECT event_type, ROUND(SUM(value), 2) AS total_value,
+               COUNT(value) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "join_orders_customer": """
+        SELECT c.c_mktsegment,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    "dedup_exact": """
+        SELECT text, MIN(doc_id) AS doc_id FROM documents
+        GROUP BY text ORDER BY doc_id
+    """,
+    "text_stats": """
+        SELECT doc_id, LENGTH(text) AS n_chars_calc,
+               LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
+        FROM documents
+    """,
+}
