@@ -19,4 +19,6 @@ Layout:
              invariant at partition granularity)
 """
 
+from . import _mem  # noqa: F401  (allocator tuning; see _mem.py)
+
 __version__ = "0.1.0"
