@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (list<float>).
+
+Baseline: exact brute-force cosine top-k — the query matrix is broadcast
+once (``ray.put``), each batch does one numpy matmul and keeps a local
+top-k, and the driver merges the tiny per-batch results (k rows per batch,
+not the corpus).
+
+Scale path: IVF — k-means centroids trained on a driver-side sample
+(seeded, few iterations), each vector assigned to its nearest centroid
+inside ``map_batches``; a query probes only the closest ``nprobe``
+partitions.  Assignment is a stored column, so at 100 TB the probe reads
+only matching partitions (partitioned parquet / chunk-store pruning).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _matrix(col) -> np.ndarray:
+    """(n, d) float32 matrix from a list<float> column, zero-copy flatten."""
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), np.float32)
+    d = flat.size // n
+    return flat.reshape(n, d)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class TopKCosineStage:
+    """map_batches stage: per-batch exact cosine top-k against broadcast
+    queries; emits (query_idx, vec_id, sim) candidate rows."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(np.atleast_2d(np.asarray(q, np.float32)))  # (nq, d)
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch.column(self.vec_col))
+        if m.shape[0] == 0:
+            return pa.table({"query_idx": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+        sims = _normalize(m) @ self.q.T  # (n, nq)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        k = min(self.k, m.shape[0])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(self.q.shape[0]):
+            s = sims[:, qi]
+            top = np.argpartition(-s, k - 1)[:k]
+            out_q.append(np.full(k, qi, np.int64))
+            out_id.append(ids[top].astype(np.int64))
+            out_s.append(s[top].astype(np.float64))
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_id)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def topk_cosine(ds, queries: np.ndarray, k: int = 10, id_col="vec_id", vec_col="embedding") -> pa.Table:
+    """Exact global top-k per query: distributed partial top-k + tiny merge.
+    Returns (query_idx, vec_id, sim) sorted by (query_idx, -sim, vec_id)."""
+    import ray
+
+    qref = ray.put(np.asarray(queries, np.float32))
+    cand = ds.map_batches(
+        TopKCosineStage,
+        fn_constructor_args=(qref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    parts = [b for b in cand.iter_batches(batch_format="pyarrow", batch_size=None)]
+    t = pa.concat_tables(parts) if parts else pa.table({"query_idx": [], "vec_id": [], "sim": []})
+    qi = t.column("query_idx").to_numpy()
+    sim = t.column("sim").to_numpy()
+    vid = t.column("vec_id").to_numpy()
+    keep_rows = []
+    for q in np.unique(qi):
+        mask = np.flatnonzero(qi == q)
+        order = mask[np.lexsort((vid[mask], -sim[mask]))][:k]
+        keep_rows.append(order)
+    if keep_rows:
+        sel = np.concatenate(keep_rows)
+        t = t.take(pa.array(sel))
+    return t
+
+
+def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 13) -> np.ndarray:
+    """Seeded Lloyd's k-means on a sample (driver-side, small)."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample.astype(np.float32))
+    idx = rng.choice(sample.shape[0], size=min(n_clusters, sample.shape[0]), replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            members = sample[assign == c]
+            if members.shape[0]:
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IVFAssignStage:
+    """map_batches stage: append nearest-centroid partition id."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        import ray
+
+        c = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+        self.cent = _normalize(np.asarray(c, np.float32))
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch.column(self.vec_col)))
+        assign = np.argmax(m @ self.cent.T, axis=1).astype(np.int32) if m.size else np.zeros(0, np.int32)
+        return batch.append_column("ivf_partition", pa.array(assign))
+
+
+def topk_cosine_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16, nprobe: int = 4,
+                    id_col="vec_id", vec_col="embedding", sample_rows: int = 4096) -> pa.Table:
+    """IVF approximate top-k: train centroids on a sample, prune batches to
+    the probed partitions, exact search inside them."""
+    import ray
+
+    sample_t = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+    sample = _matrix(pa.table(sample_t).column(vec_col))
+    cent = kmeans_fit(sample, n_clusters)
+    cref = ray.put(cent)
+    assigned = ds.map_batches(
+        IVFAssignStage, fn_constructor_args=(cref, vec_col), batch_format="pyarrow", concurrency=(1, 4)
+    )
+    q = _normalize(np.atleast_2d(np.asarray(queries, np.float32)))
+    probe = set()
+    for qi in range(q.shape[0]):
+        order = np.argsort(-(q[qi] @ cent.T))[:nprobe]
+        probe.update(int(x) for x in order)
+    probe_list = sorted(probe)
+
+    def _prune(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(t.column("ivf_partition"), value_set=pa.array(probe_list, pa.int32()))
+        return t.filter(mask)
+
+    filtered = assigned.map_batches(_prune, batch_format="pyarrow", zero_copy_batch=True)
+    return topk_cosine(filtered, queries, k, id_col, vec_col)

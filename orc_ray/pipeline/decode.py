@@ -78,8 +78,14 @@ def list_chunks(out_dir: str, predicates: list[tuple] | None = None) -> tuple[li
     return sorted(keep), len(keep), len(ids)
 
 
+def _decode_batch(batch: pa.Table, *, columns, predicates) -> pa.Table:
+    """Task-pool entry: decode a batch of chunk blobs."""
+    return _DecodeChunks(columns, predicates)(batch)
+
+
 class _DecodeChunks:
     def __init__(self, columns: list[str] | None, predicates: list[tuple] | None):
+        pa.set_memory_pool(pa.system_memory_pool())  # glibc heap: see _mem.py
         self.columns = columns
         self.predicates = predicates
         # decode must include predicate columns even when projected away
@@ -125,19 +131,18 @@ def decode_dataset(
     manifest min/max pruning (chunks skipped entirely) and exactly per
     batch after decode.
     """
+    import functools
+
     paths, kept, total = list_chunks(out_dir, predicates)
     if not paths:
         return ray.data.from_arrow(pa.table({}))
-    if concurrency is None:
-        # autoscaling pool — see encode.py note on pool deadlock avoidance
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 1))
     ds = ray.data.read_binary_files(paths)
+    # plain-function map_batches (task pool): task workers are reused
+    # across pipelines, keeping heaps warm — see encode.py rationale
     return ds.map_batches(
-        _DecodeChunks,
-        fn_constructor_args=(columns, predicates),
+        functools.partial(_decode_batch, columns=columns, predicates=predicates),
         batch_size=None,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
         num_cpus=1,
     )

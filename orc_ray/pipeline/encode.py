@@ -62,6 +62,57 @@ def _resolve_files(input_paths) -> list[str]:
     return out
 
 
+def _plan_units(files: list[str], columns, unit_rows: int) -> list[dict]:
+    """Split inputs into (file, row-group range) work units of ~unit_rows —
+    the analog of ORC's stripe-aligned splits (OrcInputFormat.getSplits):
+    each unit is independently readable, so encode tasks read their slice
+    of parquet directly and raw bytes never transit the object store."""
+    units = []
+    for f in files:
+        md = pq.read_metadata(f)
+        cur: list[int] = []
+        cur_rows = 0
+        for rg in range(md.num_row_groups):
+            cur.append(rg)
+            cur_rows += md.row_group(rg).num_rows
+            if cur_rows >= unit_rows:
+                units.append({"path": f, "row_groups": json.dumps(cur)})
+                cur, cur_rows = [], 0
+        if cur:
+            units.append({"path": f, "row_groups": json.dumps(cur)})
+    return units
+
+
+class FileEncoderActor:
+    """Direct-read encoder: one task = read a row-group unit from parquet
+    (in-process, zero plasma hop for the raw data) -> slice into chunks ->
+    encode -> write chunk files -> emit manifest rows."""
+
+    def __init__(self, out_dir: str, opts: EncodeOptions, columns, batch_size: int):
+        self.out_dir = out_dir
+        self.opts = opts
+        self.columns = columns
+        self.batch_size = batch_size
+        self.enc = EncoderActor(out_dir, opts)
+        pa.set_memory_pool(pa.system_memory_pool())  # glibc heap: see _mem.py
+
+    def __call__(self, units: pa.Table) -> pa.Table:
+        out = []
+        for path, rgs in zip(units.column("path").to_pylist(), units.column("row_groups").to_pylist()):
+            table = pq.ParquetFile(path).read_row_groups(json.loads(rgs), columns=self.columns)
+            n = table.num_rows
+            for lo in range(0, n, self.batch_size):
+                sub = table.slice(lo, self.batch_size)
+                sub = sub.append_column(_PATH_COL, pa.array([path] * sub.num_rows))
+                out.append(self.enc(sub))
+        return pa.concat_tables(out) if out else mstate.MANIFEST_SCHEMA.empty_table()
+
+
+def _encode_units(units: pa.Table, *, out_dir: str, opts: EncodeOptions, columns, batch_size: int) -> pa.Table:
+    """Task-pool entry: encode one work unit (see FileEncoderActor)."""
+    return FileEncoderActor(out_dir, opts, columns, batch_size)(units)
+
+
 class EncoderActor:
     """Stateful encoder stage: one symbol table / dictionary per
     (actor, column, chunk), built in the codec kernels; chunk files are
@@ -71,6 +122,7 @@ class EncoderActor:
         self.out_dir = out_dir
         self.opts = opts
         os.makedirs(mstate.chunk_dir(out_dir), exist_ok=True)
+        pa.set_memory_pool(pa.system_memory_pool())  # glibc heap: see _mem.py
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         recs = {k: [] for k in ("chunk_id", "input_file", "n_rows", "raw_bytes", "enc_bytes", "codecs", "stats", "wall_ms")}
@@ -146,6 +198,32 @@ def encode_dataset(
         for f in files:
             expected[f] = pq.read_metadata(f).num_rows
         if not todo:
+            return mstate.commit(out_dir, expected)
+        if not partition_by:
+            # fast path: direct-read units — raw bytes never enter the
+            # object store (only manifest rows do); see _plan_units.
+            # Plain-function map_batches (task pool), NOT an actor pool:
+            # Ray task workers are long-lived and reused across pipelines,
+            # while actor processes die with their pipeline — in this
+            # environment (expensive first-touch page faults, see _mem.py)
+            # reusing warm worker heaps measured 4-8x faster at steady
+            # state (3.5s vs 14-34s for a 1.7 GB corpus at 32 cpus).  The
+            # encoder's per-chunk state (dict/FSST tables) lives inside
+            # the call, so tasks lose nothing.
+            import functools
+
+            os.makedirs(mstate.manifest_dir(out_dir), exist_ok=True)
+            units = _plan_units(todo, columns, unit_rows=batch_size * 2)
+            dataset = ray.data.from_items(units)
+            man = dataset.map_batches(
+                functools.partial(
+                    _encode_units, out_dir=out_dir, opts=opts, columns=columns, batch_size=batch_size
+                ),
+                batch_size=1,
+                batch_format="pyarrow",
+                num_cpus=1,
+            )
+            man.write_parquet(mstate.manifest_dir(out_dir))
             return mstate.commit(out_dir, expected)
         dataset = ray.data.read_parquet(todo, columns=columns, include_paths=True)
         dataset = dataset.map_batches(

@@ -1,0 +1,185 @@
+"""Tests for training-data pipeline functions: dedup (exact/minhash/
+simhash/jaccard), similarity search, text analysis, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from orc_ray.functions import dedup, multimodal, similarity, text
+
+
+def _corpus_with_near_dups():
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away into the forest",
+        "completely different text about ray data pipelines and columnar compression engines",
+        "numpy vectorized kernels make python fast enough for heavy data processing work",
+        "a third unrelated document mentioning nothing in common with the others at all",
+    ]
+    docs, ids = [], []
+    for i, b in enumerate(base):
+        docs.append(b)
+        ids.append(f"doc{i}-orig")
+        # near-dup: small edit
+        docs.append(b.replace("the", "teh", 1) + " extra")
+        ids.append(f"doc{i}-neardup")
+    # unique extras
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta", "iota", "kappa"]
+    for j in range(20):
+        docs.append(" ".join(rng.choice(words, 12)) + f" unique{j}")
+        ids.append(f"uniq{j}")
+    return pa.table({"doc_id": pa.array(ids), "text": pa.array(docs)})
+
+
+def _varbytes(t):
+    return dedup._varbytes(t.column("text"))
+
+
+def test_minhash_signature_properties():
+    t = _corpus_with_near_dups()
+    concat, offsets = _varbytes(t)
+    sig = dedup.minhash_signature(concat, offsets, num_hashes=64)
+    assert sig.shape == (t.num_rows, 64)
+    # near-dups share most minhashes; unrelated docs share few
+    agree_nd = (sig[0] == sig[1]).mean()   # doc0-orig vs doc0-neardup
+    agree_far = (sig[0] == sig[2]).mean()  # doc0 vs doc1
+    assert agree_nd > 0.6 > agree_far
+
+
+def test_minhash_deterministic_across_batch_splits():
+    t = _corpus_with_near_dups()
+    concat, offsets = _varbytes(t)
+    whole = dedup.minhash_signature(concat, offsets)
+    c1, o1 = _varbytes(t.slice(0, 3))
+    part = dedup.minhash_signature(c1, o1)
+    np.testing.assert_array_equal(whole[:3], part)
+
+
+def test_simhash_hamming():
+    t = _corpus_with_near_dups()
+    concat, offsets = _varbytes(t)
+    h = dedup.simhash64(concat, offsets)
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert ham(h[0], h[1]) < 12        # near-dups close
+    assert ham(h[0], h[2]) > 16        # unrelated far
+
+
+def test_jaccard_pairs():
+    t = _corpus_with_near_dups()
+    concat, offsets = _varbytes(t)
+    j = dedup.jaccard_pairs(concat, offsets, np.array([[0, 1], [0, 2], [0, 0]]))
+    assert j[0] > 0.5 and j[1] < 0.2 and j[2] == 1.0
+
+
+def test_dedup_minhash_pipeline(ray_session):
+    import ray
+
+    t = _corpus_with_near_dups()
+    ds = ray.data.from_arrow(t)
+    clusters = dedup.dedup_minhash(ds, id_col="doc_id", text_col="text")
+    rep = dict(zip(clusters.column("doc_id").to_pylist(), clusters.column("cluster_rep").to_pylist()))
+    for i in range(4):
+        a, b = f"doc{i}-orig", f"doc{i}-neardup"
+        assert rep.get(a, a) == rep.get(b, b), f"pair {i} not clustered"
+    # unique docs must not be merged with the base docs
+    for j in range(20):
+        r = rep.get(f"uniq{j}", f"uniq{j}")
+        assert not r.startswith("doc"), (j, r)
+
+
+def test_topk_cosine_exact(ray_session):
+    import ray
+
+    rng = np.random.default_rng(17)
+    n, d = 400, 32
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    queries = m[[5, 99]] + rng.normal(scale=0.01, size=(2, d)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n)),
+            "embedding": pa.array([list(map(float, row)) for row in m], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    res = similarity.topk_cosine(ds, queries, k=5)
+    by_q = {}
+    for qi, vid, sim in zip(res.column("query_idx").to_pylist(), res.column("vec_id").to_pylist(), res.column("sim").to_pylist()):
+        by_q.setdefault(qi, []).append((vid, sim))
+    assert by_q[0][0][0] == 5 and by_q[1][0][0] == 99  # self best
+    # verify against full numpy ground truth
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    truth = np.argsort(-(mn @ qn.T), axis=0)[:5]
+    assert [v for v, _ in by_q[0]] == list(truth[:, 0])
+
+
+def test_topk_cosine_ivf(ray_session):
+    import ray
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(4, 16)).astype(np.float32) * 5
+    pts = np.concatenate([c + rng.normal(size=(100, 16)).astype(np.float32) for c in centers])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(pts))),
+            "embedding": pa.array([list(map(float, r)) for r in pts], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    q = pts[7]
+    exact = similarity.topk_cosine(ds, q, k=5)
+    approx = similarity.topk_cosine_ivf(ds, q, k=5, n_clusters=8, nprobe=4)
+    ex_ids = set(exact.column("vec_id").to_pylist())
+    ap_ids = set(approx.column("vec_id").to_pylist())
+    assert 7 in ap_ids
+    assert len(ex_ids & ap_ids) >= 3  # high recall on clustered data
+
+
+def test_text_stats_kernels():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3]),
+            "text": pa.array(["The quick brown fox. It is fast!", "der die das und ist", ""]),
+        }
+    )
+    tc = text.token_counts(t)
+    assert tc.column("n_ws_tokens").to_pylist() == [7, 5, 0]
+    q = text.quality_score(t)
+    assert 0 <= q.column("quality")[0].as_py() <= 1
+    lid = text.lang_id(t)
+    assert lid.column("lang_pred").to_pylist()[0] == "en"
+    assert lid.column("lang_pred").to_pylist()[1] == "de"
+    fp = text.fingerprint64(t)
+    vals = fp.column("fingerprint").to_pylist()
+    assert len(set(vals)) == 3
+    # fingerprint matches reference FNV-1a
+    import functools
+
+    def fnv(s):
+        h = 0xCBF29CE484222325
+        for b in s.encode():
+            h = ((h ^ b) * 0x100000001B3) % (1 << 64)
+        return h
+
+    assert vals[0] % (1 << 64) == fnv("The quick brown fox. It is fast!") or (vals[0] + (1 << 64)) == fnv("The quick brown fox. It is fast!")
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray
+
+    t = multimodal.synth_media_table(32)
+    ds = ray.data.from_arrow(t)
+    out = similarity  # noqa
+    feats = multimodal.extract_features(ds, batch_size=8)
+    res = pa.concat_tables(list(feats.iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert res.num_rows == 32
+    assert res.column("features").type == pa.list_(pa.float32())
+    first = res.sort_by("media_id").column("features")[0].as_py()
+    assert len(first) == 64
+    # deterministic across runs
+    feats2 = multimodal.extract_features(ray.data.from_arrow(t), batch_size=16)
+    res2 = pa.concat_tables(list(feats2.iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert res.sort_by("media_id").equals(res2.sort_by("media_id"))
