@@ -1,0 +1,134 @@
+"""CLI — the analog of the reference's tool surface (orc-tools Driver.java:
+meta/data/scan/convert; C++ orc-metadata/orc-contents/orc-scan).
+
+    python -m orc_ray encode  IN_DIR OUT_STORE [--batch-size N] [--resume]
+                              [--columns a,b] [--partition-by COL --salt-col COL]
+    python -m orc_ray decode  STORE [--columns a,b] [--limit N] [--out DIR]
+    python -m orc_ray inspect STORE [--chunks]
+    python -m orc_ray scan    STORE          (timed full decode, orc-scan analog)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ray_up():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, log_to_driver=False)
+    return ray
+
+
+def cmd_encode(a) -> int:
+    _ray_up()
+    from .chunk import EncodeOptions
+    from .pipeline.encode import encode_dataset
+
+    opts = EncodeOptions(compression_level=a.zstd_level, strategy=a.strategy)
+    rec = encode_dataset(
+        a.input,
+        a.store,
+        opts,
+        columns=a.columns.split(",") if a.columns else None,
+        batch_size=a.batch_size,
+        resume=a.resume,
+        partition_by=a.partition_by,
+        salt_length_col=a.salt_col,
+    )
+    print(json.dumps(rec["totals"]))
+    return 0
+
+
+def cmd_decode(a) -> int:
+    _ray_up()
+    from .pipeline.decode import decode_dataset
+
+    ds = decode_dataset(a.store, columns=a.columns.split(",") if a.columns else None)
+    if a.out:
+        ds.write_parquet(a.out)
+        print(f"wrote {a.out}")
+    else:
+        n = 0
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+            for row in b.slice(0, max(0, a.limit - n)).to_pylist():
+                print(json.dumps(row, default=str))
+            n += b.num_rows
+            if n >= a.limit:
+                break
+    return 0
+
+
+def cmd_inspect(a) -> int:
+    from .state import manifest as mstate
+
+    man = mstate.read_manifest(a.store)
+    committed = mstate.load_committed(a.store)
+    print(json.dumps(committed["totals"], indent=1))
+    if man.num_rows:
+        import collections
+
+        codec_counts: dict = collections.Counter()
+        for c in man.column("codecs").to_pylist():
+            for col, codec in json.loads(c).items():
+                codec_counts[f"{col}:{codec}"] += 1
+        print("codec usage:", json.dumps(dict(sorted(codec_counts.items())), indent=1))
+    if a.chunks and man.num_rows:
+        for row in man.to_pylist():
+            print(json.dumps(row, default=str))
+    return 0
+
+
+def cmd_scan(a) -> int:
+    _ray_up()
+    from .pipeline.decode import decode_dataset
+
+    t0 = time.time()
+    n = decode_dataset(a.store).count()
+    dt = time.time() - t0
+    print(json.dumps({"rows": n, "sec": round(dt, 3), "rows_per_s": int(n / dt)}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="orc_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("encode")
+    e.add_argument("input")
+    e.add_argument("store")
+    e.add_argument("--batch-size", type=int, default=16384)
+    e.add_argument("--columns")
+    e.add_argument("--resume", action="store_true")
+    e.add_argument("--partition-by")
+    e.add_argument("--salt-col")
+    e.add_argument("--zstd-level", type=int, default=3)
+    e.add_argument("--strategy", default="speed", choices=["speed", "compression"])
+    e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode")
+    d.add_argument("store")
+    d.add_argument("--columns")
+    d.add_argument("--limit", type=int, default=20)
+    d.add_argument("--out")
+    d.set_defaults(fn=cmd_decode)
+
+    i = sub.add_parser("inspect")
+    i.add_argument("store")
+    i.add_argument("--chunks", action="store_true")
+    i.set_defaults(fn=cmd_inspect)
+
+    s = sub.add_parser("scan")
+    s.add_argument("store")
+    s.set_defaults(fn=cmd_scan)
+
+    a = p.parse_args(argv)
+    return a.fn(a)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

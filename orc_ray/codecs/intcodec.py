@@ -100,6 +100,11 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed") -> bytes:
     def _w(warr):
         return align_width(warr) if aligned else warr
 
+    # selection statistics are computed superblock-at-a-time through small
+    # reused scratch buffers: the naive whole-array versions allocate
+    # ~5x the input in temporaries, and on this class of host (bounded
+    # aggregate memory/fault bandwidth) that — not CPU — limits scaling
+    SUPER = 256  # blocks per scratch pass (256*512*8 = 1 MiB working set)
     with np.errstate(over="ignore"):
         mins = m.min(axis=1)
         maxs = m.max(axis=1)
@@ -108,9 +113,22 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed") -> bytes:
         w_direct = _w(_exact_bit_width(span))
         is_const = mins == maxs
 
-        deltas = m[:, 1:] - m[:, :-1]  # int64 wraparound
-        dmin = deltas.min(axis=1)
-        dmax = deltas.max(axis=1)
+        dmin = np.empty(nb, dtype=np.int64)
+        dmax = np.empty(nb, dtype=np.int64)
+        p90 = np.empty(nb, dtype=np.uint64)
+        k = int(BLOCK * 0.90) - 1
+        dbuf = np.empty((SUPER, BLOCK - 1), dtype=np.int64)
+        pbuf = np.empty((SUPER, BLOCK), dtype=np.uint64)
+        for lo in range(0, nb, SUPER):
+            hi = min(lo + SUPER, nb)
+            db = dbuf[: hi - lo]
+            np.subtract(m[lo:hi, 1:], m[lo:hi, :-1], out=db)
+            db.min(axis=1, out=dmin[lo:hi])
+            db.max(axis=1, out=dmax[lo:hi])
+            pb = pbuf[: hi - lo]
+            pb[:] = u[lo:hi]
+            pb.partition(k, axis=1)
+            p90[lo:hi] = pb[:, k]
         # zigzag is monotone in |x| per sign, so block max of zz(delta) is
         # attained at one of the extremes — O(n_blocks), not O(n)
         w_delta = _w(_exact_bit_width(np.maximum(_zigzag(dmin), _zigzag(dmax))))
@@ -118,16 +136,19 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed") -> bytes:
 
         # p90 width per block (percentileBits analog): subtracting the block
         # min preserves order, so partition the raw values and shift after
-        k = int(BLOCK * 0.90) - 1
-        p90 = np.partition(u, k, axis=1)[:, k]
         w_p90 = _w(_exact_bit_width(p90 - umins))
         # exact outlier count at that width
-        with np.errstate(over="ignore"):
-            thresh = np.zeros(nb, dtype=np.uint64)
-            lt64 = w_p90 < 64
-            thresh[lt64] = (np.uint64(1) << w_p90[lt64].astype(np.uint64)) - np.uint64(1)
-            n_patch = (u > (umins + thresh)[:, None]).sum(axis=1)
-            n_patch[~lt64] = 0
+        thresh = np.zeros(nb, dtype=np.uint64)
+        lt64 = w_p90 < 64
+        thresh[lt64] = (np.uint64(1) << w_p90[lt64].astype(np.uint64)) - np.uint64(1)
+        n_patch = np.empty(nb, dtype=np.int64)
+        cmp_buf = np.empty((SUPER, BLOCK), dtype=bool)
+        for lo in range(0, nb, SUPER):
+            hi = min(lo + SUPER, nb)
+            cb = cmp_buf[: hi - lo]
+            np.greater(u[lo:hi], (umins + thresh)[lo:hi, None], out=cb)
+            cb.sum(axis=1, out=n_patch[lo:hi])
+        n_patch[~lt64] = 0
 
     # candidate sizes in bits (headers amortized/equal, ignored)
     sz_direct = BLOCK * w_direct
@@ -157,7 +178,7 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed") -> bytes:
     tags[use_fd] = T_DELTA
     widths[use_fd] = 0
     bases[use_fd] = m[use_fd, 0]
-    extras[use_fd] = deltas[use_fd, 0]
+    extras[use_fd] = dmin[use_fd]  # fixed delta: dmin == dmax
 
     tags[is_const] = T_CONST
     widths[is_const] = 0
@@ -192,7 +213,8 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed") -> bytes:
                     sh = sh & ((np.uint64(1) << np.uint64(width)) - np.uint64(1))
                 payload.append(pack(sh.ravel(), width))
             elif tag == T_DELTA:
-                payload.append(pack(_zigzag(deltas[blocks].ravel()), width))
+                d = m[blocks, 1:] - m[blocks, :-1]  # deltas only for chosen blocks
+                payload.append(pack(_zigzag(d.ravel()), width))
 
     head = struct.pack("<QI", n, patch_pos.size)
     return b"".join(

@@ -54,6 +54,8 @@ def write_f1_parquet(path: str, n_rows: int, seed: int = 42, n_files: int = 1) -
         rows = per if i < n_files - 1 else n_rows - per * (n_files - 1)
         t = f1_corpus(rows, seed=seed, row_offset=i * per)
         p = os.path.join(path, f"part-{i:05d}.parquet")
-        pq.write_table(t, p)
+        # bounded row groups => encode work units are row-group aligned and
+        # each task's read buffer stays small (see pipeline/encode._plan_units)
+        pq.write_table(t, p, row_group_size=16384)
         paths.append(p)
     return paths

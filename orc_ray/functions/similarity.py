@@ -18,15 +18,15 @@ import numpy as np
 import pyarrow as pa
 
 
-def _matrix(col) -> np.ndarray:
-    """(n, d) float32 matrix from a list<float> column, zero-copy flatten."""
+def _matrix(col, dtype=np.float32) -> np.ndarray:
+    """(n, d) matrix from a list<float> column, zero-copy flatten."""
     import pyarrow.compute as pc
 
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False).astype(dtype, copy=False)
     n = len(arr)
     if n == 0:
-        return np.zeros((0, 0), np.float32)
+        return np.zeros((0, 0), dtype)
     d = flat.size // n
     return flat.reshape(n, d)
 
@@ -41,16 +41,17 @@ class TopKCosineStage:
     """map_batches stage: per-batch exact cosine top-k against broadcast
     queries; emits (query_idx, vec_id, sim) candidate rows."""
 
-    def __init__(self, queries_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding", dtype=np.float32):
         import ray
 
         q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
-        self.q = _normalize(np.atleast_2d(np.asarray(q, np.float32)))  # (nq, d)
+        self.dtype = dtype
+        self.q = _normalize(np.atleast_2d(np.asarray(q, dtype)))  # (nq, d)
         self.k = k
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _matrix(batch.column(self.vec_col))
+        m = _matrix(batch.column(self.vec_col), self.dtype)
         if m.shape[0] == 0:
             return pa.table({"query_idx": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
         sims = _normalize(m) @ self.q.T  # (n, nq)
@@ -72,15 +73,15 @@ class TopKCosineStage:
         )
 
 
-def topk_cosine(ds, queries: np.ndarray, k: int = 10, id_col="vec_id", vec_col="embedding") -> pa.Table:
+def topk_cosine(ds, queries: np.ndarray, k: int = 10, id_col="vec_id", vec_col="embedding", dtype=np.float32) -> pa.Table:
     """Exact global top-k per query: distributed partial top-k + tiny merge.
     Returns (query_idx, vec_id, sim) sorted by (query_idx, -sim, vec_id)."""
     import ray
 
-    qref = ray.put(np.asarray(queries, np.float32))
+    qref = ray.put(np.asarray(queries, dtype))
     cand = ds.map_batches(
         TopKCosineStage,
-        fn_constructor_args=(qref, k, id_col, vec_col),
+        fn_constructor_args=(qref, k, id_col, vec_col, dtype),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=(1, 4),

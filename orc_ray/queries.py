@@ -200,6 +200,105 @@ def q_text_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline ops (orc_ray.functions) over engine-decoded streams
+
+def q_token_counts(sf_dir: str):
+    from .functions.text import token_counts
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(token_counts, batch_format="pyarrow", zero_copy_batch=True)
+    return _to_table(out).select(["doc_id", "n_ws_tokens"])
+
+
+def q_quality_scores(sf_dir: str):
+    from .functions.text import quality_score
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(quality_score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_lang_id(sf_dir: str):
+    from .functions.text import lang_id
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(lang_id, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_fingerprints(sf_dir: str):
+    from .functions.text import fingerprint64
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(fingerprint64, batch_format="pyarrow", zero_copy_batch=True)
+    return _to_table(out).select(["doc_id", "fingerprint"])
+
+
+def q_dedup_minhash(sf_dir: str):
+    """Near-dup clusters over documents (MinHash+LSH; approximate — no SQL
+    oracle, driver records rows-only)."""
+    from .functions.dedup import dedup_minhash
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_minhash(ds, id_col="doc_id", text_col="text")
+
+
+def q_simhash(sf_dir: str):
+    from .functions.dedup import _varbytes, simhash64
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        concat, offsets = _varbytes(t.column("text"))
+        h = simhash64(concat, offsets)
+        return pa.table({"doc_id": t.column("doc_id"), "simhash": pa.array(h.view(np.int64))})
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_ann_topk(sf_dir: str):
+    """Exact cosine top-10 around the vec_id=0 embedding, through the
+    engine-decoded embeddings stream; float64 math to match the oracle."""
+    import pyarrow.parquet as _pq
+
+    from .functions.similarity import topk_cosine
+
+    emb = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q = np.array(emb.filter(pc.equal(emb.column("vec_id"), 0)).column("embedding")[0].as_py(), np.float64)
+    ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    t = topk_cosine(ds, q, k=10, dtype=np.float64)
+    return pa.table(
+        {
+            "vec_id": t.column("vec_id"),
+            "sim": pc.round(t.column("sim"), 6),
+        }
+    )
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate top-10 (no oracle: approximate)."""
+    import pyarrow.parquet as _pq
+
+    from .functions.similarity import topk_cosine_ivf
+
+    emb = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q = np.array(emb.filter(pc.equal(emb.column("vec_id"), 0)).column("embedding")[0].as_py(), np.float32)
+    ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    t = topk_cosine_ivf(ds, q, k=10, n_clusters=8, nprobe=4)
+    return t.select(["vec_id", "sim"])
+
+
+def q_multimodal_features(sf_dir: str):
+    """Media feature-extraction plumbing over the deterministic synthetic
+    media corpus (decode libs stubbed; see functions/multimodal.py)."""
+    import ray as _ray
+
+    from .functions.multimodal import extract_features, synth_media_table
+
+    ds = _ray.data.from_arrow(synth_media_table(128))
+    out = extract_features(ds, batch_size=16)
+    return _to_table(out).sort_by("media_id")
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -212,6 +311,15 @@ QUERIES = {
     "join_orders_customer": q_join_orders_customer,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "dedup_minhash": q_dedup_minhash,
+    "simhash": q_simhash,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLE_SQL = {
@@ -251,4 +359,20 @@ ORACLE_SQL = {
                LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
         FROM documents
     """,
+    "token_counts": """
+        SELECT doc_id,
+               CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE array_length(string_split_regex(TRIM(text), '\\s+')) END AS n_ws_tokens
+        FROM documents
+    """,
+    "ann_topk": """
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS sim
+        FROM embeddings e
+        ORDER BY sim DESC, e.vec_id LIMIT 10
+    """,
+    # dedup_minhash / simhash / quality_scores / lang_id / fingerprints /
+    # ann_ivf / multimodal_features: heuristic or approximate ops with no
+    # SQL equivalent — driver records the weaker rows-only check.
 }
