@@ -48,7 +48,7 @@ def headline(num_cpus: int, sf: float) -> dict:
     import ray
 
     from orc_ray.fixtures import write_f1_parquet
-    from orc_ray.pipeline.decode import decode_dataset
+    from orc_ray.pipeline.decode import decode_dataset, scan_count
     from orc_ray.pipeline.encode import encode_dataset
 
     n_rows = int(os.environ.get("ORC_RAY_BENCH_ROWS", "0")) or max(1000, int(1_000_000 * sf))
@@ -85,8 +85,7 @@ def headline(num_cpus: int, sf: float) -> dict:
         assert totals["rows"] == n_rows, (totals, n_rows)
 
         t0 = time.time()
-        ds = decode_dataset(out_dir)
-        decoded_rows = ds.count()
+        decoded_rows = scan_count(out_dir)
         dec_s = min(dec_s, time.time() - t0)
         assert decoded_rows == n_rows, (decoded_rows, n_rows)
 
@@ -163,7 +162,8 @@ def scaling() -> None:
     """Run the headline pipeline at N and 4N cpus in fresh processes and
     report throughput at both + scaling efficiency (driver protocol for the
     north star's N->4N cluster criterion; see BASELINE.md)."""
-    lo, hi = 8, 32
+    lo = int(os.environ.get("ORC_RAY_SCALE_LO", "8"))
+    hi = lo * 4
     # scaling needs enough work per core that the fixed pipeline floor
     # (startup, scheduling, plasma) doesn't mask the speedup — same input
     # at both parallelism levels, per the driver protocol

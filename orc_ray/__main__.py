@@ -85,10 +85,10 @@ def cmd_inspect(a) -> int:
 
 def cmd_scan(a) -> int:
     _ray_up()
-    from .pipeline.decode import decode_dataset
+    from .pipeline.decode import scan_count
 
     t0 = time.time()
-    n = decode_dataset(a.store).count()
+    n = scan_count(a.store)
     dt = time.time() - t0
     print(json.dumps({"rows": n, "sec": round(dt, 3), "rows_per_s": int(n / dt)}))
     return 0

@@ -63,6 +63,8 @@ class EncodeOptions:
     fsst_sample_bytes: int = 1 << 16
     min_compress_bytes: int = 64         # don't frame-compress tiny buffers
     column_codecs: dict = field(default_factory=dict)  # name -> forced codec
+    bloom_columns: tuple = ()            # per-chunk bloom filters -> manifest
+    bloom_fpp: float = 0.05              # reference default (probe [P1])
 
 
 DEFAULT_OPTIONS = EncodeOptions()

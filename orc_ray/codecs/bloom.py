@@ -1,0 +1,104 @@
+"""Per-chunk Bloom filters — membership pushdown for equality predicates.
+
+The analog of the reference's BloomFilterUtf8 index streams
+(apache/orc c++/src/BloomFilter.cc + Murmur3.cc; written per row-index
+stride, consulted by SargsApplier for EQUALS/IN predicates).  Here one
+filter per (chunk, column) is stored in the lineage manifest, so equality
+predicates can skip whole chunks without reading them — complementing the
+min/max stats pruning (pipeline/decode.py).
+
+Same construction as the reference: k index pairs derived from one 64-bit
+hash split into two halves (Kirsch-Mitzenmacher double hashing), k chosen
+from the target false-positive probability (default fpp 0.05, the
+reference's default — probe [P1]).  Hashing is vectorized over the whole
+column (splitmix64 on uint64 keys / FNV over bytes).
+"""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["build", "might_contain", "serialize", "deserialize"]
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+
+def _hash_column(arr: pa.Array) -> np.ndarray:
+    """uint64 hash per value (nulls dropped)."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if arr.null_count:
+        arr = arr.drop_null()
+    ty = arr.type
+    if pa.types.is_integer(ty) or pa.types.is_temporal(ty) or pa.types.is_boolean(ty):
+        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        return _mix64(v.copy())
+    if pa.types.is_string(ty) or pa.types.is_large_string(ty) or pa.types.is_binary(ty):
+        from ..functions.dedup import _varbytes
+
+        concat, offsets = _varbytes(pa.table({"x": arr}).column("x"))
+        from ..functions.text import _fnv1a_segmented
+
+        return _fnv1a_segmented(concat, offsets)
+    raise TypeError(f"bloom unsupported for {ty}")
+
+
+def _hash_value(val) -> int:
+    if isinstance(val, (int, np.integer)):
+        return int(_mix64(np.array([val], dtype=np.int64).view(np.uint64))[0])
+    data = val.encode() if isinstance(val, str) else bytes(val)
+    h = 0xCBF29CE484222325
+    for b in data:
+        h = ((h ^ b) * 0x100000001B3) % (1 << 64)
+    return h
+
+
+def _params(n_items: int, fpp: float) -> tuple[int, int]:
+    n_items = max(n_items, 1)
+    m = int(np.ceil(-n_items * np.log(fpp) / (np.log(2) ** 2)))
+    m = max(64, (m + 63) // 64 * 64)
+    k = max(1, int(round(m / n_items * np.log(2))))
+    return m, min(k, 8)
+
+
+def build(arr: pa.Array, fpp: float = 0.05) -> bytes:
+    """Serialized bloom filter for a column chunk."""
+    h = _hash_column(arr)
+    m, k = _params(h.size, fpp)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = (h >> np.uint64(32)).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64), (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)))
+    return bytes([k]) + bits.tobytes()
+
+
+def might_contain(filt: bytes, value) -> bool:
+    """Conservative membership: False means definitely absent."""
+    k = filt[0]
+    bits = np.frombuffer(filt, np.uint8, offset=1)
+    m = bits.size * 8
+    h = _hash_value(value)
+    h1, h2 = h & 0xFFFFFFFF, h >> 32
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
+def serialize(filt: bytes) -> str:
+    return base64.b64encode(filt).decode()
+
+
+def deserialize(s: str) -> bytes:
+    return base64.b64decode(s)

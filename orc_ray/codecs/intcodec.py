@@ -208,9 +208,10 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed") -> bytes:
             if width == 0:
                 continue
             if tag == T_DIRECT or tag == T_PATCHED:
-                sh = u[blocks] - bases[blocks].astype(np.uint64)[:, None]
+                src = u if blocks.size == nb else u[blocks]  # skip gather when whole chunk
+                sh = src - bases[blocks].astype(np.uint64)[:, None]
                 if tag == T_PATCHED:
-                    sh = sh & ((np.uint64(1) << np.uint64(width)) - np.uint64(1))
+                    sh &= (np.uint64(1) << np.uint64(width)) - np.uint64(1)
                 payload.append(pack(sh.ravel(), width))
             elif tag == T_DELTA:
                 d = m[blocks, 1:] - m[blocks, :-1]  # deltas only for chosen blocks

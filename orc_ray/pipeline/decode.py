@@ -43,10 +43,17 @@ _OPS = {
 
 
 def _chunk_may_match(stats: dict, pred: tuple) -> bool:
-    """Conservative min/max test: False only if NO row can match."""
+    """Conservative min/max + bloom test: False only if NO row can match."""
     col, op, val = pred
     st = stats.get(col)
     if st is None:
+        return True
+    if op == "==" and "bloom" in st:
+        from ..codecs import bloom
+
+        if not bloom.might_contain(bloom.deserialize(st["bloom"]), val):
+            return False
+    if "min" not in st:
         return True
     lo, hi = st["min"], st["max"]
     if op == ">":
@@ -78,16 +85,21 @@ def list_chunks(out_dir: str, predicates: list[tuple] | None = None) -> tuple[li
     return sorted(keep), len(keep), len(ids)
 
 
-def _decode_batch(batch: pa.Table, *, columns, predicates) -> pa.Table:
+def _decode_batch(batch: pa.Table, *, columns, predicates, cast_schema=None) -> pa.Table:
     """Task-pool entry: decode a batch of chunk blobs."""
-    return _DecodeChunks(columns, predicates)(batch)
+    return _DecodeChunks(columns, predicates, cast_schema)(batch)
 
 
 class _DecodeChunks:
-    def __init__(self, columns: list[str] | None, predicates: list[tuple] | None):
+    def __init__(self, columns: list[str] | None, predicates: list[tuple] | None, cast_schema=None):
         pa.set_memory_pool(pa.system_memory_pool())  # glibc heap: see _mem.py
         self.columns = columns
         self.predicates = predicates
+        # schema evolution: reader-schema conversion at decode time — the
+        # analog of the reference's SchemaEvolution/ConvertColumnReader
+        # (numeric widening, string<->numeric, timestamp conversions) via
+        # Arrow cast kernels.  {column -> target pa.DataType}
+        self.cast_schema = cast_schema
         # decode must include predicate columns even when projected away
         if columns is None:
             self.decode_cols = None
@@ -112,10 +124,41 @@ class _DecodeChunks:
                     t = t.filter(mask)
             if self.columns is not None and t.column_names != self.columns:
                 t = t.select(self.columns)
+            if self.cast_schema:
+                for name, ty in self.cast_schema.items():
+                    if name in t.column_names:
+                        i = t.column_names.index(name)
+                        t = t.set_column(i, name, t.column(name).cast(ty))
             tables.append(t)
         if not tables:
             return pa.table({})
         return pa.concat_tables(tables).combine_chunks()
+
+
+def scan_count(out_dir: str, *, columns=None, predicates=None) -> int:
+    """Fused decode + count: chunks are fully decoded inside each task but
+    only row counts leave it (no object-store writeback of decoded blocks).
+    The orc-scan analog, and the right shape for any reduce-style consumer
+    at scale: decode feeds the reduction in-task."""
+    import functools
+
+    paths, _, _ = list_chunks(out_dir, predicates)
+    if not paths:
+        return 0
+    ds = ray.data.read_binary_files(paths)
+
+    def _count(batch: pa.Table, **kw) -> pa.Table:
+        t = _decode_batch(batch, **kw)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    counted = ds.map_batches(
+        functools.partial(_count, columns=columns, predicates=predicates, cast_schema=None),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        num_cpus=1,
+    )
+    return int(counted.sum("n"))
 
 
 def decode_dataset(
@@ -123,13 +166,15 @@ def decode_dataset(
     *,
     columns: list[str] | None = None,
     predicates: list[tuple] | None = None,
+    cast_schema: dict | None = None,
     concurrency=None,
 ) -> "ray.data.Dataset":
     """Lazy decode of a chunk store into a Dataset of original rows.
 
     ``predicates``: list of (column, op, value) tuples — applied both as
-    manifest min/max pruning (chunks skipped entirely) and exactly per
-    batch after decode.
+    manifest min/max + bloom pruning (chunks skipped entirely) and exactly
+    per batch after decode.  ``cast_schema``: {column -> pa.DataType}
+    reader-schema conversion (schema evolution layer).
     """
     import functools
 
@@ -140,7 +185,7 @@ def decode_dataset(
     # plain-function map_batches (task pool): task workers are reused
     # across pipelines, keeping heaps warm — see encode.py rationale
     return ds.map_batches(
-        functools.partial(_decode_batch, columns=columns, predicates=predicates),
+        functools.partial(_decode_batch, columns=columns, predicates=predicates, cast_schema=cast_schema),
         batch_size=None,
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -156,6 +156,13 @@ class EncoderActor:
                 for c in hdr["columns"]
                 if "min" in c
             }
+            for bc in self.opts.bloom_columns:
+                if bc in sub.column_names:
+                    from ..codecs import bloom
+
+                    stats.setdefault(bc, {})["bloom"] = bloom.serialize(
+                        bloom.build(sub.column(bc), self.opts.bloom_fpp)
+                    )
             recs["chunk_id"].append(cid)
             recs["input_file"].append(path)
             recs["n_rows"].append(sub.num_rows)
