@@ -214,6 +214,9 @@ def dedup_minhash(ds, id_col="doc_id", text_col="text", num_hashes=128, bands=32
     uf = _UnionFind()
     for ref in edges:
         t = ray.get(ref)
+        # empty blocks may bypass the map_groups UDF and keep the input schema
+        if t.num_rows == 0 or "a" not in t.column_names:
+            continue
         for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist()):
             uf.union(a, b)
     members = sorted(uf.parent)

@@ -104,14 +104,18 @@ def q_agg_pricing_summary(sf_dir: str):
         [("l_quantity_sum", "sum"), ("l_extendedprice_sum", "sum"), ("l_discount_sum", "sum"), ("l_quantity_count", "sum")]
     )
     cnt = final.column("l_quantity_count_sum").to_numpy().astype(np.int64)
+    # integer-scaled outputs: the driver compares exact value hashes, and
+    # float sums differ by ULPs between engines depending on add order
     out = pa.table(
         {
             "l_returnflag": final.column("l_returnflag"),
             "l_linestatus": final.column("l_linestatus"),
-            "sum_qty": pc.round(final.column("l_quantity_sum_sum"), 2),
-            "sum_base_price": pc.round(final.column("l_extendedprice_sum_sum"), 2),
-            "avg_disc": pc.round(
-                pc.divide(final.column("l_discount_sum_sum"), pa.array(cnt.astype(np.float64))), 6
+            "sum_qty": pa.array(np.rint(final.column("l_quantity_sum_sum").to_numpy()).astype(np.int64)),
+            "sum_base_price_cents": pa.array(
+                np.rint(final.column("l_extendedprice_sum_sum").to_numpy() * 100).astype(np.int64)
+            ),
+            "avg_disc_e6": pa.array(
+                np.rint(final.column("l_discount_sum_sum").to_numpy() / cnt * 1e6).astype(np.int64)
             ),
             "count_order": pa.array(cnt),
         }
@@ -130,7 +134,9 @@ def q_filter_groupby_events(sf_dir: str):
     return pa.table(
         {
             "event_type": final.column("event_type"),
-            "total_value": pc.round(final.column("value_sum_sum"), 2),
+            "total_value_cents": pa.array(
+                np.rint(final.column("value_sum_sum").to_numpy() * 100).astype(np.int64)
+            ),
             "n_events": final.column("value_count_sum"),
         }
     ).sort_by("event_type")
@@ -164,7 +170,9 @@ def q_join_orders_customer(sf_dir: str):
     return pa.table(
         {
             "c_mktsegment": final.column("c_mktsegment"),
-            "revenue": pc.round(final.column("o_totalprice_sum_sum"), 2),
+            "revenue_cents": pa.array(
+                np.rint(final.column("o_totalprice_sum_sum").to_numpy() * 100).astype(np.int64)
+            ),
             "n_orders": final.column("o_totalprice_count_sum"),
         }
     ).sort_by("c_mktsegment")
@@ -269,7 +277,7 @@ def q_ann_topk(sf_dir: str):
     return pa.table(
         {
             "vec_id": t.column("vec_id"),
-            "sim": pc.round(t.column("sim"), 6),
+            "sim_e6": pa.array(np.rint(t.column("sim").to_numpy() * 1e6).astype(np.int64)),
         }
     )
 
@@ -331,21 +339,22 @@ ORACLE_SQL = {
     "predicate_pushdown": "SELECT * FROM lineitem WHERE l_orderkey < 100",
     "agg_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc,
+               CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+               CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_cents,
+               CAST(ROUND(SUM(l_discount) / COUNT(*) * 1000000) AS BIGINT) AS avg_disc_e6,
                COUNT(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
     "filter_groupby_events": """
-        SELECT event_type, ROUND(SUM(value), 2) AS total_value,
+        SELECT event_type,
+               CAST(ROUND(SUM(value) * 100) AS BIGINT) AS total_value_cents,
                COUNT(value) AS n_events
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "join_orders_customer": """
         SELECT c.c_mktsegment,
-               ROUND(SUM(o.o_totalprice), 2) AS revenue,
+               CAST(ROUND(SUM(o.o_totalprice) * 100) AS BIGINT) AS revenue_cents,
                COUNT(*) AS n_orders
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
@@ -367,10 +376,10 @@ ORACLE_SQL = {
     """,
     "ann_topk": """
         SELECT e.vec_id,
-               ROUND(list_cosine_similarity(e.embedding,
-                     (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS sim
+               CAST(ROUND(list_cosine_similarity(e.embedding,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0)) * 1000000) AS BIGINT) AS sim_e6
         FROM embeddings e
-        ORDER BY sim DESC, e.vec_id LIMIT 10
+        ORDER BY sim_e6 DESC, e.vec_id LIMIT 10
     """,
     # dedup_minhash / simhash / quality_scores / lang_id / fingerprints /
     # ann_ivf / multimodal_features: heuristic or approximate ops with no
