@@ -152,6 +152,19 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
         bufs.extend(cbufs)
         return meta, bufs
 
+    if pa.types.is_map(ty):
+        # MapColumnWriter analog: LENGTH stream + recursive key/item columns
+        off = np.frombuffer(arr.buffers()[1], np.int32, n + 1, arr.offset * 4).astype(np.int64)
+        lens = np.diff(off)
+        lo, hi = int(off[0]), int(off[-1])
+        kmeta, kbufs = _encode_column(arr.keys.slice(lo, hi - lo), opts, f"{name}.key")
+        imeta, ibufs = _encode_column(arr.items.slice(lo, hi - lo), opts, f"{name}.value")
+        meta.update(codec="map", key=kmeta, value=imeta)
+        bufs.append(encode_int64(lens, strategy=opts.strategy))
+        bufs.extend(kbufs)
+        bufs.extend(ibufs)
+        return meta, bufs
+
     if pa.types.is_struct(ty):
         children = []
         for i, f in enumerate(ty):
@@ -278,6 +291,19 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType) -> pa.Array:
         out = out.cast(ty)
         return _apply_validity(out, vbits, n)
 
+    if codec == "map":
+        lens = decode_int64(bufs[i]); i += 1
+        knb = meta["key"]["_nbuf"]
+        keys = _decode_column(meta["key"], bufs[i : i + knb], ty.key_type)
+        i += knb
+        vnb = meta["value"]["_nbuf"]
+        items = _decode_column(meta["value"], bufs[i : i + vnb], ty.item_type)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        offsets[1:] = np.cumsum(lens).astype(np.int32)
+        out = pa.MapArray.from_arrays(pa.array(offsets, pa.int32()), keys, items)
+        out = out.cast(ty) if out.type != ty else out
+        return _apply_validity(out, vbits, n)
+
     if codec == "struct":
         fields = []
         for k, cmeta in enumerate(meta["children"]):
@@ -394,6 +420,8 @@ def _annotate_nbuf(meta: dict, bufs: list[bytes]) -> None:
         codec = m.get("codec")
         if codec == "list":
             c += 1 + count(m["child"])
+        elif codec == "map":
+            c += 1 + count(m["key"]) + count(m["value"])
         elif codec == "struct":
             c += sum(count(ch) for ch in m["children"])
         elif codec == "int":

@@ -132,7 +132,10 @@ class _DecodeChunks:
             tables.append(t)
         if not tables:
             return pa.table({})
-        return pa.concat_tables(tables).combine_chunks()
+        out = pa.concat_tables(tables).combine_chunks()
+        if out.num_rows == 0:
+            return out.schema.empty_table()  # keep schema on empty output
+        return out
 
 
 def scan_count(out_dir: str, *, columns=None, predicates=None) -> int:

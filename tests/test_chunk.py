@@ -94,6 +94,10 @@ def test_nested_struct_and_list():
             "lst": pa.array([[int(x) for x in rng.integers(0, 100, int(l))] for l in rng.integers(0, 8, n)], pa.list_(pa.int32())),
             "st": pa.array([{"x": int(i), "y": f"v{i % 10}"} for i in range(n)], pa.struct([("x", pa.int64()), ("y", pa.string())])),
             "lst_str": pa.array([[f"w{int(x)}" for x in rng.integers(0, 50, int(l))] for l in rng.integers(0, 5, n)], pa.list_(pa.string())),
+            "mp": pa.array(
+                [[(f"k{j}", int(rng.integers(0, 100))) for j in range(int(rng.integers(0, 5)))] for _ in range(n)],
+                pa.map_(pa.string(), pa.int64()),
+            ),
         }
     )
     roundtrip(t)
