@@ -55,7 +55,9 @@ class EncodeOptions:
     """Writer knob surface — the analog of ORC WriterOptions (c++/src/Options.hh)."""
 
     compression: str = "zstd"            # generic second-stage codec
-    compression_level: int | None = 3
+    compression_level: int | None = 6    # measured: vs level 3, ~5% better
+    # ratio on the token corpus with no steady-state throughput cost at pool
+    # parallelism (BENCH/BASELINE.md)
     compression_block_size: int = framing.DEFAULT_BLOCK_SIZE
     strategy: str = "speed"              # int width alignment: speed|compression
     dictionary_key_size_threshold: float = 0.5   # dict iff distinct/rows <= t
