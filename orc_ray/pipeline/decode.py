@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import glob
 import json
-import operator
 import os
 
 import pyarrow as pa
@@ -32,41 +31,130 @@ import ray
 from ..chunk import decode_chunk
 from ..state import manifest as mstate
 
-_OPS = {
-    ">": operator.gt,
-    ">=": operator.ge,
-    "<": operator.lt,
-    "<=": operator.le,
-    "==": operator.eq,
-    "!=": operator.ne,
-}
+def _pred_columns(pred) -> set:
+    if isinstance(pred, (list, tuple)) and pred and pred[0] in ("and", "or", "not"):
+        out: set = set()
+        for p in pred[1:]:
+            out |= _pred_columns(p)
+        return out
+    return {pred[0]}
 
 
-def _chunk_may_match(stats: dict, pred: tuple) -> bool:
-    """Conservative min/max + bloom test: False only if NO row can match."""
-    col, op, val = pred
+def _mask(t: pa.Table, pred):
+    """Exact boolean mask for a predicate tree (row-level filter analog)."""
+    import pyarrow.compute as pc
+
+    if isinstance(pred, (list, tuple)) and pred and pred[0] in ("and", "or", "not"):
+        kids = [_mask(t, p) for p in pred[1:]]
+        kids = [k for k in kids if k is not None]
+        if not kids:
+            return None
+        if pred[0] == "and":
+            m = kids[0]
+            for k in kids[1:]:
+                m = pc.and_(m, k)
+            return m
+        if pred[0] == "or":
+            m = kids[0]
+            for k in kids[1:]:
+                m = pc.or_(m, k)
+            return m
+        return pc.invert(kids[0])
+    col, op = pred[0], pred[1]
+    if col not in t.column_names:
+        return None
+    c = t.column(col)
+    if op == "in":
+        return pc.is_in(c, value_set=pa.array(pred[2]))
+    if op == "between":
+        return pc.and_(pc.greater_equal(c, pa.scalar(pred[2])), pc.less_equal(c, pa.scalar(pred[3])))
+    fns = {
+        ">": pc.greater,
+        ">=": pc.greater_equal,
+        "<": pc.less,
+        "<=": pc.less_equal,
+        "==": pc.equal,
+        "!=": pc.not_equal,
+    }
+    return fns[op](c, pa.scalar(pred[2]))
+
+
+# three-valued predicate evaluation against chunk stats — the reference's
+# TruthValue semantics (apache/orc c++/src/sargs/ExpressionTree.cc,
+# SearchArgument.cc: YES/NO/MAYBE propagated through AND/OR/NOT; a chunk is
+# skipped only on a definite NO).  Predicate grammar:
+#   leaf:  (col, op, val)         op in > >= < <= == !=
+#          (col, "in", [v, ...])
+#          (col, "between", lo, hi)
+#   tree:  ("and", p1, p2, ...) | ("or", ...) | ("not", p)
+# A plain list of leaves is an implicit AND (backward compatible).
+YES, NO, MAYBE = 1, -1, 0
+
+
+def _truth_leaf(stats: dict, pred: tuple) -> int:
+    col, op = pred[0], pred[1]
     st = stats.get(col)
     if st is None:
-        return True
+        return MAYBE
     if op == "==" and "bloom" in st:
         from ..codecs import bloom
 
-        if not bloom.might_contain(bloom.deserialize(st["bloom"]), val):
-            return False
+        if not bloom.might_contain(bloom.deserialize(st["bloom"]), pred[2]):
+            return NO
+    if op == "in" and "bloom" in st:
+        from ..codecs import bloom
+
+        f = bloom.deserialize(st["bloom"])
+        if not any(bloom.might_contain(f, v) for v in pred[2]):
+            return NO
     if "min" not in st:
-        return True
+        return MAYBE
     lo, hi = st["min"], st["max"]
     if op == ">":
-        return hi > val
+        return NO if hi <= pred[2] else (YES if lo > pred[2] else MAYBE)
     if op == ">=":
-        return hi >= val
+        return NO if hi < pred[2] else (YES if lo >= pred[2] else MAYBE)
     if op == "<":
-        return lo < val
+        return NO if lo >= pred[2] else (YES if hi < pred[2] else MAYBE)
     if op == "<=":
-        return lo <= val
+        return NO if lo > pred[2] else (YES if hi <= pred[2] else MAYBE)
     if op == "==":
-        return lo <= val <= hi
-    return True  # != and unknown ops: cannot prune
+        if pred[2] < lo or pred[2] > hi:
+            return NO
+        return YES if lo == hi == pred[2] else MAYBE
+    if op == "!=":
+        return NO if lo == hi == pred[2] else (YES if pred[2] < lo or pred[2] > hi else MAYBE)
+    if op == "in":
+        vals = [v for v in pred[2] if lo <= v <= hi]
+        if not vals:
+            return NO
+        return YES if lo == hi and lo in pred[2] else MAYBE
+    if op == "between":
+        blo, bhi = pred[2], pred[3]
+        if bhi < lo or blo > hi:
+            return NO
+        return YES if blo <= lo and hi <= bhi else MAYBE
+    return MAYBE
+
+
+def _truth(stats: dict, pred) -> int:
+    if isinstance(pred, (list, tuple)) and pred and pred[0] in ("and", "or", "not"):
+        kids = [_truth(stats, p) for p in pred[1:]]
+        if pred[0] == "and":
+            if NO in kids:
+                return NO
+            return YES if all(k == YES for k in kids) else MAYBE
+        if pred[0] == "or":
+            if YES in kids:
+                return YES
+            return NO if all(k == NO for k in kids) else MAYBE
+        k = kids[0]
+        return -k  # NOT: YES<->NO, MAYBE stays
+    return _truth_leaf(stats, tuple(pred))
+
+
+def _chunk_may_match(stats: dict, pred) -> bool:
+    return _truth(stats, pred) != NO
 
 
 def list_chunks(out_dir: str, predicates: list[tuple] | None = None) -> tuple[list[str], int, int]:
@@ -104,8 +192,10 @@ class _DecodeChunks:
         if columns is None:
             self.decode_cols = None
         else:
-            extra = [p[0] for p in predicates or [] if p[0] not in columns]
-            self.decode_cols = list(columns) + extra
+            pcols: set = set()
+            for p in predicates or []:
+                pcols |= _pred_columns(p)
+            self.decode_cols = list(columns) + sorted(pcols - set(columns))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -115,10 +205,10 @@ class _DecodeChunks:
             t = decode_chunk(blob, columns=self.decode_cols)
             if self.predicates:
                 mask = None
-                for col, op, val in self.predicates:
-                    if col not in t.column_names:
+                for p in self.predicates:  # top-level list = implicit AND
+                    m = _mask(t, p)
+                    if m is None:
                         continue
-                    m = _OPS[op](pc.field(col), pa.scalar(val))
                     mask = m if mask is None else pc.and_(mask, m)
                 if mask is not None:
                     t = t.filter(mask)

@@ -1,0 +1,82 @@
+"""SearchArgument-style predicate trees: three-valued stats pruning
+(TruthValue YES/NO/MAYBE — apache/orc c++/src/sargs/ExpressionTree.cc
+analog) + exact row-level filters with AND/OR/NOT/IN/BETWEEN."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from orc_ray.pipeline.decode import NO, YES, MAYBE, _truth, decode_dataset, list_chunks
+from orc_ray.pipeline.encode import encode_dataset
+from orc_ray.fixtures import write_f1_parquet
+
+
+def test_truth_values_leaves():
+    st = {"x": {"min": 10, "max": 20}}
+    assert _truth(st, ("x", ">", 25)) == NO
+    assert _truth(st, ("x", ">", 5)) == YES
+    assert _truth(st, ("x", ">", 15)) == MAYBE
+    assert _truth(st, ("x", "==", 15)) == MAYBE
+    assert _truth(st, ("x", "==", 30)) == NO
+    assert _truth(st, ("x", "in", [1, 2, 3])) == NO
+    assert _truth(st, ("x", "in", [1, 15])) == MAYBE
+    assert _truth(st, ("x", "between", 0, 5)) == NO
+    assert _truth(st, ("x", "between", 0, 50)) == YES
+    assert _truth(st, ("y", ">", 0)) == MAYBE  # unknown column
+
+
+def test_truth_values_trees():
+    st = {"x": {"min": 10, "max": 20}, "y": {"min": 0, "max": 1}}
+    assert _truth(st, ("and", ("x", ">", 25), ("y", ">=", 0))) == NO
+    assert _truth(st, ("or", ("x", ">", 25), ("y", ">", 5))) == NO
+    assert _truth(st, ("or", ("x", ">", 25), ("y", ">=", 0))) == YES
+    assert _truth(st, ("not", ("x", ">", 25))) == YES
+    assert _truth(st, ("not", ("x", ">", 5))) == NO
+    assert _truth(st, ("not", ("x", ">", 15))) == MAYBE
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory, ray_session):
+    src = str(tmp_path_factory.mktemp("psrc"))
+    paths = write_f1_parquet(src, 4000, n_files=2)
+    out = str(tmp_path_factory.mktemp("pstore"))
+    encode_dataset(src, out, batch_size=500)
+    full = pa.concat_tables([pq.read_table(p) for p in paths])
+    return out, full
+
+
+def _run(out, preds):
+    ds = decode_dataset(out, predicates=preds)
+    parts = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables([p for p in parts if p.num_rows]) if parts else pa.table({})
+
+
+def test_or_not_in_between_exact(store):
+    out, full = store
+    # OR tree
+    got = _run(out, [("or", ("n_tok", "<", 20), ("n_tok", ">", 1500))])
+    exp = full.filter(pc.or_(pc.less(full.column("n_tok"), 20), pc.greater(full.column("n_tok"), 1500)))
+    assert got.num_rows == exp.num_rows
+    # NOT
+    got = _run(out, [("not", ("n_tok", ">", 100))])
+    exp = full.filter(pc.invert(pc.greater(full.column("n_tok"), 100)))
+    assert got.num_rows == exp.num_rows
+    # IN on strings
+    got = _run(out, [("source", "in", ["wiki", "code"])])
+    exp = full.filter(pc.is_in(full.column("source"), value_set=pa.array(["wiki", "code"])))
+    assert got.num_rows == exp.num_rows
+    # BETWEEN
+    got = _run(out, [("n_tok", "between", 64, 128)])
+    exp = full.filter(
+        pc.and_(pc.greater_equal(full.column("n_tok"), 64), pc.less_equal(full.column("n_tok"), 128))
+    )
+    assert got.sort_by("doc_id").equals(exp.sort_by("doc_id").select(got.column_names))
+
+
+def test_tree_pruning_skips_chunks(store):
+    out, _ = store
+    _, kept, total = list_chunks(out, predicates=[("and", ("n_tok", ">", 2047), ("n_tok", "<", 10))])
+    assert kept == 0  # contradictory AND prunes everything
+    _, kept2, _ = list_chunks(out, predicates=[("n_tok", ">", 2047)])
+    assert kept2 < total
