@@ -192,7 +192,22 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
             buf = arr.buffers()[1]
             raw = np.frombuffer(buf, np.uint8)[arr.offset * 16 : (arr.offset + n) * 16].tobytes()
         else:
-            raw = arr.to_numpy(zero_copy_only=False).tobytes()
+            v = arr.to_numpy(zero_copy_only=False)
+            # pseudo-decimal fast path (ALP-family idea, Afroozeh &
+            # Boncz 2023): floats that are exactly scaled decimals
+            # (prices, ratios) become integers through the int codec.
+            # Bit-exact verified; anything else falls back to raw IEEE
+            # (the reference's FLOAT/DOUBLE strategy).
+            k = _decimal_scale(v)
+            if k is not None:
+                ints = np.rint(v.astype(np.float64) * (10.0**k)).astype(np.int64)
+                meta.update(codec="fdec", scale=k)
+                if v.size:
+                    meta["min"] = float(v.min())
+                    meta["max"] = float(v.max())
+                bufs.append(encode_int64(ints, strategy=opts.strategy))
+                return meta, bufs
+            raw = v.tobytes()
         meta.update(codec="raw")
         bufs.append(raw)
         return meta, bufs
@@ -235,6 +250,30 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
         return meta, bufs
 
     raise NotImplementedError(f"unsupported type {ty}")
+
+
+def _decimal_scale(v: np.ndarray) -> int | None:
+    """Smallest k in 0..4 such that rint(v*10^k)/10^k reproduces v
+    BIT-EXACTLY over the full array (the ALP encode/verify round-trip),
+    else None.  Sampled pre-check keeps the reject path cheap."""
+    if v.size == 0:
+        return None
+
+    def _ok(arr: np.ndarray, k: int) -> bool:
+        s = 10.0**k
+        fs = arr.astype(np.float64) * s
+        if not np.all(np.isfinite(fs)) or np.abs(fs).max() >= 2**52:
+            return False
+        back = (np.rint(fs) / s).astype(v.dtype)
+        return back.tobytes() == arr.tobytes()  # bit-exact guarantee
+
+    sample = v[:4096]
+    for k in (0, 1, 2, 3, 4):
+        if _ok(sample, k):
+            if sample.size == v.size or _ok(v, k):
+                return k
+            return None
+    return None
 
 
 def _select_string_codec(arr: pa.Array, concat: np.ndarray, offsets: np.ndarray, opts: EncodeOptions) -> str:
@@ -328,6 +367,12 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType) -> pa.Array:
         else:
             dt = np.float32 if pa.types.is_float32(ty) else np.float64
             out = pa.array(np.frombuffer(raw, dt), type=ty)
+        return _apply_validity(out, vbits, n)
+
+    if codec == "fdec":
+        ints = decode_int64(bufs[i])
+        dt = np.float32 if pa.types.is_float32(ty) else np.float64
+        out = pa.array((ints / (10.0 ** meta["scale"])).astype(dt), type=ty)
         return _apply_validity(out, vbits, n)
 
     if codec in ("str", "bin"):
@@ -428,7 +473,7 @@ def _annotate_nbuf(meta: dict, bufs: list[bytes]) -> None:
             c += sum(count(ch) for ch in m["children"])
         elif codec == "int":
             c += 1
-        elif codec == "raw":
+        elif codec in ("raw", "fdec"):
             c += 1
         elif codec in ("str", "bin"):
             c += 2
