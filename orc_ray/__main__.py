@@ -39,6 +39,7 @@ def cmd_encode(a) -> int:
         resume=a.resume,
         partition_by=a.partition_by,
         salt_length_col=a.salt_col,
+        file_format=a.format,
     )
     print(json.dumps(rec["totals"]))
     return 0
@@ -108,6 +109,7 @@ def main(argv=None) -> int:
     e.add_argument("--salt-col")
     e.add_argument("--zstd-level", type=int, default=3)
     e.add_argument("--strategy", default="speed", choices=["speed", "compression"])
+    e.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
     e.set_defaults(fn=cmd_encode)
 
     d = sub.add_parser("decode")

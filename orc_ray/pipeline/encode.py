@@ -49,14 +49,17 @@ _PATH_COL = "__input_path"
 _SALT_COL = "__salt"
 
 
-def _resolve_files(input_paths) -> list[str]:
+_FORMAT_EXT = {"parquet": "*.parquet", "csv": "*.csv", "json": "*.json*"}
+
+
+def _resolve_files(input_paths, file_format: str = "parquet") -> list[str]:
     if isinstance(input_paths, (str, os.PathLike)):
         input_paths = [input_paths]
     out: list[str] = []
     for p in input_paths:
         p = str(p)
         if os.path.isdir(p):
-            out.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+            out.extend(sorted(glob.glob(os.path.join(p, _FORMAT_EXT[file_format]))))
         else:
             out.append(p)
     return out
@@ -185,28 +188,41 @@ def encode_dataset(
     resume: bool = False,
     partition_by: str | None = None,
     salt_length_col: str | None = None,
+    file_format: str = "parquet",
     ds=None,
 ) -> dict:
-    """Encode parquet inputs into a chunk store; returns the commit record.
+    """Encode columnar inputs into a chunk store; returns the commit record.
 
     ``partition_by`` enables the salted hash shuffle (column name, e.g.
     "source"); ``salt_length_col`` adds a floor(log2(len)) bucket from that
-    int column (e.g. "n_tok") to break long-document skew.  ``ds`` lets a
-    caller pass a pre-built Dataset instead of parquet paths (tests).
+    int column (e.g. "n_tok") to break long-document skew.  ``file_format``
+    accepts parquet (fast direct-read path) or csv / json (the convert-tool
+    analog: ray.data readers + trust-mode commit, since those formats carry
+    no row-count metadata).  ``ds`` lets a caller pass a pre-built Dataset
+    instead of paths (tests).
     """
-    files = _resolve_files(input_paths) if ds is None else []
-    expected = {}
+    files = _resolve_files(input_paths, file_format) if ds is None else []
+    expected: dict | None = {}
     if ds is None:
         todo = files
         if resume:
             committed = mstate.load_committed(out_dir)["files"]
             mstate.clean_uncommitted(out_dir)
             todo = [f for f in files if f not in committed]
-        for f in files:
-            expected[f] = pq.read_metadata(f).num_rows
+        if file_format == "parquet":
+            for f in files:
+                expected[f] = pq.read_metadata(f).num_rows
+        else:
+            expected = None  # trust-mode commit
         if not todo:
             return mstate.commit(out_dir, expected)
-        if not partition_by:
+        if file_format != "parquet":
+            reader = ray.data.read_csv if file_format == "csv" else ray.data.read_json
+            dataset = reader(todo, include_paths=True)
+            dataset = dataset.map_batches(
+                _rename_path_col, batch_format="pyarrow", zero_copy_batch=True
+            )
+        elif not partition_by:
             # fast path: direct-read units — raw bytes never enter the
             # object store (only manifest rows do); see _plan_units.
             # Plain-function map_batches (task pool), NOT an actor pool:
@@ -232,10 +248,11 @@ def encode_dataset(
             )
             man.write_parquet(mstate.manifest_dir(out_dir))
             return mstate.commit(out_dir, expected)
-        dataset = ray.data.read_parquet(todo, columns=columns, include_paths=True)
-        dataset = dataset.map_batches(
-            _rename_path_col, batch_format="pyarrow", zero_copy_batch=True
-        )
+        else:
+            dataset = ray.data.read_parquet(todo, columns=columns, include_paths=True)
+            dataset = dataset.map_batches(
+                _rename_path_col, batch_format="pyarrow", zero_copy_batch=True
+            )
     else:
         dataset = ds
 

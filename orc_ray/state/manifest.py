@@ -74,9 +74,14 @@ def read_manifest(out_dir: str) -> pa.Table:
     return pa.concat_tables([pq.read_table(f) for f in files])
 
 
-def commit(out_dir: str, expected_rows: dict[str, int]) -> dict:
+def commit(out_dir: str, expected_rows: dict[str, int] | None) -> dict:
     """Verify per-input-file chunk row counts against parquet metadata and
-    write `_committed.json`.  Returns the commit record."""
+    write `_committed.json`.  Returns the commit record.
+
+    ``expected_rows=None`` is trust-mode for formats without row-count
+    metadata (CSV/JSONL): a successfully completed pipeline commits every
+    file seen in the manifest at its recorded row count.
+    """
     man = read_manifest(out_dir)
     got: dict[str, int] = {}
     if man.num_rows:
@@ -89,9 +94,12 @@ def commit(out_dir: str, expected_rows: dict[str, int]) -> dict:
             got[f] = int(r)
     prev = load_committed(out_dir)["files"]
     files = dict(prev)
-    for f, exp in expected_rows.items():
-        if got.get(f, -1) == exp:
-            files[f] = exp
+    if expected_rows is None:
+        files.update(got)
+    else:
+        for f, exp in expected_rows.items():
+            if got.get(f, -1) == exp:
+                files[f] = exp
     totals = {
         "committed_files": len(files),
         "rows": int(sum(files.values())),
