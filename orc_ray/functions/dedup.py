@@ -22,9 +22,6 @@ import pyarrow as pa
 
 from ..codecs.fsst import _rolling_keys
 
-MERSENNE = np.uint64((1 << 61) - 1)
-
-
 def _shingle_keys(concat: np.ndarray, offsets: np.ndarray, k: int = 8):
     """Per-doc sets of k-byte shingle hashes (rolling uint64 windows, doc
     boundaries masked).  Returns (hashes, seg_offsets): hashes grouped by
@@ -69,23 +66,34 @@ def _shingle_keys(concat: np.ndarray, offsets: np.ndarray, k: int = 8):
     return h, seg_off
 
 
-_MINHASH_SEEDS = np.random.default_rng(0xD1CE).integers(1, (1 << 61) - 2, size=(128, 2), dtype=np.uint64)
+_EMPTY_SLOT = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def minhash_signature(concat: np.ndarray, offsets: np.ndarray, num_hashes: int = 128, k: int = 8) -> np.ndarray:
-    """(n_docs, num_hashes) MinHash signature matrix (uint64)."""
+    """(n_docs, num_hashes) MinHash signature matrix (uint64).
+
+    One-permutation hashing (Li/Owen/Zhang 2012) with cyclic densification:
+    the hash space is split into ``num_hashes`` buckets by the top bits and
+    the per-(doc, bucket) minimum is ONE vectorized scatter pass — instead
+    of num_hashes full re-hash passes.  Same Jaccard-estimation guarantees,
+    ~100x less memory traffic per batch."""
     h, seg_off = _shingle_keys(concat, offsets, k)
     n = seg_off.size - 1
-    sig = np.empty((n, num_hashes), dtype=np.uint64)
-    nonempty = np.diff(seg_off) > 0
-    starts = seg_off[:-1][nonempty]
-    with np.errstate(over="ignore"):
-        for i in range(num_hashes):
-            a, b = _MINHASH_SEEDS[i]
-            hv = (h * a + b) % MERSENNE
-            sig[:, i] = MERSENNE
-            if starts.size:
-                sig[nonempty, i] = np.minimum.reduceat(hv, starts)
+    counts = np.diff(seg_off)
+    doc_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+    nb = int(num_hashes).bit_length() - 1
+    assert (1 << nb) == num_hashes, "num_hashes must be a power of two"
+    bucket = (h >> np.uint64(64 - nb)).astype(np.int64)
+    sig = np.full((n, num_hashes), _EMPTY_SLOT, dtype=np.uint64)
+    np.minimum.at(sig, (doc_ids, bucket), h)
+    # cyclic densification: empty buckets borrow the next non-empty value
+    for s in range(1, num_hashes):
+        empty = sig == _EMPTY_SLOT
+        if not empty.any():
+            break
+        rolled = np.roll(sig, -s, axis=1)
+        fill = empty & (rolled != _EMPTY_SLOT)
+        sig[fill] = rolled[fill]
     return sig
 
 
@@ -105,17 +113,20 @@ def lsh_bands(sig: np.ndarray, bands: int = 32) -> np.ndarray:
 
 def simhash64(concat: np.ndarray, offsets: np.ndarray, k: int = 4) -> np.ndarray:
     """64-bit SimHash per doc: sign-aggregate the bit matrix of k-gram
-    hashes (Charikar 2002)."""
+    hashes (Charikar 2002).  One vectorized pass per bit (64 reduceats)
+    instead of materializing the full shingles x 64 matrix."""
     h, seg_off = _shingle_keys(concat, offsets, k)
     n = seg_off.size - 1
-    bits = np.unpackbits(h.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1).astype(np.int32)
-    bits = bits * 2 - 1  # ±1
-    sums = np.zeros((n, 64), dtype=np.int64)
-    nonempty = np.diff(seg_off) > 0
+    counts = np.diff(seg_off)
+    nonempty = counts > 0
     starts = seg_off[:-1][nonempty]
+    out_bits = np.zeros((n, 64), dtype=np.uint8)
     if starts.size:
-        sums[nonempty] = np.add.reduceat(bits, starts, axis=0)
-    out_bits = (sums > 0).astype(np.uint8)
+        half = counts[nonempty].astype(np.int64)
+        for b in range(64):
+            ones = (h >> np.uint64(b)) & np.uint64(1)
+            per_doc = np.add.reduceat(ones.astype(np.int64), starts)
+            out_bits[nonempty, 63 - b] = (2 * per_doc > half).astype(np.uint8)
     return np.packbits(out_bits, axis=1).view(">u8").ravel().astype(np.uint64)
 
 
