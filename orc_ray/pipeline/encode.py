@@ -65,6 +65,11 @@ def _resolve_files(input_paths, file_format: str = "parquet") -> list[str]:
     return out
 
 
+def _unit_uid(pairs) -> str:
+    """Deterministic id of a work unit (or batch of units)."""
+    return hashlib.sha256("|".join(f"{p}|{r}" for p, r in pairs).encode()).hexdigest()[:20]
+
+
 def _plan_units(files: list[str], columns, unit_rows: int) -> list[dict]:
     """Split inputs into (file, row-group range) work units of ~unit_rows —
     the analog of ORC's stripe-aligned splits (OrcInputFormat.getSplits):
@@ -112,8 +117,21 @@ class FileEncoderActor:
 
 
 def _encode_units(units: pa.Table, *, out_dir: str, opts: EncodeOptions, columns, batch_size: int) -> pa.Table:
-    """Task-pool entry: encode one work unit (see FileEncoderActor)."""
-    return FileEncoderActor(out_dir, opts, columns, batch_size)(units)
+    """Task-pool entry: encode one work unit (see FileEncoderActor).
+
+    The unit's manifest rows are written durably (atomic rename) from
+    inside the task the moment the unit completes — so a killed run keeps
+    every finished unit's lineage, and resume re-encodes only input files
+    whose recorded rows don't sum to the parquet metadata count."""
+    man = FileEncoderActor(out_dir, opts, columns, batch_size)(units)
+    uid = _unit_uid(zip(units.column("path").to_pylist(), units.column("row_groups").to_pylist()))
+    dest = os.path.join(mstate.manifest_dir(out_dir), f"unit-{uid}.parquet")
+    tmp = dest + ".tmp"
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(man, tmp)
+    os.replace(tmp, dest)
+    return pa.table({"n": pa.array([int(pa.compute.sum(man.column("n_rows")).as_py() or 0)], pa.int64())})
 
 
 class EncoderActor:
@@ -203,11 +221,17 @@ def encode_dataset(
     """
     files = _resolve_files(input_paths, file_format) if ds is None else []
     expected: dict | None = {}
+    fast_path = ds is None and file_format == "parquet" and not partition_by
     if ds is None:
         todo = files
         if resume:
             committed = mstate.load_committed(out_dir)["files"]
-            mstate.clean_uncommitted(out_dir)
+            if not fast_path:
+                # slow paths re-encode whole uncommitted files; the fast
+                # path resumes at unit granularity below (durable per-unit
+                # manifest parts + content-addressed chunks), so nothing
+                # needs deleting there
+                mstate.clean_uncommitted(out_dir)
             todo = [f for f in files if f not in committed]
         if file_format == "parquet":
             for f in files:
@@ -237,8 +261,21 @@ def encode_dataset(
 
             os.makedirs(mstate.manifest_dir(out_dir), exist_ok=True)
             units = _plan_units(todo, columns, unit_rows=batch_size * 2)
+            if resume:
+                # unit-granular resume: skip units whose manifest part is
+                # already durable
+                mdir = mstate.manifest_dir(out_dir)
+                units = [
+                    u
+                    for u in units
+                    if not os.path.exists(
+                        os.path.join(mdir, f"unit-{_unit_uid([(u['path'], u['row_groups'])])}.parquet")
+                    )
+                ]
+                if not units:
+                    return mstate.commit(out_dir, expected)
             dataset = ray.data.from_items(units)
-            man = dataset.map_batches(
+            counts = dataset.map_batches(
                 functools.partial(
                     _encode_units, out_dir=out_dir, opts=opts, columns=columns, batch_size=batch_size
                 ),
@@ -246,7 +283,8 @@ def encode_dataset(
                 batch_format="pyarrow",
                 num_cpus=1,
             )
-            man.write_parquet(mstate.manifest_dir(out_dir))
+            counts.sum("n")  # drive the pipeline; manifest parts are
+            # written durably inside the tasks (see _encode_units)
             return mstate.commit(out_dir, expected)
         else:
             dataset = ray.data.read_parquet(todo, columns=columns, include_paths=True)
