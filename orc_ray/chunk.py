@@ -144,6 +144,19 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
         meta["valid"] = True
         bufs.append(vbits)
 
+    if forced:
+        from .codecs import registry as _registry
+
+        plug = _registry.get(forced)
+        if plug is not None:
+            if arr.null_count:
+                arr = arr.fill_null(_null_fill(ty))
+            pmeta, pbufs = plug.encode(arr, opts)
+            meta.update(pmeta)
+            meta["codec"] = forced
+            bufs.extend(pbufs)
+            return meta, bufs
+
     if pa.types.is_list(ty) or pa.types.is_large_list(ty):
         lengths = pa.compute.list_value_length(arr).fill_null(0)
         lens = lengths.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -398,7 +411,22 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType) -> pa.Array:
         out = _varbytes_from_numpy(lens, flat.tobytes(), ty)
         return _apply_validity(out, vbits, n)
 
+    from .codecs import registry as _registry
+
+    plug = _registry.get(codec)
+    if plug is not None:
+        out = plug.decode(meta, bufs[i:], ty)
+        return _apply_validity(out, vbits, n)
+
     raise NotImplementedError(f"unknown codec {codec}")
+
+
+def _null_fill(ty: pa.DataType):
+    if pa.types.is_string(ty) or pa.types.is_large_string(ty):
+        return ""
+    if pa.types.is_binary(ty) or pa.types.is_large_binary(ty):
+        return b""
+    return 0
 
 
 def _ints_from_numpy(v: np.ndarray, ty: pa.DataType) -> pa.Array:
@@ -481,6 +509,12 @@ def _annotate_nbuf(meta: dict, bufs: list[bytes]) -> None:
             c += 3
         elif codec == "fsst":
             c += 4
+        else:
+            from .codecs import registry as _registry
+
+            plug = _registry.get(codec)
+            if plug is not None:
+                c += plug.n_buffers
         m["_nbuf"] = c
         return c
 
