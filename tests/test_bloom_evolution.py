@@ -65,7 +65,10 @@ def test_schema_evolution_cast(ray_session, tmp_path):
     )
     t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
     assert t.schema.field("n_tok").type == pa.int64()
-    exp = pq.read_table(paths[0], columns=["n_tok"])
+    exp = pq.read_table(paths[0], columns=["doc_id", "n_tok"])
+    # decoded chunk order is arbitrary (content-addressed files): sort by key
+    t = t.sort_by("doc_id")
+    exp = exp.sort_by("doc_id")
     assert t.column("n_tok").combine_chunks().cast(pa.int32()).equals(
         exp.column("n_tok").combine_chunks()
     )
