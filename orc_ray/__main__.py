@@ -29,7 +29,9 @@ def cmd_encode(a) -> int:
     from .chunk import EncodeOptions
     from .pipeline.encode import encode_dataset
 
-    opts = EncodeOptions(compression_level=a.zstd_level, strategy=a.strategy)
+    opts = EncodeOptions(strategy=a.strategy)
+    if a.zstd_level is not None:
+        opts.compression_level = a.zstd_level
     rec = encode_dataset(
         a.input,
         a.store,
@@ -107,7 +109,8 @@ def main(argv=None) -> int:
     e.add_argument("--resume", action="store_true")
     e.add_argument("--partition-by")
     e.add_argument("--salt-col")
-    e.add_argument("--zstd-level", type=int, default=3)
+    e.add_argument("--zstd-level", type=int, default=None,
+                   help="default: EncodeOptions.compression_level (6)")
     e.add_argument("--strategy", default="speed", choices=["speed", "compression"])
     e.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
     e.set_defaults(fn=cmd_encode)

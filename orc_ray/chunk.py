@@ -125,8 +125,10 @@ def _apply_validity(arr: pa.Array, vbits: bytes | None, n: int) -> pa.Array:
     if vbits is None:
         return arr
     mask = np.unpackbits(np.frombuffer(vbits, np.uint8), count=n).astype(bool)
-    # rebuild with nulls where mask is False
-    return pa.compute.if_else(pa.array(mask), arr, pa.nulls(n, arr.type))
+    # reinsert nulls via take with null indices — works for every type,
+    # including map (pc.if_else has no map kernel in pyarrow 16)
+    idx = pa.array(np.arange(n, dtype=np.int64), mask=~mask)
+    return arr.take(idx)
 
 
 # ---------------------------------------------------------------------------
@@ -193,8 +195,13 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
         v = _ints_to_numpy(arr)
         meta.update(codec="int")
         if v.size:
-            meta["min"] = int(v.min())
-            meta["max"] = int(v.max())
+            # stats live in the LOGICAL domain: uint64 is stored as its
+            # int64 bit-view, but min/max must compare correctly against
+            # unsigned predicate literals (values >= 2**63 would otherwise
+            # record negative stats and silently mis-prune chunks)
+            logical = v.view(np.uint64) if ty.equals(pa.uint64()) else v
+            meta["min"] = int(logical.min())
+            meta["max"] = int(logical.max())
         bufs.append(encode_int64(v, strategy=opts.strategy))
         return meta, bufs
 

@@ -38,7 +38,12 @@ def _hash_column(arr: pa.Array) -> np.ndarray:
         arr = arr.drop_null()
     ty = arr.type
     if pa.types.is_integer(ty) or pa.types.is_temporal(ty) or pa.types.is_boolean(ty):
-        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        if ty.equals(pa.uint64()):
+            # checked cast to int64 would raise on values >= 2**63; the
+            # bit pattern is what we hash, so view without conversion
+            v = arr.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        else:
+            v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
         return _mix64(v.copy())
     if pa.types.is_string(ty) or pa.types.is_large_string(ty) or pa.types.is_binary(ty):
         from ..functions.dedup import _varbytes
@@ -52,7 +57,9 @@ def _hash_column(arr: pa.Array) -> np.ndarray:
 
 def _hash_value(val) -> int:
     if isinstance(val, (int, np.integer)):
-        return int(_mix64(np.array([val], dtype=np.int64).view(np.uint64))[0])
+        # mask to the 64-bit pattern: matches the column-side view for both
+        # signed (two's complement) and unsigned >= 2**63 values
+        return int(_mix64(np.array([int(val) & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64))[0])
     data = val.encode() if isinstance(val, str) else bytes(val)
     h = 0xCBF29CE484222325
     for b in data:

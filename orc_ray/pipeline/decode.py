@@ -64,10 +64,21 @@ def _mask(t: pa.Table, pred):
     if col not in t.column_names:
         return None
     c = t.column(col)
+
+    def lit(v):
+        # unsigned columns: int literals >= 2**63 overflow pa.scalar's
+        # default int64 inference — type them to the column instead
+        if isinstance(v, int) and pa.types.is_unsigned_integer(c.type):
+            return pa.scalar(v, type=c.type)
+        return pa.scalar(v)
+
     if op == "in":
-        return pc.is_in(c, value_set=pa.array(pred[2]))
+        vs = pred[2]
+        if pa.types.is_unsigned_integer(c.type):
+            return pc.is_in(c, value_set=pa.array(vs, type=c.type))
+        return pc.is_in(c, value_set=pa.array(vs))
     if op == "between":
-        return pc.and_(pc.greater_equal(c, pa.scalar(pred[2])), pc.less_equal(c, pa.scalar(pred[3])))
+        return pc.and_(pc.greater_equal(c, lit(pred[2])), pc.less_equal(c, lit(pred[3])))
     fns = {
         ">": pc.greater,
         ">=": pc.greater_equal,
@@ -76,7 +87,7 @@ def _mask(t: pa.Table, pred):
         "==": pc.equal,
         "!=": pc.not_equal,
     }
-    return fns[op](c, pa.scalar(pred[2]))
+    return fns[op](c, lit(pred[2]))
 
 
 # three-valued predicate evaluation against chunk stats — the reference's
@@ -204,6 +215,17 @@ class _DecodeChunks:
         for blob in batch.column("bytes").to_pylist():
             t = decode_chunk(blob, columns=self.decode_cols)
             if self.predicates:
+                # a predicate naming a column absent from the chunk schema
+                # is almost always a typo; silently dropping it would return
+                # the full unfiltered data (ADVICE r1) — fail loudly instead
+                missing = set()
+                for p in self.predicates:
+                    missing |= _pred_columns(p) - set(t.column_names)
+                if missing:
+                    raise KeyError(
+                        f"predicate column(s) {sorted(missing)} not in chunk "
+                        f"schema {t.column_names}"
+                    )
                 mask = None
                 for p in self.predicates:  # top-level list = implicit AND
                     m = _mask(t, p)

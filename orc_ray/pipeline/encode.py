@@ -263,8 +263,23 @@ def encode_dataset(
             units = _plan_units(todo, columns, unit_rows=batch_size * 2)
             if resume:
                 # unit-granular resume: skip units whose manifest part is
-                # already durable
+                # already durable.  Unit ids depend on the row-group plan
+                # (and therefore on batch_size) — parts written by a prior
+                # run with a DIFFERENT plan would double-count rows and
+                # make commit impossible, so drop any part for a still-
+                # uncommitted file whose uid is not in the current plan.
                 mdir = mstate.manifest_dir(out_dir)
+                plan_names = {
+                    f"unit-{_unit_uid([(u['path'], u['row_groups'])])}.parquet" for u in units
+                }
+                todo_set = set(todo)
+                for part in glob.glob(os.path.join(mdir, "unit-*.parquet")):
+                    if os.path.basename(part) in plan_names:
+                        continue
+                    pfiles = set(pq.read_table(part, columns=["input_file"]).column("input_file").to_pylist())
+                    if pfiles & todo_set:
+                        os.remove(part)
+                mstate.vacuum_orphans(out_dir)
                 units = [
                     u
                     for u in units

@@ -114,6 +114,22 @@ def commit(out_dir: str, expected_rows: dict[str, int] | None) -> dict:
     return rec
 
 
+def vacuum_orphans(out_dir: str) -> int:
+    """Remove chunk files not referenced by any manifest part.  Chunks are
+    content-addressed, so an orphan (e.g. left behind when a stale unit
+    part is dropped on a plan change) is unreachable — decode lists chunks
+    through the manifest — but wastes disk.  Returns chunks removed."""
+    man = read_manifest(out_dir)
+    referenced = set(man.column("chunk_id").to_pylist()) if man.num_rows else set()
+    removed = 0
+    for p in glob.glob(os.path.join(chunk_dir(out_dir), "*.oray")):
+        cid = os.path.basename(p)[: -len(".oray")]
+        if cid not in referenced:
+            os.remove(p)
+            removed += 1
+    return removed
+
+
 def clean_uncommitted(out_dir: str) -> int:
     """Delete chunks + lineage records belonging to uncommitted input files.
     Returns number of chunks removed.  Called on resume before re-encoding."""
