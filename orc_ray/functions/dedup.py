@@ -4,8 +4,9 @@ Classic web-scale near-dup pipeline (Broder resemblance sketches; LSH
 banding as in Mining of Massive Datasets ch.3), expressed Ray-Data-first:
 
     map_batches(signatures)            # vectorized sketch per doc
-      -> flat rows (band, bucket, id)  # shuffle keys are tiny ints
-      -> groupby(bucket)               # the only all-to-all exchange
+      -> flat rows (id, bkey)          # shuffle keys are single int64s
+      -> sort(bkey)                    # the only all-to-all exchange
+      -> vectorized per-block pair emission (Arrow group_by + index_in)
       -> candidate pairs -> union-find -> representative per cluster
 
 Kernels are array-at-a-time: shingles come from the same rolling-uint64
@@ -143,6 +144,107 @@ def jaccard_pairs(concat: np.ndarray, offsets: np.ndarray, pairs: np.ndarray, k:
     return out
 
 
+def content_hash64(concat: np.ndarray, offsets: np.ndarray, key: int = 0x3C79AC492BA7B653) -> np.ndarray:
+    """64-bit content hash per segment in ONE vectorized pass over all
+    bytes (no per-max-length lockstep loop — that made FNV O(max_doc_len)
+    numpy passes).  Construction: sum over PRF(position-in-doc, byte, key)
+    with a splitmix64 PRF, finalized with the length.  Sum-based hashes
+    are weaker than polynomial ones, which is fine here: dedup callers
+    verify candidate groups (second key / exact resolution)."""
+    n = offsets.size - 1
+    lens = np.diff(offsets)
+    with np.errstate(over="ignore"):
+        pos = np.arange(concat.size, dtype=np.uint64)
+        pos -= np.repeat(offsets[:-1].astype(np.uint64), lens)
+        t = ((pos << np.uint64(8)) | concat.astype(np.uint64)) ^ np.uint64(key)
+        t = (t ^ (t >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        t = (t ^ (t >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        t = t ^ (t >> np.uint64(31))
+        c = np.zeros(t.size + 1, dtype=np.uint64)
+        np.cumsum(t, out=c[1:])
+        h = c[offsets[1:]] - c[offsets[:-1]]
+        h ^= lens.astype(np.uint64) * np.uint64(0xFF51AFD7ED558CCD)
+        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+        return h ^ (h >> np.uint64(33))
+
+
+def dedup_exact_fingerprint(ds, id_col: str = "doc_id", text_col: str = "text", _fp_fn=None):
+    """Exact dedup keyed on a 64-bit content fingerprint: the shuffle moves
+    (fp, fp2, id) triples — never the document text (the r1 full-text
+    groupby key was the scale-killer at 100 TB).
+
+    Correctness against the text-keyed oracle is preserved via a SECOND
+    independent fingerprint: within an fp group all texts are equal iff all
+    fp2 agree (up to 2^-64 double-collisions); groups where min(fp2) !=
+    max(fp2) are re-resolved exactly on their (tiny) text subset.
+
+    Returns an Arrow table (text, doc_id=min id per distinct text).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    hash_fn = _fp_fn or content_hash64  # _fp_fn: test seam for collisions
+
+    def fp_stage(t: pa.Table) -> pa.Table:
+        concat, offsets = _varbytes(t.column(text_col))
+        fp = hash_fn(concat, offsets, 0x3C79AC492BA7B653)
+        fp2 = content_hash64(concat, offsets, key=0x9FB21C651E98DF25)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "fp": pa.array(fp.view(np.int64)),
+                "fp2": pa.array(fp2.view(np.int64)),
+            }
+        )
+
+    triples = ds.map_batches(fp_stage, batch_format="pyarrow", zero_copy_batch=True)
+    agg = triples.groupby("fp").aggregate(
+        ray.data.aggregate.Min(id_col), ray.data.aggregate.Min("fp2"), ray.data.aggregate.Max("fp2")
+    )
+    parts = list(agg.iter_batches(batch_format="pyarrow", batch_size=None))
+    groups = pa.concat_tables(parts).combine_chunks()
+    clean = pc.equal(groups.column("min(fp2)"), groups.column("max(fp2)"))
+    winners = list(groups.filter(clean).column(f"min({id_col})").to_pylist())
+    collided = groups.filter(pc.invert(clean)).column("fp").to_pylist()
+    if collided:
+        # exact resolution on the colliding fingerprints only (tiny set)
+        coll_set = pa.array(collided)
+
+        def coll_stage(t: pa.Table) -> pa.Table:
+            f = fp_stage(t)
+            mask = pc.is_in(f.column("fp"), value_set=coll_set)
+            return pa.table(
+                {
+                    id_col: t.column(id_col),
+                    text_col: t.column(text_col),
+                }
+            ).filter(mask)
+
+        sub_parts = list(
+            ds.map_batches(coll_stage, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+        sub = pa.concat_tables([p for p in sub_parts if p.num_rows])
+        exact = sub.group_by(text_col).aggregate([(id_col, "min")])
+        winners.extend(exact.column(f"{id_col}_min").to_pylist())
+
+    wref = ray.put(pa.array(sorted(winners)))
+
+    def fetch_stage(t: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        mask = pc.is_in(t.column(id_col), value_set=w)
+        return t.select([text_col, id_col]).filter(mask)
+
+    out_parts = list(
+        ds.map_batches(fetch_stage, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    out = pa.concat_tables([p for p in out_parts if p.num_rows])
+    return out.sort_by(id_col)
+
+
 class _UnionFind:
     def __init__(self):
         self.parent: dict = {}
@@ -174,8 +276,9 @@ def _varbytes(text_col) -> tuple[np.ndarray, np.ndarray]:
 
 
 class MinHashStage:
-    """map_batches stage: text column -> (id, band, bucket) rows for the
-    LSH groupby shuffle."""
+    """map_batches stage: text column -> (id, bkey) rows for the LSH
+    shuffle.  ``bkey`` is a single 64-bit key mixing (band, bucket), so the
+    shuffle payload per (doc, band) is one id + one int64."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 128, bands: int = 32, k: int = 8):
         self.id_col, self.text_col = id_col, text_col
@@ -189,47 +292,103 @@ class MinHashStage:
         ids = batch.column(self.id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
+        # fold the band index into the bucket hash (splitmix finalizer) so
+        # identical bucket values in different bands cannot collide
+        with np.errstate(over="ignore"):
+            salt = np.arange(self.bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            h = buckets ^ salt[None, :]
+            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            h = h ^ (h >> np.uint64(31))
         # band-major layout: [ids, ids, ...] x bands
         return pa.table(
             {
                 "doc_id": pa.concat_arrays([ids] * self.bands),
-                "band": pa.array(np.repeat(np.arange(self.bands), n)),
-                "bucket": pa.array(buckets.T.reshape(-1).view(np.int64)),
+                "bkey": pa.array(h.T.reshape(-1).view(np.int64)),
             }
         )
+
+
+def _emit_edges(t: pa.Table, id_type: pa.DataType) -> pa.Table:
+    """Vectorized per-block pair emission over a bkey-sorted stream.
+
+    Within the block: Arrow group_by gives min(doc_id) per bkey; every row
+    whose id differs from its group rep becomes an edge (rep, id) — no
+    per-group Python.  The block's first/last bkey groups may continue in
+    neighbouring blocks, so their (bkey, rep) rows are emitted as boundary
+    records; the driver unions reps sharing a bkey across blocks.
+    """
+    import pyarrow.compute as pc
+
+    schema = pa.schema(
+        [("a", id_type), ("b", id_type), ("k", pa.int64()), ("boundary", pa.bool_())]
+    )
+    if t.num_rows == 0:
+        return schema.empty_table()
+    reps = t.group_by("bkey").aggregate([("doc_id", "min")])
+    idx = pc.index_in(t.column("bkey"), value_set=reps.column("bkey").combine_chunks())
+    rep_row = pc.take(reps.column("doc_id_min"), idx)
+    mask = pc.not_equal(rep_row, t.column("doc_id"))
+    a = rep_row.filter(mask)
+    b = t.column("doc_id").filter(mask)
+    n_e = len(a)
+    keys = t.column("bkey")
+    bound_keys = pa.array(sorted({keys[0].as_py(), keys[-1].as_py()}), pa.int64())
+    bmask = pc.is_in(reps.column("bkey"), value_set=bound_keys)
+    brows = reps.filter(bmask)
+    n_b = brows.num_rows
+    return pa.table(
+        {
+            "a": pa.concat_arrays([_arr1(a, id_type), _arr1(brows.column("doc_id_min"), id_type)]),
+            "b": pa.concat_arrays([_arr1(b, id_type), _arr1(brows.column("doc_id_min"), id_type)]),
+            "k": pa.array(np.concatenate([np.zeros(n_e, np.int64), brows.column("bkey").to_numpy()])),
+            "boundary": pa.array(np.concatenate([np.zeros(n_e, bool), np.ones(n_b, bool)])),
+        },
+        schema=schema,
+    )
+
+
+def _arr1(x, ty: pa.DataType) -> pa.Array:
+    x = x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+    return x.cast(ty) if x.type != ty else x
 
 
 def dedup_minhash(ds, id_col="doc_id", text_col="text", num_hashes=128, bands=32, k=8):
     """Near-dup clustering: returns an arrow Table (doc_id, cluster_rep).
 
-    Shuffle cost: the groupby moves only (id, band, bucket) triples.
-    Union-find runs driver-side over multi-member buckets only.
+    Shuffle cost: one sort over (id, bkey) pairs — the only all-to-all.
+    Pair emission is fully vectorized per sorted block (Arrow group_by +
+    index_in); the driver sees only actual duplicate edges plus two
+    boundary records per block, and runs union-find over those.
     """
-    import ray
-
-    stage = MinHashStage(id_col, text_col, num_hashes, bands, k)
-    triples = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    import functools
 
     sch = ds.schema()
     id_type = dict(zip(sch.names, sch.types))[id_col]
+    stage = MinHashStage(id_col, text_col, num_hashes, bands, k)
+    pairs = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    edges_ds = pairs.sort("bkey").map_batches(
+        functools.partial(_emit_edges, id_type=id_type),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
-    def bucket_groups(g: pa.Table) -> pa.Table:
-        ids = sorted(set(g.column("doc_id").to_pylist())) if g.num_rows >= 2 else []
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], id_type), "b": pa.array([], id_type)})
-        rep = ids[0]
-        return pa.table({"a": pa.array([rep] * (len(ids) - 1), id_type), "b": pa.array(ids[1:], id_type)})
-
-    pairs = triples.groupby(["band", "bucket"]).map_groups(bucket_groups, batch_format="pyarrow")
-    edges = pairs.to_arrow_refs()
     uf = _UnionFind()
-    for ref in edges:
-        t = ray.get(ref)
-        # empty blocks may bypass the map_groups UDF and keep the input schema
-        if t.num_rows == 0 or "a" not in t.column_names:
+    boundary: dict = {}
+    for t in edges_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        if t.num_rows == 0:
             continue
-        for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist()):
-            uf.union(a, b)
+        bmask = t.column("boundary")
+        normal = t.filter(pa.compute.invert(bmask))
+        for x, y in zip(normal.column("a").to_pylist(), normal.column("b").to_pylist()):
+            uf.union(x, y)
+        bd = t.filter(bmask)
+        for bk, rep in zip(bd.column("k").to_pylist(), bd.column("a").to_pylist()):
+            prev = boundary.get(bk)
+            if prev is None:
+                boundary[bk] = rep
+            else:
+                uf.union(prev, rep)
     members = sorted(uf.parent)
     return pa.table(
         {

@@ -76,15 +76,21 @@ class TopKCosineStage:
 def topk_cosine(ds, queries: np.ndarray, k: int = 10, id_col="vec_id", vec_col="embedding", dtype=np.float32) -> pa.Table:
     """Exact global top-k per query: distributed partial top-k + tiny merge.
     Returns (query_idx, vec_id, sim) sorted by (query_idx, -sim, vec_id)."""
+    import functools
+
     import ray
 
     qref = ray.put(np.asarray(queries, dtype))
+
+    def _topk_batch(batch, *, qref, k, id_col, vec_col, dtype):
+        # plain-function stage: warm task workers, no per-query actor pool
+        # spawn; ray.get of the broadcast query matrix is a local fetch
+        return TopKCosineStage(qref, k, id_col, vec_col, dtype)(batch)
+
     cand = ds.map_batches(
-        TopKCosineStage,
-        fn_constructor_args=(qref, k, id_col, vec_col, dtype),
+        functools.partial(_topk_batch, qref=qref, k=k, id_col=id_col, vec_col=vec_col, dtype=dtype),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
     )
     parts = [b for b in cand.iter_batches(batch_format="pyarrow", batch_size=None)]
     t = pa.concat_tables(parts) if parts else pa.table({"query_idx": [], "vec_id": [], "sim": []})
@@ -144,8 +150,15 @@ def topk_cosine_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16, 
     sample = _matrix(pa.table(sample_t).column(vec_col))
     cent = kmeans_fit(sample, n_clusters)
     cref = ray.put(cent)
+    import functools
+
+    def _assign_batch(batch, *, cref, vec_col):
+        return IVFAssignStage(cref, vec_col)(batch)
+
     assigned = ds.map_batches(
-        IVFAssignStage, fn_constructor_args=(cref, vec_col), batch_format="pyarrow", concurrency=(1, 4)
+        functools.partial(_assign_batch, cref=cref, vec_col=vec_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     q = _normalize(np.atleast_2d(np.asarray(queries, np.float32)))
     probe = set()

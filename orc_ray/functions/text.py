@@ -3,21 +3,28 @@
 Training-data quality/statistics stages: token counting, quality scoring,
 language-ID heuristic, document fingerprinting.  Each is a pure function
 batch -> batch suitable for ``ds.map_batches(fn, batch_format="pyarrow")``;
-stateful variants (compiled regexes, stopword tables) are prepared at
-module import — i.e. once per Ray worker process, the actor-pool pattern.
+stateful tables (stopword value sets) are prepared at module import —
+i.e. once per Ray worker process, the actor-pool pattern.
+
+All kernels are Arrow-compute / numpy array-at-a-time: no per-row Python
+in any of them (the r1 verdict flagged the earlier split()/findall loops
+as the scale bottleneck).  Per-doc reductions over flattened word lists
+use cumulative sums sliced at the list offsets — safe for empty docs,
+unlike a bare ``np.add.reduceat``.
 """
 
 from __future__ import annotations
-
-import re
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# BPE-ish pre-tokenizer (GPT-2 style contraction/word/number/punct split),
-# compiled once per worker
-_BPE_RE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+# BPE-ish pre-tokenizer (GPT-2 style contraction/word/number/punct split).
+# RE2-compatible (Arrow's count_substring_regex): the original GPT-2
+# pattern ends `\s+(?!\S)|\s+`, but RE2 has no lookahead; for *counting*
+# (not splitting) the plain `\s+` tail is equivalent on word boundaries
+# and only differs on exotic interior whitespace runs.
+_BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
 _STOPWORDS = {
     "en": {"the", "of", "and", "to", "in", "a", "is", "that", "it", "was", "for", "on", "with", "as", "at", "by"},
@@ -25,6 +32,11 @@ _STOPWORDS = {
     "fr": {"le", "la", "les", "de", "des", "et", "est", "un", "une", "dans", "que", "pour", "sur", "pas"},
     "es": {"el", "la", "los", "las", "de", "y", "es", "un", "una", "en", "que", "por", "para", "con", "no"},
 }
+# value sets built once per worker process (import time)
+_SW_SETS = {lg: pa.array(sorted(ws)) for lg, ws in _STOPWORDS.items()}
+# descending name order replicates the original max((score, lang)) tie-break
+# (ties pick the lexicographically larger language name)
+_LANGS_DESC = sorted(_STOPWORDS, reverse=True)
 
 
 def _concat_np(text: pa.ChunkedArray | pa.Array):
@@ -33,14 +45,44 @@ def _concat_np(text: pa.ChunkedArray | pa.Array):
     return text
 
 
+def _ws_words(text: pa.Array, lower: bool = False):
+    """Whitespace word lists per doc, vectorized.
+
+    Returns (offsets int64[n+1] into flat, flat word StringArray,
+    n_words int64[n]) where n_words matches ``len(t.split())`` semantics
+    (empty/whitespace-only doc -> 0 words)."""
+    if lower:
+        text = pc.utf8_lower(text)
+    trimmed = pc.utf8_trim_whitespace(text)
+    parts = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    off = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]
+    flat = pc.list_flatten(parts)
+    n_words = np.diff(off)
+    # split("") == [""]: a single empty word means an empty doc
+    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    n_words = np.where(empty, 0, n_words)
+    return off, flat, n_words
+
+
+def _seg_sum(flags: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """Per-segment sums of ``flags`` over offset-delimited segments
+    (cumsum-slice: exact for empty segments)."""
+    c = np.zeros(flags.size + 1, dtype=np.int64)
+    np.cumsum(flags, out=c[1:])
+    return c[off[1:]] - c[off[:-1]]
+
+
 def token_counts(batch: pa.Table, col: str = "text") -> pa.Table:
     """Whitespace tokens + BPE-ish token count per document."""
-    texts = _concat_np(batch.column(col)).to_pylist()
-    ws = np.fromiter((len(t.split()) if t else 0 for t in texts), np.int64, len(texts))
-    bpe = np.fromiter((len(_BPE_RE.findall(t)) if t else 0 for t in texts), np.int64, len(texts))
+    text = _concat_np(batch.column(col))
+    _, _, ws = _ws_words(text)
+    bpe = pc.count_substring_regex(text, pattern=_BPE_PATTERN)
     out = batch.select([c for c in batch.column_names if c != col])
-    out = out.append_column("n_ws_tokens", pa.array(ws))
-    return out.append_column("n_bpe_tokens", pa.array(bpe))
+    out = out.append_column("n_ws_tokens", pa.array(ws.astype(np.int64)))
+    return out.append_column("n_bpe_tokens", pa.array(bpe.to_numpy(zero_copy_only=False).astype(np.int64)))
 
 
 def quality_score(batch: pa.Table, col: str = "text") -> pa.Table:
@@ -57,17 +99,11 @@ def quality_score(batch: pa.Table, col: str = "text") -> pa.Table:
     punct = ratio_of(r"[^\w\s]")
     digits = ratio_of(r"[0-9]")
     upper = ratio_of(r"[A-Z]")
-    # stopword hit-rate over lowercased whitespace tokens (vectorized via set)
-    texts = text.to_pylist()
-    sw = _STOPWORDS["en"]
-    sw_ratio = np.fromiter(
-        (
-            (sum(1 for w in t.lower().split() if w in sw) / max(len(t.split()), 1)) if t else 0.0
-            for t in texts
-        ),
-        np.float64,
-        len(texts),
-    )
+    # stopword hit-rate over lowercased whitespace words: flatten ->
+    # is_in -> per-doc cumsum-slice (one pass, no Python loop)
+    off, flat, n_words = _ws_words(text, lower=True)
+    hits = pc.is_in(flat, value_set=_SW_SETS["en"]).to_numpy(zero_copy_only=False)
+    sw_ratio = _seg_sum(hits, off) / np.maximum(n_words, 1)
     len_score = np.clip(n_chars / 500.0, 0, 1)
     score = np.clip(
         0.35 * len_score + 0.3 * np.clip(sw_ratio * 3, 0, 1) + 0.2 * (1 - np.clip(punct * 4, 0, 1)) + 0.15 * (1 - np.clip(digits * 5, 0, 1)),
@@ -88,20 +124,27 @@ def quality_score(batch: pa.Table, col: str = "text") -> pa.Table:
 
 def lang_id(batch: pa.Table, col: str = "text") -> pa.Table:
     """Stopword-profile language guess (n-gram heuristic class).  Returns
-    the argmax language + its hit ratio."""
-    texts = _concat_np(batch.column(col)).to_pylist()
-    langs = list(_STOPWORDS)
-    best_lang, best_ratio = [], []
-    for t in texts:
-        words = t.lower().split() if t else []
-        denom = max(len(words), 1)
-        scores = [(sum(1 for w in words if w in _STOPWORDS[lg]) / denom, lg) for lg in langs]
-        s, lg = max(scores)
-        best_lang.append(lg if s > 0 else "unk")
-        best_ratio.append(round(s, 6))
+    the argmax language + its hit ratio — one is_in pass per language."""
+    text = _concat_np(batch.column(col))
+    off, flat, n_words = _ws_words(text, lower=True)
+    denom = np.maximum(n_words, 1).astype(np.float64)
+    n = len(text)
+    scores = np.zeros((n, len(_LANGS_DESC)), dtype=np.float64)
+    for j, lg in enumerate(_LANGS_DESC):
+        hits = pc.is_in(flat, value_set=_SW_SETS[lg]).to_numpy(zero_copy_only=False)
+        scores[:, j] = _seg_sum(hits, off) / denom
+    best = np.argmax(scores, axis=1)  # first max -> largest lang name wins ties
+    conf = np.round(scores[np.arange(n), best], 6)
+    lang_arr = np.array(_LANGS_DESC, dtype=object)[best]
+    lang_arr = np.where(conf > 0, lang_arr, "unk")
     out = batch.select([c for c in batch.column_names if c != col])
-    out = out.append_column("lang_pred", pa.array(best_lang, pa.string()))
-    return out.append_column("lang_conf", pa.array(best_ratio, pa.float64()))
+    out = out.append_column("lang_pred", pa.array(lang_arr.tolist(), pa.string()))
+    return out.append_column("lang_conf", pa.array(conf, pa.float64()))
+
+
+_FNV_BASIS = np.uint64(0xCBF29CE484222325)
+_FNV_BASIS2 = np.uint64(0x84222325CBF29CE4)  # independent second basis
+_FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def fingerprint64(batch: pa.Table, col: str = "text") -> pa.Table:
@@ -117,12 +160,15 @@ def fingerprint64(batch: pa.Table, col: str = "text") -> pa.Table:
     return out.append_column("fingerprint", pa.array(fps.view(np.int64)))
 
 
-def _fnv1a_segmented(concat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+def _fnv1a_segmented(
+    concat: np.ndarray, offsets: np.ndarray, basis: np.uint64 = _FNV_BASIS
+) -> np.ndarray:
     """FNV-1a per segment.  Sequential in segment length, vectorized across
-    segments (the same lockstep pattern as the FSST parse)."""
+    segments (the same lockstep pattern as the FSST parse).  ``basis``
+    selects independent hash families (used for dedup collision checks)."""
     n = offsets.size - 1
-    h = np.full(n, np.uint64(0xCBF29CE484222325))
-    prime = np.uint64(0x100000001B3)
+    h = np.full(n, basis)
+    prime = _FNV_PRIME
     lens = np.diff(offsets)
     max_len = int(lens.max()) if n else 0
     with np.errstate(over="ignore"):

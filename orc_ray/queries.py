@@ -148,21 +148,25 @@ def q_join_orders_customer(sf_dir: str):
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
-    lookup_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())))
+    lookup_ref = ray.put(
+        (cust.column("c_custkey").combine_chunks(), cust.column("c_mktsegment").combine_chunks())
+    )
     ds = _decoded(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    class AddSegment:
-        def __init__(self, ref):
-            self.lookup = ray.get(ref)  # once per actor
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t.column("o_custkey").to_pylist()
-            seg = pa.array([self.lookup.get(k) for k in keys], pa.string())
-            t = t.append_column("c_mktsegment", seg)
-            return t.group_by("c_mktsegment").aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+    def add_segment(t: pa.Table, *, ref=lookup_ref) -> pa.Table:
+        # broadcast join probe: the small side is in the object store once
+        # (ray.put above); ray.get here is a local zero-copy fetch, and the
+        # probe is a fully vectorized hash lookup (index_in + take), not a
+        # per-row dict.get loop.  Plain-function stage -> warm task workers
+        # (no per-query actor pool spawn).
+        keys, segs = ray.get(ref)
+        idx = pc.index_in(t.column("o_custkey"), value_set=keys)
+        seg = pc.take(segs, idx)  # unmatched keys -> null segment
+        t = t.append_column("c_mktsegment", seg)
+        return t.group_by("c_mktsegment").aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
 
     partials = _to_table(
-        ds.map_batches(AddSegment, fn_constructor_args=(lookup_ref,), batch_format="pyarrow", concurrency=(1, 4))
+        ds.map_batches(add_segment, batch_format="pyarrow", zero_copy_batch=True)
     )
     final = partials.group_by("c_mktsegment").aggregate(
         [("o_totalprice_sum", "sum"), ("o_totalprice_count", "sum")]
@@ -179,13 +183,12 @@ def q_join_orders_customer(sf_dir: str):
 
 
 def q_dedup_exact(sf_dir: str):
-    """Exact dedup on document text: hash-shuffle groupby, keep min doc_id."""
+    """Exact dedup on document text, keyed on content fingerprints so the
+    shuffle moves (fp, fp2, doc_id) — not the text (scale-safe shape)."""
+    from .functions.dedup import dedup_exact_fingerprint
+
     ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
-    dd = ds.groupby("text").aggregate(ray.data.aggregate.Min("doc_id"))
-    t = _to_table(dd)
-    return pa.table(
-        {"text": t.column("text"), "doc_id": t.column("min(doc_id)")}
-    ).sort_by("doc_id")
+    return dedup_exact_fingerprint(ds, id_col="doc_id", text_col="text")
 
 
 def q_text_stats(sf_dir: str):

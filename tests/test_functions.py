@@ -90,6 +90,36 @@ def test_dedup_minhash_pipeline(ray_session):
         assert not r.startswith("doc"), (j, r)
 
 
+def test_dedup_exact_fingerprint(ray_session):
+    import ray
+
+    docs = ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"]
+    ids = [f"d{i}" for i in range(len(docs))]
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(docs)})
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = dedup.dedup_exact_fingerprint(ds)
+    got = dict(zip(out.column("text").to_pylist(), out.column("doc_id").to_pylist()))
+    assert got == {"aaa": "d0", "bbb": "d1", "ccc": "d3"}
+
+
+def test_dedup_exact_fingerprint_collision_path(ray_session):
+    """Force ALL fingerprints to collide: the fp2 disagreement detector
+    must route every group through the exact text resolution and still
+    produce the text-keyed answer."""
+    import ray
+
+    def colliding(concat, offsets, basis=None):
+        return np.zeros(offsets.size - 1, dtype=np.uint64)
+
+    docs = ["xx", "yy", "xx", "zz", "yy"]
+    ids = [f"d{i}" for i in range(len(docs))]
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(docs)})
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = dedup.dedup_exact_fingerprint(ds, _fp_fn=colliding)
+    got = dict(zip(out.column("text").to_pylist(), out.column("doc_id").to_pylist()))
+    assert got == {"xx": "d0", "yy": "d1", "zz": "d3"}
+
+
 def test_topk_cosine_exact(ray_session):
     import ray
 
