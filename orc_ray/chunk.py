@@ -234,6 +234,17 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
 
     if pa.types.is_string(ty) or pa.types.is_large_string(ty) or pa.types.is_binary(ty) or pa.types.is_large_binary(ty):
         is_str = pa.types.is_string(ty) or pa.types.is_large_string(ty)
+        if is_str and n:
+            # StringStatistics analog (apache/orc c++/src/Statistics.cc):
+            # min/max recorded per chunk (nulls excluded) so predicates on
+            # id-like columns prune via the manifest with no bloom opt-in.
+            # Long values are truncated like ORC does: the lower bound to a
+            # prefix, the upper bound to prefix + a max code point.
+            mm = pa.compute.min_max(arr)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo is not None:
+                meta["min"] = lo if len(lo) <= 64 else lo[:64]
+                meta["max"] = hi if len(hi) <= 64 else hi[:64] + "\U0010FFFF"
         if arr.null_count:
             arr = arr.fill_null("" if is_str else b"")
         concat, offsets = _varbytes_to_numpy(arr)

@@ -103,6 +103,15 @@ YES, NO, MAYBE = 1, -1, 0
 
 
 def _truth_leaf(stats: dict, pred: tuple) -> int:
+    try:
+        return _truth_leaf_inner(stats, pred)
+    except TypeError:
+        # stats/literal type mismatch (e.g. int literal vs string stats):
+        # pruning must stay conservative, the exact filter decides
+        return MAYBE
+
+
+def _truth_leaf_inner(stats: dict, pred: tuple) -> int:
     col, op = pred[0], pred[1]
     st = stats.get(col)
     if st is None:

@@ -308,6 +308,7 @@ def encode_dataset(
             )
     else:
         dataset = ds
+        expected = None  # trust-mode commit: a Dataset has no row metadata
 
     if partition_by:
         dataset = dataset.map_batches(

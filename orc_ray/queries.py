@@ -285,16 +285,37 @@ def q_ann_topk(sf_dir: str):
     )
 
 
+def ivf_store_for(sf_dir: str, n_clusters: int = 8) -> str:
+    """Build (once, cached) the IVF-partition-sorted chunk store for the
+    embeddings table — chunks cover narrow partition ranges, so probes
+    prune via manifest stats instead of scanning everything."""
+    from .functions.similarity import build_ivf_store
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(f"{os.path.abspath(src)}|ivf{n_clusters}".encode()).hexdigest()[:10]
+    out = os.path.join(CACHE_ROOT, f"ivf-{key}")
+    marker = os.path.join(out, "_ivf_done")
+    if not os.path.exists(marker):
+        n_rows = pq.read_metadata(src).num_rows
+        # aim for ~2 chunks per partition so probe pruning has granularity
+        bs = max(256, min(4096, n_rows // (2 * n_clusters)))
+        build_ivf_store(src, out, n_clusters=n_clusters, batch_size=bs)
+        open(marker, "w").close()
+    return out
+
+
 def q_ann_ivf(sf_dir: str):
-    """IVF approximate top-10 (no oracle: approximate)."""
+    """IVF approximate top-10 through the partition-pruned chunk store
+    (no oracle: approximate)."""
     import pyarrow.parquet as _pq
 
-    from .functions.similarity import topk_cosine_ivf
+    from .functions.similarity import topk_cosine_ivf_store
 
-    emb = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     q = np.array(emb.filter(pc.equal(emb.column("vec_id"), 0)).column("embedding")[0].as_py(), np.float32)
-    ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    t = topk_cosine_ivf(ds, q, k=10, n_clusters=8, nprobe=4)
+    store = ivf_store_for(sf_dir, n_clusters=8)
+    t, kept, total = topk_cosine_ivf_store(store, q, k=10, nprobe=4)
+    assert kept < total or total <= 4, (kept, total)  # pruning must bite
     return t.select(["vec_id", "sim"])
 
 

@@ -168,6 +168,37 @@ def test_topk_cosine_ivf(ray_session):
     assert len(ex_ids & ap_ids) >= 3  # high recall on clustered data
 
 
+def test_ivf_store_prunes_chunks(ray_session, tmp_path):
+    """The scale path: IVF-partition-sorted chunk store; a probe must READ
+    fewer chunks than the store holds (manifest min/max pruning), not
+    filter a full scan — and keep recall."""
+    import ray
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(29)
+    centers = rng.normal(size=(4, 16)).astype(np.float32) * 5
+    pts = np.concatenate([c + rng.normal(size=(200, 16)).astype(np.float32) for c in centers])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(pts))),
+            "embedding": pa.array([list(map(float, r)) for r in pts], pa.list_(pa.float32())),
+        }
+    )
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(t, src)
+    store = str(tmp_path / "ivfstore")
+    similarity.build_ivf_store(src, store, n_clusters=8, batch_size=100)
+    q = pts[7]
+    res, kept, total = similarity.topk_cosine_ivf_store(store, q, k=5, nprobe=2)
+    assert kept < total, (kept, total)  # pruning actually skipped chunks
+    ds = ray.data.from_arrow(t).repartition(4)
+    exact = similarity.topk_cosine(ds, q, k=5)
+    ex_ids = set(exact.column("vec_id").to_pylist())
+    ap_ids = set(res.column("vec_id").to_pylist())
+    assert 7 in ap_ids
+    assert len(ex_ids & ap_ids) >= 3
+
+
 def test_text_stats_kernels():
     t = pa.table(
         {

@@ -80,3 +80,18 @@ def test_tree_pruning_skips_chunks(store):
     assert kept == 0  # contradictory AND prunes everything
     _, kept2, _ = list_chunks(out, predicates=[("n_tok", ">", 2047)])
     assert kept2 < total
+
+
+def test_string_minmax_prunes_doc_id(store):
+    """StringStatistics analog: doc_id equality prunes chunks through the
+    manifest with NO bloom opt-in (r1 gap #2)."""
+    out, full = store
+    # f1 doc ids are doc-%016d, sequential -> chunks span disjoint ranges
+    target = full.column("doc_id")[0].as_py()
+    _, kept, total = list_chunks(out, predicates=[("doc_id", "==", target)])
+    assert kept < total, (kept, total)
+    got = _run(out, [("doc_id", "==", target)])
+    assert got.num_rows == 1
+    # type-mismatched literal must not mis-prune (conservative MAYBE)
+    _, kept2, total2 = list_chunks(out, predicates=[("doc_id", "==", 123)])
+    assert kept2 == total2
