@@ -43,9 +43,10 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute  # noqa: F401 — register pa.compute for standalone imports
 
 from .codecs import framing, fsst
-from .codecs.intcodec import decode_int64, encode_int64
+from .codecs.intcodec import decode_ints, encode_ints
 
 MAGIC = b"ORAY1"
 
@@ -96,7 +97,9 @@ def _varbytes_to_numpy(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _ints_to_numpy(arr: pa.Array) -> np.ndarray:
-    """int64 view of any integer-backed arrow array (nulls -> 0)."""
+    """Native-width numpy view of an integer-backed arrow array (nulls -> 0):
+    the int32 codec lane for <=31-bit types (zero-copy for int32 — the
+    dominant `tokens` child stays 4-byte end-to-end), int64 otherwise."""
     if arr.null_count:
         arr = arr.fill_null(0)
     ty = arr.type
@@ -109,9 +112,12 @@ def _ints_to_numpy(arr: pa.Array) -> np.ndarray:
     elif pa.types.is_boolean(ty):
         arr = arr.cast(pa.int8())
     np_arr = arr.to_numpy(zero_copy_only=False)
-    if np_arr.dtype == np.uint64:
+    dt = np_arr.dtype
+    if dt == np.uint64:
         return np_arr.view(np.int64)  # bijective; decode views back
-    return np_arr.astype(np.int64, copy=False)
+    if dt in (np.int8, np.int16, np.int32, np.uint8, np.uint16):
+        return np_arr.astype(np.int32, copy=False)
+    return np_arr.astype(np.int64, copy=False)  # int64, uint32 (> int32 range)
 
 
 def _validity(arr: pa.Array) -> bytes | None:
@@ -161,23 +167,32 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
 
     if pa.types.is_list(ty) or pa.types.is_large_list(ty):
         lengths = pa.compute.list_value_length(arr).fill_null(0)
-        lens = lengths.to_numpy(zero_copy_only=False).astype(np.int64)
-        child = pa.compute.list_flatten(arr)  # respects offsets & nulls
+        lens = lengths.to_numpy(zero_copy_only=False)  # int32 for list
+        if lens.dtype == np.int64 and (lens.size == 0 or lens.max() < 2**31):
+            lens = lens.astype(np.int32)
+        if arr.null_count == 0 and arr.offset == 0 and not pa.types.is_large_list(ty):
+            # zero-copy child slice (flatten gathers); valid because offsets
+            # are monotonic and start at 0 when unsliced
+            off0 = arr.offsets.to_numpy(zero_copy_only=False)
+            child = arr.values.slice(int(off0[0]), int(off0[-1]) - int(off0[0]))
+        else:
+            child = pa.compute.list_flatten(arr)  # respects offsets & nulls
         cmeta, cbufs = _encode_column(child, opts, f"{name}.item")
         meta.update(codec="list", child=cmeta)
-        bufs.append(encode_int64(lens, strategy=opts.strategy))
+        bufs.append(encode_ints(lens, strategy=opts.strategy))
         bufs.extend(cbufs)
         return meta, bufs
 
     if pa.types.is_map(ty):
         # MapColumnWriter analog: LENGTH stream + recursive key/item columns
-        off = np.frombuffer(arr.buffers()[1], np.int32, n + 1, arr.offset * 4).astype(np.int64)
-        lens = np.diff(off)
+        off = np.frombuffer(arr.buffers()[1], np.int32, n + 1, arr.offset * 4)
+        lens = np.diff(off)  # int32 lane
+        off = off.astype(np.int64)
         lo, hi = int(off[0]), int(off[-1])
         kmeta, kbufs = _encode_column(arr.keys.slice(lo, hi - lo), opts, f"{name}.key")
         imeta, ibufs = _encode_column(arr.items.slice(lo, hi - lo), opts, f"{name}.value")
         meta.update(codec="map", key=kmeta, value=imeta)
-        bufs.append(encode_int64(lens, strategy=opts.strategy))
+        bufs.append(encode_ints(lens, strategy=opts.strategy))
         bufs.extend(kbufs)
         bufs.extend(ibufs)
         return meta, bufs
@@ -202,7 +217,7 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
             logical = v.view(np.uint64) if ty.equals(pa.uint64()) else v
             meta["min"] = int(logical.min())
             meta["max"] = int(logical.max())
-        bufs.append(encode_int64(v, strategy=opts.strategy))
+        bufs.append(encode_ints(v, strategy=opts.strategy))
         return meta, bufs
 
     if pa.types.is_floating(ty) or pa.types.is_decimal(ty):
@@ -225,7 +240,7 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
                 if v.size:
                     meta["min"] = float(v.min())
                     meta["max"] = float(v.max())
-                bufs.append(encode_int64(ints, strategy=opts.strategy))
+                bufs.append(encode_ints(ints, strategy=opts.strategy))
                 return meta, bufs
             raw = v.tobytes()
         meta.update(codec="raw")
@@ -249,6 +264,8 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
             arr = arr.fill_null("" if is_str else b"")
         concat, offsets = _varbytes_to_numpy(arr)
         lens = np.diff(offsets)
+        if lens.size == 0 or lens.max() < 2**31:
+            lens = lens.astype(np.int32)  # 32-bit codec lane
         codec = forced or _select_string_codec(arr, concat, offsets, opts)
         meta.update(codec=codec)
         if codec == "dict":
@@ -256,27 +273,27 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
             if isinstance(enc, pa.ChunkedArray):
                 enc = enc.combine_chunks()
             dictionary = enc.dictionary
-            indices = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            indices = enc.indices.to_numpy(zero_copy_only=False)  # int32
             # sort dictionary for determinism + ORC DICTIONARY_V2 parity
             order = pa.compute.sort_indices(dictionary).to_numpy().astype(np.int64)
-            remap = np.empty_like(order)
-            remap[order] = np.arange(order.size)
+            remap = np.empty(order.size, dtype=np.int32)
+            remap[order] = np.arange(order.size, dtype=np.int32)
             sorted_dict = dictionary.take(pa.array(order))
             dconcat, doffsets = _varbytes_to_numpy(sorted_dict)
             meta["dict_size"] = int(order.size)
-            bufs.append(encode_int64(remap[indices], strategy=opts.strategy))
-            bufs.append(encode_int64(np.diff(doffsets), strategy=opts.strategy))
+            bufs.append(encode_ints(remap[indices], strategy=opts.strategy))
+            bufs.append(encode_ints(np.diff(doffsets).astype(np.int32), strategy=opts.strategy))
             bufs.append(dconcat.tobytes())
         elif codec == "fsst":
             table = fsst.train(concat, offsets, opts.fsst_sample_bytes)
             codes, literals = fsst.encode(concat, offsets, table)
             meta["n_codes"] = int(codes.size)
             bufs.append(fsst.serialize_table(table))
-            bufs.append(encode_int64(lens, strategy=opts.strategy))
+            bufs.append(encode_ints(lens, strategy=opts.strategy))
             bufs.append(codes.tobytes())
             bufs.append(literals.tobytes())
         else:  # direct
-            bufs.append(encode_int64(lens, strategy=opts.strategy))
+            bufs.append(encode_ints(lens, strategy=opts.strategy))
             bufs.append(concat.tobytes())
         return meta, bufs
 
@@ -352,7 +369,7 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType) -> pa.Array:
     codec = meta["codec"]
 
     if codec == "list":
-        lens = decode_int64(bufs[i]); i += 1
+        lens = decode_ints(bufs[i]); i += 1
         child = _decode_column(meta["child"], bufs[i:], ty.value_type)
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
@@ -364,7 +381,7 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType) -> pa.Array:
         return _apply_validity(out, vbits, n)
 
     if codec == "map":
-        lens = decode_int64(bufs[i]); i += 1
+        lens = decode_ints(bufs[i]); i += 1
         knb = meta["key"]["_nbuf"]
         keys = _decode_column(meta["key"], bufs[i : i + knb], ty.key_type)
         i += knb
@@ -387,7 +404,7 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType) -> pa.Array:
         return _apply_validity(out, vbits, n)
 
     if codec == "int":
-        v = decode_int64(bufs[i])
+        v = decode_ints(bufs[i])
         out = _ints_from_numpy(v, ty)
         return _apply_validity(out, vbits, n)
 
@@ -401,20 +418,20 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType) -> pa.Array:
         return _apply_validity(out, vbits, n)
 
     if codec == "fdec":
-        ints = decode_int64(bufs[i])
+        ints = decode_ints(bufs[i])
         dt = np.float32 if pa.types.is_float32(ty) else np.float64
         out = pa.array((ints / (10.0 ** meta["scale"])).astype(dt), type=ty)
         return _apply_validity(out, vbits, n)
 
     if codec in ("str", "bin"):
-        lens = decode_int64(bufs[i])
+        lens = decode_ints(bufs[i])
         data = bufs[i + 1]
         out = _varbytes_from_numpy(lens, data, ty)
         return _apply_validity(out, vbits, n)
 
     if codec == "dict":
-        indices = decode_int64(bufs[i])
-        dlens = decode_int64(bufs[i + 1])
+        indices = decode_ints(bufs[i])
+        dlens = decode_ints(bufs[i + 1])
         ddata = bufs[i + 2]
         dictionary = _varbytes_from_numpy(dlens, ddata, ty)
         out = dictionary.take(pa.array(indices))
@@ -422,7 +439,7 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType) -> pa.Array:
 
     if codec == "fsst":
         table, _ = fsst.deserialize_table(bufs[i])
-        lens = decode_int64(bufs[i + 1])
+        lens = decode_ints(bufs[i + 1])
         codes = np.frombuffer(bufs[i + 2], np.uint8)
         literals = np.frombuffer(bufs[i + 3], np.uint8)
         flat = fsst.decode(codes, literals, table)
@@ -448,18 +465,18 @@ def _null_fill(ty: pa.DataType):
 
 
 def _ints_from_numpy(v: np.ndarray, ty: pa.DataType) -> pa.Array:
+    """Arrow array from the decoded numpy values (int32 or int64 lane);
+    zero-copy when the lane dtype matches the logical type."""
     if pa.types.is_boolean(ty):
         return pa.array(v.astype(bool), type=ty)
     if pa.types.is_timestamp(ty) or pa.types.is_temporal(ty):
-        base = pa.array(v, pa.int64())
         if pa.types.is_date32(ty) or pa.types.is_time32(ty):
-            base = base.cast(pa.int32())
-        return base.cast(ty)
-    if pa.types.is_unsigned_integer(ty):
-        if ty == pa.uint64():
-            return pa.array(v.view(np.uint64), type=ty)
-        return pa.array(v, pa.int64()).cast(ty)
-    return pa.array(v, pa.int64()).cast(ty)
+            return pa.array(v.astype(np.int32, copy=False)).cast(ty)
+        return pa.array(v.astype(np.int64, copy=False)).cast(ty)
+    if ty.equals(pa.uint64()):
+        return pa.array(v.astype(np.int64, copy=False).view(np.uint64), type=ty)
+    base = pa.array(v)  # zero-copy from the lane dtype
+    return base.cast(ty) if not base.type.equals(ty) else base
 
 
 def _varbytes_from_numpy(lens: np.ndarray, data: bytes, ty: pa.DataType) -> pa.Array:

@@ -54,13 +54,13 @@ def _pack_subbyte(v: np.ndarray, width: int) -> bytes:
     return acc.tobytes()
 
 
-def _unpack_subbyte(buf: np.ndarray, n: int, width: int) -> np.ndarray:
+def _unpack_subbyte(buf: np.ndarray, n: int, width: int, out_dtype) -> np.ndarray:
     per = 8 // width
     mask = np.uint8((1 << width) - 1)
     out = np.empty((buf.size, per), dtype=np.uint8)
     for i in range(per):
         out[:, i] = (buf >> np.uint8(8 - width * (i + 1))) & mask
-    return out.ravel()[:n].astype(np.uint64)
+    return out.ravel()[:n].astype(out_dtype)
 
 
 def _pack_bytes_trunc(v: np.ndarray, width: int) -> bytes:
@@ -70,31 +70,39 @@ def _pack_bytes_trunc(v: np.ndarray, width: int) -> bytes:
     return np.ascontiguousarray(v.astype("<u8").view(np.uint8).reshape(-1, 8)[:, :6]).tobytes()
 
 
-def _unpack_bytes_trunc(buf: np.ndarray, n: int, width: int) -> np.ndarray:
+def _unpack_bytes_trunc(buf: np.ndarray, n: int, width: int, out_dtype) -> np.ndarray:
     nbytes = width // 8
     full = np.zeros((n, 8 if width == 48 else 4), dtype=np.uint8)
     full[:, :nbytes] = buf[: n * nbytes].reshape(n, nbytes)
     dt = "<u8" if width == 48 else "<u4"
-    return full.view(dt).ravel().astype(np.uint64)
+    return full.view(dt).ravel().astype(out_dtype, copy=False)
 
 
 def pack(values: np.ndarray, width: int) -> bytes:
-    """Pack unsigned ``values`` (any int dtype, values < 2**width) at ``width``
-    bits each.  width == 0 means all values are 0 and packs to b''."""
+    """Pack unsigned ``values`` (any unsigned dtype, values < 2**width) at
+    ``width`` bits each.  width == 0 means all values are 0 and packs to
+    b''.  The input dtype is preserved through the fast byte-level paths
+    (an uint32 source is never widened to 8 bytes — memory-traffic parity
+    with the 32-bit codec lane)."""
     if width == 0:
         return b""
     if not 1 <= width <= 64:
         raise ValueError(f"width out of range: {width}")
-    v = np.ascontiguousarray(values).astype(np.uint64, copy=False)
+    v = np.ascontiguousarray(values)
     if v.size == 0:
         return b""
     fast = _BYTE_WIDTHS.get(width)
     if fast is not None:
-        return v.astype(fast).tobytes()
+        # memoryview, not tobytes(): callers b"".join / compress straight
+        # from the converted array without an extra copy (cast to a byte
+        # view so len() is the byte length)
+        return np.ascontiguousarray(v.astype(fast, copy=False)).data.cast("B")
     if width in (1, 2, 4):
         return _pack_subbyte(v, width)
-    if width in (24, 48):
-        return _pack_bytes_trunc(v, width)
+    if width == 24:
+        return np.ascontiguousarray(v.astype("<u4", copy=False).view(np.uint8).reshape(-1, 4)[:, :3]).tobytes()
+    if width == 48:
+        return np.ascontiguousarray(v.astype("<u8", copy=False).view(np.uint8).reshape(-1, 8)[:, :6]).tobytes()
     # generic path: big-endian byte view -> bit matrix -> keep low `width` bits
     bits = np.unpackbits(v.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1)
     return np.packbits(bits[:, 64 - width :]).tobytes()
@@ -112,20 +120,22 @@ def packed_nbytes(n: int, width: int) -> int:
     return (n * width + 7) // 8
 
 
-def unpack(data: bytes | np.ndarray, n: int, width: int) -> np.ndarray:
-    """Inverse of :func:`pack`; returns uint64 array of length ``n``."""
+def unpack(data: bytes | np.ndarray, n: int, width: int, out_dtype=np.uint64) -> np.ndarray:
+    """Inverse of :func:`pack`; returns an array of length ``n`` in
+    ``out_dtype`` (uint64 default; pass uint32 for the 32-bit codec lane —
+    widths must then be <= 32)."""
     if width == 0 or n == 0:
-        return np.zeros(n, dtype=np.uint64)
+        return np.zeros(n, dtype=out_dtype)
     fast = _BYTE_WIDTHS.get(width)
     buf = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
     if fast is not None:
         nbytes = n * (width // 8)
-        return np.frombuffer(buf[:nbytes].tobytes(), dtype=fast).astype(np.uint64)
+        return np.frombuffer(buf[:nbytes].tobytes(), dtype=fast).astype(out_dtype, copy=False)
     if width in (1, 2, 4):
-        return _unpack_subbyte(buf, n, width)
+        return _unpack_subbyte(buf, n, width, out_dtype)
     if width in (24, 48):
-        return _unpack_bytes_trunc(buf, n, width)
+        return _unpack_bytes_trunc(buf, n, width, out_dtype)
     bits = np.unpackbits(buf, count=n * width).reshape(n, width)
     full = np.zeros((n, 64), dtype=np.uint8)
     full[:, 64 - width :] = bits
-    return np.packbits(full, axis=1).view(">u8").ravel().astype(np.uint64)
+    return np.packbits(full, axis=1).view(">u8").ravel().astype(out_dtype, copy=False)

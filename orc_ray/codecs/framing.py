@@ -48,9 +48,10 @@ def compress(
     if codec == "none":
         return struct.pack("<BQI", 0, len(data), block_size) + data
     c = _codec(codec, level)
+    mv = memoryview(data)  # zero-copy block slices (bytes slicing copies)
     out = [struct.pack("<BQI", _CODEC_IDS[codec], len(data), block_size)]
     for off in range(0, len(data), block_size):
-        blk = data[off : off + block_size]
+        blk = mv[off : off + block_size]
         comp = c.compress(blk, asbytes=True)
         if len(comp) < len(blk):
             out.append(struct.pack("<I", (len(comp) << 1) | 0))
@@ -58,8 +59,6 @@ def compress(
         else:
             out.append(struct.pack("<I", (len(blk) << 1) | 1))
             out.append(blk)
-    if not data:
-        pass
     return b"".join(out)
 
 

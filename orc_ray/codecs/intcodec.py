@@ -28,13 +28,18 @@ numpy execution instead of the reference's value-at-a-time loops:
   vectorized pack/unpack call per distinct group (<= a few dozen), never a
   per-block Python loop over bit operations.
 
-On top sits an optional run-length layer (`RLE` layout): when the array has
-long runs, it is split into (run_values, run_lengths), each recursively
-encoded with the block codec — the RLE-proper capability (ByteRLE /
-SHORT_REPEAT analog) selected by measured mean run length.
+The codec is dtype-generic over int32 and int64 (layouts BLOCKS32 /
+BLOCKS64): int32 sources — the `tokens` child column, list lengths, dict
+indices — are encoded AND decoded entirely in 4-byte arithmetic, halving
+the memory traffic of the dominant columns (the r1 scaling fix; this
+class of host is bandwidth-bound, not CPU-bound).  All arithmetic is
+two's-complement mod 2**width (numpy wraparound), so any bit pattern of
+the source dtype round-trips exactly.
 
-All arithmetic is two's-complement mod 2**64 (numpy wraparound), so any
-int64 pattern — including full-range deltas — round-trips exactly.
+On top sits an optional run-length layer (`RLE` layout): when the array
+has long runs, it is split into (run_values, run_lengths), each
+recursively encoded with the block codec — the RLE-proper capability
+(ByteRLE / SHORT_REPEAT analog) selected by measured mean run length.
 """
 
 from __future__ import annotations
@@ -45,56 +50,84 @@ import numpy as np
 
 from .bitpack import align_width, pack, packed_nbytes, unpack
 
-__all__ = ["encode_int64", "decode_int64", "INT_BLOCKS", "INT_RLE"]
+__all__ = ["encode_ints", "decode_ints", "encode_int64", "decode_int64", "INT_BLOCKS", "INT_RLE", "INT_BLOCKS32"]
 
 BLOCK = 512
 T_CONST, T_DIRECT, T_DELTA, T_PATCHED = 0, 1, 2, 3
 INT_BLOCKS = 0  # layout ids (first byte of the stream)
 INT_RLE = 1
+INT_BLOCKS32 = 2
 
 _MAX_PATCHES = 48  # per block; above this PATCHED stops paying off
 
 
-def _zigzag(x: np.ndarray) -> np.ndarray:
-    x = np.ascontiguousarray(x, dtype=np.int64)
+class _Dt:
+    """Per-width dtype constants (64- and 32-bit lanes)."""
+
+    def __init__(self, bits: int):
+        self.bits = bits
+        self.idt = np.int64 if bits == 64 else np.int32
+        self.udt = np.uint64 if bits == 64 else np.uint32
+        self.ile = "<i8" if bits == 64 else "<i4"
+        self.ule = "<u8" if bits == 64 else "<u4"
+        self.isize = bits // 8
+        self.shift = self.udt(bits - 1)
+        self.one = self.udt(1)
+        self.zero = self.udt(0)
+        self.pow2 = (self.one << np.arange(bits, dtype=self.udt)).astype(self.udt)
+
+
+_DT64 = _Dt(64)
+_DT32 = _Dt(32)
+
+
+def _zigzag(x: np.ndarray, dt: _Dt) -> np.ndarray:
+    x = np.ascontiguousarray(x, dtype=dt.idt)
     with np.errstate(over="ignore"):
-        return (x.view(np.uint64) << np.uint64(1)) ^ (x >> np.int64(63)).view(np.uint64)
+        return (x.view(dt.udt) << dt.one) ^ (x >> dt.idt(dt.bits - 1)).view(dt.udt)
 
 
-def _unzigzag(u: np.ndarray) -> np.ndarray:
-    u = np.ascontiguousarray(u, dtype=np.uint64)
+def _unzigzag(u: np.ndarray, dt: _Dt) -> np.ndarray:
+    u = np.ascontiguousarray(u, dtype=dt.udt)
     with np.errstate(over="ignore"):
-        return ((u >> np.uint64(1)) ^ (np.uint64(0) - (u & np.uint64(1)))).view(np.int64)
+        return ((u >> dt.one) ^ (dt.zero - (u & dt.one))).view(dt.idt)
 
 
-_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
-
-
-def _exact_bit_width(x: np.ndarray) -> np.ndarray:
-    """Per-element minimal bit width of uint64 values (0 -> 0), exact.
+def _exact_bit_width(x: np.ndarray, dt: _Dt) -> np.ndarray:
+    """Per-element minimal bit width of unsigned values (0 -> 0), exact.
 
     bit_length(v) == number of powers of two <= v, so one C-level
-    searchsorted pass over a 64-entry table — no float math, no copies.
+    searchsorted pass over a small table — no float math, no copies.
     """
-    return np.searchsorted(_POW2, x, side="right")
+    return np.searchsorted(dt.pow2, x, side="right")
 
 
-def _encode_blocks(values: np.ndarray, strategy: str = "speed") -> bytes:
-    """Encode an int64 array with the 512-value block format.
+def _encode_blocks(values: np.ndarray, strategy: str = "speed", dt: _Dt = _DT64) -> bytes:
+    """Encode an integer array with the 512-value block format.
 
     strategy: "speed" aligns pack widths to the fast byte-level kernel set
     (ORC SPEED alignment analog); "compression" keeps exact widths.
     """
-    v = np.ascontiguousarray(values, dtype=np.int64)
+    v = np.ascontiguousarray(values, dtype=dt.idt)
     n = v.size
     if n == 0:
         return struct.pack("<QI", 0, 0)
     nb = (n + BLOCK - 1) // BLOCK
-    pad = nb * BLOCK - n
-    if pad:
-        v = np.concatenate([v, np.full(pad, v[-1], dtype=np.int64)])
-    m = v.reshape(nb, BLOCK)
-    u = m.view(np.uint64)
+    nfull = n // BLOCK
+    tail = n - nfull * BLOCK
+    # full blocks are a zero-copy reshape VIEW of the input; only the tail
+    # block (< 512 values) is copied+padded.  The old whole-array pad
+    # concatenate copied the entire column — on this host class (bounded
+    # aggregate fault bandwidth) that copy, not CPU, limited scaling.
+    m = v[: nfull * BLOCK].reshape(nfull, BLOCK)
+    u = m.view(dt.udt)
+    if tail:
+        tail_blk = np.empty(BLOCK, dtype=dt.idt)
+        tail_blk[:tail] = v[nfull * BLOCK :]
+        tail_blk[tail:] = v[-1]
+        t_m = tail_blk.reshape(1, BLOCK)
+        t_u = t_m.view(dt.udt)
+    parts_src = [(m, u, 0)] + ([(t_m, t_u, nfull)] if tail else [])
     aligned = strategy == "speed"
 
     def _w(warr):
@@ -106,60 +139,72 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed") -> bytes:
     # aggregate memory/fault bandwidth) that — not CPU — limits scaling
     SUPER = 256  # blocks per scratch pass (256*512*8 = 1 MiB working set)
     with np.errstate(over="ignore"):
-        mins = m.min(axis=1)
-        maxs = m.max(axis=1)
-        umins = mins.view(np.uint64)
-        span = maxs.view(np.uint64) - umins
-        w_direct = _w(_exact_bit_width(span))
-        is_const = mins == maxs
-
-        dmin = np.empty(nb, dtype=np.int64)
-        dmax = np.empty(nb, dtype=np.int64)
-        p90 = np.empty(nb, dtype=np.uint64)
+        mins = np.empty(nb, dtype=dt.idt)
+        maxs = np.empty(nb, dtype=dt.idt)
+        dmin = np.empty(nb, dtype=dt.idt)
+        dmax = np.empty(nb, dtype=dt.idt)
+        p90 = np.empty(nb, dtype=dt.udt)
+        n_patch = np.empty(nb, dtype=np.int64)
         k = int(BLOCK * 0.90) - 1
-        dbuf = np.empty((SUPER, BLOCK - 1), dtype=np.int64)
-        pbuf = np.empty((SUPER, BLOCK), dtype=np.uint64)
-        for lo in range(0, nb, SUPER):
-            hi = min(lo + SUPER, nb)
-            db = dbuf[: hi - lo]
-            np.subtract(m[lo:hi, 1:], m[lo:hi, :-1], out=db)
-            db.min(axis=1, out=dmin[lo:hi])
-            db.max(axis=1, out=dmax[lo:hi])
-            pb = pbuf[: hi - lo]
-            pb[:] = u[lo:hi]
-            pb.partition(k, axis=1)
-            p90[lo:hi] = pb[:, k]
+        dbuf = np.empty((SUPER, BLOCK - 1), dtype=dt.idt)
+        pbuf = np.empty((SUPER, BLOCK), dtype=dt.idt)
+        ubuf = np.empty((SUPER, BLOCK), dtype=dt.idt)
+        cmp_buf = np.empty((SUPER, BLOCK), dtype=bool)
+        # ONE main-memory read per superblock: every statistic (deltas,
+        # min/max/p90 via a multi-kth partition, outlier counts) is
+        # computed from the cache-resident scratch copy.  The signed
+        # partition makes p90 a signed-order percentile; (x - min) maps
+        # signed order to unsigned order, so the width math is unchanged.
+        for mp, up, base in parts_src:
+            nbp = mp.shape[0]
+            for lo in range(0, nbp, SUPER):
+                hi = min(lo + SUPER, nbp)
+                sl = slice(base + lo, base + hi)
+                pb = pbuf[: hi - lo]
+                pb[:] = mp[lo:hi]                       # the only DRAM read
+                db = dbuf[: hi - lo]
+                np.subtract(pb[:, 1:], pb[:, :-1], out=db)
+                db.min(axis=1, out=dmin[sl])
+                db.max(axis=1, out=dmax[sl])
+                pb.partition((0, k, BLOCK - 1), axis=1)
+                mins[sl] = pb[:, 0]
+                maxs[sl] = pb[:, BLOCK - 1]
+                # column slices are non-contiguous; subtract first (two's-
+                # complement wraparound), then reinterpret the new array
+                p90[sl] = (pb[:, k] - pb[:, 0]).view(dt.udt)
+                # outlier count at the (aligned) p90 width, from cache
+                wp = _w(_exact_bit_width(p90[sl], dt))
+                th = np.zeros(hi - lo, dtype=dt.udt)
+                ltb_l = wp < dt.bits
+                th[ltb_l] = (dt.one << wp[ltb_l].astype(dt.udt)) - dt.one
+                ub = ubuf[: hi - lo]
+                np.subtract(pb, pb[:, 0][:, None], out=ub)
+                cb = cmp_buf[: hi - lo]
+                np.greater(ub.view(dt.udt), th[:, None], out=cb)
+                cb.sum(axis=1, out=n_patch[sl])
+                n_patch[sl][~ltb_l] = 0
+        umins = mins.view(dt.udt)
+        span = maxs.view(dt.udt) - umins
+        w_direct = _w(_exact_bit_width(span, dt))
+        is_const = mins == maxs
         # zigzag is monotone in |x| per sign, so block max of zz(delta) is
         # attained at one of the extremes — O(n_blocks), not O(n)
-        w_delta = _w(_exact_bit_width(np.maximum(_zigzag(dmin), _zigzag(dmax))))
+        w_delta = _w(_exact_bit_width(np.maximum(_zigzag(dmin, dt), _zigzag(dmax, dt)), dt))
         fixed_delta = dmin == dmax
-
-        # p90 width per block (percentileBits analog): subtracting the block
-        # min preserves order, so partition the raw values and shift after
-        w_p90 = _w(_exact_bit_width(p90 - umins))
-        # exact outlier count at that width
-        thresh = np.zeros(nb, dtype=np.uint64)
-        lt64 = w_p90 < 64
-        thresh[lt64] = (np.uint64(1) << w_p90[lt64].astype(np.uint64)) - np.uint64(1)
-        n_patch = np.empty(nb, dtype=np.int64)
-        cmp_buf = np.empty((SUPER, BLOCK), dtype=bool)
-        for lo in range(0, nb, SUPER):
-            hi = min(lo + SUPER, nb)
-            cb = cmp_buf[: hi - lo]
-            np.greater(u[lo:hi], (umins + thresh)[lo:hi, None], out=cb)
-            cb.sum(axis=1, out=n_patch[lo:hi])
-        n_patch[~lt64] = 0
+        # p90 span width per block (percentileBits analog)
+        w_p90 = _w(_exact_bit_width(p90, dt))
 
     # candidate sizes in bits (headers amortized/equal, ignored)
     sz_direct = BLOCK * w_direct
     sz_delta = (BLOCK - 1) * w_delta
-    sz_patched = BLOCK * w_p90 + n_patch * (16 + 64)
+    sz_patched = BLOCK * w_p90 + n_patch * (16 + dt.bits)
     patch_ok = (n_patch > 0) & (n_patch <= _MAX_PATCHES) & (w_p90 < w_direct)
 
     tags = np.full(nb, T_DIRECT, dtype=np.uint8)
     widths = w_direct.astype(np.uint8)
     bases = mins.copy()
-    extras = np.zeros(nb, dtype=np.int64)
+    extras = np.zeros(nb, dtype=dt.idt)
+    firsts = v[np.arange(nb, dtype=np.int64) * BLOCK]  # first value per block
 
     # require a real saving (>6%) before preferring DELTA over the cheaper
     # (and random-accessible) DIRECT layout — with width alignment the two
@@ -167,7 +212,7 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed") -> bytes:
     use_delta = sz_delta < sz_direct - sz_direct // 16
     tags[use_delta] = T_DELTA
     widths[use_delta] = w_delta[use_delta].astype(np.uint8)
-    bases[use_delta] = m[use_delta, 0]
+    bases[use_delta] = firsts[use_delta]
 
     use_patched = patch_ok & (sz_patched < np.minimum(sz_direct, sz_delta))
     tags[use_patched] = T_PATCHED
@@ -177,12 +222,35 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed") -> bytes:
     use_fd = fixed_delta & ~is_const
     tags[use_fd] = T_DELTA
     widths[use_fd] = 0
-    bases[use_fd] = m[use_fd, 0]
+    bases[use_fd] = firsts[use_fd]
     extras[use_fd] = dmin[use_fd]  # fixed delta: dmin == dmax
 
     tags[is_const] = T_CONST
     widths[is_const] = 0
     bases[is_const] = mins[is_const]
+
+    # base-0 fast path: with aligned widths a small positive block min
+    # usually doesn't change the packed width, so drop the FOR shift — the
+    # DIRECT payload then packs straight from the source view (no subtract
+    # temp; the dominant token-corpus case hits this on nearly every block)
+    if aligned:
+        w0 = _w(_exact_bit_width(maxs.view(dt.udt), dt))
+        zb = (tags == T_DIRECT) & (mins >= 0) & (w0 == w_direct)
+        bases[zb] = 0
+
+    def _rows(blocks: np.ndarray) -> np.ndarray:
+        """(k, BLOCK) unsigned rows for the given block ids; zero-copy when
+        the selection is exactly all full blocks and there is no tail."""
+        has_tail = tail and blocks.size and blocks[-1] == nb - 1
+        fullb = blocks[:-1] if has_tail else blocks
+        out_parts = []
+        if fullb.size:
+            out_parts.append(u if fullb.size == nfull else u[fullb])
+        if has_tail:
+            out_parts.append(t_u)
+        if not out_parts:
+            return np.empty((0, BLOCK), dtype=dt.udt)
+        return out_parts[0] if len(out_parts) == 1 else np.concatenate(out_parts)
 
     # ---- patches (exact membership from the chosen width, not the estimate)
     patch_pos_parts: list[np.ndarray] = []
@@ -190,8 +258,8 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed") -> bytes:
     pblocks = np.flatnonzero(tags == T_PATCHED)
     if pblocks.size:
         with np.errstate(over="ignore"):
-            sh = u[pblocks] - bases[pblocks].astype(np.uint64)[:, None]
-            w = widths[pblocks].astype(np.uint64)[:, None]
+            sh = _rows(pblocks) - bases[pblocks].view(dt.udt)[:, None]
+            w = widths[pblocks].astype(dt.udt)[:, None]
             is_out = (sh >> w) > 0
             counts = is_out.sum(axis=1)
             extras[pblocks] = counts
@@ -199,23 +267,60 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed") -> bytes:
             patch_pos_parts.append(pos.astype(np.uint16))
             patch_val_parts.append(sh[bid, pos])
     patch_pos = patch_pos_parts[0] if patch_pos_parts else np.empty(0, np.uint16)
-    patch_val = patch_val_parts[0] if patch_val_parts else np.empty(0, np.uint64)
+    patch_val = patch_val_parts[0] if patch_val_parts else np.empty(0, dt.udt)
 
-    # ---- payload groups: one pack() per distinct (tag, width)
+    # ---- payload groups: one pack() per distinct (tag, width).  A block's
+    # packed payload is byte-aligned whenever (values_per_block*width) % 8
+    # == 0 (always for DIRECT/PATCHED: 512 values), so the full-block part
+    # and the tail block pack separately with identical bytes — no
+    # whole-group concatenate.
     payload: list[bytes] = []
     with np.errstate(over="ignore"):
         for tag, width, blocks in _groups(tags, widths):
             if width == 0:
                 continue
             if tag == T_DIRECT or tag == T_PATCHED:
-                src = u if blocks.size == nb else u[blocks]  # skip gather when whole chunk
-                sh = src - bases[blocks].astype(np.uint64)[:, None]
-                if tag == T_PATCHED:
-                    sh &= (np.uint64(1) << np.uint64(width)) - np.uint64(1)
-                payload.append(pack(sh.ravel(), width))
+                has_tail = tail and blocks[-1] == nb - 1
+                fullb = blocks[:-1] if has_tail else blocks
+                chunks = []
+                if fullb.size:
+                    src = u if fullb.size == nfull else u[fullb]
+                    if tag == T_DIRECT and not bases[fullb].any():
+                        sh = src  # base-0 fast path: no subtract temp
+                    else:
+                        sh = src - bases[fullb].view(dt.udt)[:, None]
+                        if tag == T_PATCHED:
+                            sh &= (dt.one << dt.udt(width)) - dt.one
+                    chunks.append(pack(sh.ravel(), width))
+                if has_tail:
+                    base_t = bases[nb - 1 : nb].view(dt.udt)[0]
+                    sht = t_u[0] if (tag == T_DIRECT and base_t == 0) else t_u[0] - base_t
+                    if tag == T_PATCHED:
+                        sht = sht & ((dt.one << dt.udt(width)) - dt.one)
+                    chunks.append(pack(sht, width))
+                payload.extend(chunks)
             elif tag == T_DELTA:
-                d = m[blocks, 1:] - m[blocks, :-1]  # deltas only for chosen blocks
-                payload.append(pack(_zigzag(d.ravel()), width))
+                has_tail = tail and blocks[-1] == nb - 1
+                fullb = blocks[:-1] if has_tail else blocks
+                if has_tail and ((BLOCK - 1) * width) % 8 != 0:
+                    # rare (compression strategy, odd width): bit-packed
+                    # across the block boundary — concatenate the deltas
+                    d = np.concatenate(
+                        [
+                            (m[fullb, 1:] - m[fullb, :-1]).ravel() if fullb.size else np.empty(0, dt.idt),
+                            t_m[0, 1:] - t_m[0, :-1],
+                        ]
+                    )
+                    payload.append(pack(_zigzag(d, dt), width))
+                else:
+                    chunks = []
+                    if fullb.size:
+                        d = m[fullb, 1:] - m[fullb, :-1]
+                        chunks.append(pack(_zigzag(d.ravel(), dt), width))
+                    if has_tail:
+                        dtl = t_m[0, 1:] - t_m[0, :-1]
+                        chunks.append(pack(_zigzag(dtl, dt), width))
+                    payload.extend(chunks)
 
     head = struct.pack("<QI", n, patch_pos.size)
     return b"".join(
@@ -223,10 +328,10 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed") -> bytes:
             head,
             tags.tobytes(),
             widths.tobytes(),
-            bases.astype("<i8").tobytes(),
-            extras.astype("<i8").tobytes(),
+            bases.astype(dt.ile).tobytes(),
+            extras.astype(dt.ile).tobytes(),
             patch_pos.astype("<u2").tobytes(),
-            patch_val.astype("<u8").tobytes(),
+            patch_val.astype(dt.ule).tobytes(),
         ]
         + payload
     )
@@ -241,67 +346,139 @@ def _groups(tags: np.ndarray, widths: np.ndarray):
             yield tag, width, np.flatnonzero(key == k)
 
 
-def _decode_blocks(data: memoryview) -> np.ndarray:
+def _decode_blocks(data: memoryview, dt: _Dt = _DT64, block_sel: np.ndarray | None = None) -> np.ndarray:
+    """Decode the block format; ``block_sel`` (sorted block indices)
+    decodes ONLY those blocks' rows (the seek-to-row-group analog) —
+    payload offsets of skipped groups are computed, not decoded."""
     n, npatch = struct.unpack_from("<QI", data, 0)
     off = 12
     if n == 0:
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=dt.idt)
     nb = (n + BLOCK - 1) // BLOCK
     tags = np.frombuffer(data, np.uint8, nb, off); off += nb
     widths = np.frombuffer(data, np.uint8, nb, off); off += nb
-    bases = np.frombuffer(data, "<i8", nb, off).astype(np.int64); off += nb * 8
-    extras = np.frombuffer(data, "<i8", nb, off).astype(np.int64); off += nb * 8
+    bases = np.frombuffer(data, dt.ile, nb, off).astype(dt.idt); off += nb * dt.isize
+    extras = np.frombuffer(data, dt.ile, nb, off).astype(dt.idt); off += nb * dt.isize
     patch_pos = np.frombuffer(data, "<u2", npatch, off).astype(np.int64); off += npatch * 2
-    patch_val = np.frombuffer(data, "<u8", npatch, off).astype(np.uint64); off += npatch * 8
+    patch_val = np.frombuffer(data, dt.ule, npatch, off).astype(dt.udt); off += npatch * dt.isize
 
-    out = np.empty((nb, BLOCK), dtype=np.int64)
+    if block_sel is None:
+        sel_mask = None
+        out = np.empty((nb, BLOCK), dtype=dt.idt)
+        local = np.arange(nb)
+    else:
+        sel_mask = np.zeros(nb, dtype=bool)
+        sel_mask[block_sel] = True
+        out = np.empty((len(block_sel), BLOCK), dtype=dt.idt)
+        local = np.full(nb, -1, dtype=np.int64)
+        local[block_sel] = np.arange(len(block_sel))
+
     with np.errstate(over="ignore"):
         # width-0 tags first (no payload)
         const_b = np.flatnonzero(
             (tags == T_CONST) | (((tags == T_DIRECT) | (tags == T_PATCHED)) & (widths == 0))
         )
+        if sel_mask is not None:
+            const_b = const_b[sel_mask[const_b]]
         if const_b.size:
-            out[const_b] = bases[const_b, None]
+            out[local[const_b]] = bases[const_b, None]
         fd_b = np.flatnonzero((tags == T_DELTA) & (widths == 0))
+        if sel_mask is not None:
+            fd_b = fd_b[sel_mask[fd_b]]
         if fd_b.size:
-            steps = np.arange(BLOCK, dtype=np.int64)[None, :]
-            out[fd_b] = bases[fd_b, None] + extras[fd_b, None] * steps
+            steps = np.arange(BLOCK, dtype=dt.idt)[None, :]
+            out[local[fd_b]] = bases[fd_b, None] + extras[fd_b, None] * steps
 
         for tag, width, blocks in _groups(tags, widths):
             if width == 0:
                 continue
+            per_block = BLOCK if tag in (T_DIRECT, T_PATCHED) else BLOCK - 1
+            grp_bytes = packed_nbytes(blocks.size * per_block, width)
+            if sel_mask is not None:
+                wanted = blocks[sel_mask[blocks]]
+                if wanted.size == 0:
+                    off += grp_bytes
+                    continue
+                # positions of wanted blocks inside this (tag,width) group
+                gpos = np.searchsorted(blocks, wanted)
+                dec_blocks, dec_src = wanted, gpos
+            else:
+                dec_blocks, dec_src = blocks, np.arange(blocks.size)
             if tag == T_DIRECT or tag == T_PATCHED:
                 cnt = blocks.size * BLOCK
                 nbytes = packed_nbytes(cnt, width)
-                vals = unpack(np.frombuffer(data, np.uint8, nbytes, off), cnt, width)
+                if sel_mask is None:
+                    vals = unpack(np.frombuffer(data, np.uint8, nbytes, off), cnt, width, dt.udt)
+                    vals = vals.reshape(-1, BLOCK)
+                else:
+                    vals = _unpack_rows(data, off, width, BLOCK, dec_src, dt)
+                out[local[dec_blocks]] = (
+                    vals + bases[dec_blocks].view(dt.udt)[:, None]
+                ).view(dt.idt)
                 off += nbytes
-                out[blocks] = (
-                    vals.reshape(-1, BLOCK) + bases[blocks].astype(np.uint64)[:, None]
-                ).view(np.int64)
             elif tag == T_DELTA:
                 cnt = blocks.size * (BLOCK - 1)
                 nbytes = packed_nbytes(cnt, width)
-                zz = unpack(np.frombuffer(data, np.uint8, nbytes, off), cnt, width)
-                off += nbytes
-                d = _unzigzag(zz).reshape(-1, BLOCK - 1)
-                acc = np.empty((blocks.size, BLOCK), dtype=np.int64)
-                acc[:, 0] = bases[blocks]
+                if sel_mask is None:
+                    zz = unpack(np.frombuffer(data, np.uint8, nbytes, off), cnt, width, dt.udt)
+                    zz = zz.reshape(-1, BLOCK - 1)
+                else:
+                    zz = _unpack_rows(data, off, width, BLOCK - 1, dec_src, dt)
+                d = _unzigzag(zz.ravel(), dt).reshape(-1, BLOCK - 1)
+                acc = np.empty((dec_blocks.size, BLOCK), dtype=dt.idt)
+                acc[:, 0] = bases[dec_blocks]
                 acc[:, 1:] = d
-                out[blocks] = np.cumsum(acc.view(np.uint64), axis=1, dtype=np.uint64).view(np.int64)
+                out[local[dec_blocks]] = np.cumsum(acc.view(dt.udt), axis=1, dtype=dt.udt).view(dt.idt)
+                off += nbytes
 
         # re-insert patches
         if npatch:
             pblocks = np.flatnonzero(tags == T_PATCHED)
-            counts = extras[pblocks]
+            counts = extras[pblocks].astype(np.int64)
             bid = np.repeat(pblocks, counts)
-            flat = bid * BLOCK + patch_pos
-            out.ravel()[flat] = (bases[bid].astype(np.uint64) + patch_val).view(np.int64)
+            flat_pos = patch_pos
+            vals = (bases[bid].view(dt.udt) + patch_val).view(dt.idt)
+            if sel_mask is None:
+                out.ravel()[bid * BLOCK + flat_pos] = vals
+            else:
+                keep = sel_mask[bid]
+                out.ravel()[local[bid[keep]] * BLOCK + flat_pos[keep]] = vals[keep]
 
-    return out.ravel()[:n]
+    if block_sel is None:
+        return out.ravel()[:n]
+    # rows of the selected blocks, truncating the tail block
+    flat = out.ravel()
+    keep_len = np.minimum((block_sel + 1) * BLOCK, n) - block_sel * BLOCK
+    if int(keep_len.min()) == BLOCK:
+        return flat
+    parts = [flat[i * BLOCK : i * BLOCK + int(keep_len[i])] for i in range(len(block_sel))]
+    return np.concatenate(parts)
+
+
+def _unpack_rows(data, off: int, width: int, per_block: int, rows: np.ndarray, dt: _Dt) -> np.ndarray:
+    """Unpack only the selected per-block rows of a payload group.
+
+    For byte-aligned widths each block's slice is unpacked directly; for
+    sub-byte/generic widths the whole group is unpacked (still one
+    vectorized call) and the rows gathered."""
+    if width % 8 == 0:
+        bpb = per_block * (width // 8)
+        out = np.empty((rows.size, per_block), dtype=dt.udt)
+        buf = np.frombuffer(data, np.uint8, len(data) - off, off)
+        for j, r in enumerate(rows):
+            out[j] = unpack(buf[r * bpb : (r + 1) * bpb], per_block, width, dt.udt)
+        return out
+    # non-aligned width: decode the blocks' worth with one unpack over the
+    # covering byte range is bit-offset-dependent; fall back to full group
+    total = int(rows.max()) + 1
+    cnt = total * per_block
+    nbytes = packed_nbytes(cnt, width)
+    vals = unpack(np.frombuffer(data, np.uint8, nbytes, off), cnt, width, dt.udt)
+    return vals.reshape(-1, per_block)[rows]
 
 
 def _run_lengths(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(run_values, run_lengths) of an int64 array."""
+    """(run_values, run_lengths) of an integer array."""
     if v.size == 0:
         return v, np.empty(0, dtype=np.int64)
     change = np.empty(v.size, dtype=bool)
@@ -312,14 +489,23 @@ def _run_lengths(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return v[starts], lengths
 
 
-def encode_int64(values: np.ndarray, *, min_run_ratio: float = 2.5, strategy: str = "speed") -> bytes:
-    """Encode int64 values; auto-select RLE vs block layout by run structure.
+def encode_ints(values: np.ndarray, *, min_run_ratio: float = 2.5, strategy: str = "speed") -> bytes:
+    """Encode an int32 or int64 array; auto-selects RLE vs block layout by
+    run structure, and the 32-bit lane when the source dtype is 4-byte.
 
     The first byte is the layout id.  ``min_run_ratio`` is the mean run
     length above which the run-length layer wins (selection heuristic, the
     analog of ORC's fixedRunLength tracking in determineEncoding).
     """
-    v = np.ascontiguousarray(values, dtype=np.int64)
+    values = np.asarray(values)
+    if values.dtype in (np.int32, np.uint32) and values.dtype == np.uint32:
+        values = values.view(np.int32)
+    if values.dtype == np.int32:
+        dt, layout = _DT32, INT_BLOCKS32
+    else:
+        dt, layout = _DT64, INT_BLOCKS
+        values = np.ascontiguousarray(values, dtype=np.int64)
+    v = np.ascontiguousarray(values, dtype=dt.idt)
     if v.size >= 8:
         # sample-based run probe first: full run detection costs extra passes
         # and loses on run-free data (the common token case)
@@ -328,20 +514,38 @@ def encode_int64(values: np.ndarray, *, min_run_ratio: float = 2.5, strategy: st
         if probe.size / probe_runs >= min_run_ratio:
             run_vals, run_lens = _run_lengths(v)
             if v.size / max(run_vals.size, 1) >= min_run_ratio:
-                a = _encode_blocks(run_vals, strategy)
-                b = _encode_blocks(run_lens, strategy)
+                a = encode_ints(run_vals, strategy=strategy)
+                b = encode_ints(run_lens.astype(np.int32) if run_lens.size == 0 or run_lens.max() < 2**31 else run_lens, strategy=strategy)
                 return b"".join([bytes([INT_RLE]), struct.pack("<I", len(a)), a, b])
-    return bytes([INT_BLOCKS]) + _encode_blocks(v, strategy)
+    return bytes([layout]) + _encode_blocks(v, strategy, dt)
 
 
-def decode_int64(data: bytes | memoryview) -> np.ndarray:
+def decode_ints(data: bytes | memoryview, block_sel: np.ndarray | None = None) -> np.ndarray:
+    """Inverse of :func:`encode_ints`; returns the source-width dtype
+    (int32 for the 32-bit lane, else int64).  ``block_sel`` decodes only
+    the given 512-row blocks (block layouts only; the RLE layout ignores
+    it because rows there don't align to blocks)."""
     data = memoryview(data)
     layout = data[0]
     if layout == INT_BLOCKS:
-        return _decode_blocks(data[1:])
+        return _decode_blocks(data[1:], _DT64, block_sel)
+    if layout == INT_BLOCKS32:
+        return _decode_blocks(data[1:], _DT32, block_sel)
     if layout == INT_RLE:
         (alen,) = struct.unpack_from("<I", data, 1)
-        run_vals = _decode_blocks(data[5 : 5 + alen])
-        run_lens = _decode_blocks(data[5 + alen :])
+        run_vals = decode_ints(data[5 : 5 + alen])
+        run_lens = decode_ints(data[5 + alen :])
         return np.repeat(run_vals, run_lens)
     raise ValueError(f"unknown int layout {layout}")
+
+
+def encode_int64(values: np.ndarray, *, min_run_ratio: float = 2.5, strategy: str = "speed") -> bytes:
+    """Back-compat alias: encode as int64 regardless of input dtype."""
+    return encode_ints(
+        np.ascontiguousarray(values, dtype=np.int64), min_run_ratio=min_run_ratio, strategy=strategy
+    )
+
+
+def decode_int64(data: bytes | memoryview) -> np.ndarray:
+    """Back-compat alias for :func:`decode_ints` widened to int64."""
+    return decode_ints(data).astype(np.int64, copy=False)

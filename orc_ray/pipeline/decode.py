@@ -193,6 +193,14 @@ def list_chunks(out_dir: str, predicates: list[tuple] | None = None) -> tuple[li
     return sorted(keep), len(keep), len(ids)
 
 
+def _read_files(paths: list) -> list:
+    out = []
+    for p in paths:
+        with open(p, "rb") as f:
+            out.append(f.read())
+    return out
+
+
 def _decode_batch(batch: pa.Table, *, columns, predicates, cast_schema=None) -> pa.Table:
     """Task-pool entry: decode a batch of chunk blobs."""
     return _DecodeChunks(columns, predicates, cast_schema)(batch)
@@ -221,7 +229,13 @@ class _DecodeChunks:
         import pyarrow.compute as pc
 
         tables = []
-        for blob in batch.column("bytes").to_pylist():
+        if "path" in batch.column_names:
+            # direct-read mode: chunk bytes are read inside the task and
+            # never transit the object store (mirrors the encode fast path)
+            blobs = _read_files(batch.column("path").to_pylist())
+        else:
+            blobs = batch.column("bytes").to_pylist()
+        for blob in blobs:
             t = decode_chunk(blob, columns=self.decode_cols)
             if self.predicates:
                 # a predicate naming a column absent from the chunk schema
@@ -269,7 +283,8 @@ def scan_count(out_dir: str, *, columns=None, predicates=None) -> int:
     paths, _, _ = list_chunks(out_dir, predicates)
     if not paths:
         return 0
-    ds = ray.data.read_binary_files(paths)
+    # direct-read: only per-task row counts transit the object store
+    ds = ray.data.from_items([{"path": p} for p in paths])
 
     def _count(batch: pa.Table, **kw) -> pa.Table:
         t = _decode_batch(batch, **kw)
@@ -277,7 +292,7 @@ def scan_count(out_dir: str, *, columns=None, predicates=None) -> int:
 
     counted = ds.map_batches(
         functools.partial(_count, columns=columns, predicates=predicates, cast_schema=None),
-        batch_size=None,
+        batch_size=1,
         batch_format="pyarrow",
         zero_copy_batch=True,
         num_cpus=1,
@@ -305,12 +320,14 @@ def decode_dataset(
     paths, kept, total = list_chunks(out_dir, predicates)
     if not paths:
         return ray.data.from_arrow(pa.table({}))
-    ds = ray.data.read_binary_files(paths)
-    # plain-function map_batches (task pool): task workers are reused
-    # across pipelines, keeping heaps warm — see encode.py rationale
+    # direct-read: encoded chunk bytes are read inside the decode task and
+    # never transit the object store; only decoded (downstream-consumed)
+    # blocks do.  Plain-function map_batches (task pool): task workers are
+    # reused across pipelines, keeping heaps warm — see encode.py rationale
+    ds = ray.data.from_items([{"path": p} for p in paths])
     return ds.map_batches(
         functools.partial(_decode_batch, columns=columns, predicates=predicates, cast_schema=cast_schema),
-        batch_size=None,
+        batch_size=1,
         batch_format="pyarrow",
         zero_copy_batch=True,
         num_cpus=1,

@@ -298,8 +298,12 @@ def encode_dataset(
                 batch_format="pyarrow",
                 num_cpus=1,
             )
-            counts.sum("n")  # drive the pipeline; manifest parts are
-            # written durably inside the tasks (see _encode_units)
+            # drive the pipeline by draining count batches on the driver —
+            # a .sum() aggregate would add an AllToAll operator whose CPU
+            # reservation starves the map stage (measured: 5 of 8 workers);
+            # manifest parts are written durably inside the tasks
+            for _ in counts.iter_batches(batch_size=None):
+                pass
             return mstate.commit(out_dir, expected)
         else:
             dataset = ray.data.read_parquet(todo, columns=columns, include_paths=True)

@@ -154,3 +154,64 @@ def test_zipf_tokens_shape():
     v = (rng.zipf(1.3, 50000) % 50257).astype(np.int64)
     enc = roundtrip(v)
     assert len(enc) < 50000 * 2.1  # ≤ ~16-17 bits/value before zstd
+
+
+# ---------------------------------------------------------------------------
+# round-2: 32-bit codec lane + partial (seek-style) block decode
+
+from orc_ray.codecs.intcodec import INT_BLOCKS32, decode_ints, encode_ints
+
+
+def test_int32_lane_roundtrip_patterns():
+    rng = np.random.default_rng(7)
+    cases = [
+        np.arange(5000, dtype=np.int32),
+        rng.integers(-(2**31), 2**31, 5000).astype(np.int32),
+        np.array([2**31 - 1, -(2**31), 0, -1, 1] * 300, dtype=np.int32),  # wraparound deltas
+        np.zeros(2000, dtype=np.int32),
+        rng.integers(0, 16, 7000).astype(np.int32),
+        np.array([], dtype=np.int32),
+        np.array([42], dtype=np.int32),
+        # sparse outliers -> PATCHED in 32-bit domain
+        np.where(rng.random(4000) < 0.01, 2**30, rng.integers(0, 100, 4000)).astype(np.int32),
+    ]
+    for v in cases:
+        blob = encode_ints(v)
+        out = decode_ints(blob)
+        np.testing.assert_array_equal(out.astype(np.int64), v.astype(np.int64))
+
+
+def test_int32_lane_selected_for_int32():
+    v = np.arange(1000, dtype=np.int32)
+    assert encode_ints(v, min_run_ratio=1e9)[0] == INT_BLOCKS32
+    v64 = np.arange(1000, dtype=np.int64)
+    assert encode_ints(v64, min_run_ratio=1e9)[0] == INT_BLOCKS
+
+
+def test_partial_block_decode_matches_full():
+    rng = np.random.default_rng(11)
+    for dtype in (np.int32, np.int64):
+        v = np.concatenate(
+            [
+                np.arange(512),                      # DELTA
+                rng.integers(0, 50, 512),            # DIRECT narrow
+                np.full(512, 7),                     # CONST
+                np.where(rng.random(512) < 0.02, 2**28, rng.integers(0, 9, 512)),  # PATCHED
+                rng.integers(0, 1000, 300),          # tail (short block)
+            ]
+        ).astype(dtype)
+        blob = encode_ints(v, min_run_ratio=1e9)  # force block layout
+        for sel in ([0], [1, 3], [4], [0, 2, 4], [2], [0, 1, 2, 3, 4]):
+            sel_arr = np.array(sel, dtype=np.int64)
+            got = decode_ints(blob, block_sel=sel_arr)
+            exp = np.concatenate([v[i * 512 : (i + 1) * 512] for i in sel])
+            np.testing.assert_array_equal(got.astype(np.int64), exp.astype(np.int64))
+
+
+def test_partial_decode_compression_strategy_widths():
+    # exact (non-aligned) widths exercise the generic unpack fallback
+    rng = np.random.default_rng(13)
+    v = rng.integers(0, 1 << 21, 2048).astype(np.int32)
+    blob = encode_ints(v, min_run_ratio=1e9, strategy="compression")
+    got = decode_ints(blob, block_sel=np.array([1, 2]))
+    np.testing.assert_array_equal(got, v[512:1536])
