@@ -46,9 +46,10 @@ import pyarrow as pa
 import pyarrow.compute  # noqa: F401 — register pa.compute for standalone imports
 
 from .codecs import framing, fsst
-from .codecs.intcodec import decode_ints, encode_ints
+from .codecs.intcodec import decode_ints, decode_ints_ranges, encode_ints
 
 MAGIC = b"ORAY1"
+STRIDE_ROWS = 2048  # row-index stride analog (per-stride stats + seek)
 
 
 @dataclass
@@ -120,6 +121,24 @@ def _ints_to_numpy(arr: pa.Array) -> np.ndarray:
     return np_arr.astype(np.int64, copy=False)  # int64, uint32 (> int32 range)
 
 
+def _s_lo(s: str) -> str:
+    return s if len(s) <= 64 else s[:64]
+
+
+def _s_hi(s: str) -> str:
+    return s if len(s) <= 64 else s[:64] + "\U0010FFFF"
+
+
+def _stride_minmax_int(logical: np.ndarray) -> dict:
+    n = logical.size
+    smins, smaxs = [], []
+    for s0 in range(0, n, STRIDE_ROWS):
+        seg = logical[s0 : s0 + STRIDE_ROWS]
+        smins.append(int(seg.min()))
+        smaxs.append(int(seg.max()))
+    return {"rows": STRIDE_ROWS, "mins": smins, "maxs": smaxs}
+
+
 def _validity(arr: pa.Array) -> bytes | None:
     if arr.null_count == 0:
         return None
@@ -127,14 +146,26 @@ def _validity(arr: pa.Array) -> bytes | None:
     return np.packbits(mask).tobytes()
 
 
-def _apply_validity(arr: pa.Array, vbits: bytes | None, n: int) -> pa.Array:
+def _apply_validity(arr: pa.Array, vbits: bytes | None, n: int, ranges=None) -> pa.Array:
     if vbits is None:
         return arr
     mask = np.unpackbits(np.frombuffer(vbits, np.uint8), count=n).astype(bool)
+    if ranges is not None:
+        # arr holds only the rows of the surviving strides; slice the
+        # full-chunk validity bitmap to match
+        mask = (
+            np.concatenate([mask[a:b] for a, b in ranges]) if ranges else mask[:0]
+        )
     # reinsert nulls via take with null indices — works for every type,
     # including map (pc.if_else has no map kernel in pyarrow 16)
-    idx = pa.array(np.arange(n, dtype=np.int64), mask=~mask)
+    idx = pa.array(np.arange(mask.size, dtype=np.int64), mask=~mask)
     return arr.take(idx)
+
+
+def _slice_ranges(arr: pa.Array, ranges: list) -> pa.Array:
+    """Rows of sorted disjoint [a, b) ranges of an already-decoded array."""
+    parts = [arr.slice(a, b - a) for a, b in ranges]
+    return pa.concat_arrays(parts) if parts else arr.slice(0, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -217,6 +248,12 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
             logical = v.view(np.uint64) if ty.equals(pa.uint64()) else v
             meta["min"] = int(logical.min())
             meta["max"] = int(logical.max())
+            if n > STRIDE_ROWS and "." not in name:
+                # RowIndexEntry analog: per-stride min/max lets decode skip
+                # whole strides inside a matching chunk (seekToRowGroup).
+                # Top-level columns only: nested children (list items etc.)
+                # don't align to row strides and would bloat the header.
+                meta["stride"] = _stride_minmax_int(logical)
         bufs.append(encode_ints(v, strategy=opts.strategy))
         return meta, bufs
 
@@ -258,8 +295,16 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
             mm = pa.compute.min_max(arr)
             lo, hi = mm["min"].as_py(), mm["max"].as_py()
             if lo is not None:
-                meta["min"] = lo if len(lo) <= 64 else lo[:64]
-                meta["max"] = hi if len(hi) <= 64 else hi[:64] + "\U0010FFFF"
+                meta["min"] = _s_lo(lo)
+                meta["max"] = _s_hi(hi)
+                if n > STRIDE_ROWS and "." not in name:
+                    smins, smaxs = [], []
+                    for s0 in range(0, n, STRIDE_ROWS):
+                        m2 = pa.compute.min_max(arr.slice(s0, STRIDE_ROWS))
+                        l2, h2 = m2["min"].as_py(), m2["max"].as_py()
+                        smins.append(_s_lo(l2) if l2 is not None else None)
+                        smaxs.append(_s_hi(h2) if h2 is not None else None)
+                    meta["stride"] = {"rows": STRIDE_ROWS, "mins": smins, "maxs": smaxs}
         if arr.null_count:
             arr = arr.fill_null("" if is_str else b"")
         concat, offsets = _varbytes_to_numpy(arr)
@@ -359,7 +404,7 @@ def _select_string_codec(arr: pa.Array, concat: np.ndarray, offsets: np.ndarray,
 # ---------------------------------------------------------------------------
 # column decoders
 
-def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType) -> pa.Array:
+def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType, ranges=None) -> pa.Array:
     n = meta["n"]
     i = 0
     vbits = None
@@ -367,6 +412,12 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType) -> pa.Array:
         vbits = bufs[0]
         i = 1
     codec = meta["codec"]
+
+    if ranges is not None and codec not in ("int", "fdec", "dict"):
+        # codecs without a native range path: decode fully, slice rows.
+        # Correctness is identical; only the decode-work saving is smaller.
+        out = _decode_column(meta, bufs, ty, None)
+        return _slice_ranges(out, ranges)
 
     if codec == "list":
         lens = decode_ints(bufs[i]); i += 1
@@ -404,9 +455,9 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType) -> pa.Array:
         return _apply_validity(out, vbits, n)
 
     if codec == "int":
-        v = decode_ints(bufs[i])
+        v = decode_ints(bufs[i]) if ranges is None else decode_ints_ranges(bufs[i], ranges)
         out = _ints_from_numpy(v, ty)
-        return _apply_validity(out, vbits, n)
+        return _apply_validity(out, vbits, n, ranges)
 
     if codec == "raw":
         raw = bufs[i]
@@ -418,10 +469,10 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType) -> pa.Array:
         return _apply_validity(out, vbits, n)
 
     if codec == "fdec":
-        ints = decode_ints(bufs[i])
+        ints = decode_ints(bufs[i]) if ranges is None else decode_ints_ranges(bufs[i], ranges)
         dt = np.float32 if pa.types.is_float32(ty) else np.float64
         out = pa.array((ints / (10.0 ** meta["scale"])).astype(dt), type=ty)
-        return _apply_validity(out, vbits, n)
+        return _apply_validity(out, vbits, n, ranges)
 
     if codec in ("str", "bin"):
         lens = decode_ints(bufs[i])
@@ -430,12 +481,12 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType) -> pa.Array:
         return _apply_validity(out, vbits, n)
 
     if codec == "dict":
-        indices = decode_ints(bufs[i])
+        indices = decode_ints(bufs[i]) if ranges is None else decode_ints_ranges(bufs[i], ranges)
         dlens = decode_ints(bufs[i + 1])
         ddata = bufs[i + 2]
         dictionary = _varbytes_from_numpy(dlens, ddata, ty)
         out = dictionary.take(pa.array(indices))
-        return _apply_validity(out, vbits, n)
+        return _apply_validity(out, vbits, n, ranges)
 
     if codec == "fsst":
         table, _ = fsst.deserialize_table(bufs[i])
@@ -565,10 +616,22 @@ def read_chunk_header(data: bytes | memoryview) -> dict:
     return json.loads(bytes(mv[9 : 9 + hlen]))
 
 
-def decode_chunk(data: bytes | memoryview, columns: list[str] | None = None) -> pa.Table:
-    """Decode a chunk blob back to a pyarrow Table (optionally projected)."""
+def decode_chunk(
+    data: bytes | memoryview,
+    columns: list[str] | None = None,
+    row_ranges: list | None = None,
+    header: dict | None = None,
+) -> pa.Table:
+    """Decode a chunk blob back to a pyarrow Table (optionally projected).
+
+    ``row_ranges``: sorted disjoint [a, b) row intervals to decode (the
+    seekToRowGroup analog — produced by stride-stats pruning); None decodes
+    everything.  ``header`` lets a caller that already parsed the chunk
+    header (to compute row_ranges) skip the re-parse.
+    """
     mv = memoryview(data)
-    header = read_chunk_header(mv)
+    if header is None:
+        header = read_chunk_header(mv)
     (hlen,) = _struct.unpack_from("<I", mv, 5)
     off = 9 + hlen
     schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(header["schema"])))
@@ -584,6 +647,6 @@ def decode_chunk(data: bytes | memoryview, columns: list[str] | None = None) -> 
             bufs.append(framing.decompress(mv[off : off + bl]))
             off += bl
         ty = schema.field(cmeta["name"]).type
-        arrays.append(_decode_column(cmeta, bufs, ty))
+        arrays.append(_decode_column(cmeta, bufs, ty, ranges=row_ranges))
         names.append(cmeta["name"])
     return pa.table(dict(zip(names, arrays)))

@@ -362,6 +362,8 @@ def _decode_blocks(data: memoryview, dt: _Dt = _DT64, block_sel: np.ndarray | No
     patch_pos = np.frombuffer(data, "<u2", npatch, off).astype(np.int64); off += npatch * 2
     patch_val = np.frombuffer(data, dt.ule, npatch, off).astype(dt.udt); off += npatch * dt.isize
 
+    DECODE_STATS["blocks_total"] += nb
+    DECODE_STATS["blocks_decoded"] += nb if block_sel is None else len(block_sel)
     if block_sel is None:
         sel_mask = None
         out = np.empty((nb, BLOCK), dtype=dt.idt)
@@ -549,3 +551,47 @@ def encode_int64(values: np.ndarray, *, min_run_ratio: float = 2.5, strategy: st
 def decode_int64(data: bytes | memoryview) -> np.ndarray:
     """Back-compat alias for :func:`decode_ints` widened to int64."""
     return decode_ints(data).astype(np.int64, copy=False)
+
+
+# ---------------------------------------------------------------------------
+# range decode (seek-to-row-group analog) + instrumentation
+
+DECODE_STATS = {"blocks_decoded": 0, "blocks_total": 0}
+
+
+def decode_ints_ranges(data: bytes | memoryview, ranges: list) -> np.ndarray:
+    """Decode only the rows in ``ranges`` (sorted, disjoint [a, b) pairs).
+
+    Block layouts decode just the 512-row blocks the ranges touch
+    (the RowIndexEntry/seekToRowGroup analog: apache/orc
+    c++/src/ColumnReader.cc PositionProvider); the RLE layout decodes
+    fully and slices (runs don't align to blocks).
+    """
+    data = memoryview(data)
+    layout = data[0]
+    if layout == INT_RLE or not ranges:
+        v = decode_ints(data)
+        if not ranges:
+            return v[:0]
+        return np.concatenate([v[a:b] for a, b in ranges])
+    (n,) = struct.unpack_from("<Q", data, 1)
+    block_sel = np.unique(
+        np.concatenate(
+            [np.arange(a // BLOCK, (b - 1) // BLOCK + 1) for a, b in ranges if b > a]
+        )
+    )
+    dec = decode_ints(data, block_sel=block_sel)
+    blens = np.minimum((block_sel + 1) * BLOCK, n) - block_sel * BLOCK
+    starts_out = np.zeros(block_sel.size + 1, dtype=np.int64)
+    np.cumsum(blens, out=starts_out[1:])
+    rank = {int(b): i for i, b in enumerate(block_sel)}
+    parts = []
+    for a, b in ranges:
+        cur = a
+        while cur < b:
+            bi = cur // BLOCK
+            end = min(b, (bi + 1) * BLOCK)
+            off0 = starts_out[rank[bi]] + (cur - bi * BLOCK)
+            parts.append(dec[off0 : off0 + (end - cur)])
+            cur = end
+    return np.concatenate(parts) if parts else dec[:0]

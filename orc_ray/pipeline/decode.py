@@ -28,7 +28,7 @@ import pyarrow as pa
 
 import ray
 
-from ..chunk import decode_chunk
+from ..chunk import decode_chunk, read_chunk_header
 from ..state import manifest as mstate
 
 def _pred_columns(pred) -> set:
@@ -177,6 +177,46 @@ def _chunk_may_match(stats: dict, pred) -> bool:
     return _truth(stats, pred) != NO
 
 
+def _stride_ranges(header: dict, predicates) -> list | None:
+    """Surviving [a, b) row ranges of a chunk under ``predicates``, from the
+    per-stride min/max recorded in the chunk header (RowIndexEntry /
+    pickRowGroups analog, apache/orc c++/src/sargs/SargsApplier.cc).
+
+    Returns None when everything survives (or no stride info exists) so the
+    caller takes the plain full-decode path; [] when no stride can match.
+    """
+    if not predicates:
+        return None
+    scols = [c for c in header["columns"] if "stride" in c]
+    if not scols:
+        return None
+    n = header["n_rows"]
+    rows = scols[0]["stride"]["rows"]
+    ns = (n + rows - 1) // rows
+    ranges: list = []
+    kept = 0
+    for s in range(ns):
+        stats = {}
+        for c in scols:
+            st = c["stride"]
+            entry = {}
+            if s < len(st["mins"]) and st["mins"][s] is not None:
+                entry["min"] = st["mins"][s]
+                entry["max"] = st["maxs"][s]
+            stats[c["name"]] = entry
+        if not all(_chunk_may_match(stats, p) for p in predicates):
+            continue
+        kept += 1
+        a, b = s * rows, min((s + 1) * rows, n)
+        if ranges and ranges[-1][1] == a:
+            ranges[-1][1] = b  # merge adjacent strides
+        else:
+            ranges.append([a, b])
+    if kept == ns:
+        return None
+    return [tuple(r) for r in ranges]
+
+
 def list_chunks(out_dir: str, predicates: list[tuple] | None = None) -> tuple[list[str], int, int]:
     """Chunk file paths (optionally stats-pruned). Returns (paths, kept, total)."""
     man = mstate.read_manifest(out_dir)
@@ -236,7 +276,11 @@ class _DecodeChunks:
         else:
             blobs = batch.column("bytes").to_pylist()
         for blob in blobs:
-            t = decode_chunk(blob, columns=self.decode_cols)
+            header = read_chunk_header(blob)
+            ranges = _stride_ranges(header, self.predicates)
+            if ranges is not None and not ranges:
+                continue  # no stride can match — skip the whole chunk
+            t = decode_chunk(blob, columns=self.decode_cols, row_ranges=ranges, header=header)
             if self.predicates:
                 # a predicate naming a column absent from the chunk schema
                 # is almost always a typo; silently dropping it would return

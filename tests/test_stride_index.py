@@ -1,0 +1,138 @@
+"""Sub-chunk row-group index (RowIndexEntry / seekToRowGroup analog,
+apache/orc c++/src/ColumnWriter.cc:~200-260, ColumnReader.cc
+PositionProvider + sargs/SargsApplier.cc pickRowGroups): a selective
+predicate inside a matching 16k-row chunk decodes only the 2048-row
+strides whose min/max can match, verified by the block-decode counter."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from orc_ray.chunk import STRIDE_ROWS, decode_chunk, encode_chunk, read_chunk_header
+from orc_ray.codecs import intcodec
+from orc_ray.pipeline.decode import _stride_ranges
+
+
+def _mktable(n=16384, seed=7):
+    rng = np.random.default_rng(seed)
+    ids = np.arange(n, dtype=np.int64)  # sorted -> tight per-stride min/max
+    vals = rng.integers(0, 1000, n, dtype=np.int32)
+    floats = np.round(rng.uniform(0, 100, n), 2)
+    strs = np.array([f"doc-{i:08d}" for i in range(n)])
+    small = np.array(["ab", "cd", "ef", "gh"])[rng.integers(0, 4, n)]  # dict codec
+    return pa.table(
+        {
+            "id": pa.array(ids),
+            "val": pa.array(vals),
+            "price": pa.array(floats),
+            "name": pa.array(strs),
+            "tag": pa.array(small),
+        }
+    )
+
+
+def _reset_stats():
+    intcodec.DECODE_STATS["blocks_decoded"] = 0
+    intcodec.DECODE_STATS["blocks_total"] = 0
+
+
+def test_header_carries_stride_stats():
+    t = _mktable()
+    hdr = read_chunk_header(encode_chunk(t))
+    cols = {c["name"]: c for c in hdr["columns"]}
+    st = cols["id"]["stride"]
+    ns = (t.num_rows + STRIDE_ROWS - 1) // STRIDE_ROWS
+    assert st["rows"] == STRIDE_ROWS and len(st["mins"]) == ns
+    assert st["mins"][0] == 0 and st["maxs"][0] == STRIDE_ROWS - 1
+    # string stride stats too
+    assert "stride" in cols["name"]
+    assert cols["name"]["stride"]["mins"][0] == "doc-00000000"
+
+
+def test_stride_ranges_pruning_and_merge():
+    t = _mktable()
+    hdr = read_chunk_header(encode_chunk(t))
+    # one stride survives
+    r = _stride_ranges(hdr, [("id", "==", 5000)])
+    assert r == [(2 * STRIDE_ROWS, 3 * STRIDE_ROWS)]
+    # adjacent strides merge into one range
+    r = _stride_ranges(hdr, [("id", "between", 1000, 5000)])
+    assert r == [(0, 3 * STRIDE_ROWS)]
+    # nothing survives
+    assert _stride_ranges(hdr, [("id", ">", 10**9)]) == []
+    # everything survives -> None (full decode path)
+    assert _stride_ranges(hdr, [("val", ">=", 0)]) is None
+    # string predicate prunes too
+    r = _stride_ranges(hdr, [("name", "==", "doc-00005000")])
+    assert r == [(2 * STRIDE_ROWS, 3 * STRIDE_ROWS)]
+
+
+def test_range_decode_matches_full_and_skips_blocks():
+    t = _mktable()
+    blob = encode_chunk(t)
+    hdr = read_chunk_header(blob)
+    ranges = _stride_ranges(hdr, [("id", "between", 4000, 4500)])
+    assert ranges == [(STRIDE_ROWS, 3 * STRIDE_ROWS)]
+    _reset_stats()
+    part = decode_chunk(blob, row_ranges=ranges, header=hdr)
+    assert intcodec.DECODE_STATS["blocks_decoded"] < intcodec.DECODE_STATS["blocks_total"]
+    full = decode_chunk(blob)
+    exp = full.slice(STRIDE_ROWS, 2 * STRIDE_ROWS)
+    assert part.equals(exp)
+    # residual exact filter over the partial decode == filter over full
+    m = pc.and_(pc.greater_equal(part["id"], 4000), pc.less_equal(part["id"], 4500))
+    assert part.filter(m).equals(
+        full.filter(pc.and_(pc.greater_equal(full["id"], 4000), pc.less_equal(full["id"], 4500)))
+    )
+
+
+def test_range_decode_with_nulls_and_all_codecs():
+    n = 3 * STRIDE_ROWS
+    rng = np.random.default_rng(3)
+    ids = np.arange(n, dtype=np.int64)
+    vals = rng.integers(0, 100, n, dtype=np.int64)
+    t = pa.table(
+        {
+            "id": pa.array(ids),
+            "v": pa.array(vals, type=pa.int64()).take(
+                pa.array(np.arange(n), mask=(ids % 7 == 0))  # every 7th null
+            ),
+            "s": pa.array([f"x{i % 100}" for i in range(n)]),  # dict
+            "u": pa.array([f"unique-string-value-{i}" for i in range(n)]),
+            "f": pa.array(rng.uniform(size=n)),
+            "lst": pa.array([[int(i), int(i + 1)] for i in range(n)]),
+        }
+    )
+    blob = encode_chunk(t)
+    ranges = [(100, 2100), (4096, 5000)]
+    part = decode_chunk(blob, row_ranges=ranges)
+    exp = pa.concat_tables([t.slice(100, 2000), t.slice(4096, 904)])
+    assert part.num_rows == exp.num_rows
+    for col in t.column_names:
+        assert part.column(col).combine_chunks().equals(
+            exp.column(col).combine_chunks()
+        ), col
+
+
+def test_decode_dataset_stride_prunes_end_to_end(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from orc_ray.pipeline.decode import decode_dataset
+    from orc_ray.pipeline.encode import encode_dataset
+
+    t = _mktable(n=20000)
+    src = tmp_path / "src.parquet"
+    pq.write_table(t, src)
+    out = str(tmp_path / "store")
+    encode_dataset(str(src), out, batch_size=20000)
+    ds = decode_dataset(out, predicates=[("id", "between", 3000, 3100)])
+    got = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
+    )
+    exp = t.filter(pc.and_(pc.greater_equal(t["id"], 3000), pc.less_equal(t["id"], 3100)))
+    assert got.sort_by("id").equals(exp.sort_by("id"))
+    # a predicate matching nothing inside the (matching-at-chunk-level)
+    # chunk returns empty without error
+    ds2 = decode_dataset(out, predicates=[("id", "==", 3), ("val", "<", -1)])
+    parts = [b for b in ds2.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
+    assert not parts
