@@ -139,6 +139,34 @@ def _stride_minmax_int(logical: np.ndarray) -> dict:
     return {"rows": STRIDE_ROWS, "mins": smins, "maxs": smaxs}
 
 
+_POW10 = 10 ** np.arange(10, dtype=np.int64)
+
+
+def _pack_subsecond(subs: np.ndarray) -> np.ndarray:
+    """ORC formatNanos analog, vectorized: values with >= 2 decimal
+    trailing zeros store (value / 10^tz) << 3 | (tz - 1), tz capped at 7;
+    others store value << 3 (zero stays 0)."""
+    tz = np.zeros(subs.size, dtype=np.int64)
+    m = (subs != 0) & (subs % 100 == 0)
+    tz[m] = 2
+    for z in range(3, 8):
+        mm = m & (subs % _POW10[z] == 0)
+        if not mm.any():
+            break
+        tz[mm] = z
+    packed = subs << 3
+    packed[m] = (subs[m] // _POW10[tz[m]]) << 3 | (tz[m] - 1)
+    return packed
+
+
+def _unpack_subsecond(packed: np.ndarray) -> np.ndarray:
+    zeros = packed & 7
+    vals = packed >> 3
+    m = zeros > 0
+    vals[m] *= _POW10[zeros[m] + 1]
+    return vals
+
+
 def _validity(arr: pa.Array) -> bytes | None:
     if arr.null_count == 0:
         return None
@@ -239,6 +267,25 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
 
     if pa.types.is_integer(ty) or pa.types.is_boolean(ty) or pa.types.is_temporal(ty):
         v = _ints_to_numpy(arr)
+        if pa.types.is_timestamp(ty) and ty.unit in ("ms", "us", "ns"):
+            # SECONDARY-stream analog (apache/orc
+            # java/.../TimestampTreeWriter.java formatNanos): split into a
+            # seconds stream (small deltas) and a sub-second stream with
+            # decimal trailing zeros packed into the low 3 bits — coarse
+            # timestamps stored at fine units (the common mixed-precision
+            # case) drop ~30 bits/row vs raw epoch integers.
+            scale = {"ms": 10**3, "us": 10**6, "ns": 10**9}[ty.unit]
+            secs = np.floor_divide(v, scale)
+            subs = v - secs * scale
+            meta.update(codec="ts", scale=scale)
+            if v.size:
+                meta["min"] = int(v.min())
+                meta["max"] = int(v.max())
+                if n > STRIDE_ROWS and "." not in name:
+                    meta["stride"] = _stride_minmax_int(v)
+            bufs.append(encode_ints(secs, strategy=opts.strategy))
+            bufs.append(encode_ints(_pack_subsecond(subs), strategy=opts.strategy))
+            return meta, bufs
         meta.update(codec="int")
         if v.size:
             # stats live in the LOGICAL domain: uint64 is stored as its
@@ -261,8 +308,21 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
         if arr.null_count:
             arr = arr.fill_null(0)
         if pa.types.is_decimal(ty):
-            buf = arr.buffers()[1]
-            raw = np.frombuffer(buf, np.uint8)[arr.offset * 16 : (arr.offset + n) * 16].tobytes()
+            # Decimal64 analog (apache/orc c++/src/ColumnWriter.cc
+            # Decimal64ColumnWriter): unscaled values that fit in 64 bits go
+            # through the int codec (zigzag/FOR/delta) instead of raw 16-byte
+            # storage — ~2x fewer bytes pre-zstd on small-magnitude decimals.
+            words = np.frombuffer(arr.buffers()[1], np.int64)[arr.offset * 2 : (arr.offset + n) * 2]
+            lo, hi = words[0::2], words[1::2]
+            if n == 0 or bool(np.all(hi == (lo >> 63))):
+                # no min/max here: stats would live in the UNSCALED int
+                # domain while predicate literals are scaled decimals —
+                # comparing the two would silently mis-prune (the same
+                # failure class as the r1 uint64 stats bug)
+                meta.update(codec="dec64")
+                bufs.append(encode_ints(np.ascontiguousarray(lo), strategy=opts.strategy))
+                return meta, bufs
+            raw = words.tobytes()
         else:
             v = arr.to_numpy(zero_copy_only=False)
             # pseudo-decimal fast path (ALP-family idea, Afroozeh &
@@ -413,7 +473,7 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType, ranges=None) 
         i = 1
     codec = meta["codec"]
 
-    if ranges is not None and codec not in ("int", "fdec", "dict"):
+    if ranges is not None and codec not in ("int", "fdec", "dict", "ts", "dec64"):
         # codecs without a native range path: decode fully, slice rows.
         # Correctness is identical; only the decode-work saving is smaller.
         out = _decode_column(meta, bufs, ty, None)
@@ -457,6 +517,22 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType, ranges=None) 
     if codec == "int":
         v = decode_ints(bufs[i]) if ranges is None else decode_ints_ranges(bufs[i], ranges)
         out = _ints_from_numpy(v, ty)
+        return _apply_validity(out, vbits, n, ranges)
+
+    if codec == "ts":
+        dec = decode_ints if ranges is None else (lambda b: decode_ints_ranges(b, ranges))
+        secs = dec(bufs[i]).astype(np.int64, copy=False)
+        subs = _unpack_subsecond(dec(bufs[i + 1]).astype(np.int64, copy=False))
+        out = _ints_from_numpy(secs * np.int64(meta["scale"]) + subs, ty)
+        return _apply_validity(out, vbits, n, ranges)
+
+    if codec == "dec64":
+        dec = decode_ints if ranges is None else (lambda b: decode_ints_ranges(b, ranges))
+        lo = dec(bufs[i]).astype(np.int64, copy=False)
+        words = np.empty(lo.size * 2, dtype=np.int64)
+        words[0::2] = lo
+        words[1::2] = lo >> 63  # sign-extend the high 64 bits
+        out = pa.Array.from_buffers(ty, lo.size, [None, pa.py_buffer(words.tobytes())])
         return _apply_validity(out, vbits, n, ranges)
 
     if codec == "raw":
@@ -587,9 +663,9 @@ def _annotate_nbuf(meta: dict, bufs: list[bytes]) -> None:
             c += sum(count(ch) for ch in m["children"])
         elif codec == "int":
             c += 1
-        elif codec in ("raw", "fdec"):
+        elif codec in ("raw", "fdec", "dec64"):
             c += 1
-        elif codec in ("str", "bin"):
+        elif codec in ("str", "bin", "ts"):
             c += 2
         elif codec == "dict":
             c += 3

@@ -1,0 +1,132 @@
+"""Timestamp SECONDARY-stream split (seconds + trailing-zero-packed
+sub-seconds — apache/orc java/.../TimestampTreeWriter.java formatNanos
+analog) and Decimal64-style int-codec encoding of decimal unscaled values
+(c++/src/ColumnWriter.cc Decimal64ColumnWriter analog)."""
+
+import decimal
+
+import numpy as np
+import pyarrow as pa
+
+from orc_ray.chunk import (
+    _pack_subsecond,
+    _unpack_subsecond,
+    decode_chunk,
+    encode_chunk,
+    read_chunk_header,
+    EncodeOptions,
+)
+from orc_ray.codecs.intcodec import encode_ints
+
+
+def _codecs(blob):
+    return {c["name"]: c["codec"] for c in read_chunk_header(blob)["columns"]}
+
+
+def test_pack_subsecond_roundtrip():
+    subs = np.array(
+        [0, 1, 99, 100, 500, 123000, 120000000, 100000000, 999999999, 7, 10],
+        dtype=np.int64,
+    )
+    assert np.array_equal(_unpack_subsecond(_pack_subsecond(subs.copy())), subs)
+    # exhaustive-ish sweep over structured values
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 10**9, 20000) * rng.choice([1, 10, 100, 10**6], 20000)
+    vals = (vals % 10**9).astype(np.int64)
+    assert np.array_equal(_unpack_subsecond(_pack_subsecond(vals.copy())), vals)
+
+
+def test_timestamp_roundtrip_all_units():
+    n = 5000
+    rng = np.random.default_rng(1)
+    base = 1_700_000_000
+    secs = base + np.sort(rng.integers(0, 86400, n))
+    for unit, scale in [("s", 1), ("ms", 10**3), ("us", 10**6), ("ns", 10**9)]:
+        v = secs * scale + rng.integers(0, scale, n)
+        arr = pa.array(v, pa.int64()).cast(pa.timestamp(unit))
+        t = pa.table({"ts": arr})
+        blob = encode_chunk(t)
+        assert decode_chunk(blob).equals(t.combine_chunks())
+        assert _codecs(blob)["ts"] == ("int" if unit == "s" else "ts")
+
+
+def test_timestamp_negative_and_nulls():
+    # pre-1970 values: floor-division split must round toward -inf
+    v = np.array([-1, -999, -10**9, -10**9 - 1, 0, 1, 10**9 + 123], dtype=np.int64)
+    arr = pa.array(v, pa.int64()).cast(pa.timestamp("ns"))
+    arr = arr.take(pa.array([0, 1, None, 3, 4, None, 6], pa.int64()))
+    t = pa.table({"ts": arr})
+    assert decode_chunk(encode_chunk(t)).equals(t.combine_chunks())
+
+
+def test_timestamp_split_shrinks_mixed_precision():
+    """Coarse (second-precision) timestamps stored as nanos: the split
+    stream must be much smaller than the raw epoch int codec."""
+    n = 50000
+    rng = np.random.default_rng(2)
+    secs = 1_700_000_000 + np.sort(rng.integers(0, 86400, n))
+    v = secs * 10**9  # nanos, all sub-second parts zero
+    raw_sz = len(encode_ints(v))
+    t = pa.table({"ts": pa.array(v, pa.int64()).cast(pa.timestamp("ns"))})
+    opts = EncodeOptions(compression="none")
+    blob = encode_chunk(t, opts)
+    col = read_chunk_header(blob)["columns"][0]
+    assert col["codec"] == "ts"
+    assert sum(col["buf_lens"]) < raw_sz * 0.6
+
+
+def test_timestamp_stride_stats_and_pruning(tmp_path):
+    from orc_ray.pipeline.decode import _stride_ranges
+
+    n = 8192
+    v = (1_700_000_000 + np.arange(n, dtype=np.int64)) * 10**9
+    t = pa.table({"ts": pa.array(v, pa.int64()).cast(pa.timestamp("ns"))})
+    blob = encode_chunk(t)
+    hdr = read_chunk_header(blob)
+    assert "stride" in hdr["columns"][0]
+    ranges = _stride_ranges(hdr, [("ts", "between", int(v[3000]), int(v[3010]))])
+    assert ranges == [(2048, 4096)]
+    part = decode_chunk(blob, row_ranges=ranges, header=hdr)
+    assert part.equals(decode_chunk(blob).slice(2048, 2048))
+
+
+def test_decimal_int_codec_roundtrip_and_shrink():
+    n = 20000
+    rng = np.random.default_rng(3)
+    cents = rng.integers(-10**7, 10**7, n)
+    vals = [decimal.Decimal(int(c)).scaleb(-2) for c in cents]
+    t = pa.table({"d": pa.array(vals, pa.decimal128(12, 2))})
+    opts = EncodeOptions(compression="none")
+    blob = encode_chunk(t, opts)
+    col = read_chunk_header(blob)["columns"][0]
+    assert col["codec"] == "dec64"
+    assert sum(col["buf_lens"]) < n * 8  # beats even raw int64, far below 16 B/row
+    assert decode_chunk(blob).equals(t.combine_chunks())
+
+
+def test_decimal_wide_values_fall_back_to_raw():
+    big = decimal.Decimal(2**100)
+    t = pa.table({"d": pa.array([big, -big, decimal.Decimal(5)], pa.decimal128(38, 0))})
+    blob = encode_chunk(t)
+    assert _codecs(blob)["d"] == "raw"
+    assert decode_chunk(blob).equals(t.combine_chunks())
+
+
+def test_decimal_nulls_and_precision_boundary():
+    # values right at the int64 boundary of the unscaled domain
+    vals = [
+        decimal.Decimal(2**63 - 1),
+        decimal.Decimal(-(2**63)),
+        None,
+        decimal.Decimal(0),
+    ]
+    t = pa.table({"d": pa.array(vals, pa.decimal128(20, 0))})
+    blob = encode_chunk(t)
+    assert _codecs(blob)["d"] == "dec64"
+    assert decode_chunk(blob).equals(t.combine_chunks())
+    # one value past the boundary forces raw
+    vals2 = [decimal.Decimal(2**63), decimal.Decimal(1), None]
+    t2 = pa.table({"d": pa.array(vals2, pa.decimal128(20, 0))})
+    blob2 = encode_chunk(t2)
+    assert _codecs(blob2)["d"] == "raw"
+    assert decode_chunk(blob2).equals(t2.combine_chunks())
