@@ -304,10 +304,11 @@ class _DecodeChunks:
             if self.columns is not None and t.column_names != self.columns:
                 t = t.select(self.columns)
             if self.cast_schema:
-                for name, ty in self.cast_schema.items():
-                    if name in t.column_names:
-                        i = t.column_names.index(name)
-                        t = t.set_column(i, name, t.column(name).cast(ty))
+                from ..convert import convert_table
+
+                # full ConvertColumnReader matrix: lossy values null out
+                # instead of failing the read (orc_ray/convert.py)
+                t = convert_table(t, self.cast_schema)
             tables.append(t)
         if not tables:
             return pa.table({})
