@@ -319,6 +319,140 @@ def q_ann_ivf(sf_dir: str):
     return t.select(["vec_id", "sim"])
 
 
+def q_point_lookup_events(sf_dir: str):
+    """Point lookup by equality predicate: chunk-level manifest pruning +
+    sub-chunk stride seek (the RowIndexEntry/seekToRowGroup analog) keep
+    the decode to the few 512-row blocks that can match."""
+    return _decoded(sf_dir, "events", predicates=[("event_id", "==", 777)])
+
+
+def q_window_hourly_events(sf_dir: str):
+    """Tumbling hourly window aggregate per event_type — the windowed-
+    aggregate op over the timestamp column (exercises the ts codec path).
+    Pre-aggregated per batch; the final groupby is O(windows), not O(rows)."""
+    ds = _decoded(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us // 3_600_000_000) * 3600  # epoch seconds of hour start
+        t2 = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour_epoch": pa.array(hour),
+                "value": t.column("value"),
+            }
+        )
+        return t2.group_by(["event_type", "hour_epoch"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    partials = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = partials.group_by(["event_type", "hour_epoch"]).aggregate(
+        [("value_sum", "sum"), ("value_count", "sum")]
+    )
+    return pa.table(
+        {
+            "event_type": final.column("event_type"),
+            "hour_epoch": final.column("hour_epoch"),
+            "total_value_cents": pa.array(
+                np.rint(final.column("value_sum_sum").to_numpy() * 100).astype(np.int64)
+            ),
+            "n_events": final.column("value_count_sum"),
+        }
+    ).sort_by([("event_type", "ascending"), ("hour_epoch", "ascending")])
+
+
+def q_top_revenue_orders(sf_dir: str):
+    """Distributed top-k by sort key: per-batch local top-100, driver
+    merges k rows per batch — no global sort shuffle (ORDER BY ... LIMIT
+    analog at scale)."""
+    K = 100
+    ds = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        key = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -price))[:K]
+        return t.take(pa.array(order))
+
+    partials = _to_table(ds.map_batches(local_top, batch_format="pyarrow", zero_copy_batch=True))
+    price = partials.column("o_totalprice").to_numpy(zero_copy_only=False)
+    key = partials.column("o_orderkey").to_numpy(zero_copy_only=False)
+    order = np.lexsort((key, -price))[:K]
+    top = partials.take(pa.array(order))
+    return pa.table(
+        {
+            "o_orderkey": top.column("o_orderkey"),
+            "totalprice_cents": pa.array(
+                np.rint(top.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+            ),
+        }
+    )
+
+
+def q_distinct_users(sf_dir: str):
+    """COUNT(DISTINCT user_id) per event_type: per-batch distinct pairs
+    (the partial-dedup combiner), then a tiny global distinct + count —
+    the shuffle moves O(distinct pairs), not O(rows)."""
+    ds = _decoded(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    partials = _to_table(ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True))
+    distinct = partials.group_by(["event_type", "user_id"]).aggregate([])
+    final = distinct.group_by("event_type").aggregate([("user_id", "count")])
+    return pa.table(
+        {
+            "event_type": final.column("event_type"),
+            "n_users": final.column("user_id_count").cast(pa.int64()),
+        }
+    ).sort_by("event_type")
+
+
+def q_token_histogram(sf_dir: str):
+    """Top-50 whitespace tokens by frequency: vectorized split/flatten +
+    per-batch value_counts (partial combine), merged by a small groupby."""
+    from .functions.text import _ws_words
+
+    K = 50
+    ds = _decoded(sf_dir, "documents", columns=["text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        text = t.column("text").combine_chunks() if isinstance(t.column("text"), pa.ChunkedArray) else t.column("text")
+        _, flat, _ = _ws_words(text)
+        vc = pc.value_counts(flat)
+        tok = vc.field("values")
+        cnt = vc.field("counts")
+        keep = pc.not_equal(tok, "")  # empty docs split to [""] — drop
+        return pa.table({"token": tok.filter(keep), "cnt": cnt.filter(keep).cast(pa.int64())})
+
+    partials = _to_table(ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True))
+    final = partials.group_by("token").aggregate([("cnt", "sum")])
+    tok = final.column("token").to_pylist()
+    cnt = final.column("cnt_sum").to_numpy(zero_copy_only=False)
+    order = sorted(range(len(tok)), key=lambda i: (-cnt[i], tok[i]))[:K]
+    return pa.table(
+        {
+            "token": pa.array([tok[i] for i in order]),
+            "cnt": pa.array([int(cnt[i]) for i in order], pa.int64()),
+        }
+    )
+
+
+def q_dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (exact, threshold 0.4):
+    broadcast corpus matrix, per-batch matmul, only qualifying pairs leave
+    the tasks (functions/similarity.py cosine_pairs)."""
+    from .functions.similarity import cosine_pairs
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+    vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_pairs(ds, ids, vecs, threshold=0.4)
+
+
 def q_multimodal_features(sf_dir: str):
     """Media feature-extraction plumbing over the deterministic synthetic
     media corpus (decode libs stubbed; see functions/multimodal.py)."""
@@ -352,6 +486,12 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
+    "point_lookup_events": q_point_lookup_events,
+    "window_hourly_events": q_window_hourly_events,
+    "top_revenue_orders": q_top_revenue_orders,
+    "distinct_users": q_distinct_users,
+    "token_histogram": q_token_histogram,
+    "dedup_embedding": q_dedup_embedding,
 }
 
 ORACLE_SQL = {
@@ -404,6 +544,40 @@ ORACLE_SQL = {
                      (SELECT embedding FROM embeddings WHERE vec_id = 0)) * 1000000) AS BIGINT) AS sim_e6
         FROM embeddings e
         ORDER BY sim_e6 DESC, e.vec_id LIMIT 10
+    """,
+    "point_lookup_events": "SELECT * FROM events WHERE event_id = 777",
+    "window_hourly_events": """
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               CAST(ROUND(SUM(value) * 100) AS BIGINT) AS total_value_cents,
+               COUNT(value) AS n_events
+        FROM events GROUP BY event_type, hour_epoch
+        ORDER BY event_type, hour_epoch
+    """,
+    "top_revenue_orders": """
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "distinct_users": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "token_histogram": r"""
+        SELECT token, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents WHERE trim(text) <> ''
+        ) GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+    """,
+    "dedup_embedding": """
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS sim_e6
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) > 0.4
+        ORDER BY vec_id_a, vec_id_b
     """,
     # dedup_minhash / simhash / quality_scores / lang_id / fingerprints /
     # ann_ivf / multimodal_features: heuristic or approximate ops with no

@@ -1,0 +1,58 @@
+"""Oracle parity for the round-2 query additions (windowed aggregate,
+distributed top-k, distinct count, token histogram, embedding near-dup
+pairs, stride point-lookup) — the driver's rows+schema+value-hash check
+replicated against DuckDB at sf0.001."""
+
+import hashlib
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+NEW_QUERIES = [
+    "point_lookup_events",
+    "window_hourly_events",
+    "top_revenue_orders",
+    "distinct_users",
+    "token_histogram",
+    "dedup_embedding",
+]
+
+
+def _norm(df: pd.DataFrame) -> tuple:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    h = hashlib.sha256(
+        pd.util.hash_pandas_object(df, index=False).values.tobytes()
+    ).hexdigest()
+    return len(df), tuple(df.columns), h
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    for t in ["orders", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_query_matches_oracle(name, oracle, ray_session):
+    if not os.path.isdir(SF):
+        pytest.skip("testdata not present")
+    from orc_ray.queries import ORACLE_SQL, QUERIES
+
+    res = QUERIES[name](SF)
+    if not isinstance(res, (pa.Table, pd.DataFrame)):
+        res = pa.concat_tables(
+            list(res.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+    mine = res.to_pandas() if isinstance(res, pa.Table) else res
+    exp = oracle.execute(ORACLE_SQL[name]).df()
+    assert _norm(mine) == _norm(exp)
