@@ -49,6 +49,10 @@ from .codecs import framing, fsst
 from .codecs.intcodec import decode_ints, decode_ints_ranges, encode_ints
 
 MAGIC = b"ORAY1"
+# bump when the buffer encoding changes incompatibly (v2: int32 codec lane +
+# layout-tagged RLE sub-streams).  Decode refuses other versions loudly
+# instead of mis-parsing; cache keys include it so stale stores rebuild.
+FORMAT_VERSION = 2
 STRIDE_ROWS = 2048  # row-index stride analog (per-stride stats + seek)
 
 
@@ -639,6 +643,7 @@ def encode_chunk(table: pa.Table, opts: EncodeOptions = DEFAULT_OPTIONS) -> byte
         cols.append(meta)
         all_bufs.extend(framed)
     header = {
+        "v": FORMAT_VERSION,
         "n_rows": table.num_rows,
         "schema": base64.b64encode(table.schema.serialize().to_pybytes()).decode(),
         "columns": cols,
@@ -708,6 +713,11 @@ def decode_chunk(
     mv = memoryview(data)
     if header is None:
         header = read_chunk_header(mv)
+    if header.get("v", 1) != FORMAT_VERSION:
+        raise ValueError(
+            f"chunk format v{header.get('v', 1)} != reader v{FORMAT_VERSION}; "
+            "re-encode the store (stale cache?)"
+        )
     (hlen,) = _struct.unpack_from("<I", mv, 5)
     off = 9 + hlen
     schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(header["schema"])))

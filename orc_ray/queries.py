@@ -32,8 +32,10 @@ CACHE_ROOT = os.environ.get("ORC_RAY_CACHE", "/tmp/orc_ray_cache")
 
 def store_for(sf_dir: str, table: str) -> str:
     """Encode `sf_dir/table.parquet` through the engine once; cached+resumable."""
+    from .chunk import FORMAT_VERSION
+
     src = os.path.join(sf_dir, f"{table}.parquet")
-    key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{os.path.abspath(src)}|v{FORMAT_VERSION}".encode()).hexdigest()[:10]
     out = os.path.join(CACHE_ROOT, f"{table}-{key}")
     expected = pq.read_metadata(src).num_rows
     from .state.manifest import load_committed
@@ -291,8 +293,12 @@ def ivf_store_for(sf_dir: str, n_clusters: int = 8) -> str:
     prune via manifest stats instead of scanning everything."""
     from .functions.similarity import build_ivf_store
 
+    from .chunk import FORMAT_VERSION
+
     src = os.path.join(sf_dir, "embeddings.parquet")
-    key = hashlib.md5(f"{os.path.abspath(src)}|ivf{n_clusters}".encode()).hexdigest()[:10]
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|ivf{n_clusters}|v{FORMAT_VERSION}".encode()
+    ).hexdigest()[:10]
     out = os.path.join(CACHE_ROOT, f"ivf-{key}")
     marker = os.path.join(out, "_ivf_done")
     if not os.path.exists(marker):
