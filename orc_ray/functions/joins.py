@@ -1,0 +1,134 @@
+"""Temporal joins the Dataset API lacks: as-of join and range join.
+
+Both follow the broadcast-small-side pattern (no all-to-all shuffle): the
+small side — sorted by (key, time) and packed into ONE composite int64
+per row — is put in the object store once (``ray.put``); each probe batch
+resolves every row with a single vectorized ``np.searchsorted`` against
+the packed keys.  The composite packing ``key * span + (t - tmin)`` is
+exact for any time resolution as long as ``(max_key + 1) * span < 2**63``
+(asserted at build); clipping the probe offset into ``[-1, span]`` makes
+out-of-window probes fall outside the key's block, so the key-match check
+turns them into nulls/zeros.
+
+Partitioning assumption at 100 TB: the build side must fit in one
+object-store copy per node (it is a lookup table, shipped once — not per
+batch).  For a large build side, hash-partition BOTH sides on the key and
+run the same kernel per partition (the documented co-location path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class AsofIndex:
+    """Sorted (key, time) index over the small side, composite-packed."""
+
+    def __init__(self, keys: np.ndarray, times: np.ndarray):
+        keys = np.asarray(keys, np.int64)
+        times = np.asarray(times, np.int64)
+        order = np.lexsort((times, keys))
+        self.keys = keys[order]
+        self.times = times[order]
+        self.order = order  # into the caller's payload columns
+        if keys.size:
+            self.tmin = int(self.times.min())
+            self.span = int(self.times.max()) - self.tmin + 2
+            kmax = int(self.keys.max())
+            if (kmax + 1) * self.span >= 2**63:
+                raise OverflowError(
+                    "composite (key, time) domain exceeds int64 — "
+                    "hash-partition both sides and build per-partition indexes"
+                )
+        else:
+            self.tmin, self.span = 0, 2
+        self.packed = self.keys * self.span + (self.times - self.tmin)
+
+    def asof(self, keys: np.ndarray, times: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """For each (key, t): index of the LAST build row with the same key
+        and time <= t.  Returns (idx into sorted order, matched bool)."""
+        keys = np.asarray(keys, np.int64)
+        off = np.clip(np.asarray(times, np.int64) - self.tmin, -1, self.span - 1)
+        probe = keys * self.span + off
+        idx = np.searchsorted(self.packed, probe, side="right") - 1
+        matched = (idx >= 0) & (self.keys[np.maximum(idx, 0)] == keys)
+        return idx, matched
+
+    def range_count(self, keys: np.ndarray, t_lo: np.ndarray, t_hi: np.ndarray) -> np.ndarray:
+        """Per probe row: count of build rows with the same key and
+        time in [t_lo, t_hi]."""
+        keys = np.asarray(keys, np.int64)
+        lo = np.clip(np.asarray(t_lo, np.int64) - self.tmin, 0, self.span)
+        hi = np.clip(np.asarray(t_hi, np.int64) - self.tmin, -1, self.span - 1)
+        left = np.searchsorted(self.packed, keys * self.span + lo, side="left")
+        right = np.searchsorted(self.packed, keys * self.span + hi, side="right")
+        return np.maximum(right - left, 0)
+
+
+def asof_join(
+    ds,
+    build_keys: np.ndarray,
+    build_times: np.ndarray,
+    probe_key: str,
+    probe_time: str,
+    out_col: str = "asof_time",
+):
+    """ASOF LEFT JOIN: for each probe row, the latest build time <= probe
+    time for the same key (null when none).  Returns a Dataset with
+    ``out_col`` appended (epoch-int64 of the matched build time)."""
+    import functools
+
+    import ray
+
+    iref = ray.put(AsofIndex(build_keys, build_times))
+
+    def _probe(t: pa.Table, *, iref, probe_key, probe_time, out_col) -> pa.Table:
+        index: AsofIndex = ray.get(iref)  # local zero-copy fetch
+        k = t.column(probe_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        tt = t.column(probe_time).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        idx, matched = index.asof(k, tt)
+        vals = pa.array(index.times[np.maximum(idx, 0)], pa.int64())
+        # null out unmatched probes (LEFT semantics) via take-with-null-idx
+        sel = pa.array(np.arange(len(k), dtype=np.int64), mask=~matched)
+        return t.append_column(out_col, vals.take(sel))
+
+    return ds.map_batches(
+        functools.partial(_probe, iref=iref, probe_key=probe_key, probe_time=probe_time, out_col=out_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def range_count_join(
+    ds,
+    build_keys: np.ndarray,
+    build_times: np.ndarray,
+    probe_key: str,
+    probe_time: str,
+    window: int,
+    out_col: str = "n_in_window",
+):
+    """Range join + count: per probe row, how many build rows share the key
+    with time in [probe_time - window, probe_time] (window in the time
+    column's units)."""
+    import functools
+
+    import ray
+
+    iref = ray.put(AsofIndex(build_keys, build_times))
+
+    def _probe(t: pa.Table, *, iref, probe_key, probe_time, window, out_col) -> pa.Table:
+        index: AsofIndex = ray.get(iref)
+        k = t.column(probe_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        tt = t.column(probe_time).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = index.range_count(k, tt - window, tt)
+        return t.append_column(out_col, pa.array(n.astype(np.int64)))
+
+    return ds.map_batches(
+        functools.partial(
+            _probe, iref=iref, probe_key=probe_key, probe_time=probe_time, window=window, out_col=out_col
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -275,11 +275,18 @@ class _DecodeChunks:
             blobs = _read_files(batch.column("path").to_pylist())
         else:
             blobs = batch.column("bytes").to_pylist()
+        empty_schema = None
         for blob in blobs:
             header = read_chunk_header(blob)
             ranges = _stride_ranges(header, self.predicates)
             if ranges is not None and not ranges:
-                continue  # no stride can match — skip the whole chunk
+                # no stride can match — skip the whole chunk, but remember
+                # its (projected, cast) schema so an all-pruned batch still
+                # returns a TYPED empty table (schema-less empties trigger
+                # Ray Data "RefBundle with a different schema" warnings)
+                if empty_schema is None:
+                    empty_schema = self._projected_schema(header)
+                continue
             t = decode_chunk(blob, columns=self.decode_cols, row_ranges=ranges, header=header)
             if self.predicates:
                 # a predicate naming a column absent from the chunk schema
@@ -311,11 +318,24 @@ class _DecodeChunks:
                 t = convert_table(t, self.cast_schema)
             tables.append(t)
         if not tables:
-            return pa.table({})
+            return empty_schema.empty_table() if empty_schema is not None else pa.table({})
         out = pa.concat_tables(tables).combine_chunks()
         if out.num_rows == 0:
             return out.schema.empty_table()  # keep schema on empty output
         return out
+
+    def _projected_schema(self, header: dict) -> pa.Schema:
+        import base64
+
+        schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(header["schema"])))
+        if self.columns is not None:
+            schema = pa.schema([schema.field(c) for c in self.columns])
+        if self.cast_schema:
+            fields = [
+                pa.field(f.name, self.cast_schema.get(f.name, f.type)) for f in schema
+            ]
+            schema = pa.schema(fields)
+        return schema
 
 
 def scan_count(out_dir: str, *, columns=None, predicates=None) -> int:

@@ -459,6 +459,47 @@ def q_dedup_embedding(sf_dir: str):
     return cosine_pairs(ds, ids, vecs, threshold=0.4)
 
 
+def _orders_build_side(sf_dir: str):
+    o = pq.read_table(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate"])
+    return (
+        o.column("o_custkey").to_numpy(zero_copy_only=False),
+        o.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False),
+    )
+
+
+def q_asof_join_events_orders(sf_dir: str):
+    """ASOF LEFT JOIN: each event matched to the user's latest order at or
+    before the event time — broadcast sorted index + one vectorized
+    searchsorted per batch (functions/joins.py), no shuffle."""
+    from .functions.joins import asof_join
+
+    keys, times = _orders_build_side(sf_dir)
+    ds = _decoded(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = asof_join(ds, keys, times, "user_id", "ts", out_col="asof_us")
+    t = _to_table(out)
+    return pa.table(
+        {
+            "event_id": t.column("event_id"),
+            # epoch seconds of the matched order (dates are whole seconds);
+            # deterministic even when a user has tied order dates
+            "asof_order_epoch": pc.divide(t.column("asof_us"), 1_000_000),
+        }
+    ).sort_by("event_id")
+
+
+def q_range_join_events_orders(sf_dir: str):
+    """Range join + count: per event, the user's orders within the 7 days
+    up to the event (same broadcast index, two searchsorteds)."""
+    from .functions.joins import range_count_join
+
+    keys, times = _orders_build_side(sf_dir)
+    ds = _decoded(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = range_count_join(
+        ds, keys, times, "user_id", "ts", window=7 * 86_400 * 1_000_000, out_col="n_orders_7d"
+    )
+    return _to_table(out).select(["event_id", "n_orders_7d"]).sort_by("event_id")
+
+
 def q_multimodal_features(sf_dir: str):
     """Media feature-extraction plumbing over the deterministic synthetic
     media corpus (decode libs stubbed; see functions/multimodal.py)."""
@@ -498,6 +539,8 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "token_histogram": q_token_histogram,
     "dedup_embedding": q_dedup_embedding,
+    "asof_join_events_orders": q_asof_join_events_orders,
+    "range_join_events_orders": q_range_join_events_orders,
 }
 
 ORACLE_SQL = {
@@ -584,6 +627,20 @@ ORACLE_SQL = {
           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) > 0.4
         ORDER BY vec_id_a, vec_id_b
+    """,
+    "asof_join_events_orders": """
+        SELECT e.event_id,
+               CAST(epoch(o.o_orderdate) AS BIGINT) AS asof_order_epoch
+        FROM events e ASOF LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        ORDER BY e.event_id
+    """,
+    "range_join_events_orders": """
+        SELECT e.event_id, COUNT(o.o_orderdate) AS n_orders_7d
+        FROM events e LEFT JOIN orders o
+          ON e.user_id = o.o_custkey
+         AND o.o_orderdate BETWEEN e.ts - INTERVAL 7 DAY AND e.ts
+        GROUP BY e.event_id ORDER BY e.event_id
     """,
     # dedup_minhash / simhash / quality_scores / lang_id / fingerprints /
     # ann_ivf / multimodal_features: heuristic or approximate ops with no

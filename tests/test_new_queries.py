@@ -19,7 +19,30 @@ NEW_QUERIES = [
     "distinct_users",
     "token_histogram",
     "dedup_embedding",
+    "asof_join_events_orders",
+    "range_join_events_orders",
 ]
+
+
+def test_asof_index_edges():
+    import numpy as np
+
+    from orc_ray.functions.joins import AsofIndex
+
+    keys = np.array([1, 1, 1, 2, 2], dtype=np.int64)
+    times = np.array([10, 20, 20, 5, 30], dtype=np.int64)
+    ix = AsofIndex(keys, times)
+    idx, m = ix.asof(
+        np.array([1, 1, 1, 2, 3, 1]), np.array([9, 10, 25, 100, 50, 10**9])
+    )
+    assert m.tolist() == [False, True, True, True, False, True]
+    assert ix.times[idx[1]] == 10 and ix.times[idx[2]] == 20
+    assert ix.times[idx[3]] == 30 and ix.times[idx[5]] == 20
+    # range counts incl. tied times and out-of-window probes
+    n = ix.range_count(
+        np.array([1, 1, 2, 3]), np.array([10, 21, 0, 0]), np.array([20, 30, 4, 99])
+    )
+    assert n.tolist() == [3, 0, 0, 0]
 
 
 def _norm(df: pd.DataFrame) -> tuple:
