@@ -269,6 +269,26 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
         meta.update(codec="struct", children=children)
         return meta, bufs
 
+    if pa.types.is_union(ty):
+        # UnionColumnWriter analog (apache/orc c++/src/ColumnWriter.cc
+        # ~1700: tag stream + per-child offsets + recursive children).
+        # Dense: TYPE_CODES + OFFSETS + full children; sparse: TYPE_CODES +
+        # length-n children.  Unions carry no top-level validity in Arrow.
+        codes = np.frombuffer(arr.buffers()[1], np.int8, n, arr.offset)
+        dense = ty.mode == "dense"
+        meta.update(codec="union", mode=ty.mode)
+        bufs.append(encode_ints(codes.astype(np.int32), strategy=opts.strategy))
+        if dense:
+            offs = np.frombuffer(arr.buffers()[2], np.int32, n, arr.offset * 4)
+            bufs.append(encode_ints(offs.copy(), strategy=opts.strategy))
+        children = []
+        for i, f in enumerate(ty):
+            cmeta, cbufs = _encode_column(arr.field(i), opts, f"{name}.{f.name}")
+            children.append(cmeta)
+            bufs.extend(cbufs)
+        meta["children"] = children
+        return meta, bufs
+
     if pa.types.is_integer(ty) or pa.types.is_boolean(ty) or pa.types.is_temporal(ty):
         v = _ints_to_numpy(arr)
         if pa.types.is_timestamp(ty) and ty.unit in ("ms", "us", "ns"):
@@ -518,6 +538,22 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType, ranges=None) 
         out = out.cast(ty)
         return _apply_validity(out, vbits, n)
 
+    if codec == "union":
+        codes = pa.array(decode_ints(bufs[i]).astype(np.int8), pa.int8()); i += 1
+        offs = None
+        if meta["mode"] == "dense":
+            offs = pa.array(decode_ints(bufs[i]).astype(np.int32), pa.int32()); i += 1
+        fields = []
+        for k, cmeta in enumerate(meta["children"]):
+            nb = cmeta["_nbuf"]
+            fields.append(_decode_column(cmeta, bufs[i : i + nb], ty.field(k).type))
+            i += nb
+        names = [f.name for f in ty]
+        tcodes = list(ty.type_codes)
+        if meta["mode"] == "dense":
+            return pa.UnionArray.from_dense(codes, offs, fields, names, tcodes)
+        return pa.UnionArray.from_sparse(codes, fields, names, tcodes)
+
     if codec == "int":
         v = decode_ints(bufs[i]) if ranges is None else decode_ints_ranges(bufs[i], ranges)
         out = _ints_from_numpy(v, ty)
@@ -666,6 +702,8 @@ def _annotate_nbuf(meta: dict, bufs: list[bytes]) -> None:
             c += 1 + count(m["key"]) + count(m["value"])
         elif codec == "struct":
             c += sum(count(ch) for ch in m["children"])
+        elif codec == "union":
+            c += (2 if m["mode"] == "dense" else 1) + sum(count(ch) for ch in m["children"])
         elif codec == "int":
             c += 1
         elif codec in ("raw", "fdec", "dec64"):
