@@ -66,3 +66,54 @@ def test_float_roundtrip(xs):
     t = pa.table({"f": pa.array(xs, pa.float64())})
     out = decode_chunk(encode_chunk(t))
     assert out.column("f").combine_chunks().equals(t.column("f").combine_chunks())
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(min_value=-(2**62), max_value=2**62 - 1)),
+        max_size=400,
+    ),
+    st.sampled_from(["ms", "us", "ns"]),
+)
+def test_timestamp_roundtrip_property(xs, unit):
+    arr = pa.array(xs, pa.int64()).cast(pa.timestamp(unit))
+    t = pa.table({"ts": arr})
+    out = decode_chunk(encode_chunk(t))
+    assert out.column("ts").combine_chunks().equals(t.column("ts").combine_chunks())
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(min_value=-(10**17), max_value=10**17)),
+        max_size=300,
+    )
+)
+def test_decimal_roundtrip_property(xs):
+    import decimal
+
+    vals = [None if x is None else decimal.Decimal(x).scaleb(-3) for x in xs]
+    t = pa.table({"d": pa.array(vals, pa.decimal128(21, 3))})
+    out = decode_chunk(encode_chunk(t))
+    assert out.column("d").combine_chunks().equals(t.column("d").combine_chunks())
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=3000),
+    st.data(),
+)
+def test_range_decode_property(xs, data):
+    """decode_ints_ranges == full decode sliced, for arbitrary ranges."""
+    from orc_ray.codecs.intcodec import decode_ints, decode_ints_ranges, encode_ints
+
+    v = np.array(xs, dtype=np.int64)
+    blob = encode_ints(v)
+    n = v.size
+    k = data.draw(st.integers(min_value=0, max_value=3))
+    cuts = sorted(data.draw(st.lists(st.integers(0, n), min_size=2 * k, max_size=2 * k)))
+    ranges = [(cuts[2 * i], cuts[2 * i + 1]) for i in range(k) if cuts[2 * i] < cuts[2 * i + 1]]
+    got = decode_ints_ranges(blob, ranges)
+    exp = np.concatenate([v[a:b] for a, b in ranges]) if ranges else v[:0]
+    np.testing.assert_array_equal(got, exp)
