@@ -143,6 +143,16 @@ def _stride_minmax_int(logical: np.ndarray) -> dict:
     return {"rows": STRIDE_ROWS, "mins": smins, "maxs": smaxs}
 
 
+def _stride_minmax_float(v: np.ndarray) -> dict:
+    n = v.size
+    smins, smaxs = [], []
+    for s0 in range(0, n, STRIDE_ROWS):
+        seg = v[s0 : s0 + STRIDE_ROWS]
+        smins.append(float(seg.min()))
+        smaxs.append(float(seg.max()))
+    return {"rows": STRIDE_ROWS, "mins": smins, "maxs": smaxs}
+
+
 _POW10 = 10 ** np.arange(10, dtype=np.int64)
 
 
@@ -349,6 +359,15 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
             raw = words.tobytes()
         else:
             v = arr.to_numpy(zero_copy_only=False)
+            # DoubleStatistics analog: min/max (+ per-stride) recorded for
+            # float columns so predicates can prune; skipped when NaN is
+            # present (NaN poisons min/max comparisons).  Nulls were filled
+            # with 0 above — that only widens the range (stays conservative).
+            if n and not np.isnan(v).any():
+                meta["min"] = float(v.min())
+                meta["max"] = float(v.max())
+                if n > STRIDE_ROWS and "." not in name:
+                    meta["stride"] = _stride_minmax_float(v)
             # pseudo-decimal fast path (ALP-family idea, Afroozeh &
             # Boncz 2023): floats that are exactly scaled decimals
             # (prices, ratios) become integers through the int codec.
@@ -358,9 +377,6 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
             if k is not None:
                 ints = np.rint(v.astype(np.float64) * (10.0**k)).astype(np.int64)
                 meta.update(codec="fdec", scale=k)
-                if v.size:
-                    meta["min"] = float(v.min())
-                    meta["max"] = float(v.max())
                 bufs.append(encode_ints(ints, strategy=opts.strategy))
                 return meta, bufs
             raw = v.tobytes()

@@ -136,3 +136,34 @@ def test_decode_dataset_stride_prunes_end_to_end(tmp_path, ray_session):
     ds2 = decode_dataset(out, predicates=[("id", "==", 3), ("val", "<", -1)])
     parts = [b for b in ds2.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
     assert not parts
+
+
+def test_float_stats_and_stride_pruning():
+    """Float columns record min/max (+stride) so predicates prune; NaN
+    columns record none (comparisons with NaN are poison)."""
+    n = 3 * STRIDE_ROWS
+    v = np.round(np.linspace(0.0, 100.0, n), 7)  # non-decimal-scale floats
+    t = pa.table({"f": pa.array(v), "g": pa.array(np.where(np.arange(n) == 5, np.nan, 1.0))})
+    blob = encode_chunk(t)
+    hdr = read_chunk_header(blob)
+    cols = {c["name"]: c for c in hdr["columns"]}
+    assert cols["f"]["min"] == 0.0 and cols["f"]["max"] == 100.0
+    assert "stride" in cols["f"]
+    assert "min" not in cols["g"]  # NaN present -> no stats
+    r = _stride_ranges(hdr, [("f", "<", 30.0)])
+    assert r == [(0, STRIDE_ROWS)]
+    part = decode_chunk(blob, row_ranges=r, header=hdr)
+    full = decode_chunk(blob).slice(0, STRIDE_ROWS)
+    for c in part.column_names:  # equal_nan: Table.equals treats NaN != NaN
+        assert np.array_equal(
+            part.column(c).to_numpy(), full.column(c).to_numpy(), equal_nan=True
+        ), c
+
+
+def test_float_nulls_stats_stay_conservative():
+    vals = pa.array([5.125, None, 9.875, 7.0625])  # raw path (not fdec-scaled)
+    t = pa.table({"f": vals})
+    hdr = read_chunk_header(encode_chunk(t))
+    (c,) = hdr["columns"]
+    # null filled as 0 widens min downward — conservative, never over-prunes
+    assert c["min"] <= 5.125 and c["max"] == 9.875
