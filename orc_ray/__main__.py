@@ -47,11 +47,24 @@ def cmd_encode(a) -> int:
     return 0
 
 
+def _parse_where(expr: str | None):
+    """JSON predicate tree(s), e.g. '[["l_orderkey","<",100]]' or
+    '[["and",["a",">",1],["b","==","x"]]]' — the SearchArgument grammar."""
+    if not expr:
+        return None
+    preds = json.loads(expr)
+    return [p for p in preds]
+
+
 def cmd_decode(a) -> int:
     _ray_up()
     from .pipeline.decode import decode_dataset
 
-    ds = decode_dataset(a.store, columns=a.columns.split(",") if a.columns else None)
+    ds = decode_dataset(
+        a.store,
+        columns=a.columns.split(",") if a.columns else None,
+        predicates=_parse_where(a.where),
+    )
     if a.out:
         ds.write_parquet(a.out)
         print(f"wrote {a.out}")
@@ -88,12 +101,12 @@ def cmd_inspect(a) -> int:
 
 def cmd_scan(a) -> int:
     _ray_up()
-    from .pipeline.decode import scan_count
+    from .pipeline.decode import count_rows
 
     t0 = time.time()
-    n = scan_count(a.store)
+    n = count_rows(a.store, predicates=_parse_where(a.where), trust_stats=a.trust_stats)
     dt = time.time() - t0
-    print(json.dumps({"rows": n, "sec": round(dt, 3), "rows_per_s": int(n / dt)}))
+    print(json.dumps({"rows": n, "sec": round(dt, 3), "rows_per_s": int(n / max(dt, 1e-9))}))
     return 0
 
 
@@ -120,6 +133,7 @@ def main(argv=None) -> int:
     d.add_argument("--columns")
     d.add_argument("--limit", type=int, default=20)
     d.add_argument("--out")
+    d.add_argument("--where", help='JSON predicates, e.g. \'[["col","<",100]]\'')
     d.set_defaults(fn=cmd_decode)
 
     i = sub.add_parser("inspect")
@@ -129,6 +143,9 @@ def main(argv=None) -> int:
 
     s = sub.add_parser("scan")
     s.add_argument("store")
+    s.add_argument("--where", help='JSON predicates, e.g. \'[["col","<",100]]\'')
+    s.add_argument("--trust-stats", action="store_true",
+                   help="count from manifest stats (footer numberOfRows analog)")
     s.set_defaults(fn=cmd_scan)
 
     a = p.parse_args(argv)

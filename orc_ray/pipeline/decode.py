@@ -338,6 +338,17 @@ class _DecodeChunks:
         return schema
 
 
+def count_rows(out_dir: str, predicates=None, trust_stats: bool = False) -> int:
+    """Row count of a store.  ``trust_stats=True`` with no predicate
+    answers from the manifest alone (the ORC footer numberOfRows analog —
+    zero chunk I/O); otherwise falls through to the fused decode count."""
+    if trust_stats and not predicates:
+        man = mstate.read_manifest(out_dir)
+        if man.num_rows:
+            return int(pa.compute.sum(man.column("n_rows")).as_py() or 0)
+    return scan_count(out_dir, predicates=predicates)
+
+
 def scan_count(out_dir: str, *, columns=None, predicates=None) -> int:
     """Fused decode + count: chunks are fully decoded inside each task but
     only row counts leave it (no object-store writeback of decoded blocks).
