@@ -99,6 +99,14 @@ def cmd_inspect(a) -> int:
     return 0
 
 
+def cmd_merge(a) -> int:
+    from .state.manifest import merge_stores
+
+    rec = merge_stores(a.out, a.inputs)
+    print(json.dumps(rec["totals"]))
+    return 0
+
+
 def cmd_scan(a) -> int:
     _ray_up()
     from .pipeline.decode import count_rows
@@ -140,6 +148,11 @@ def main(argv=None) -> int:
     i.add_argument("store")
     i.add_argument("--chunks", action="store_true")
     i.set_defaults(fn=cmd_inspect)
+
+    m = sub.add_parser("merge", help="merge committed stores (orc-tools merge analog)")
+    m.add_argument("out")
+    m.add_argument("inputs", nargs="+")
+    m.set_defaults(fn=cmd_merge)
 
     s = sub.add_parser("scan")
     s.add_argument("store")

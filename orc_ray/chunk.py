@@ -220,6 +220,10 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
     forced = opts.column_codecs.get(name)
     vbits = _validity(arr)
     meta: dict = {"n": n}
+    if arr.null_count:
+        # hasNull/null-count analog (ORC ColumnStatistics): lets IS NULL /
+        # IS NOT NULL predicates prune without touching data
+        meta["nulls"] = int(arr.null_count)
     bufs: list[bytes] = []
     if vbits is not None:
         meta["valid"] = True

@@ -64,6 +64,10 @@ def _mask(t: pa.Table, pred):
     if col not in t.column_names:
         return None
     c = t.column(col)
+    if op == "isnull":
+        return pc.is_null(c)
+    if op == "notnull":
+        return pc.is_valid(c)
 
     def lit(v):
         # unsigned columns: int literals >= 2**63 overflow pa.scalar's
@@ -116,6 +120,15 @@ def _truth_leaf_inner(stats: dict, pred: tuple) -> int:
     st = stats.get(col)
     if st is None:
         return MAYBE
+    if op in ("isnull", "notnull"):
+        # hasNull analog (ORC PredicateLeaf IS_NULL): decided from the
+        # null count alone, no data access
+        if "nulls" not in st or "n" not in st:
+            return MAYBE
+        nulls, total = st["nulls"], st["n"]
+        if op == "isnull":
+            return NO if nulls == 0 else (YES if nulls == total else MAYBE)
+        return NO if nulls == total else (YES if nulls == 0 else MAYBE)
     if op == "==" and "bloom" in st:
         from ..codecs import bloom
 

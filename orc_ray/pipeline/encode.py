@@ -172,11 +172,12 @@ class EncoderActor:
             os.replace(tmp, final)  # atomic: a chunk file is whole or absent
             hdr = read_chunk_header(payload)
             codecs = {c["name"]: c["codec"] for c in hdr["columns"]}
-            stats = {
-                c["name"]: {"min": c["min"], "max": c["max"]}
-                for c in hdr["columns"]
-                if "min" in c
-            }
+            stats = {}
+            for c in hdr["columns"]:
+                st: dict = {"n": c["n"], "nulls": c.get("nulls", 0)}
+                if "min" in c:
+                    st["min"], st["max"] = c["min"], c["max"]
+                stats[c["name"]] = st
             for bc in self.opts.bloom_columns:
                 if bc in sub.column_names:
                     from ..codecs import bloom

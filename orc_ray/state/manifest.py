@@ -114,6 +114,43 @@ def commit(out_dir: str, expected_rows: dict[str, int] | None) -> dict:
     return rec
 
 
+def merge_stores(out_dir: str, inputs: list[str]) -> dict:
+    """Merge committed chunk stores into one (the orc-tools `merge` analog).
+
+    Chunks are content-addressed, so merging is metadata work: chunk files
+    hard-link (copy on cross-device) into the target and identical chunks
+    across stores collapse to one; manifests concatenate with duplicate
+    chunk ids dropped.  Inputs must not contain DIFFERENT encodings of the
+    same input file (that would double-count its rows).
+    """
+    import shutil
+
+    os.makedirs(chunk_dir(out_dir), exist_ok=True)
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    tables = []
+    for src in inputs:
+        man = read_manifest(src)
+        tables.append(man)
+        for cid in man.column("chunk_id").to_pylist():
+            s = os.path.join(chunk_dir(src), f"{cid}.oray")
+            d = os.path.join(chunk_dir(out_dir), f"{cid}.oray")
+            if not os.path.exists(d):
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+    merged = pa.concat_tables(tables)
+    if merged.num_rows:
+        seen: set = set()
+        keep = []
+        for cid in merged.column("chunk_id").to_pylist():
+            keep.append(cid not in seen)
+            seen.add(cid)
+        merged = merged.filter(pa.array(keep))
+    pq.write_table(merged, os.path.join(manifest_dir(out_dir), "merged.parquet"))
+    return commit(out_dir, None)
+
+
 def vacuum_orphans(out_dir: str) -> int:
     """Remove chunk files not referenced by any manifest part.  Chunks are
     content-addressed, so an orphan (e.g. left behind when a stale unit

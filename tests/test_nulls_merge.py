@@ -1,0 +1,77 @@
+"""IS NULL / IS NOT NULL predicate leaves with null-count stats pruning
+(ORC PredicateLeaf IS_NULL + hasNull analog) and the orc-tools `merge`
+analog over content-addressed stores."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from orc_ray.pipeline.decode import NO, YES, MAYBE, _truth, decode_dataset, list_chunks
+from orc_ray.pipeline.encode import encode_dataset
+from orc_ray.state.manifest import merge_stores
+
+
+def test_truth_isnull_leaves():
+    assert _truth({"x": {"n": 10, "nulls": 0}}, ("x", "isnull")) == NO
+    assert _truth({"x": {"n": 10, "nulls": 10}}, ("x", "isnull")) == YES
+    assert _truth({"x": {"n": 10, "nulls": 3}}, ("x", "isnull")) == MAYBE
+    assert _truth({"x": {"n": 10, "nulls": 0}}, ("x", "notnull")) == YES
+    assert _truth({"x": {"n": 10, "nulls": 10}}, ("x", "notnull")) == NO
+    assert _truth({"x": {"min": 1, "max": 2}}, ("x", "isnull")) == MAYBE  # no counts
+
+
+def _write(tmp_path, name, table):
+    p = tmp_path / f"{name}.parquet"
+    pq.write_table(table, p)
+    return str(p)
+
+
+def test_isnull_pruning_end_to_end(tmp_path, ray_session):
+    n = 4000
+    # file A: no nulls; file B: half null
+    a = pa.table({"id": pa.array(np.arange(n)), "v": pa.array(np.arange(n, dtype=np.float64))})
+    vals = pa.array(np.arange(n, dtype=np.float64)).take(
+        pa.array(np.arange(n), mask=(np.arange(n) % 2 == 0))
+    )
+    b = pa.table({"id": pa.array(np.arange(n, 2 * n)), "v": vals})
+    src_a, src_b = _write(tmp_path, "a", a), _write(tmp_path, "b", b)
+    out = str(tmp_path / "store")
+    encode_dataset([src_a, src_b], out, batch_size=n)
+    # isnull: the all-valid chunk is pruned at the manifest
+    _, kept, total = list_chunks(out, [("v", "isnull")])
+    assert (kept, total) == (1, 2)
+    ds = decode_dataset(out, predicates=[("v", "isnull")])
+    got = pa.concat_tables(
+        [x for x in ds.iter_batches(batch_format="pyarrow", batch_size=None) if x.num_rows]
+    )
+    assert got.num_rows == n // 2
+    assert got.column("v").null_count == n // 2
+    # notnull keeps both chunks but filters exactly
+    ds2 = decode_dataset(out, predicates=[("v", "notnull")])
+    got2 = pa.concat_tables(
+        [x for x in ds2.iter_batches(batch_format="pyarrow", batch_size=None) if x.num_rows]
+    )
+    assert got2.num_rows == n + n // 2 and got2.column("v").null_count == 0
+
+
+def test_merge_stores(tmp_path, ray_session):
+    n = 3000
+    t1 = pa.table({"id": pa.array(np.arange(n)), "s": pa.array([f"x{i}" for i in range(n)])})
+    t2 = pa.table({"id": pa.array(np.arange(n, 2 * n)), "s": pa.array([f"y{i}" for i in range(n)])})
+    s1, s2 = _write(tmp_path, "one", t1), _write(tmp_path, "two", t2)
+    st1, st2 = str(tmp_path / "st1"), str(tmp_path / "st2")
+    encode_dataset(s1, st1)
+    encode_dataset(s2, st2)
+    out = str(tmp_path / "merged")
+    rec = merge_stores(out, [st1, st2])
+    assert rec["totals"]["rows"] == 2 * n and rec["totals"]["committed_files"] == 2
+    got = pa.concat_tables(
+        list(decode_dataset(out).iter_batches(batch_format="pyarrow", batch_size=None))
+    ).sort_by("id")
+    exp = pa.concat_tables([t1, t2]).sort_by("id")
+    assert got.equals(exp)
+    # merging a store with itself dedups (content-addressed chunk ids)
+    out2 = str(tmp_path / "merged2")
+    rec2 = merge_stores(out2, [st1, st1])
+    assert rec2["totals"]["rows"] == n
