@@ -129,8 +129,24 @@ def _s_lo(s: str) -> str:
     return s if len(s) <= 64 else s[:64]
 
 
-def _s_hi(s: str) -> str:
-    return s if len(s) <= 64 else s[:64] + "\U0010FFFF"
+def _s_hi(s: str) -> str | None:
+    """Truncated UPPER bound: increment the last incrementable code point
+    of the 64-char prefix (ORC StringStatistics truncation rule).  The old
+    append-U+10FFFF scheme was NOT an upper bound when the data's own 65th
+    code point was U+10FFFF (the recorded bound was then a strict prefix of
+    the value, i.e. LESS than it — silent false pruning).  None = no finite
+    bound exists (all 64 prefix chars are already U+10FFFF)."""
+    if len(s) <= 64:
+        return s
+    t = s[:64]
+    for i in range(63, -1, -1):
+        c = ord(t[i])
+        if c < 0x10FFFF:
+            nc = c + 1
+            if 0xD800 <= nc <= 0xDFFF:
+                nc = 0xE000  # skip the surrogate gap
+            return t[:i] + chr(nc)
+    return None
 
 
 def _stride_minmax_int(logical: np.ndarray) -> dict:
@@ -398,16 +414,19 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
             # prefix, the upper bound to prefix + a max code point.
             mm = pa.compute.min_max(arr)
             lo, hi = mm["min"].as_py(), mm["max"].as_py()
-            if lo is not None:
+            hi_t = _s_hi(hi) if hi is not None else None
+            if lo is not None and hi_t is not None:
                 meta["min"] = _s_lo(lo)
-                meta["max"] = _s_hi(hi)
+                meta["max"] = hi_t
                 if n > STRIDE_ROWS and "." not in name:
                     smins, smaxs = [], []
                     for s0 in range(0, n, STRIDE_ROWS):
                         m2 = pa.compute.min_max(arr.slice(s0, STRIDE_ROWS))
                         l2, h2 = m2["min"].as_py(), m2["max"].as_py()
-                        smins.append(_s_lo(l2) if l2 is not None else None)
-                        smaxs.append(_s_hi(h2) if h2 is not None else None)
+                        h2t = _s_hi(h2) if h2 is not None else None
+                        ok2 = l2 is not None and h2t is not None
+                        smins.append(_s_lo(l2) if ok2 else None)
+                        smaxs.append(h2t if ok2 else None)
                     meta["stride"] = {"rows": STRIDE_ROWS, "mins": smins, "maxs": smaxs}
         if arr.null_count:
             arr = arr.fill_null("" if is_str else b"")

@@ -569,6 +569,7 @@ def decode_ints_ranges(data: bytes | memoryview, ranges: list) -> np.ndarray:
     """
     data = memoryview(data)
     layout = data[0]
+    ranges = [(a, b) for a, b in ranges if b > a]  # drop degenerate [a, a)
     if layout == INT_RLE or not ranges:
         v = decode_ints(data)
         if not ranges:
@@ -577,7 +578,7 @@ def decode_ints_ranges(data: bytes | memoryview, ranges: list) -> np.ndarray:
     (n,) = struct.unpack_from("<Q", data, 1)
     block_sel = np.unique(
         np.concatenate(
-            [np.arange(a // BLOCK, (b - 1) // BLOCK + 1) for a, b in ranges if b > a]
+            [np.arange(a // BLOCK, (b - 1) // BLOCK + 1) for a, b in ranges]
         )
     )
     dec = decode_ints(data, block_sel=block_sel)

@@ -73,12 +73,21 @@ def convert_column(arr: pa.Array | pa.ChunkedArray, target: pa.DataType) -> pa.A
         orig_null = ~np.asarray(pc.is_valid(arr))
         v = arr.fill_null(0).to_numpy(zero_copy_only=False)
         if pa.types.is_floating(src):
-            bad = ~np.isfinite(v) | (v < float(lo)) | (v > float(hi))
+            # exclusive float bounds: lo and hi+1 are powers of two (or 0),
+            # hence exactly representable — comparing v > float(hi) would
+            # miss values that round UP to the bound (float64(2**63 - 1)
+            # == 2**63) and silently wrap on the trunc/astype below
+            bad = ~np.isfinite(v) | (v < float(lo)) | (v >= float(hi + 1))
             safe = np.where(bad, 0.0, v)
-            ints = np.trunc(safe).astype("int64" if lo < 0 or hi < 2**63 else "uint64")
+            ints = np.trunc(safe).astype("int64" if lo < 0 else "uint64")
         else:
-            uv = v.astype(np.float64)  # compare in a domain holding both
-            bad = (uv < lo) | (uv > hi)
+            # exact integer-domain range check (float compare is lossy at
+            # the int64 boundary: uint64 2**63 -> float 2**63 == int64.max
+            # rounded, so out-of-range values escaped and crashed the cast)
+            if v.dtype.kind == "u":
+                bad = v > np.uint64(hi) if hi < 2**64 else np.zeros(v.size, bool)
+            else:
+                bad = (v < max(lo, -(2**63))) | (v > min(hi, 2**63 - 1))
             ints = np.where(bad, 0, v)
         out = pa.array(ints).cast(target)
         return _merge_null_mask(out, bad | orig_null)

@@ -35,35 +35,45 @@ class AsofIndex:
         if keys.size:
             self.tmin = int(self.times.min())
             self.span = int(self.times.max()) - self.tmin + 2
-            kmax = int(self.keys.max())
-            if (kmax + 1) * self.span >= 2**63:
+            self.kmin, self.kmax = int(self.keys.min()), int(self.keys.max())
+            if (self.kmax + 1) * self.span >= 2**63 or self.kmin * self.span <= -(2**63):
                 raise OverflowError(
                     "composite (key, time) domain exceeds int64 — "
                     "hash-partition both sides and build per-partition indexes"
                 )
         else:
             self.tmin, self.span = 0, 2
+            self.kmin, self.kmax = 0, -1
         self.packed = self.keys * self.span + (self.times - self.tmin)
+
+    def _domain(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(clipped keys, in-domain mask): PROBE keys outside the build key
+        range would overflow the composite packing (keys * span wraps) and
+        could land inside another key's block — clip them out first."""
+        ok = (keys >= self.kmin) & (keys <= self.kmax)
+        return np.where(ok, keys, self.kmin), ok
 
     def asof(self, keys: np.ndarray, times: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """For each (key, t): index of the LAST build row with the same key
         and time <= t.  Returns (idx into sorted order, matched bool)."""
         keys = np.asarray(keys, np.int64)
+        ckeys, ok = self._domain(keys)
         off = np.clip(np.asarray(times, np.int64) - self.tmin, -1, self.span - 1)
-        probe = keys * self.span + off
+        probe = ckeys * self.span + off
         idx = np.searchsorted(self.packed, probe, side="right") - 1
-        matched = (idx >= 0) & (self.keys[np.maximum(idx, 0)] == keys)
+        matched = ok & (idx >= 0) & (self.keys[np.maximum(idx, 0)] == keys)
         return idx, matched
 
     def range_count(self, keys: np.ndarray, t_lo: np.ndarray, t_hi: np.ndarray) -> np.ndarray:
         """Per probe row: count of build rows with the same key and
         time in [t_lo, t_hi]."""
         keys = np.asarray(keys, np.int64)
+        ckeys, ok = self._domain(keys)
         lo = np.clip(np.asarray(t_lo, np.int64) - self.tmin, 0, self.span)
         hi = np.clip(np.asarray(t_hi, np.int64) - self.tmin, -1, self.span - 1)
-        left = np.searchsorted(self.packed, keys * self.span + lo, side="left")
-        right = np.searchsorted(self.packed, keys * self.span + hi, side="right")
-        return np.maximum(right - left, 0)
+        left = np.searchsorted(self.packed, ckeys * self.span + lo, side="left")
+        right = np.searchsorted(self.packed, ckeys * self.span + hi, side="right")
+        return np.where(ok, np.maximum(right - left, 0), 0)
 
 
 def asof_join(

@@ -42,6 +42,10 @@ _LANGS_DESC = sorted(_STOPWORDS, reverse=True)
 def _concat_np(text: pa.ChunkedArray | pa.Array):
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
+    if text.null_count:
+        # null doc == empty doc for every kernel here; a null reaching
+        # numpy as NaN would turn int casts into INT64_MIN garbage
+        text = pc.fill_null(text, "")
     return text
 
 
@@ -51,6 +55,8 @@ def _ws_words(text: pa.Array, lower: bool = False):
     Returns (offsets int64[n+1] into flat, flat word StringArray,
     n_words int64[n]) where n_words matches ``len(t.split())`` semantics
     (empty/whitespace-only doc -> 0 words)."""
+    if text.null_count:
+        text = pc.fill_null(text, "")  # null doc == empty doc (0 words)
     if lower:
         text = pc.utf8_lower(text)
     trimmed = pc.utf8_trim_whitespace(text)
@@ -79,7 +85,9 @@ def token_counts(batch: pa.Table, col: str = "text") -> pa.Table:
     """Whitespace tokens + BPE-ish token count per document."""
     text = _concat_np(batch.column(col))
     _, _, ws = _ws_words(text)
-    bpe = pc.count_substring_regex(text, pattern=_BPE_PATTERN)
+    # fill_null BEFORE the numpy cast: a null count reaches numpy as NaN
+    # and astype(int64) turns NaN into INT64_MIN garbage
+    bpe = pc.count_substring_regex(text, pattern=_BPE_PATTERN).fill_null(0)
     out = batch.select([c for c in batch.column_names if c != col])
     out = out.append_column("n_ws_tokens", pa.array(ws.astype(np.int64)))
     return out.append_column("n_bpe_tokens", pa.array(bpe.to_numpy(zero_copy_only=False).astype(np.int64)))

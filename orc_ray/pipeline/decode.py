@@ -213,7 +213,11 @@ def _stride_ranges(header: dict, predicates) -> list | None:
         for c in scols:
             st = c["stride"]
             entry = {}
-            if s < len(st["mins"]) and st["mins"][s] is not None:
+            if (
+                s < len(st["mins"])
+                and st["mins"][s] is not None
+                and st["maxs"][s] is not None
+            ):
                 entry["min"] = st["mins"][s]
                 entry["max"] = st["maxs"][s]
             stats[c["name"]] = entry

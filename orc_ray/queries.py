@@ -301,12 +301,22 @@ def ivf_store_for(sf_dir: str, n_clusters: int = 8) -> str:
     ).hexdigest()[:10]
     out = os.path.join(CACHE_ROOT, f"ivf-{key}")
     marker = os.path.join(out, "_ivf_done")
-    if not os.path.exists(marker):
-        n_rows = pq.read_metadata(src).num_rows
+    n_rows = pq.read_metadata(src).num_rows
+    ok = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            ok = f.read() == str(n_rows)  # validate, don't just trust
+    if not ok:
+        # wipe first: a partial prior build would otherwise leave manifest
+        # parts beside the new ones and double every decoded row
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
         # aim for ~2 chunks per partition so probe pruning has granularity
         bs = max(256, min(4096, n_rows // (2 * n_clusters)))
         build_ivf_store(src, out, n_clusters=n_clusters, batch_size=bs)
-        open(marker, "w").close()
+        with open(marker, "w") as f:
+            f.write(str(n_rows))
     return out
 
 

@@ -141,11 +141,17 @@ def merge_stores(out_dir: str, inputs: list[str]) -> dict:
                     shutil.copy2(s, d)
     merged = pa.concat_tables(tables)
     if merged.num_rows:
+        # dedup on (chunk_id, input_file), NOT chunk_id alone: identical
+        # chunk CONTENT can legitimately back different input files (two
+        # equal inputs share one content-addressed blob but need one
+        # manifest row each, or decode would drop a file's rows)
         seen: set = set()
         keep = []
-        for cid in merged.column("chunk_id").to_pylist():
-            keep.append(cid not in seen)
-            seen.add(cid)
+        for cid, f in zip(
+            merged.column("chunk_id").to_pylist(), merged.column("input_file").to_pylist()
+        ):
+            keep.append((cid, f) not in seen)
+            seen.add((cid, f))
         merged = merged.filter(pa.array(keep))
     pq.write_table(merged, os.path.join(manifest_dir(out_dir), "merged.parquet"))
     return commit(out_dir, None)
