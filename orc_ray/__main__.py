@@ -99,6 +99,15 @@ def cmd_inspect(a) -> int:
     return 0
 
 
+def cmd_sort(a) -> int:
+    _ray_up()
+    from .pipeline.encode import sort_store
+
+    rec = sort_store(a.store, a.out, a.by.split(","), batch_size=a.batch_size)
+    print(json.dumps(rec["totals"]))
+    return 0
+
+
 def cmd_merge(a) -> int:
     from .state.manifest import merge_stores
 
@@ -148,6 +157,13 @@ def main(argv=None) -> int:
     i.add_argument("store")
     i.add_argument("--chunks", action="store_true")
     i.set_defaults(fn=cmd_inspect)
+
+    so = sub.add_parser("sort", help="re-encode a store sorted by key(s) for tight pruning")
+    so.add_argument("store")
+    so.add_argument("out")
+    so.add_argument("--by", required=True, help="comma-separated sort columns")
+    so.add_argument("--batch-size", type=int, default=16384)
+    so.set_defaults(fn=cmd_sort)
 
     m = sub.add_parser("merge", help="merge committed stores (orc-tools merge analog)")
     m.add_argument("out")

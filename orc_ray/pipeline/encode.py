@@ -346,6 +346,28 @@ def encode_dataset(
     return mstate.commit(out_dir, expected)
 
 
+def sort_store(
+    in_dir: str,
+    out_dir: str,
+    by: str | list[str],
+    opts: EncodeOptions = DEFAULT_OPTIONS,
+    *,
+    batch_size: int = 16384,
+    descending: bool = False,
+) -> dict:
+    """Re-encode a chunk store globally sorted by ``by`` — the
+    cluster-for-stripe-elimination pattern: after sorting, each chunk
+    covers a narrow key range, so min/max (and stride) pruning on the sort
+    key skips almost everything.  One all-to-all exchange (Ray Data sort),
+    then the normal streaming encode; nothing materializes on the driver.
+    """
+    from .decode import decode_dataset
+
+    ds = decode_dataset(in_dir)
+    ds = ds.sort(by, descending=descending)
+    return encode_dataset(None, out_dir, opts, ds=ds, batch_size=batch_size)
+
+
 def _rename_path_col(batch: pa.Table) -> pa.Table:
     if "path" in batch.column_names:
         names = [(_PATH_COL if n == "path" else n) for n in batch.column_names]

@@ -75,3 +75,34 @@ def test_merge_stores(tmp_path, ray_session):
     out2 = str(tmp_path / "merged2")
     rec2 = merge_stores(out2, [st1, st1])
     assert rec2["totals"]["rows"] == n
+
+
+def test_sort_store_tightens_pruning(tmp_path, ray_session):
+    """After sort_store on a key, a range predicate prunes most chunks;
+    on the unsorted store (random key order) it prunes none."""
+    from orc_ray.pipeline.encode import sort_store
+
+    n = 8000
+    rng = np.random.default_rng(11)
+    t = pa.table(
+        {
+            "k": pa.array(rng.permutation(n)),  # random order
+            "p": pa.array(rng.uniform(size=n)),
+        }
+    )
+    src = _write(tmp_path, "rnd", t)
+    st = str(tmp_path / "unsorted")
+    encode_dataset(src, st, batch_size=1000)
+    pred = [("k", "<", 500)]
+    _, kept_u, total_u = list_chunks(st, pred)
+    assert kept_u == total_u == 8  # random order: every chunk may match
+    st2 = str(tmp_path / "sorted")
+    sort_store(st, st2, "k", batch_size=1000)
+    _, kept_s, total_s = list_chunks(st2, pred)
+    assert total_s >= 8 and kept_s <= 2  # sorted: only the head chunk(s)
+    ds = decode_dataset(st2, predicates=pred)
+    got = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
+    )
+    assert got.num_rows == 500
+    assert sorted(got.column("k").to_pylist()) == list(range(500))
