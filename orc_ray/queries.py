@@ -510,6 +510,41 @@ def q_range_join_events_orders(sf_dir: str):
     return _to_table(out).select(["event_id", "n_orders_7d"]).sort_by("event_id")
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def q_session_windows(sf_dir: str):
+    """Session windows (gap-based sessionization): events of a user belong
+    to one session until a >30 min inactivity gap.  Shuffle-by-user
+    (groupby) is the single exchange; inside each group the kernel is pure
+    numpy (sort, diff, cumsum of breaks, reduceat per session) — no
+    per-row Python."""
+    ds = _decoded(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pa.Table) -> pa.Table:
+        us = np.sort(g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False))
+        brk = np.zeros(us.size, dtype=np.int64)
+        brk[1:] = (np.diff(us) > SESSION_GAP_US).astype(np.int64)
+        sid = np.cumsum(brk)
+        starts = np.flatnonzero(np.r_[1, brk[1:]])
+        ends = np.r_[starts[1:] - 1, us.size - 1]
+        uid = g.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(starts.size, uid, np.int64)),
+                "session_id": pa.array(sid[starts]),
+                "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+                "start_us": pa.array(us[starts]),
+                "end_us": pa.array(us[ends]),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return _to_table(out).sort_by(
+        [("user_id", "ascending"), ("session_id", "ascending")]
+    )
+
+
 def q_multimodal_features(sf_dir: str):
     """Media feature-extraction plumbing over the deterministic synthetic
     media corpus (decode libs stubbed; see functions/multimodal.py)."""
@@ -551,6 +586,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "asof_join_events_orders": q_asof_join_events_orders,
     "range_join_events_orders": q_range_join_events_orders,
+    "session_windows": q_session_windows,
 }
 
 ORACLE_SQL = {
@@ -651,6 +687,24 @@ ORACLE_SQL = {
           ON e.user_id = o.o_custkey
          AND o.o_orderdate BETWEEN e.ts - INTERVAL 7 DAY AND e.ts
         GROUP BY e.event_id ORDER BY e.event_id
+    """,
+    "session_windows": """
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30*60*1000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts,
+                   CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM gaps
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+               CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us
+        FROM sess GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
     """,
     # dedup_minhash / simhash / quality_scores / lang_id / fingerprints /
     # ann_ivf / multimodal_features: heuristic or approximate ops with no

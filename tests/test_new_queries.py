@@ -21,6 +21,7 @@ NEW_QUERIES = [
     "dedup_embedding",
     "asof_join_events_orders",
     "range_join_events_orders",
+    "session_windows",
 ]
 
 
