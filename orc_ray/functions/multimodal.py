@@ -95,3 +95,102 @@ def extract_features(ds, *, batch_size: int = 16, concurrency=(1, 4)):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class ImageResizeStage:
+    """Actor-pool stage: resize image payloads to a target box.
+
+    Real implementation would decode -> resample -> re-encode in
+    ``_resize_impl`` (PIL absent here: deterministic stub keeps the
+    payload's hash lineage so tests can assert stability).  Non-image rows
+    pass through unchanged.  Output schema == input schema with updated
+    payload/width/height — the stage composes anywhere in a media
+    pipeline.
+    """
+
+    def __init__(self, max_w: int = 256, max_h: int = 256):
+        self.max_w, self.max_h = max_w, max_h
+        # real impl: import PIL here, once per actor
+
+    def _resize_impl(self, payload: bytes, w: int, h: int, nw: int, nh: int) -> bytes:
+        h256 = hashlib.sha256(payload + f"{nw}x{nh}".encode()).digest()
+        # stub payload scales with the target area like a real bitmap would
+        return h256 * max(1, (nw * nh) // len(h256))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch.column("width").to_numpy(zero_copy_only=False)
+        h = batch.column("height").to_numpy(zero_copy_only=False)
+        types = batch.column("media_type").to_pylist()
+        scale = np.minimum(1.0, np.minimum(self.max_w / np.maximum(w, 1), self.max_h / np.maximum(h, 1)))
+        nw = np.maximum((w * scale).astype(np.int32), 1)
+        nh = np.maximum((h * scale).astype(np.int32), 1)
+        payloads = batch.column("payload").to_pylist()
+        out_p = [
+            self._resize_impl(p, int(w[i]), int(h[i]), int(nw[i]), int(nh[i]))
+            if types[i] == "image" and scale[i] < 1.0
+            else p
+            for i, p in enumerate(payloads)
+        ]
+        is_img = np.array([t == "image" for t in types])
+        return (
+            batch.set_column(batch.column_names.index("payload"), "payload", pa.array(out_p, pa.binary()))
+            .set_column(batch.column_names.index("width"), "width", pa.array(np.where(is_img, nw, w).astype(np.int32)))
+            .set_column(batch.column_names.index("height"), "height", pa.array(np.where(is_img, nh, h).astype(np.int32)))
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool stage: sample k frames per video row (1 row -> k rows).
+
+    Real implementation seeks k evenly spaced frames via the container
+    index in ``_frames_impl`` (ffmpeg absent: deterministic stub derives
+    frame bytes from the payload hash).  Non-video rows are dropped —
+    compose with a filter/union when both streams are needed.
+    """
+
+    def __init__(self, k: int = 4):
+        self.k = k
+
+    def _frames_impl(self, payload: bytes) -> list[bytes]:
+        base = hashlib.sha256(payload).digest()
+        return [hashlib.sha256(base + bytes([i])).digest() for i in range(self.k)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vids = batch.filter(pc.equal(batch.column("media_type"), "video"))
+        ids, frames, idxs = [], [], []
+        for mid, p in zip(vids.column("media_id").to_pylist(), vids.column("payload").to_pylist()):
+            for i, fb in enumerate(self._frames_impl(p)):
+                ids.append(mid)
+                idxs.append(i)
+                frames.append(fb)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def resize_images(ds, *, max_w=256, max_h=256, batch_size: int = 16, concurrency=(1, 4)):
+    return ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"max_w": max_w, "max_h": max_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def sample_frames(ds, *, k: int = 4, batch_size: int = 16, concurrency=(1, 4)):
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"k": k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -244,3 +244,43 @@ def test_multimodal_plumbing(ray_session):
     feats2 = multimodal.extract_features(ray.data.from_arrow(t), batch_size=16)
     res2 = pa.concat_tables(list(feats2.iter_batches(batch_format="pyarrow", batch_size=None)))
     assert res.sort_by("media_id").equals(res2.sort_by("media_id"))
+
+
+def test_multimodal_resize_and_frame_sample(ray_session):
+    import ray as _ray
+
+    from orc_ray.functions.multimodal import (
+        FrameSampleStage,
+        ImageResizeStage,
+        resize_images,
+        sample_frames,
+        synth_media_table,
+    )
+
+    t = synth_media_table(48)
+    # stage-level determinism + semantics
+    r = ImageResizeStage(64, 64)(t)
+    assert r.schema.equals(t.schema)
+    w = r.column("width").to_numpy()
+    h = r.column("height").to_numpy()
+    is_img = np.array([x == "image" for x in t.column("media_type").to_pylist()])
+    assert (w[is_img] <= 64).all() and (h[is_img] <= 64).all()
+    # non-image rows untouched
+    assert r.filter(pa.compute.equal(r.column("media_type"), "audio")).equals(
+        t.filter(pa.compute.equal(t.column("media_type"), "audio"))
+    )
+    assert ImageResizeStage(64, 64)(t).equals(r)  # deterministic
+
+    f = FrameSampleStage(3)(t)
+    n_vid = sum(1 for x in t.column("media_type").to_pylist() if x == "video")
+    assert f.num_rows == 3 * n_vid
+    assert sorted(set(f.column("frame_idx").to_pylist())) == [0, 1, 2]
+
+    # through the Dataset pipeline (actor pool)
+    ds = _ray.data.from_arrow(t)
+    out = pa.concat_tables(
+        list(sample_frames(resize_images(ds, max_w=64, max_h=64), k=2)
+             .iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    assert out.num_rows == 2 * n_vid
+    assert out.column_names == ["media_id", "frame_idx", "frame"]
