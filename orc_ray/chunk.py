@@ -536,7 +536,7 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType, ranges=None) 
         i = 1
     codec = meta["codec"]
 
-    if ranges is not None and codec not in ("int", "fdec", "dict", "ts", "dec64"):
+    if ranges is not None and codec not in ("int", "fdec", "dict", "ts", "dec64", "str", "bin"):
         # codecs without a native range path: decode fully, slice rows.
         # Correctness is identical; only the decode-work saving is smaller.
         out = _decode_column(meta, bufs, ty, None)
@@ -630,10 +630,29 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType, ranges=None) 
         return _apply_validity(out, vbits, n, ranges)
 
     if codec in ("str", "bin"):
-        lens = decode_ints(bufs[i])
+        lens_full = decode_ints(bufs[i])
         data = bufs[i + 1]
+        if ranges is not None:
+            # native range path: full lengths (cheap int stream) give the
+            # byte extents of the surviving rows; the DATA buffer — still
+            # framed when the caller deferred it — decompresses only the
+            # blocks those extents touch (LazyBuffer / decompress_ranges)
+            offsets = np.zeros(lens_full.size + 1, dtype=np.int64)
+            np.cumsum(lens_full, out=offsets[1:])
+            byte_ranges = [(int(offsets[a]), int(offsets[b])) for a, b in ranges]
+            if isinstance(data, framing.LazyBuffer):
+                data = framing.decompress_ranges(data.framed, byte_ranges)
+            else:
+                data = b"".join(data[a:b] for a, b in byte_ranges)
+            lens = (
+                np.concatenate([lens_full[a:b] for a, b in ranges])
+                if ranges
+                else lens_full[:0]
+            )
+        else:
+            lens = lens_full
         out = _varbytes_from_numpy(lens, data, ty)
-        return _apply_validity(out, vbits, n)
+        return _apply_validity(out, vbits, n, ranges)
 
     if codec == "dict":
         indices = decode_ints(bufs[i]) if ranges is None else decode_ints_ranges(bufs[i], ranges)
@@ -806,8 +825,15 @@ def decode_chunk(
             off += sum(blens)
             continue
         bufs = []
-        for bl in blens:
-            bufs.append(framing.decompress(mv[off : off + bl]))
+        defer_data = row_ranges is not None and cmeta.get("codec") in ("str", "bin")
+        for k, bl in enumerate(blens):
+            raw = mv[off : off + bl]
+            if defer_data and k == len(blens) - 1:
+                # keep the DATA buffer framed: the str/bin range decoder
+                # decompresses only the blocks the surviving rows touch
+                bufs.append(framing.LazyBuffer(raw))
+            else:
+                bufs.append(framing.decompress(raw))
             off += bl
         ty = schema.field(cmeta["name"]).type
         arrays.append(_decode_column(cmeta, bufs, ty, ranges=row_ranges))

@@ -19,7 +19,7 @@ import struct
 
 import pyarrow as pa
 
-__all__ = ["compress", "decompress", "DEFAULT_BLOCK_SIZE"]
+__all__ = ["compress", "decompress", "decompress_ranges", "LazyBuffer", "DEFAULT_BLOCK_SIZE"]
 
 DEFAULT_BLOCK_SIZE = 256 * 1024
 
@@ -59,6 +59,66 @@ def compress(
         else:
             out.append(struct.pack("<I", (len(blk) << 1) | 1))
             out.append(blk)
+    return b"".join(out)
+
+
+class LazyBuffer:
+    """A still-framed buffer handed through decode so a range-aware codec
+    can decompress only the blocks its rows touch (see decompress_ranges)."""
+
+    __slots__ = ("framed",)
+
+    def __init__(self, framed: memoryview):
+        self.framed = framed
+
+
+RANGE_STATS = {"blocks_decompressed": 0, "blocks_total": 0}
+
+
+def decompress_ranges(data: bytes | memoryview, ranges: list) -> bytes:
+    """Bytes of sorted disjoint [a, b) ranges of the UNCOMPRESSED stream,
+    concatenated — decompressing only the framing blocks the ranges touch
+    (each block at most once).  The random-access payoff of block-
+    independent framing: a stride-pruned read of a big string column pays
+    for ~1 block, not the whole stream."""
+    data = memoryview(data)
+    codec_id, total, block_size = struct.unpack_from("<BQI", data, 0)
+    off = 13
+    if codec_id == 0:
+        base = data[off : off + total]
+        return b"".join(bytes(base[a:b]) for a, b in ranges)
+    c = _codec(_ID_CODECS[codec_id], None)
+    blocks = []  # (stored_off, stored_len, is_original, ulen)
+    remaining = total
+    while remaining > 0:
+        (hdr,) = struct.unpack_from("<I", data, off)
+        off += 4
+        stored = hdr >> 1
+        ulen = min(block_size, remaining)
+        blocks.append((off, stored, hdr & 1, ulen))
+        off += stored
+        remaining -= ulen
+    RANGE_STATS["blocks_total"] += len(blocks)
+    out = []
+    cache_bi = -1
+    cache = b""
+    for a, b in ranges:
+        cur = a
+        while cur < b:
+            bi = cur // block_size
+            soff, stored, orig, ulen = blocks[bi]
+            if bi != cache_bi:
+                cache = (
+                    bytes(data[soff : soff + stored])
+                    if orig
+                    else c.decompress(data[soff : soff + stored], decompressed_size=ulen, asbytes=True)
+                )
+                cache_bi = bi
+                RANGE_STATS["blocks_decompressed"] += 1
+            u0 = bi * block_size
+            end = min(b, u0 + ulen)
+            out.append(cache[cur - u0 : end - u0])
+            cur = end
     return b"".join(out)
 
 

@@ -167,3 +167,47 @@ def test_float_nulls_stats_stay_conservative():
     (c,) = hdr["columns"]
     # null filled as 0 widens min downward — conservative, never over-prunes
     assert c["min"] <= 5.125 and c["max"] == 9.875
+
+
+def test_str_range_decode_skips_framing_blocks():
+    """String columns decode only the framing blocks surviving strides
+    touch (lengths stream + decompress_ranges), not the whole DATA buffer."""
+    from orc_ray.chunk import EncodeOptions
+    from orc_ray.codecs import framing
+
+    import hashlib
+
+    n = 4 * STRIDE_ROWS
+    ids = np.arange(n, dtype=np.int64)
+    # high-entropy bodies so codec selection lands on "str", not fsst/dict
+    texts = pa.array(
+        [hashlib.sha256(str(i).encode()).hexdigest() * 3 for i in range(n)]
+    )
+    t = pa.table({"id": pa.array(ids), "text": texts})
+    opts = EncodeOptions(
+        compression_block_size=64 * 1024,  # many blocks
+        column_codecs={"text": "str"},  # pin direct (fsst has no range path)
+    )
+    blob = encode_chunk(t, opts)
+    hdr = read_chunk_header(blob)
+    assert {c["name"]: c["codec"] for c in hdr["columns"]}["text"] == "str"
+    ranges = _stride_ranges(hdr, [("id", "between", 100, 200)])
+    assert ranges == [(0, STRIDE_ROWS)]
+    framing.RANGE_STATS["blocks_decompressed"] = 0
+    framing.RANGE_STATS["blocks_total"] = 0
+    part = decode_chunk(blob, row_ranges=ranges, header=hdr)
+    assert framing.RANGE_STATS["blocks_total"] > 0
+    assert framing.RANGE_STATS["blocks_decompressed"] < framing.RANGE_STATS["blocks_total"]
+    assert part.equals(decode_chunk(blob).slice(0, STRIDE_ROWS))
+    # multi-range + nulls correctness
+    t2 = pa.table(
+        {
+            "id": pa.array(ids),
+            "text": texts.take(pa.array(np.arange(n), mask=(ids % 5 == 0))),
+        }
+    )
+    blob2 = encode_chunk(t2, opts)
+    r2 = [(10, 2100), (4096, 6000)]
+    part2 = decode_chunk(blob2, row_ranges=r2)
+    exp2 = pa.concat_tables([t2.slice(10, 2090), t2.slice(4096, 1904)])
+    assert part2.column("text").combine_chunks().equals(exp2.column("text").combine_chunks())
