@@ -408,20 +408,32 @@ def q_top_revenue_orders(sf_dir: str):
 
 def q_distinct_users(sf_dir: str):
     """COUNT(DISTINCT user_id) per event_type: per-batch distinct pairs
-    (the partial-dedup combiner), then a tiny global distinct + count —
-    the shuffle moves O(distinct pairs), not O(rows)."""
+    (the partial-dedup combiner) cut the shuffle to O(distinct pairs per
+    batch); the global pair dedup runs as a DISTRIBUTED groupby (the pair
+    domain is unbounded at scale — never driver-side), and only the tiny
+    per-type counts reach the driver."""
     ds = _decoded(sf_dir, "events", columns=["event_type", "user_id"])
 
     def pairs(t: pa.Table) -> pa.Table:
         return t.group_by(["event_type", "user_id"]).aggregate([])
 
-    partials = _to_table(ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True))
-    distinct = partials.group_by(["event_type", "user_id"]).aggregate([])
-    final = distinct.group_by("event_type").aggregate([("user_id", "count")])
+    deduped = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    # distributed global dedup + per-type count: one shuffle on the pair
+    distinct = deduped.groupby(["event_type", "user_id"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+    def count_per_type(t: pa.Table) -> pa.Table:
+        return t.group_by("event_type").aggregate([("user_id", "count")])
+
+    partials = _to_table(
+        distinct.map_batches(count_per_type, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    final = partials.group_by("event_type").aggregate([("user_id_count", "sum")])
     return pa.table(
         {
             "event_type": final.column("event_type"),
-            "n_users": final.column("user_id_count").cast(pa.int64()),
+            "n_users": final.column("user_id_count_sum").cast(pa.int64()),
         }
     ).sort_by("event_type")
 
@@ -443,10 +455,32 @@ def q_token_histogram(sf_dir: str):
         keep = pc.not_equal(tok, "")  # empty docs split to [""] — drop
         return pa.table({"token": tok.filter(keep), "cnt": cnt.filter(keep).cast(pa.int64())})
 
-    partials = _to_table(ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True))
-    final = partials.group_by("token").aggregate([("cnt", "sum")])
-    tok = final.column("token").to_pylist()
-    cnt = final.column("cnt_sum").to_numpy(zero_copy_only=False)
+    # distributed global sum per token (the vocabulary is unbounded at
+    # scale — the full distinct-token table must never reach the driver),
+    # then local top-K per aggregated batch; the driver merges only
+    # K-per-batch candidates
+    summed = (
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(ray.data.aggregate.Sum("cnt"))
+    )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        cnt = t.column("sum(cnt)").to_numpy(zero_copy_only=False)
+        tokens = t.column("token").to_pylist()
+        order = sorted(range(len(tokens)), key=lambda i: (-cnt[i], tokens[i]))[:K]
+        return pa.table(
+            {
+                "token": pa.array([tokens[i] for i in order]),
+                "cnt": pa.array([int(cnt[i]) for i in order], pa.int64()),
+            }
+        )
+
+    cands = _to_table(
+        summed.map_batches(local_top, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    tok = cands.column("token").to_pylist()
+    cnt = cands.column("cnt").to_numpy(zero_copy_only=False)
     order = sorted(range(len(tok)), key=lambda i: (-cnt[i], tok[i]))[:K]
     return pa.table(
         {
