@@ -179,6 +179,11 @@ def dedup_exact_fingerprint(ds, id_col: str = "doc_id", text_col: str = "text", 
     max(fp2) are re-resolved exactly on their (tiny) text subset.
 
     Returns an Arrow table (text, doc_id=min id per distinct text).
+
+    Scale note: the winner-id set (8 B per distinct doc) is broadcast once
+    per node for the final fetch — cheaper than re-shuffling text, but at
+    ~1B distinct docs (8 GB) switch to the partitioned semi-join: hash-
+    partition docs AND winners on doc_id and is_in within each partition.
     """
     import ray
     import pyarrow.compute as pc
