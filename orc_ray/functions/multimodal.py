@@ -118,24 +118,40 @@ class ImageResizeStage:
         return h256 * max(1, (nw * nh) // len(h256))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        w = batch.column("width").to_numpy(zero_copy_only=False)
-        h = batch.column("height").to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        def dims(name):
+            a = batch.column(name)
+            a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+            return a, a.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        wa, w = dims("width")
+        ha, h = dims("height")
         types = batch.column("media_type").to_pylist()
-        scale = np.minimum(1.0, np.minimum(self.max_w / np.maximum(w, 1), self.max_h / np.maximum(h, 1)))
+        # null/zero dims are unresizable: such rows pass through untouched
+        # (a NaN from a null would otherwise poison the int32 cast)
+        valid = (w > 0) & (h > 0)
+        scale = np.minimum(
+            1.0, np.minimum(self.max_w / np.maximum(w, 1), self.max_h / np.maximum(h, 1))
+        )
         nw = np.maximum((w * scale).astype(np.int32), 1)
         nh = np.maximum((h * scale).astype(np.int32), 1)
-        payloads = batch.column("payload").to_pylist()
+        is_img = np.array([t == "image" for t in types]) & valid
+        resize = is_img & (scale < 1.0)
         out_p = [
             self._resize_impl(p, int(w[i]), int(h[i]), int(nw[i]), int(nh[i]))
-            if types[i] == "image" and scale[i] < 1.0
+            if resize[i]
             else p
-            for i, p in enumerate(payloads)
+            for i, p in enumerate(batch.column("payload").to_pylist())
         ]
-        is_img = np.array([t == "image" for t in types])
+        img_arr = pa.array(is_img)
+        # if_else keeps original values AND nulls on pass-through rows
+        new_w = pc.if_else(img_arr, pa.array(nw, pa.int32()), wa)
+        new_h = pc.if_else(img_arr, pa.array(nh, pa.int32()), ha)
         return (
             batch.set_column(batch.column_names.index("payload"), "payload", pa.array(out_p, pa.binary()))
-            .set_column(batch.column_names.index("width"), "width", pa.array(np.where(is_img, nw, w).astype(np.int32)))
-            .set_column(batch.column_names.index("height"), "height", pa.array(np.where(is_img, nh, h).astype(np.int32)))
+            .set_column(batch.column_names.index("width"), "width", new_w)
+            .set_column(batch.column_names.index("height"), "height", new_h)
         )
 
 

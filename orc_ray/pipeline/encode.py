@@ -360,8 +360,16 @@ def sort_store(
     covers a narrow key range, so min/max (and stride) pruning on the sort
     key skips almost everything.  One all-to-all exchange (Ray Data sort),
     then the normal streaming encode; nothing materializes on the driver.
+
+    The target is wiped first: the ds-path encode commits in trust mode,
+    so parts left by an interrupted earlier run would otherwise sum into
+    the new manifest and double-count rows.
     """
+    import shutil
+
     from .decode import decode_dataset
+
+    shutil.rmtree(out_dir, ignore_errors=True)
 
     ds = decode_dataset(in_dir)
     ds = ds.sort(by, descending=descending)

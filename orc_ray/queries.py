@@ -418,9 +418,11 @@ def q_distinct_users(sf_dir: str):
         return t.group_by(["event_type", "user_id"]).aggregate([])
 
     deduped = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
-    # distributed global dedup + per-type count: one shuffle on the pair
-    distinct = deduped.groupby(["event_type", "user_id"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    # distributed global dedup + per-type count: one shuffle on the pair;
+    # aggregate (not map_groups) — one output row per pair with NO
+    # per-group Python call
+    distinct = deduped.groupby(["event_type", "user_id"]).aggregate(
+        ray.data.aggregate.Count()
     )
 
     def count_per_type(t: pa.Table) -> pa.Table:
@@ -462,11 +464,11 @@ def q_token_histogram(sf_dir: str):
     summed = (
         ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("token")
-        .aggregate(ray.data.aggregate.Sum("cnt"))
+        .aggregate(ray.data.aggregate.Sum("cnt", alias_name="cnt_total"))
     )
 
     def local_top(t: pa.Table) -> pa.Table:
-        cnt = t.column("sum(cnt)").to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt_total").to_numpy(zero_copy_only=False)
         tokens = t.column("token").to_pylist()
         order = sorted(range(len(tokens)), key=lambda i: (-cnt[i], tokens[i]))[:K]
         return pa.table(
@@ -547,35 +549,87 @@ def q_range_join_events_orders(sf_dir: str):
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 
-def q_session_windows(sf_dir: str):
-    """Session windows (gap-based sessionization): events of a user belong
-    to one session until a >30 min inactivity gap.  Shuffle-by-user
-    (groupby) is the single exchange; inside each group the kernel is pure
-    numpy (sort, diff, cumsum of breaks, reduceat per session) — no
-    per-row Python."""
-    ds = _decoded(sf_dir, "events", columns=["user_id", "ts"])
-
-    def sessions(g: pa.Table) -> pa.Table:
-        us = np.sort(g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False))
-        brk = np.zeros(us.size, dtype=np.int64)
-        brk[1:] = (np.diff(us) > SESSION_GAP_US).astype(np.int64)
-        sid = np.cumsum(brk)
-        starts = np.flatnonzero(np.r_[1, brk[1:]])
-        ends = np.r_[starts[1:] - 1, us.size - 1]
-        uid = g.column("user_id")[0].as_py()
+def _sessionize(uid: np.ndarray, us: np.ndarray) -> pa.Table:
+    """Vectorized gap sessionization over (user, time)-SORTED rows: break
+    on user change or a >gap silence, one cumsum + reduceat pass."""
+    n = uid.size
+    if n == 0:
         return pa.table(
             {
-                "user_id": pa.array(np.full(starts.size, uid, np.int64)),
-                "session_id": pa.array(sid[starts]),
-                "n_events": pa.array((ends - starts + 1).astype(np.int64)),
-                "start_us": pa.array(us[starts]),
-                "end_us": pa.array(us[ends]),
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "start_us": pa.array([], pa.int64()),
+                "end_us": pa.array([], pa.int64()),
             }
         )
+    brk = np.ones(n, dtype=bool)
+    brk[1:] = (uid[1:] != uid[:-1]) | (np.diff(us) > SESSION_GAP_US)
+    starts = np.flatnonzero(brk)
+    ends = np.r_[starts[1:] - 1, n - 1]
+    return pa.table(
+        {
+            "user_id": pa.array(uid[starts]),
+            "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+            "start_us": pa.array(us[starts]),
+            "end_us": pa.array(us[ends]),
+        }
+    )
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
-    return _to_table(out).sort_by(
-        [("user_id", "ascending"), ("session_id", "ascending")]
+
+def q_session_windows(sf_dir: str):
+    """Session windows (gap-based sessionization): events of a user belong
+    to one session until a >30 min inactivity gap.
+
+    Shape: ONE global sort by (user, ts) is the only exchange; each sorted
+    batch sessionizes with a fully vectorized kernel (no per-user Python
+    call — the r1-flagged map_groups shape would invoke a UDF per user).
+    Sessions that span batch boundaries are healed by running the SAME
+    kernel once more over the per-batch session rows, which arrive in
+    global order and are O(sessions), not O(events)."""
+    ds = _decoded(sf_dir, "events", columns=["user_id", "ts"])
+    ds = ds.sort(["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return _sessionize(uid, us)
+
+    parts = []
+    for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        if b.num_rows:
+            parts.append(b)
+    if not parts:
+        return _sessionize(np.array([], np.int64), np.array([], np.int64)).add_column(
+            1, "session_id", pa.array([], pa.int64())
+        )
+    sess = pa.concat_tables(parts)  # in global (user, ts) order
+    uid = sess.column("user_id").to_numpy(zero_copy_only=False)
+    s_us = sess.column("start_us").to_numpy(zero_copy_only=False)
+    e_us = sess.column("end_us").to_numpy(zero_copy_only=False)
+    nev = sess.column("n_events").to_numpy(zero_copy_only=False)
+    # heal boundary-split sessions: same kernel logic over session rows
+    brk = np.ones(uid.size, dtype=bool)
+    brk[1:] = (uid[1:] != uid[:-1]) | ((s_us[1:] - e_us[:-1]) > SESSION_GAP_US)
+    starts = np.flatnonzero(brk)
+    ends = np.r_[starts[1:] - 1, uid.size - 1]
+    c = np.zeros(uid.size + 1, dtype=np.int64)
+    np.cumsum(nev, out=c[1:])
+    out_uid = uid[starts]
+    # per-user session ordinal, vectorized
+    ubrk = np.ones(out_uid.size, dtype=np.int64)
+    ubrk[1:] = (out_uid[1:] != out_uid[:-1]).astype(np.int64)
+    ustart = np.flatnonzero(ubrk)
+    sid = np.arange(out_uid.size) - np.repeat(ustart, np.diff(np.r_[ustart, out_uid.size]))
+    return pa.table(
+        {
+            "user_id": pa.array(out_uid),
+            "session_id": pa.array(sid),
+            "n_events": pa.array(c[ends + 1] - c[starts]),
+            "start_us": pa.array(s_us[starts]),
+            "end_us": pa.array(e_us[ends]),
+        }
     )
 
 

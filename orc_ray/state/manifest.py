@@ -127,6 +127,15 @@ def merge_stores(out_dir: str, inputs: list[str]) -> dict:
 
     os.makedirs(chunk_dir(out_dir), exist_ok=True)
     os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    foreign = [
+        f
+        for f in glob.glob(os.path.join(manifest_dir(out_dir), "*.parquet"))
+        if os.path.basename(f) != "merged.parquet"
+    ]
+    if foreign:
+        # commit() sums EVERY manifest part — parts from a previous encode
+        # into this directory would silently double-count rows
+        raise FileExistsError(f"target {out_dir} already holds a store (parts: {foreign[:3]})")
     tables = []
     for src in inputs:
         man = read_manifest(src)

@@ -106,3 +106,21 @@ def test_sort_store_tightens_pruning(tmp_path, ray_session):
     )
     assert got.num_rows == 500
     assert sorted(got.column("k").to_pylist()) == list(range(500))
+
+
+def test_sort_store_rerun_and_merge_refuse_foreign(tmp_path, ray_session):
+    import pytest as _pytest
+
+    from orc_ray.pipeline.encode import sort_store
+
+    t = pa.table({"k": pa.array(np.arange(500))})
+    src = _write(tmp_path, "t", t)
+    st = str(tmp_path / "st")
+    encode_dataset(src, st)
+    out = str(tmp_path / "sorted")
+    sort_store(st, out, "k")
+    rec = sort_store(st, out, "k")  # re-run must not double-count
+    assert rec["totals"]["rows"] == 500
+    # merge into a dir already holding an encoded store refuses loudly
+    with _pytest.raises(FileExistsError):
+        merge_stores(st, [out])
