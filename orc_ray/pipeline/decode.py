@@ -258,16 +258,23 @@ def _read_files(paths: list) -> list:
     return out
 
 
-def _decode_batch(batch: pa.Table, *, columns, predicates, cast_schema=None) -> pa.Table:
+def _decode_batch(batch: pa.Table, *, columns, predicates, cast_schema=None, verify_checksums=False) -> pa.Table:
     """Task-pool entry: decode a batch of chunk blobs."""
-    return _DecodeChunks(columns, predicates, cast_schema)(batch)
+    return _DecodeChunks(columns, predicates, cast_schema, verify_checksums)(batch)
 
 
 class _DecodeChunks:
-    def __init__(self, columns: list[str] | None, predicates: list[tuple] | None, cast_schema=None):
+    def __init__(
+        self,
+        columns: list[str] | None,
+        predicates: list[tuple] | None,
+        cast_schema=None,
+        verify_checksums: bool = False,
+    ):
         pa.set_memory_pool(pa.system_memory_pool())  # glibc heap: see _mem.py
         self.columns = columns
         self.predicates = predicates
+        self.verify_checksums = verify_checksums
         # schema evolution: reader-schema conversion at decode time — the
         # analog of the reference's SchemaEvolution/ConvertColumnReader
         # (numeric widening, string<->numeric, timestamp conversions) via
@@ -289,7 +296,22 @@ class _DecodeChunks:
         if "path" in batch.column_names:
             # direct-read mode: chunk bytes are read inside the task and
             # never transit the object store (mirrors the encode fast path)
-            blobs = _read_files(batch.column("path").to_pylist())
+            paths = batch.column("path").to_pylist()
+            blobs = _read_files(paths)
+            if self.verify_checksums:
+                # chunks are content-addressed: the filename IS the sha256
+                # prefix of the payload, so bit-rot detection is one hash
+                import hashlib
+                import os as _os
+
+                for p, blob in zip(paths, blobs):
+                    cid = _os.path.basename(p).split(".")[0]
+                    got = hashlib.sha256(blob).hexdigest()[: len(cid)]
+                    if got != cid:
+                        raise IOError(
+                            f"chunk {p} fails its content checksum "
+                            f"({got} != {cid}): corrupt or tampered file"
+                        )
         else:
             blobs = batch.column("bytes").to_pylist()
         empty_schema = None
@@ -400,13 +422,17 @@ def decode_dataset(
     predicates: list[tuple] | None = None,
     cast_schema: dict | None = None,
     concurrency=None,
+    verify_checksums: bool = False,
 ) -> "ray.data.Dataset":
     """Lazy decode of a chunk store into a Dataset of original rows.
 
     ``predicates``: list of (column, op, value) tuples — applied both as
     manifest min/max + bloom pruning (chunks skipped entirely) and exactly
     per batch after decode.  ``cast_schema``: {column -> pa.DataType}
-    reader-schema conversion (schema evolution layer).
+    reader-schema conversion (schema evolution layer).  ``concurrency``
+    caps concurrent decode tasks (None = streaming executor decides).
+    ``verify_checksums`` re-hashes every chunk file against its
+    content-addressed name — bit-rot / tamper detection at read time.
     """
     import functools
 
@@ -419,9 +445,16 @@ def decode_dataset(
     # reused across pipelines, keeping heaps warm — see encode.py rationale
     ds = ray.data.from_items([{"path": p} for p in paths])
     return ds.map_batches(
-        functools.partial(_decode_batch, columns=columns, predicates=predicates, cast_schema=cast_schema),
+        functools.partial(
+            _decode_batch,
+            columns=columns,
+            predicates=predicates,
+            cast_schema=cast_schema,
+            verify_checksums=verify_checksums,
+        ),
         batch_size=1,
         batch_format="pyarrow",
         zero_copy_batch=True,
+        concurrency=concurrency,
         num_cpus=1,
     )

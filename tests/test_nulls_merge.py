@@ -124,3 +124,29 @@ def test_sort_store_rerun_and_merge_refuse_foreign(tmp_path, ray_session):
     # merge into a dir already holding an encoded store refuses loudly
     with _pytest.raises(FileExistsError):
         merge_stores(st, [out])
+
+
+def test_checksum_verification_detects_corruption(tmp_path, ray_session):
+    import glob as _glob
+    import os
+
+    t = pa.table({"v": pa.array(np.arange(2000))})
+    src = _write(tmp_path, "c", t)
+    st = str(tmp_path / "cstore")
+    encode_dataset(src, st)
+    # clean store passes with verification on
+    ds = decode_dataset(st, verify_checksums=True)
+    n = sum(b.num_rows for b in ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert n == 2000
+    # flip one byte mid-payload -> verified decode fails loudly
+    chunk = sorted(_glob.glob(os.path.join(st, "chunks", "*.oray")))[0]
+    blob = bytearray(open(chunk, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(chunk, "wb").write(bytes(blob))
+    import pytest as _pytest
+    import ray.exceptions
+
+    ds2 = decode_dataset(st, verify_checksums=True)
+    with _pytest.raises(Exception) as ei:
+        list(ds2.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert "checksum" in str(ei.value)
