@@ -61,9 +61,11 @@ class EncodeOptions:
     """Writer knob surface — the analog of ORC WriterOptions (c++/src/Options.hh)."""
 
     compression: str = "zstd"            # generic second-stage codec
-    compression_level: int | None = 6    # measured: vs level 3, ~5% better
-    # ratio on the token corpus with no steady-state throughput cost at pool
-    # parallelism (BENCH/BASELINE.md)
+    compression_level: int | None = 1    # measured on the target corpus:
+    # level 1 BEATS level 3 on size (22.78 vs 23.70 MB; zstd's greedy low
+    # levels suit bitpacked streams) and is ~47% faster than level 6 —
+    # framing was 51% of single-core encode CPU at level 6.  Level 6 keeps
+    # ~1% better ratio for ratio-critical stores (BENCH/BASELINE.md)
     compression_block_size: int = framing.DEFAULT_BLOCK_SIZE
     strategy: str = "speed"              # int width alignment: speed|compression
     dictionary_key_size_threshold: float = 0.5   # dict iff distinct/rows <= t
