@@ -93,9 +93,15 @@ def token_counts(batch: pa.Table, col: str = "text") -> pa.Table:
     return out.append_column("n_bpe_tokens", pa.array(bpe.to_numpy(zero_copy_only=False).astype(np.int64)))
 
 
-def quality_score(batch: pa.Table, col: str = "text") -> pa.Table:
+def quality_score(batch: pa.Table, col: str = "text", scale_e6: bool = False) -> pa.Table:
     """Heuristic quality signals: length, punctuation/upper/digit/stopword
-    ratios and a combined [0,1] score — all pyarrow/numpy vectorized."""
+    ratios and a combined [0,1] score — all pyarrow/numpy vectorized.
+
+    ``scale_e6`` emits floor(ratio * 1e6) int64 columns instead of rounded
+    floats: every arithmetic step (ratios, clips, the weighted sum) uses
+    plain IEEE doubles in a fixed evaluation order, so a SQL engine
+    mirroring the expression reproduces the integers bit-exactly — that is
+    what makes this op oracle-checkable."""
     text = _concat_np(batch.column(col))
     n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
     nz = np.maximum(n_chars, 1.0)
@@ -126,7 +132,12 @@ def quality_score(batch: pa.Table, col: str = "text") -> pa.Table:
         ("stopword_ratio", sw_ratio),
         ("quality", score),
     ]:
-        out = out.append_column(name, pa.array(np.round(arr, 6)))
+        if scale_e6:
+            out = out.append_column(
+                f"{name}_e6", pa.array(np.floor(arr * 1e6).astype(np.int64))
+            )
+        else:
+            out = out.append_column(name, pa.array(np.round(arr, 6)))
     return out
 
 

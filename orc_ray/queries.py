@@ -225,17 +225,109 @@ def q_token_counts(sf_dir: str):
 
 
 def q_quality_scores(sf_dir: str):
+    """Quality signals as floor-e6 integers: the ratio/clip/weighted-sum
+    arithmetic is plain IEEE doubles in a fixed order, so the SQL oracle
+    reproduces the integers bit-exactly (functions/text.quality_score)."""
+    import functools
+
     from .functions.text import quality_score
 
     ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(quality_score, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(
+        functools.partial(quality_score, scale_e6=True),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _to_table(out).sort_by("doc_id")
+
+
+def _quality_oracle_sql() -> str:
+    from .functions.text import _STOPWORDS
+
+    sw = ",".join(f"('{w}')" for w in sorted(_STOPWORDS["en"]))
+    # mirrors quality_score op-for-op in IEEE doubles (same literals, same
+    # left-assoc order); clip(x,0,1) == LEAST(GREATEST(x,0.0),1.0)
+    return f"""
+        WITH sw(word) AS (VALUES {sw}),
+        base AS (
+            SELECT doc_id, text,
+                   CAST(LENGTH(text) AS DOUBLE) AS n,
+                   GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS nz,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(string_split_regex(trim(text), '\\s+')) END AS nw
+            FROM documents
+        ),
+        words AS (
+            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        hits AS (
+            SELECT words.doc_id, COUNT(*) AS h FROM words
+            JOIN sw ON words.w = sw.word GROUP BY words.doc_id
+        ),
+        ratios AS (
+            SELECT b.doc_id,
+                   (b.n - LENGTH(regexp_replace(b.text, '[^\\w\\s]', '', 'g'))) / b.nz AS punct,
+                   (b.n - LENGTH(regexp_replace(b.text, '[0-9]', '', 'g'))) / b.nz AS digits,
+                   (b.n - LENGTH(regexp_replace(b.text, '[A-Z]', '', 'g'))) / b.nz AS upper_r,
+                   COALESCE(h.h, 0) / CAST(GREATEST(b.nw, 1) AS DOUBLE) AS swr,
+                   LEAST(GREATEST(b.n / 500.0, 0.0), 1.0) AS len_score
+            FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id
+        )
+        SELECT doc_id,
+               CAST(FLOOR(punct * 1000000.0) AS BIGINT) AS punct_ratio_e6,
+               CAST(FLOOR(digits * 1000000.0) AS BIGINT) AS digit_ratio_e6,
+               CAST(FLOOR(upper_r * 1000000.0) AS BIGINT) AS upper_ratio_e6,
+               CAST(FLOOR(swr * 1000000.0) AS BIGINT) AS stopword_ratio_e6,
+               CAST(FLOOR(LEAST(GREATEST(
+                    0.35 * len_score
+                    + 0.3 * LEAST(GREATEST(swr * 3, 0.0), 1.0)
+                    + 0.2 * (1 - LEAST(GREATEST(punct * 4, 0.0), 1.0))
+                    + 0.15 * (1 - LEAST(GREATEST(digits * 5, 0.0), 1.0)),
+                    0.0), 1.0) * 1000000.0) AS BIGINT) AS quality_e6
+        FROM ratios ORDER BY doc_id
+    """
 
 
 def q_lang_id(sf_dir: str):
+    """Language-ID heuristic.  The prediction column is oracle-checked:
+    the winner is an argmax over INTEGER stopword hit counts (ties to the
+    lexicographically larger language, 'unk' at zero hits), which SQL
+    reproduces exactly — no float comparisons involved."""
     from .functions.text import lang_id
 
     ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(lang_id, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(lang_id, batch_format="pyarrow", zero_copy_batch=True)
+    return _to_table(out).select(["doc_id", "lang_pred"]).sort_by("doc_id")
+
+
+def _lang_id_oracle_sql() -> str:
+    from .functions.text import _STOPWORDS
+
+    rows = ",".join(
+        f"('{lg}','{w}')" for lg in sorted(_STOPWORDS) for w in sorted(_STOPWORDS[lg])
+    )
+    return f"""
+        WITH stopwords(lang, word) AS (VALUES {rows}),
+        words AS (
+            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        hits AS (
+            SELECT words.doc_id, s.lang, COUNT(*) AS h
+            FROM words JOIN stopwords s ON words.w = s.word
+            GROUP BY words.doc_id, s.lang
+        ),
+        best AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY h DESC, lang DESC) AS rn
+            FROM hits
+        )
+        SELECT d.doc_id, COALESCE(b.lang, 'unk') AS lang_pred
+        FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+        ORDER BY d.doc_id
+    """
 
 
 def q_fingerprints(sf_dir: str):
@@ -794,7 +886,9 @@ ORACLE_SQL = {
         FROM sess GROUP BY user_id, session_id
         ORDER BY user_id, session_id
     """,
-    # dedup_minhash / simhash / quality_scores / lang_id / fingerprints /
-    # ann_ivf / multimodal_features: heuristic or approximate ops with no
-    # SQL equivalent — driver records the weaker rows-only check.
+    "lang_id": _lang_id_oracle_sql(),
+    "quality_scores": _quality_oracle_sql(),
+    # dedup_minhash / simhash / fingerprints / ann_ivf /
+    # multimodal_features: heuristic or approximate ops with no SQL
+    # equivalent — driver records the weaker rows-only check.
 }

@@ -22,6 +22,8 @@ NEW_QUERIES = [
     "asof_join_events_orders",
     "range_join_events_orders",
     "session_windows",
+    "lang_id",
+    "quality_scores",
 ]
 
 
