@@ -2,7 +2,7 @@
 import os, sys, time, signal, subprocess, json, shutil
 sys.path.insert(0, "/root/repo"); os.chdir("/root/repo")
 
-src = "/tmp/orc_ray_bench/f1-8000000-64"
+src = "/tmp/orc_ray_bench/f1-8000000-32"
 out = "/tmp/kill_resume_store"
 ref = "/tmp/kill_resume_ref"
 
