@@ -250,6 +250,159 @@ def dedup_exact_fingerprint(ds, id_col: str = "doc_id", text_col: str = "text", 
     return out.sort_by(id_col)
 
 
+def dedup_ngram_jaccard(ds, id_col="doc_id", text_col="text", k: int = 8):
+    """EXACT n-gram (byte 8-gram) Jaccard pairs at threshold 0.5 via a
+    distributed inverted index — the n-gram dedup op as a first-class
+    pipeline rather than a verify kernel:
+
+        docs -> distinct shingle hashes per doc   (vectorized, exact:
+                 the 8-byte rolling key is a BIJECTION of the window, so
+                 distinct hashes == distinct byte substrings)
+          -> flat (shingle, doc) rows -> sort by shingle (the shuffle)
+          -> per-group all-pairs emission (repeat/tile, no per-row Python)
+          -> groupby (a, b) count = |A∩B| -> join sizes -> 2*inter >= union
+
+    The threshold test is pure INTEGER arithmetic (2*inter >= |A|+|B|-inter
+    iff Jaccard >= 0.5), so the SQL oracle matches bit-exactly.  Docs
+    shorter than k bytes have no shingles and never pair.
+
+    Scale note: a shingle shared by g docs emits g^2 pairs — at 100 TB cap
+    document frequency (drop stop-shingles with df > D) exactly like
+    stop-words in inverted indexes; the cap trades recall on boilerplate.
+    Returns (doc_a, doc_b, inter, un) sorted.
+    """
+    import functools
+
+    import pyarrow.compute as pc
+
+    def shingle_stage(t: pa.Table) -> pa.Table:
+        concat, offsets = _varbytes(t.column(text_col))
+        h, seg_off = _shingle_keys(concat, offsets, k)
+        lens = np.diff(offsets)
+        counts = np.diff(seg_off)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(ids, counts)
+        # drop sub-k docs: their single masked window has no SQL analog
+        keep = np.repeat(lens >= k, counts)
+        return pa.table(
+            {
+                "s": pa.array(h[keep].view(np.int64)),
+                "d": pa.array(doc_ids[keep]),
+            }
+        )
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        # sorted by shingle: INTERIOR groups (whole group inside the block)
+        # emit all (a < b) doc pairs vectorized; the first/last shingle of
+        # the block may continue in a neighbor block, so those groups
+        # forward their MEMBER rows instead — the driver regroups members
+        # across blocks and emits their pairs (the minhash boundary
+        # pattern; pairing only within-block halves would MISS cross-half
+        # pairs).  is_pair=True rows carry (a, b); member rows carry (s, a)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "is_pair": pa.array([], pa.bool_()),
+            }
+        )
+        if s.size == 0:
+            return empty
+        brk = np.ones(s.size, dtype=bool)
+        brk[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(brk)
+        glens = np.diff(np.r_[starts, s.size])
+        interior = (s[starts] != s[0]) & (s[starts] != s[-1])
+        pa_, pb_ = [], []
+        for g in np.unique(glens[interior]):
+            if g < 2:
+                continue
+            idx = starts[interior & (glens == g)]
+            block = np.sort(d[(idx[:, None] + np.arange(g)[None, :])], axis=1)
+            iu = np.triu_indices(int(g), 1)
+            pa_.append(block[:, iu[0]].ravel())
+            pb_.append(block[:, iu[1]].ravel())
+        a = np.concatenate(pa_) if pa_ else np.empty(0, np.int64)
+        b = np.concatenate(pb_) if pb_ else np.empty(0, np.int64)
+        bmask = ~np.repeat(interior, glens)
+        ms, md = s[bmask], d[bmask]
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a, md])),
+                "b": pa.array(np.concatenate([b, np.zeros(md.size, np.int64)])),
+                "s": pa.array(np.concatenate([np.zeros(a.size, np.int64), ms])),
+                "is_pair": pa.array(np.r_[np.ones(a.size, bool), np.zeros(md.size, bool)]),
+            }
+        )
+
+    flat = ds.map_batches(shingle_stage, batch_format="pyarrow", zero_copy_batch=True)
+    pairs_ds = flat.sort("s").map_batches(emit_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [p for p in pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None) if p.num_rows]
+    if not parts:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                         "inter": pa.array([], pa.int64()), "un": pa.array([], pa.int64())})
+    allp = pa.concat_tables(parts).combine_chunks()
+    inter_pairs = allp.filter(allp.column("is_pair")).select(["a", "b"])
+    members = allp.filter(pc.invert(allp.column("is_pair")))
+    bp_a, bp_b = [], []
+    if members.num_rows:
+        ms = members.column("s").to_numpy(zero_copy_only=False)
+        md = members.column("a").to_numpy(zero_copy_only=False)
+        order = np.lexsort((md, ms))
+        ms, md = ms[order], md[order]
+        gb = np.ones(ms.size, dtype=bool)
+        gb[1:] = ms[1:] != ms[:-1]
+        gstarts = np.flatnonzero(gb)
+        for i, st in enumerate(gstarts):
+            en = gstarts[i + 1] if i + 1 < gstarts.size else ms.size
+            mem = md[st:en]
+            if mem.size >= 2:
+                iu = np.triu_indices(mem.size, 1)
+                bp_a.append(mem[iu[0]])
+                bp_b.append(mem[iu[1]])
+    bpairs = pa.table(
+        {
+            "a": pa.array(np.concatenate(bp_a) if bp_a else np.empty(0, np.int64)),
+            "b": pa.array(np.concatenate(bp_b) if bp_b else np.empty(0, np.int64)),
+        }
+    )
+    counts = (
+        pa.concat_tables([inter_pairs, bpairs])
+        .group_by(["a", "b"])
+        .aggregate([([], "count_all")])
+    )
+    # doc shingle-set sizes
+    sizes = _to_sizes(flat)
+    sz = dict(zip(sizes.column("d").to_pylist(), sizes.column("n").to_pylist()))
+    a = counts.column("a").to_numpy(zero_copy_only=False)
+    b = counts.column("b").to_numpy(zero_copy_only=False)
+    inter = counts.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+    na = np.array([sz[x] for x in a.tolist()], np.int64)
+    nb = np.array([sz[x] for x in b.tolist()], np.int64)
+    un = na + nb - inter
+    keep = 2 * inter >= un
+    out = pa.table(
+        {
+            "doc_a": pa.array(a[keep]),
+            "doc_b": pa.array(b[keep]),
+            "inter": pa.array(inter[keep]),
+            "un": pa.array(un[keep]),
+        }
+    )
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+def _to_sizes(flat_ds) -> pa.Table:
+    import ray
+
+    agg = flat_ds.groupby("d").aggregate(ray.data.aggregate.Count(alias_name="n"))
+    parts = list(agg.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(parts).combine_chunks()
+
+
 class _UnionFind:
     def __init__(self):
         self.parent: dict = {}

@@ -347,6 +347,19 @@ def q_dedup_minhash(sf_dir: str):
     return dedup_minhash(ds, id_col="doc_id", text_col="text")
 
 
+def q_dedup_ngram(sf_dir: str):
+    """Exact byte-8-gram Jaccard near-dup pairs at threshold 0.5 via a
+    distributed inverted index; the threshold test is pure integer
+    arithmetic (2*inter >= union), so the SQL self-join oracle matches
+    bit-exactly (functions/dedup.dedup_ngram_jaccard).  The oracle's char
+    substrings equal the engine's byte windows because this corpus is
+    ASCII; on non-ASCII data the SQL mirror would need byte semantics."""
+    from .functions.dedup import dedup_ngram_jaccard
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_ngram_jaccard(ds, id_col="doc_id", text_col="text")
+
+
 def q_simhash(sf_dir: str):
     from .functions.dedup import _varbytes, simhash64
 
@@ -748,6 +761,7 @@ QUERIES = {
     "filter_groupby_events": q_filter_groupby_events,
     "join_orders_customer": q_join_orders_customer,
     "dedup_exact": q_dedup_exact,
+    "dedup_ngram": q_dedup_ngram,
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
@@ -885,6 +899,28 @@ ORACLE_SQL = {
                CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us
         FROM sess GROUP BY user_id, session_id
         ORDER BY user_id, session_id
+    """,
+    "dedup_ngram": """
+        WITH sh AS (
+            -- char substrings == byte windows on this ASCII corpus
+            SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), 8) AS s
+            FROM (
+                SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS u
+                FROM documents WHERE length(text) >= 8
+            )
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b, p.inter, (sa.n + sb.n - p.inter) AS un
+        FROM p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE 2 * p.inter >= (sa.n + sb.n - p.inter)
+        ORDER BY p.doc_a, p.doc_b
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

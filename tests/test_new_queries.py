@@ -24,6 +24,7 @@ NEW_QUERIES = [
     "session_windows",
     "lang_id",
     "quality_scores",
+    "dedup_ngram",
 ]
 
 
