@@ -250,29 +250,28 @@ def dedup_exact_fingerprint(ds, id_col: str = "doc_id", text_col: str = "text", 
     return out.sort_by(id_col)
 
 
-def dedup_ngram_jaccard(ds, id_col="doc_id", text_col="text", k: int = 8):
-    """EXACT n-gram (byte 8-gram) Jaccard pairs at threshold 0.5 via a
-    distributed inverted index — the n-gram dedup op as a first-class
-    pipeline rather than a verify kernel:
+def dedup_ngram_jaccard(ds, id_col="doc_id", text_col="text", k: int = 8, max_df: int = 16):
+    """EXACT n-gram (byte 8-gram) Jaccard pairs at threshold 0.5 over the
+    RARE-shingle sets, via a distributed inverted index:
 
         docs -> distinct shingle hashes per doc   (vectorized, exact:
                  the 8-byte rolling key is a BIJECTION of the window, so
                  distinct hashes == distinct byte substrings)
           -> flat (shingle, doc) rows -> sort by shingle (the shuffle)
           -> per-group all-pairs emission (repeat/tile, no per-row Python)
-          -> groupby (a, b) count = |A∩B| -> join sizes -> 2*inter >= union
+          -> groupby (a, b) count = |A∩B| -> 2*inter >= union
 
-    The threshold test is pure INTEGER arithmetic (2*inter >= |A|+|B|-inter
-    iff Jaccard >= 0.5), so the SQL oracle matches bit-exactly.  Docs
-    shorter than k bytes have no shingles and never pair.
+    ``max_df`` is the stop-shingle cap: shingles held by more than max_df
+    documents are excluded from BOTH the intersections and the set sizes
+    (a shared-by-everyone shingle emits O(df^2) pairs — 280M at sf0.1
+    uncapped — and carries no near-dup signal, exactly like stop-words in
+    inverted indexes).  The cap is part of the operator's definition and
+    is mirrored in the SQL oracle, so results stay bit-exact: the
+    threshold test is pure INTEGER arithmetic (2*inter >= |A|+|B|-inter
+    iff Jaccard >= 0.5).  Docs shorter than k bytes never pair.
 
-    Scale note: a shingle shared by g docs emits g^2 pairs — at 100 TB cap
-    document frequency (drop stop-shingles with df > D) exactly like
-    stop-words in inverted indexes; the cap trades recall on boilerplate.
     Returns (doc_a, doc_b, inter, un) sorted.
     """
-    import functools
-
     import pyarrow.compute as pc
 
     def shingle_stage(t: pa.Table) -> pa.Table:
@@ -291,22 +290,23 @@ def dedup_ngram_jaccard(ds, id_col="doc_id", text_col="text", k: int = 8):
             }
         )
 
-    def emit_pairs(t: pa.Table) -> pa.Table:
-        # sorted by shingle: INTERIOR groups (whole group inside the block)
-        # emit all (a < b) doc pairs vectorized; the first/last shingle of
-        # the block may continue in a neighbor block, so those groups
-        # forward their MEMBER rows instead — the driver regroups members
-        # across blocks and emits their pairs (the minhash boundary
-        # pattern; pairing only within-block halves would MISS cross-half
-        # pairs).  is_pair=True rows carry (a, b); member rows carry (s, a)
+    def emit(t: pa.Table) -> pa.Table:
+        """Sorted-by-shingle block -> mixed rows:
+        kind 0: (a, b) doc pair from an interior group with 2<=g<=max_df
+        kind 1: (a=doc, b=count) partial set-size contribution from
+                interior groups with g<=max_df
+        kind 2: (a=doc, s=shingle) member of a block-BOUNDARY group — the
+                driver regroups these across blocks and applies the same
+                rule (pairing only within-block halves would MISS
+                cross-half pairs)."""
         s = t.column("s").to_numpy(zero_copy_only=False)
         d = t.column("d").to_numpy(zero_copy_only=False)
         empty = pa.table(
             {
+                "kind": pa.array([], pa.int8()),
                 "a": pa.array([], pa.int64()),
                 "b": pa.array([], pa.int64()),
                 "s": pa.array([], pa.int64()),
-                "is_pair": pa.array([], pa.bool_()),
             }
         )
         if s.size == 0:
@@ -318,7 +318,7 @@ def dedup_ngram_jaccard(ds, id_col="doc_id", text_col="text", k: int = 8):
         interior = (s[starts] != s[0]) & (s[starts] != s[-1])
         pa_, pb_ = [], []
         for g in np.unique(glens[interior]):
-            if g < 2:
+            if g < 2 or g > max_df:
                 continue
             idx = starts[interior & (glens == g)]
             block = np.sort(d[(idx[:, None] + np.arange(g)[None, :])], axis=1)
@@ -327,27 +327,48 @@ def dedup_ngram_jaccard(ds, id_col="doc_id", text_col="text", k: int = 8):
             pb_.append(block[:, iu[1]].ravel())
         a = np.concatenate(pa_) if pa_ else np.empty(0, np.int64)
         b = np.concatenate(pb_) if pb_ else np.empty(0, np.int64)
+        # size contributions: members of kept interior groups, counted per doc
+        kept_rows = np.repeat(interior & (glens <= max_df), glens)
+        sd, sc = np.unique(d[kept_rows], return_counts=True)
+        # boundary members forwarded raw
         bmask = ~np.repeat(interior, glens)
         ms, md = s[bmask], d[bmask]
         return pa.table(
             {
-                "a": pa.array(np.concatenate([a, md])),
-                "b": pa.array(np.concatenate([b, np.zeros(md.size, np.int64)])),
-                "s": pa.array(np.concatenate([np.zeros(a.size, np.int64), ms])),
-                "is_pair": pa.array(np.r_[np.ones(a.size, bool), np.zeros(md.size, bool)]),
+                "kind": pa.array(
+                    np.r_[
+                        np.zeros(a.size, np.int8),
+                        np.ones(sd.size, np.int8),
+                        np.full(md.size, 2, np.int8),
+                    ]
+                ),
+                "a": pa.array(np.concatenate([a, sd, md])),
+                "b": pa.array(np.concatenate([b, sc.astype(np.int64), np.zeros(md.size, np.int64)])),
+                "s": pa.array(np.concatenate([np.zeros(a.size + sd.size, np.int64), ms])),
             }
         )
 
     flat = ds.map_batches(shingle_stage, batch_format="pyarrow", zero_copy_batch=True)
-    pairs_ds = flat.sort("s").map_batches(emit_pairs, batch_format="pyarrow", zero_copy_batch=True)
-    parts = [p for p in pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None) if p.num_rows]
+    mixed = flat.sort("s").map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [p for p in mixed.iter_batches(batch_format="pyarrow", batch_size=None) if p.num_rows]
+    empty_out = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "un": pa.array([], pa.int64()),
+        }
+    )
     if not parts:
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                         "inter": pa.array([], pa.int64()), "un": pa.array([], pa.int64())})
+        return empty_out
     allp = pa.concat_tables(parts).combine_chunks()
-    inter_pairs = allp.filter(allp.column("is_pair")).select(["a", "b"])
-    members = allp.filter(pc.invert(allp.column("is_pair")))
+    kind = allp.column("kind")
+    inter_pairs = allp.filter(pc.equal(kind, 0)).select(["a", "b"])
+    size_rows = allp.filter(pc.equal(kind, 1))
+    members = allp.filter(pc.equal(kind, 2))
+    # heal boundary groups across blocks: same g<=max_df rule
     bp_a, bp_b = [], []
+    bsd, bsc = np.empty(0, np.int64), np.empty(0, np.int64)
     if members.num_rows:
         ms = members.column("s").to_numpy(zero_copy_only=False)
         md = members.column("a").to_numpy(zero_copy_only=False)
@@ -356,27 +377,41 @@ def dedup_ngram_jaccard(ds, id_col="doc_id", text_col="text", k: int = 8):
         gb = np.ones(ms.size, dtype=bool)
         gb[1:] = ms[1:] != ms[:-1]
         gstarts = np.flatnonzero(gb)
+        kept_members = []
         for i, st in enumerate(gstarts):
             en = gstarts[i + 1] if i + 1 < gstarts.size else ms.size
             mem = md[st:en]
+            if mem.size > max_df:
+                continue
+            kept_members.append(mem)
             if mem.size >= 2:
                 iu = np.triu_indices(mem.size, 1)
                 bp_a.append(mem[iu[0]])
                 bp_b.append(mem[iu[1]])
+        if kept_members:
+            bsd, bsc = np.unique(np.concatenate(kept_members), return_counts=True)
     bpairs = pa.table(
         {
             "a": pa.array(np.concatenate(bp_a) if bp_a else np.empty(0, np.int64)),
             "b": pa.array(np.concatenate(bp_b) if bp_b else np.empty(0, np.int64)),
         }
     )
-    counts = (
-        pa.concat_tables([inter_pairs, bpairs])
-        .group_by(["a", "b"])
-        .aggregate([([], "count_all")])
-    )
-    # doc shingle-set sizes
-    sizes = _to_sizes(flat)
-    sz = dict(zip(sizes.column("d").to_pylist(), sizes.column("n").to_pylist()))
+    all_pairs = pa.concat_tables([inter_pairs, bpairs])
+    if all_pairs.num_rows == 0:
+        return empty_out
+    counts = all_pairs.group_by(["a", "b"]).aggregate([([], "count_all")])
+    # set sizes: interior partials + boundary contributions
+    sz_tab = pa.table(
+        {
+            "d": pa.concat_arrays(
+                [size_rows.column("a").combine_chunks(), pa.array(bsd)]
+            ),
+            "n": pa.concat_arrays(
+                [size_rows.column("b").combine_chunks(), pa.array(bsc.astype(np.int64))]
+            ),
+        }
+    ).group_by("d").aggregate([("n", "sum")])
+    sz = dict(zip(sz_tab.column("d").to_pylist(), sz_tab.column("n_sum").to_pylist()))
     a = counts.column("a").to_numpy(zero_copy_only=False)
     b = counts.column("b").to_numpy(zero_copy_only=False)
     inter = counts.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -393,14 +428,6 @@ def dedup_ngram_jaccard(ds, id_col="doc_id", text_col="text", k: int = 8):
         }
     )
     return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
-
-
-def _to_sizes(flat_ds) -> pa.Table:
-    import ray
-
-    agg = flat_ds.groupby("d").aggregate(ray.data.aggregate.Count(alias_name="n"))
-    parts = list(agg.iter_batches(batch_format="pyarrow", batch_size=None))
-    return pa.concat_tables(parts).combine_chunks()
 
 
 class _UnionFind:

@@ -348,9 +348,11 @@ def q_dedup_minhash(sf_dir: str):
 
 
 def q_dedup_ngram(sf_dir: str):
-    """Exact byte-8-gram Jaccard near-dup pairs at threshold 0.5 via a
-    distributed inverted index; the threshold test is pure integer
-    arithmetic (2*inter >= union), so the SQL self-join oracle matches
+    """Exact byte-8-gram Jaccard near-dup pairs at threshold 0.5 over
+    rare-shingle sets (stop-shingles with document frequency > 16 are
+    excluded on BOTH sides — the df cap that bounds the inverted index's
+    pair emission); the threshold test is pure integer arithmetic
+    (2*inter >= union), so the SQL self-join oracle matches
     bit-exactly (functions/dedup.dedup_ngram_jaccard).  The oracle's char
     substrings equal the engine's byte windows because this corpus is
     ASCII; on non-ASCII data the SQL mirror would need byte semantics."""
@@ -909,10 +911,12 @@ ORACLE_SQL = {
                 FROM documents WHERE length(text) >= 8
             )
         ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 16),
+        shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
         p AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )
         SELECT p.doc_a, p.doc_b, p.inter, (sa.n + sb.n - p.inter) AS un
