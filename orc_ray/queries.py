@@ -377,7 +377,12 @@ def q_simhash(sf_dir: str):
 
 def q_ann_topk(sf_dir: str):
     """Exact cosine top-10 around the vec_id=0 embedding, through the
-    engine-decoded embeddings stream; float64 math to match the oracle."""
+    engine-decoded embeddings stream; float64 math to match the oracle.
+
+    The compared value is rounded to e4 and BOTH engines rank by the
+    rounded value: numpy's blocked matmul and the oracle's sequential
+    dot product can differ in the last ulp, which at e6 precision landed
+    on a .5 rounding knife-edge (seen at sf0.001)."""
     import pyarrow.parquet as _pq
 
     from .functions.similarity import topk_cosine
@@ -385,11 +390,14 @@ def q_ann_topk(sf_dir: str):
     emb = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     q = np.array(emb.filter(pc.equal(emb.column("vec_id"), 0)).column("embedding")[0].as_py(), np.float64)
     ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    t = topk_cosine(ds, q, k=10, dtype=np.float64)
+    t = topk_cosine(ds, q, k=32, dtype=np.float64)  # headroom for e4 ties
+    sim_e4 = np.rint(t.column("sim").to_numpy() * 1e4).astype(np.int64)
+    vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((vid, -sim_e4))[:10]
     return pa.table(
         {
-            "vec_id": t.column("vec_id"),
-            "sim_e6": pa.array(np.rint(t.column("sim").to_numpy() * 1e6).astype(np.int64)),
+            "vec_id": pa.array(vid[order]),
+            "sim_e4": pa.array(sim_e4[order]),
         }
     )
 
@@ -831,10 +839,11 @@ ORACLE_SQL = {
     """,
     "ann_topk": """
         SELECT e.vec_id,
-               CAST(ROUND(list_cosine_similarity(e.embedding,
-                     (SELECT embedding FROM embeddings WHERE vec_id = 0)) * 1000000) AS BIGINT) AS sim_e6
+               CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+                    * 10000) AS BIGINT) AS sim_e4
         FROM embeddings e
-        ORDER BY sim_e6 DESC, e.vec_id LIMIT 10
+        ORDER BY sim_e4 DESC, e.vec_id LIMIT 10
     """,
     "point_lookup_events": "SELECT * FROM events WHERE event_id = 777",
     "window_hourly_events": """
