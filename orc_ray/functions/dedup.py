@@ -538,15 +538,33 @@ def _arr1(x, ty: pa.DataType) -> pa.Array:
     return x.cast(ty) if x.type != ty else x
 
 
-def dedup_minhash(ds, id_col="doc_id", text_col="text", num_hashes=128, bands=32, k=8):
+def dedup_minhash(
+    ds,
+    id_col="doc_id",
+    text_col="text",
+    num_hashes=128,
+    bands=32,
+    k=8,
+    verify_threshold: float | None = 0.5,
+):
     """Near-dup clustering: returns an arrow Table (doc_id, cluster_rep).
 
     Shuffle cost: one sort over (id, bkey) pairs — the only all-to-all.
     Pair emission is fully vectorized per sorted block (Arrow group_by +
     index_in); the driver sees only actual duplicate edges plus two
-    boundary records per block, and runs union-find over those.
+    boundary records per block.
+
+    ``verify_threshold`` wires in the textbook verification step: every
+    LSH candidate pair is checked with EXACT k-shingle Jaccard and only
+    pairs at or above the threshold are unioned — banding false positives
+    no longer glue unrelated documents into a cluster.  The verify input
+    is bounded by the candidate pairs (the texts of candidate docs are
+    fetched with one filtered pass over the stream).  None disables it
+    (raw LSH clustering).
     """
     import functools
+
+    import pyarrow.compute as pc
 
     sch = ds.schema()
     id_type = dict(zip(sch.names, sch.types))[id_col]
@@ -558,7 +576,7 @@ def dedup_minhash(ds, id_col="doc_id", text_col="text", num_hashes=128, bands=32
         zero_copy_batch=True,
     )
 
-    uf = _UnionFind()
+    cand: set = set()
     boundary: dict = {}
     for t in edges_ds.iter_batches(batch_format="pyarrow", batch_size=None):
         if t.num_rows == 0:
@@ -566,14 +584,43 @@ def dedup_minhash(ds, id_col="doc_id", text_col="text", num_hashes=128, bands=32
         bmask = t.column("boundary")
         normal = t.filter(pa.compute.invert(bmask))
         for x, y in zip(normal.column("a").to_pylist(), normal.column("b").to_pylist()):
-            uf.union(x, y)
+            cand.add((x, y) if x <= y else (y, x))
         bd = t.filter(bmask)
         for bk, rep in zip(bd.column("k").to_pylist(), bd.column("a").to_pylist()):
             prev = boundary.get(bk)
             if prev is None:
                 boundary[bk] = rep
-            else:
-                uf.union(prev, rep)
+            elif prev != rep:
+                cand.add((prev, rep) if prev <= rep else (rep, prev))
+
+    if verify_threshold is not None and cand:
+        # fetch the candidate docs' texts (bounded set) and verify each
+        # pair with exact k-shingle Jaccard
+        doc_ids = sorted({d for p in cand for d in p})
+        idset = pa.array(doc_ids, id_type)
+
+        def fetch(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t.column(id_col), value_set=idset)
+            return t.select([id_col, text_col]).filter(m)
+
+        parts = [
+            b
+            for b in ds.map_batches(fetch, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+            if b.num_rows
+        ]
+        docs = pa.concat_tables(parts).combine_chunks()
+        pos = {d: i for i, d in enumerate(docs.column(id_col).to_pylist())}
+        concat, offsets = _varbytes(docs.column(text_col))
+        plist = sorted(cand)
+        idx_pairs = np.array([(pos[a], pos[b]) for a, b in plist], np.int64)
+        jac = jaccard_pairs(concat, offsets, idx_pairs, k)
+        cand = {p for p, j in zip(plist, jac) if j >= verify_threshold}
+
+    uf = _UnionFind()
+    for a, b in sorted(cand):
+        uf.union(a, b)
     members = sorted(uf.parent)
     return pa.table(
         {
