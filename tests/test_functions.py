@@ -97,7 +97,9 @@ def test_dedup_exact_fingerprint(ray_session):
     ids = [f"d{i}" for i in range(len(docs))]
     t = pa.table({"doc_id": pa.array(ids), "text": pa.array(docs)})
     ds = ray.data.from_arrow(t).repartition(3)
-    out = dedup.dedup_exact_fingerprint(ds)
+    out = pa.concat_tables(
+        list(dedup.dedup_exact_fingerprint(ds).iter_batches(batch_format="pyarrow", batch_size=None))
+    )
     got = dict(zip(out.column("text").to_pylist(), out.column("doc_id").to_pylist()))
     assert got == {"aaa": "d0", "bbb": "d1", "ccc": "d3"}
 
@@ -115,9 +117,74 @@ def test_dedup_exact_fingerprint_collision_path(ray_session):
     ids = [f"d{i}" for i in range(len(docs))]
     t = pa.table({"doc_id": pa.array(ids), "text": pa.array(docs)})
     ds = ray.data.from_arrow(t).repartition(2)
-    out = dedup.dedup_exact_fingerprint(ds, _fp_fn=colliding)
+    out = pa.concat_tables(
+        list(
+            dedup.dedup_exact_fingerprint(ds, _fp_fn=colliding).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
     got = dict(zip(out.column("text").to_pylist(), out.column("doc_id").to_pylist()))
     assert got == {"xx": "d0", "yy": "d1", "zz": "d3"}
+
+
+def test_dedup_ngram_distributed_vs_bruteforce(ray_session):
+    """dedup_ngram_jaccard must (a) match a brute-force shingle-set
+    computation and (b) keep the pair multiset OFF the driver: the rows
+    collected driver-side (boundary members + final result) must be a
+    small fraction of the emitted pair rows (the r2 verdict's row-count
+    ceiling check)."""
+    import ray
+
+    rng = np.random.default_rng(7)
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "pack my box with five dozen liquor jugs before the storm arrives",
+        "how vexingly quick daft zebras jump over fences in the moonlight",
+    ]
+    docs, ids = [], []
+    for i in range(120):
+        b = base[i % 3]
+        # near-dups: shared long substrings -> many candidate pairs
+        suffix = "" if i % 4 else f" variant {i}"
+        docs.append(b + suffix)
+        ids.append(i)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(docs)})
+    ds = ray.data.from_arrow(t).repartition(4)
+    stats = {}
+    out = dedup.dedup_ngram_jaccard(ds, max_df=200, stats_out=stats)
+
+    # brute force with identical semantics (k=8 byte shingles, df cap)
+    k, max_df = 8, 200
+    sets = []
+    for d in docs:
+        bs = d.encode()
+        sets.append({bs[i : i + k] for i in range(len(bs) - k + 1)} if len(bs) >= k else set())
+    from collections import Counter
+
+    df = Counter(s for st in sets for s in st)
+    keep = {s for s, c in df.items() if c <= max_df}
+    sets = [st & keep for st in sets]
+    exp = []
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(sets[i] & sets[j])
+            un = len(sets[i]) + len(sets[j]) - inter
+            if inter and 2 * inter >= un:
+                exp.append((ids[i], ids[j], inter, un))
+    got = list(
+        zip(
+            out.column("doc_a").to_pylist(),
+            out.column("doc_b").to_pylist(),
+            out.column("inter").to_pylist(),
+            out.column("un").to_pylist(),
+        )
+    )
+    assert sorted(got) == sorted(exp)
+    assert len(exp) > 100  # the corpus really produces many dup pairs
+    # the scale assertion: driver rows bounded, pair multiset distributed
+    assert stats["emitted_pair_rows"] > 10 * len(exp)
+    assert stats["driver_rows"] < stats["emitted_pair_rows"] / 5, stats
 
 
 def test_topk_cosine_exact(ray_session):
