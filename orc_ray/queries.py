@@ -613,15 +613,13 @@ def q_token_histogram(sf_dir: str):
 
 def q_dedup_embedding(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (exact, threshold 0.4):
-    broadcast corpus matrix, per-batch matmul, only qualifying pairs leave
-    the tasks (functions/similarity.py cosine_pairs)."""
+    IVF-sorted blocks + one task per surviving block pair with exact
+    spherical-cap pruning — no corpus broadcast, no driver-side matrix
+    (functions/similarity.py cosine_pairs)."""
     from .functions.similarity import cosine_pairs
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
-    vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
     ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return cosine_pairs(ds, ids, vecs, threshold=0.4)
+    return cosine_pairs(ds, threshold=0.4)
 
 
 def _orders_build_side(sf_dir: str):

@@ -213,6 +213,45 @@ def test_topk_cosine_exact(ray_session):
     assert [v for v, _ in by_q[0]] == list(truth[:, 0])
 
 
+def test_cosine_pairs_blockwise_exact_and_prunes(ray_session):
+    """cosine_pairs must equal the brute-force all-pairs answer AND, on
+    clustered data, skip a provable fraction of block pairs via the
+    spherical-cap bound (no full-corpus broadcast)."""
+    import ray
+
+    from orc_ray.functions.similarity import _normalize, cosine_pairs
+
+    rng = np.random.default_rng(23)
+    d = 16
+    # three well-separated clusters -> far block pairs are prunable
+    centers = _normalize(rng.normal(size=(3, d)))
+    vecs = np.concatenate(
+        [_normalize(c + 0.05 * rng.normal(size=(400, d))) for c in centers]
+    ).astype(np.float32)
+    ids = rng.permutation(vecs.shape[0]).astype(np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    stats = {}
+    out = cosine_pairs(ds, threshold=0.9, block_rows=128, n_clusters=6, stats_out=stats)
+
+    m = _normalize(vecs.astype(np.float64))
+    sims = m @ m.T
+    exp = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and sims[i, j] > 0.9:
+                exp.add((int(ids[i]), int(ids[j])))
+    got = set(zip(out.column("vec_id_a").to_pylist(), out.column("vec_id_b").to_pylist()))
+    assert got == exp and len(exp) > 1000
+    assert stats["block_pairs_pruned"] > 0, stats  # pruning must bite
+    assert stats["block_pairs_pruned"] < stats["block_pairs_total"]
+
+
 def test_topk_cosine_ivf(ray_session):
     import ray
 
