@@ -48,10 +48,42 @@ def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
     )
 
 
+try:  # real image decoder, used when present AND the payload decodes
+    from PIL import Image as _PILImage  # noqa: N812
+
+    _HAVE_PIL = True
+except ImportError:  # sandbox: PIL absent -> deterministic stub below
+    _HAVE_PIL = False
+
+_STUB_WARNED = False
+
+
 def _decode_impl(payload: bytes, media_type: str) -> np.ndarray:
-    """Real decoders are not available in this container.  Deterministic
-    fake: a seeded 8x8 'thumbnail' / 64-sample 'waveform' derived from the
-    payload hash — stable across runs and workers."""
+    """Decode one payload to a fixed-size feature-source array.
+
+    Gated: if PIL is importable and the payload is a decodable image, the
+    REAL path runs (8x8 grayscale thumbnail).  Otherwise — PIL/ffmpeg are
+    absent from this container, and the synthetic corpus is random bytes
+    — a deterministic fake derived from the payload hash keeps the
+    Ray-side plumbing real and stable across runs/workers.  The stub path
+    logs once per worker so its use is visible."""
+    global _STUB_WARNED
+    if _HAVE_PIL and media_type == "image":
+        try:
+            import io
+
+            img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+            return np.asarray(img, np.float32).ravel() / 255.0
+        except Exception:  # noqa: BLE001 — undecodable payload: use stub
+            pass
+    if not _STUB_WARNED:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "multimodal decode: deterministic STUB in use (PIL/ffmpeg absent "
+            "or payload not decodable) — features are fake, plumbing is real"
+        )
+        _STUB_WARNED = True
     h = hashlib.sha256(payload).digest()
     seed = int.from_bytes(h[:8], "little")
     rng = np.random.default_rng(seed)

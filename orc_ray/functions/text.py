@@ -179,6 +179,23 @@ def fingerprint64(batch: pa.Table, col: str = "text") -> pa.Table:
     return out.append_column("fingerprint", pa.array(fps.view(np.int64)))
 
 
+def fingerprint_md5(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Hex md5 content fingerprint per document — the ORACLE-PARITY mode
+    (DuckDB's md5() reproduces it exactly, so the driver hash-checks it).
+
+    md5 has no vectorized kernel in this environment, so this is a per-row
+    loop over hashlib's C core (~1 us/doc) — acceptable for a checksum
+    stage and still distributed via map_batches; the vectorized fast path
+    for engine-internal fingerprinting is ``dedup.content_hash64`` (one
+    numpy pass), which exact-dedup uses."""
+    import hashlib as _hl
+
+    text = _concat_np(batch.column(col)).cast(pa.large_binary())
+    fps = [_hl.md5(v.as_py()).hexdigest() for v in text]
+    out = batch.select(batch.column_names)
+    return out.append_column("fp_md5", pa.array(fps, pa.string()))
+
+
 def _fnv1a_segmented(
     concat: np.ndarray, offsets: np.ndarray, basis: np.uint64 = _FNV_BASIS
 ) -> np.ndarray:
