@@ -345,7 +345,9 @@ def dedup_ngram_jaccard(
 
     def emit(t: pa.Table) -> pa.Table:
         """Sorted-by-shingle block -> mixed rows:
-        kind 0: (a, b) doc pair from an interior group with 2<=g<=max_df
+        kind 0: (a, b, c) PRE-AGGREGATED doc-pair count from interior
+                groups with 2<=g<=max_df (the combiner: within-block
+                duplicate pairs collapse before the shuffle)
         kind 1: (a=doc, b=count) partial set-size contribution from
                 interior groups with g<=max_df
         kind 2: (a=doc, s=shingle) member of a block-BOUNDARY group — the
@@ -360,6 +362,7 @@ def dedup_ngram_jaccard(
                 "a": pa.array([], pa.int64()),
                 "b": pa.array([], pa.int64()),
                 "s": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
             }
         )
         if s.size == 0:
@@ -380,6 +383,20 @@ def dedup_ngram_jaccard(
             pb_.append(block[:, iu[1]].ravel())
         a = np.concatenate(pa_) if pa_ else np.empty(0, np.int64)
         b = np.concatenate(pb_) if pb_ else np.empty(0, np.int64)
+        # local combiner: collapse duplicate (a, b) pairs before the
+        # shuffle (two docs sharing many shingles inside this block emit
+        # one counted row, not one row per shingle)
+        if a.size:
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            pbrk = np.zeros(a.size, dtype=bool)
+            pbrk[0] = True
+            pbrk[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            pstarts = np.flatnonzero(pbrk)
+            pc_ = np.diff(np.r_[pstarts, a.size])
+            a, b = a[pstarts], b[pstarts]
+        else:
+            pc_ = np.empty(0, np.int64)
         # size contributions: members of kept interior groups, counted per doc
         kept_rows = np.repeat(interior & (glens <= max_df), glens)
         sd, sc = np.unique(d[kept_rows], return_counts=True)
@@ -398,6 +415,9 @@ def dedup_ngram_jaccard(
                 "a": pa.array(np.concatenate([a, sd, md])),
                 "b": pa.array(np.concatenate([b, sc.astype(np.int64), np.zeros(md.size, np.int64)])),
                 "s": pa.array(np.concatenate([np.zeros(a.size + sd.size, np.int64), ms])),
+                "c": pa.array(
+                    np.concatenate([pc_.astype(np.int64), np.zeros(sd.size + md.size, np.int64)])
+                ),
             }
         )
 
@@ -456,16 +476,29 @@ def dedup_ngram_jaccard(
                 bp_b.append(mem[iu[1]])
         if kept_members:
             bsd, bsc = np.unique(np.concatenate(kept_members), return_counts=True)
-    bpairs = pa.table(
-        {
-            "a": pa.array(np.concatenate(bp_a) if bp_a else np.empty(0, np.int64)),
-            "b": pa.array(np.concatenate(bp_b) if bp_b else np.empty(0, np.int64)),
-        }
-    )
+    # healed boundary pairs, locally pre-aggregated like the emit combiner
+    if bp_a:
+        ba, bb = np.concatenate(bp_a), np.concatenate(bp_b)
+        order = np.lexsort((bb, ba))
+        ba, bb = ba[order], bb[order]
+        pbrk = np.zeros(ba.size, dtype=bool)
+        pbrk[0] = True
+        pbrk[1:] = (ba[1:] != ba[:-1]) | (bb[1:] != bb[:-1])
+        pstarts = np.flatnonzero(pbrk)
+        bc = np.diff(np.r_[pstarts, ba.size]).astype(np.int64)
+        ba, bb = ba[pstarts], bb[pstarts]
+    else:
+        ba = bb = bc = np.empty(0, np.int64)
+    bpairs = pa.table({"a": pa.array(ba), "b": pa.array(bb), "c": pa.array(bc)})
 
-    # DISTRIBUTED pair counting: interior pair rows + healed boundary pairs
+    # DISTRIBUTED pair counting: interior pre-counted pair rows + healed
+    # boundary pairs, summed with the sort + vectorized-block combiner
+    # (sum_by_keys) — Ray's groupby.aggregate pays per-group Python cost,
+    # prohibitive at O(pairs) distinct groups
+    from .aggregates import sum_by_keys
+
     pairs_ds = mixed.map_batches(
-        functools.partial(_kind_stage, kk=0, cols={"a": "a", "b": "b"}),
+        functools.partial(_kind_stage, kk=0, cols={"a": "a", "b": "b", "c": "c"}),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -473,14 +506,11 @@ def dedup_ngram_jaccard(
         pairs_ds = pairs_ds.union(ray.data.from_arrow(bpairs))
     if stats_out is not None:  # diagnostics only: extra pass over `mixed`
         stats_out["emitted_pair_rows"] = pairs_ds.count()
-    counts = (
-        pairs_ds.groupby(["a", "b"])
-        .aggregate(ray.data.aggregate.Count(alias_name="inter"))
-        .materialize()
-    )
+    agg_stats: dict = {}
+    counts = sum_by_keys(pairs_ds, ["a", "b"], "c", out="inter", stats_out=agg_stats).materialize()
     n_pairs = counts.count()
     if stats_out is not None:
-        stats_out["driver_rows"] = driver_rows
+        stats_out["driver_rows"] = driver_rows + agg_stats.get("boundary_rows", 0)
         stats_out["distinct_pairs"] = n_pairs
     if n_pairs == 0:
         return empty_out
@@ -495,7 +525,7 @@ def dedup_ngram_jaccard(
         sizes_ds = sizes_ds.union(
             ray.data.from_arrow(pa.table({"d": pa.array(bsd), "n": pa.array(bsc.astype(np.int64))}))
         )
-    sizes = sizes_ds.groupby("d").aggregate(ray.data.aggregate.Sum("n", alias_name="nsz"))
+    sizes = sum_by_keys(sizes_ds, ["d"], "n", out="nsz")
 
     # DISTRIBUTED size join (hash-partitioned on the doc id) + threshold.
     # num_partitions auto-shrinks with the pair count: Ray's hash join

@@ -182,9 +182,11 @@ def test_dedup_ngram_distributed_vs_bruteforce(ray_session):
     )
     assert sorted(got) == sorted(exp)
     assert len(exp) > 100  # the corpus really produces many dup pairs
-    # the scale assertion: driver rows bounded, pair multiset distributed
-    assert stats["emitted_pair_rows"] > 10 * len(exp)
-    assert stats["driver_rows"] < stats["emitted_pair_rows"] / 5, stats
+    # the scale assertions: the shuffled pair multiset (already shrunk by
+    # the in-block combiner) exceeds the result, and the driver sees only
+    # boundary rows + the result — never the multiset
+    assert stats["emitted_pair_rows"] > 2 * len(exp), stats
+    assert stats["driver_rows"] < stats["emitted_pair_rows"] / 4, stats
 
 
 def test_topk_cosine_exact(ray_session):
