@@ -35,6 +35,81 @@ def _run_sums(cols: list[np.ndarray], v: np.ndarray):
     return starts, csum[ends] - csum[starts]
 
 
+_HEAL_OP = {"min": "min", "max": "max", "sum": "sum", "count": "sum", "count_all": "sum"}
+
+
+def agg_by_keys(ds, keys: list[str], aggs: list[tuple], stats_out: dict | None = None):
+    """GROUP BY ``keys`` with Arrow-vectorized aggregates, as a Dataset.
+
+    ``aggs`` is [(col, op, out_name)] with op in min|max|sum|count|
+    count_all (count_all ignores col).  Same scale shape as sum_by_keys —
+    one range sort co-locates keys, pyarrow's C++ group_by aggregates
+    each block (any key/value type, no per-group Python), and only the
+    <=2 groups per block owning the block's first/last key reach the
+    driver for healing (min-of-mins / max-of-maxes / sum-of-sums).
+    Keys must be non-null."""
+    import ray
+    import pyarrow.compute as pc
+
+    arrow_aggs = [((c, op) if op != "count_all" else ([], "count_all")) for c, op, _ in aggs]
+    part_names = [f"{c}_{op}" if op != "count_all" else "count_all" for c, op, _ in aggs]
+    out_names = [o for _, _, o in aggs]
+
+    def stage(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate(arrow_aggs)
+        # groups owning the block's first/last sorted key may continue in
+        # neighbouring blocks
+        if t.num_rows == 0:
+            edge = pa.array([], pa.bool_())
+        else:
+            edge = None
+            for k in keys:
+                col = t.column(k)
+                m = pc.or_(pc.equal(g.column(k), col[0]), pc.equal(g.column(k), col[-1]))
+                edge = m if edge is None else pc.and_(edge, m)
+        cols = {k: g.column(k) for k in keys}
+        for pn, on in zip(part_names, out_names):
+            cols[on] = g.column(pn)
+        cols["_edge"] = edge
+        return pa.table(cols)
+
+    mixed = (
+        ds.sort(keys)
+        .map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def interior_rows(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.invert(t.column("_edge").combine_chunks()))
+        return keep.drop_columns(["_edge"])
+
+    interior_ds = mixed.map_batches(interior_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("_edge").combine_chunks()).drop_columns(["_edge"])
+
+    bparts = [
+        p
+        for p in mixed.map_batches(edge_rows, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+        if p.num_rows
+    ]
+    if stats_out is not None:
+        stats_out["boundary_rows"] = sum(p.num_rows for p in bparts)
+    if not bparts:
+        return interior_ds
+    b = pa.concat_tables(bparts).combine_chunks()
+    healed = b.group_by(keys).aggregate(
+        [(o, _HEAL_OP[op]) for (_, op, _), o in zip(aggs, out_names)]
+    )
+    # arrow names the re-aggregated columns f"{out}_{healop}"
+    ren = {f"{o}_{_HEAL_OP[op]}": o for (_, op, _), o in zip(aggs, out_names)}
+    healed = healed.rename_columns([ren.get(c, c) for c in healed.column_names])
+    healed = healed.select(keys + out_names)
+    return interior_ds.union(ray.data.from_arrow(healed))
+
+
 def sum_by_keys(ds, keys: list[str], val: str, out: str | None = None,
                 stats_out: dict | None = None):
     """SUM(val) GROUP BY keys, returned as a ray.data.Dataset.

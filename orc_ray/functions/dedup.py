@@ -208,10 +208,17 @@ def dedup_exact_fingerprint(
             }
         )
 
+    from .aggregates import agg_by_keys
+
     triples = ds.map_batches(fp_stage, batch_format="pyarrow", zero_copy_batch=True)
-    agg = triples.groupby("fp").aggregate(
-        ray.data.aggregate.Min(id_col), ray.data.aggregate.Min("fp2"), ray.data.aggregate.Max("fp2")
-    ).materialize()  # O(distinct fp), distributed + spillable — NOT driver memory
+    # O(distinct fp) groups: agg_by_keys (sort + Arrow-vectorized block
+    # group_by + O(blocks) healing) sidesteps Ray aggregate's per-group
+    # Python cost; stays distributed + spillable — NOT driver memory
+    agg = agg_by_keys(
+        triples,
+        ["fp"],
+        [(id_col, "min", f"min({id_col})"), ("fp2", "min", "min(fp2)"), ("fp2", "max", "max(fp2)")],
+    ).materialize()
 
     def clean_winners(t: pa.Table) -> pa.Table:
         mask = pc.equal(t.column("min(fp2)"), t.column("max(fp2)"))
@@ -273,9 +280,8 @@ def dedup_exact_fingerprint(
     tagged = ds.map_batches(doc_rows, batch_format="pyarrow", zero_copy_batch=True).union(
         winners_ds.map_batches(win_rows, batch_format="pyarrow", zero_copy_batch=True)
     )
-    joined = tagged.groupby(id_col).aggregate(
-        ray.data.aggregate.Count(alias_name="_n"),
-        ray.data.aggregate.Max(text_col, alias_name=text_col),
+    joined = agg_by_keys(
+        tagged, [id_col], [(text_col, "max", text_col), (text_col, "count_all", "_n")]
     )
 
     def keep_winners(t: pa.Table) -> pa.Table:

@@ -543,11 +543,12 @@ def q_distinct_users(sf_dir: str):
 
     deduped = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
     # distributed global dedup + per-type count: one shuffle on the pair;
-    # aggregate (not map_groups) — one output row per pair with NO
-    # per-group Python call
-    distinct = deduped.groupby(["event_type", "user_id"]).aggregate(
-        ray.data.aggregate.Count()
-    )
+    # agg_by_keys (sort + Arrow-vectorized block group_by) — the pair
+    # domain is unbounded at scale, and Ray aggregate's per-group Python
+    # reduce would pay O(distinct pairs) driver-side calls
+    from .functions.aggregates import agg_by_keys
+
+    distinct = agg_by_keys(deduped, ["event_type", "user_id"], [("user_id", "count_all", "_c")])
 
     def count_per_type(t: pa.Table) -> pa.Table:
         return t.group_by("event_type").aggregate([("user_id", "count")])
@@ -584,11 +585,14 @@ def q_token_histogram(sf_dir: str):
     # distributed global sum per token (the vocabulary is unbounded at
     # scale — the full distinct-token table must never reach the driver),
     # then local top-K per aggregated batch; the driver merges only
-    # K-per-batch candidates
-    summed = (
-        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("token")
-        .aggregate(ray.data.aggregate.Sum("cnt", alias_name="cnt_total"))
+    # K-per-batch candidates.  agg_by_keys keeps the per-token reduce in
+    # Arrow C++ instead of Ray aggregate's per-group Python.
+    from .functions.aggregates import agg_by_keys
+
+    summed = agg_by_keys(
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True),
+        ["token"],
+        [("cnt", "sum", "cnt_total")],
     )
 
     def _topk(t: pa.Table, tok_col: str, cnt_col: str) -> pa.Table:
