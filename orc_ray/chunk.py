@@ -52,7 +52,7 @@ MAGIC = b"ORAY1"
 # bump when the buffer encoding changes incompatibly (v2: int32 codec lane +
 # layout-tagged RLE sub-streams).  Decode refuses other versions loudly
 # instead of mis-parsing; cache keys include it so stale stores rebuild.
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3  # v3: int-codec per-block metadata as zigzag varints
 STRIDE_ROWS = 2048  # row-index stride analog (per-stride stats + seek)
 
 

@@ -49,6 +49,7 @@ import struct
 import numpy as np
 
 from .bitpack import align_width, pack, packed_nbytes, unpack
+from .varint import decode_svarints, decode_varints, encode_svarints, encode_varints
 
 __all__ = ["encode_ints", "decode_ints", "encode_int64", "decode_int64", "INT_BLOCKS", "INT_RLE", "INT_BLOCKS32"]
 
@@ -111,7 +112,7 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed", dt: _Dt = _DT64)
     v = np.ascontiguousarray(values, dtype=dt.idt)
     n = v.size
     if n == 0:
-        return struct.pack("<QI", 0, 0)
+        return struct.pack("<QI4I", 0, 0, 0, 0, 0, 0)
     nb = (n + BLOCK - 1) // BLOCK
     nfull = n // BLOCK
     tail = n - nfull * BLOCK
@@ -322,18 +323,19 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed", dt: _Dt = _DT64)
                         chunks.append(pack(_zigzag(dtl, dt), width))
                     payload.extend(chunks)
 
-    head = struct.pack("<QI", n, patch_pos.size)
+    # per-block metadata as zigzag/plain varints (SerializationUtils
+    # analog, codecs/varint.py) instead of fixed 8-byte words — the
+    # reference's writeVslong/writeVulong streams; section byte lengths
+    # ride in the head so decode parses bounded slices
+    bases_b = encode_svarints(bases.astype(np.int64))
+    extras_b = encode_svarints(extras.astype(np.int64))
+    ppos_b = encode_varints(patch_pos.astype(np.uint64))
+    pval_b = encode_varints(patch_val.astype(np.uint64))
+    head = struct.pack(
+        "<QI4I", n, patch_pos.size, len(bases_b), len(extras_b), len(ppos_b), len(pval_b)
+    )
     return b"".join(
-        [
-            head,
-            tags.tobytes(),
-            widths.tobytes(),
-            bases.astype(dt.ile).tobytes(),
-            extras.astype(dt.ile).tobytes(),
-            patch_pos.astype("<u2").tobytes(),
-            patch_val.astype(dt.ule).tobytes(),
-        ]
-        + payload
+        [head, tags.tobytes(), widths.tobytes(), bases_b, extras_b, ppos_b, pval_b] + payload
     )
 
 
@@ -350,17 +352,17 @@ def _decode_blocks(data: memoryview, dt: _Dt = _DT64, block_sel: np.ndarray | No
     """Decode the block format; ``block_sel`` (sorted block indices)
     decodes ONLY those blocks' rows (the seek-to-row-group analog) —
     payload offsets of skipped groups are computed, not decoded."""
-    n, npatch = struct.unpack_from("<QI", data, 0)
-    off = 12
+    n, npatch, len_b, len_e, len_pp, len_pv = struct.unpack_from("<QI4I", data, 0)
+    off = 28
     if n == 0:
         return np.empty(0, dtype=dt.idt)
     nb = (n + BLOCK - 1) // BLOCK
     tags = np.frombuffer(data, np.uint8, nb, off); off += nb
     widths = np.frombuffer(data, np.uint8, nb, off); off += nb
-    bases = np.frombuffer(data, dt.ile, nb, off).astype(dt.idt); off += nb * dt.isize
-    extras = np.frombuffer(data, dt.ile, nb, off).astype(dt.idt); off += nb * dt.isize
-    patch_pos = np.frombuffer(data, "<u2", npatch, off).astype(np.int64); off += npatch * 2
-    patch_val = np.frombuffer(data, dt.ule, npatch, off).astype(dt.udt); off += npatch * dt.isize
+    bases = decode_svarints(data[off : off + len_b], nb)[0].astype(dt.idt); off += len_b
+    extras = decode_svarints(data[off : off + len_e], nb)[0].astype(dt.idt); off += len_e
+    patch_pos = decode_varints(data[off : off + len_pp], npatch)[0].astype(np.int64); off += len_pp
+    patch_val = decode_varints(data[off : off + len_pv], npatch)[0].astype(dt.udt); off += len_pv
 
     DECODE_STATS["blocks_total"] += nb
     DECODE_STATS["blocks_decoded"] += nb if block_sel is None else len(block_sel)

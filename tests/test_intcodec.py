@@ -59,7 +59,7 @@ def _tags(v):
     data = _encode_blocks(np.asarray(v, dtype=np.int64))
     n, _ = struct.unpack_from("<QI", data, 0)
     nb = (n + BLOCK - 1) // BLOCK
-    return np.frombuffer(data, np.uint8, nb, 12)
+    return np.frombuffer(data, np.uint8, nb, 28)  # after the <QI4I head
 
 
 def test_const_long_uses_rle_or_const():
