@@ -54,12 +54,37 @@ def _is_string(ty: pa.DataType) -> bool:
     return pa.types.is_string(ty) or pa.types.is_large_string(ty)
 
 
-def convert_column(arr: pa.Array | pa.ChunkedArray, target: pa.DataType) -> pa.Array | pa.ChunkedArray:
-    """Convert ``arr`` to ``target`` with ORC schema-evolution semantics."""
-    if arr.type.equals(target):
-        return arr
+import re as _re
+
+_CHAR_SPEC = _re.compile(r"^(char|varchar)\((\d+)\)$")
+
+
+def _char_convert(arr: pa.Array, kind: str, n: int) -> pa.Array:
+    """CHAR(n)/VARCHAR(n) reader semantics (apache/orc
+    c++/src/ColumnWriter.cc ≈1700 Char/VarcharColumnWriter; Arrow has no
+    fixed-length char type, so these are read-time conversions): both
+    truncate to n code points; CHAR additionally space-pads to exactly n."""
+    s = arr if _is_string(arr.type) else arr.cast(pa.string())
+    s = pc.utf8_slice_codeunits(s, 0, n)
+    if kind == "char":
+        s = pc.utf8_rpad(s, width=n, padding=" ")
+    return s
+
+
+def convert_column(arr: pa.Array | pa.ChunkedArray, target) -> pa.Array | pa.ChunkedArray:
+    """Convert ``arr`` to ``target`` with ORC schema-evolution semantics.
+
+    ``target`` is an Arrow DataType, or the string spec "char(n)" /
+    "varchar(n)" for the two ORC types with no Arrow analog."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if isinstance(target, str):
+        m = _CHAR_SPEC.match(target.strip().lower())
+        if not m:
+            raise ValueError(f"unknown target type spec {target!r}")
+        return _char_convert(arr, m.group(1), int(m.group(2)))
+    if arr.type.equals(target):
+        return arr
     try:
         return arr.cast(target)
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError):

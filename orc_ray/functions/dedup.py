@@ -719,22 +719,32 @@ def dedup_minhash(
         zero_copy_batch=True,
     )
 
+    import pyarrow.compute as _pc
+
+    # vectorized candidate-edge collection (the r2 per-row Python loop):
+    # normal edges are deduped with one Arrow group_by; boundary records
+    # are healed by anchoring every rep of a bkey to the group's min rep
+    # (index_in + take — linking to the anchor connects all reps).
+    parts = [t for t in edges_ds.iter_batches(batch_format="pyarrow", batch_size=None) if t.num_rows]
     cand: set = set()
-    boundary: dict = {}
-    for t in edges_ds.iter_batches(batch_format="pyarrow", batch_size=None):
-        if t.num_rows == 0:
-            continue
-        bmask = t.column("boundary")
-        normal = t.filter(pa.compute.invert(bmask))
-        for x, y in zip(normal.column("a").to_pylist(), normal.column("b").to_pylist()):
-            cand.add((x, y) if x <= y else (y, x))
-        bd = t.filter(bmask)
-        for bk, rep in zip(bd.column("k").to_pylist(), bd.column("a").to_pylist()):
-            prev = boundary.get(bk)
-            if prev is None:
-                boundary[bk] = rep
-            elif prev != rep:
-                cand.add((prev, rep) if prev <= rep else (rep, prev))
+    if parts:
+        all_e = pa.concat_tables(parts).combine_chunks()
+        bmask = all_e.column("boundary").combine_chunks()
+        normal = all_e.filter(_pc.invert(bmask)).select(["a", "b"])
+        lo = _pc.min_element_wise(normal.column("a"), normal.column("b"))
+        hi = _pc.max_element_wise(normal.column("a"), normal.column("b"))
+        edges = pa.table({"a": lo, "b": hi}).group_by(["a", "b"]).aggregate([])
+        bd = all_e.filter(bmask)
+        if bd.num_rows:
+            anchors = bd.select(["k", "a"]).group_by("k").aggregate([("a", "min")])
+            idx = _pc.index_in(bd.column("k"), value_set=anchors.column("k").combine_chunks())
+            anchor_rep = _pc.take(anchors.column("a_min"), idx)
+            ne = _pc.not_equal(anchor_rep, bd.column("a"))
+            blo = _pc.min_element_wise(anchor_rep.filter(ne), bd.column("a").filter(ne))
+            bhi = _pc.max_element_wise(anchor_rep.filter(ne), bd.column("a").filter(ne))
+            bedges = pa.table({"a": blo, "b": bhi}).group_by(["a", "b"]).aggregate([])
+            edges = pa.concat_tables([edges, bedges])
+        cand = set(zip(edges.column("a").to_pylist(), edges.column("b").to_pylist()))
 
     if verify_threshold is not None and cand:
         # fetch the candidate docs' texts (bounded set) and verify each

@@ -801,6 +801,17 @@ def q_multimodal_features(sf_dir: str):
     return _to_table(out).sort_by("media_id")
 
 
+def q_masked_export(sf_dir: str):
+    """Masked export of documents (the DataMask analog, functions/mask.py):
+    text redacted (x/X/9 char map), source sha256-hashed, lang nullified —
+    applied to the engine-decoded stream, as a write-side mask would be."""
+    from .functions.mask import mask_columns
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    out = mask_columns(ds, {"text": "redact", "source": "sha256", "lang": "nullify"})
+    return _to_table(out).sort_by("doc_id")
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -832,6 +843,7 @@ QUERIES = {
     "asof_join_events_orders": q_asof_join_events_orders,
     "range_join_events_orders": q_range_join_events_orders,
     "session_windows": q_session_windows,
+    "masked_export": q_masked_export,
 }
 
 ORACLE_SQL = {
@@ -978,6 +990,15 @@ ORACLE_SQL = {
     """,
     "fingerprints": """
         SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id
+    """,
+    "masked_export": """
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[a-z]', 'x', 'g'), '[A-Z]', 'X', 'g'), '[0-9]', '9', 'g')
+                   AS text,
+               CAST(NULL AS VARCHAR) AS lang,
+               sha256(source) AS source
+        FROM documents ORDER BY doc_id
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

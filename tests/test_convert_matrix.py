@@ -147,3 +147,25 @@ def test_decode_dataset_cast_schema_forgiving(tmp_path, ray_session):
     assert got.column("s").to_pylist()[:4] == [None, 1, 2, None]  # "bad" -> null
     assert got.schema.field("big").type == pa.int32()
     assert got.schema.field("s").type == pa.int64()
+
+
+def test_char_varchar_reader_semantics():
+    """CHAR(n)/VARCHAR(n) — the two ORC types with no Arrow analog — as
+    read-time conversions: truncate to n; CHAR space-pads to exactly n."""
+    import pyarrow as pa
+
+    from orc_ray.convert import convert_column, convert_table
+
+    arr = pa.array(["abcdef", "ab", "", None, "exact"])
+    vc = convert_column(arr, "varchar(4)")
+    assert vc.to_pylist() == ["abcd", "ab", "", None, "exac"]
+    ch = convert_column(arr, "char(4)")
+    assert ch.to_pylist() == ["abcd", "ab  ", "    ", None, "exac"]
+    # via the table-level reader schema, mixed with an Arrow target
+    t = pa.table({"s": arr, "n": pa.array([1, 2, 3, 4, 5])})
+    out = convert_table(t, {"s": "char(3)", "n": pa.int16()})
+    assert out.column("s").to_pylist() == ["abc", "ab ", "   ", None, "exa"]
+    assert out.column("n").type == pa.int16()
+    # non-string input converts through its string form
+    num = convert_column(pa.array([123456, 7]), "varchar(3)")
+    assert num.to_pylist() == ["123", "7"]

@@ -1,0 +1,54 @@
+"""Data-masking stages (functions/mask.py) — the impl/mask/* analog."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+from orc_ray.functions.mask import apply_masks, mask_columns
+
+
+def _t():
+    return pa.table(
+        {
+            "id": pa.array([1, 2, 3]),
+            "text": pa.array(["Ab1 c?", "ZZ 99", None]),
+            "ssn": pa.array(["123-45-6789", "000-00-0000", "x"]),
+        }
+    )
+
+
+def test_redact_char_map():
+    out = apply_masks(_t(), {"text": "redact"})
+    assert out.column("text").to_pylist() == ["Xx9 x?", "XX 99", None]
+
+
+def test_sha256_matches_hashlib_and_keeps_nulls():
+    out = apply_masks(_t(), {"text": "sha256"})
+    got = out.column("text").to_pylist()
+    assert got[0] == hashlib.sha256(b"Ab1 c?").hexdigest()
+    assert got[2] is None
+
+
+def test_nullify_keeps_type():
+    out = apply_masks(_t(), {"ssn": "nullify"})
+    col = out.column("ssn")
+    assert col.null_count == 3 and col.type == pa.string()
+
+
+def test_unknown_mask_and_column_raise():
+    with pytest.raises(ValueError):
+        apply_masks(_t(), {"text": "rot13"})
+    with pytest.raises(KeyError):
+        apply_masks(_t(), {"nope": "redact"})
+
+
+def test_mask_columns_stage(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(_t()).repartition(2)
+    out = mask_columns(ds, {"ssn": "redact", "text": "nullify"})
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
+    t = t.sort_by("id")
+    assert t.column("ssn").to_pylist() == ["999-99-9999", "999-99-9999", "x"]
+    assert t.column("text").null_count == 3
