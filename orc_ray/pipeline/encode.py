@@ -202,7 +202,7 @@ def encode_dataset(
     opts: EncodeOptions = DEFAULT_OPTIONS,
     *,
     columns: list[str] | None = None,
-    batch_size: int = 16384,
+    batch_size: int | None = 16384,
     concurrency=None,
     resume: bool = False,
     partition_by: str | None = None,
@@ -221,6 +221,14 @@ def encode_dataset(
     instead of paths (tests).
     """
     files = _resolve_files(input_paths, file_format) if ds is None else []
+    if batch_size is None:
+        # memory governor (MemoryManagerImpl analog): size batches from
+        # parquet metadata + node budget + concurrency; see governor.py
+        from .governor import plan_batch_size
+
+        batch_size = (
+            plan_batch_size(files, columns) if files and file_format == "parquet" else 16384
+        )
     expected: dict | None = {}
     fast_path = ds is None and file_format == "parquet" and not partition_by
     if ds is None:
