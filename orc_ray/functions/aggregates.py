@@ -35,6 +35,52 @@ def _run_sums(cols: list[np.ndarray], v: np.ndarray):
     return starts, csum[ends] - csum[starts]
 
 
+def _block_total(t: pa.Table, val: str) -> int:
+    import pyarrow.compute as pc
+
+    s = pc.sum(t.column(val)).as_py()
+    return int(s or 0)
+
+
+def _add_scan(t: pa.Table, val: str, out: str, offset: int, inclusive: bool) -> pa.Table:
+    v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+    c = np.cumsum(v) + np.int64(offset)
+    if not inclusive:
+        c -= v
+    return t.append_column(out, pa.array(c))
+
+
+def with_prefix_sum(ds, sort_keys: list[str], val: str, out: str = "cum_prev",
+                    inclusive: bool = False):
+    """Global running sum of ``val`` in ``sort_keys`` order — the window
+    `SUM(val) OVER (ORDER BY keys ROWS UNBOUNDED PRECEDING)` analog
+    (exclusive by default: each row sees the sum of STRICTLY preceding
+    rows).
+
+    Shape: one range sort; per-block totals are tiny Ray tasks; the
+    driver holds only the O(blocks) exclusive scan of block totals; a
+    second task per block adds its offset + local cumsum and the result
+    re-enters as a Dataset (``from_arrow_refs`` — blocks never touch the
+    driver).  Raw tasks are justified here: a global scan is a carried
+    dependency the Dataset API cannot express (SURVEY.md §2.8 rule (c)).
+    """
+    import ray
+
+    sorted_ds = ds.sort(sort_keys).materialize()
+    refs = [r for b in sorted_ds.iter_internal_ref_bundles() for r in b.block_refs]
+    if not refs:
+        return sorted_ds
+    total_task = ray.remote(num_cpus=0.5)(_block_total)
+    totals = ray.get([total_task.remote(r, val) for r in refs])
+    offsets = np.zeros(len(totals), dtype=np.int64)
+    np.cumsum(np.asarray(totals[:-1], dtype=np.int64), out=offsets[1:])
+    scan_task = ray.remote(num_cpus=1)(_add_scan)
+    out_refs = [
+        scan_task.remote(r, val, out, int(off), inclusive) for r, off in zip(refs, offsets)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 _HEAL_OP = {"min": "min", "max": "max", "sum": "sum", "count": "sum", "count_all": "sum"}
 
 

@@ -812,6 +812,87 @@ def q_masked_export(sf_dir: str):
     return _to_table(out).sort_by("doc_id")
 
 
+PACK_WINDOW_TOKENS = 256
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing (concat-then-chunk): documents in doc_id order are
+    laid head-to-tail in token space and cut into fixed
+    PACK_WINDOW_TOKENS context windows — each doc's window id is its
+    exclusive running token offset // window.  The canonical pre-training
+    packing op over a pre-tokenized corpus, built on the distributed
+    prefix-scan primitive (functions/aggregates.with_prefix_sum: O(blocks)
+    driver state, blocks never leave the object store)."""
+    from .functions.aggregates import with_prefix_sum
+    from .functions.text import token_counts
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = ds.map_batches(token_counts, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        lambda t: t.select(["doc_id", "n_ws_tokens"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    scanned = with_prefix_sum(toks, ["doc_id"], "n_ws_tokens", out="cum_prev")
+
+    def win(t: pa.Table) -> pa.Table:
+        cum = t.column("cum_prev").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tok": t.column("n_ws_tokens"),
+                "win_id": pa.array(cum // PACK_WINDOW_TOKENS),
+            }
+        )
+
+    return _to_table(
+        scanned.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("doc_id")
+
+
+SOURCE_CAP = 20
+
+
+def q_source_cap(sf_dir: str):
+    """Per-source quota capping (the per-domain cap of pretraining data
+    curation): keep the top SOURCE_CAP docs of each source ranked by
+    (n_chars DESC, doc_id).  Sources are the partition key — bounded
+    cardinality, so groupby().map_groups runs one vectorized rank kernel
+    per source, never per row."""
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def rank_cap(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nc))[:SOURCE_CAP]
+        sub = t.take(pa.array(order))
+        return sub.append_column("rnk", pa.array(np.arange(1, len(order) + 1)))
+
+    out = ds.groupby("source").map_groups(rank_cap, batch_format="pyarrow")
+    return _to_table(out).select(["source", "doc_id", "n_chars", "rnk"]).sort_by(
+        [("source", "ascending"), ("rnk", "ascending")]
+    )
+
+
+def q_hash_split(sf_dir: str):
+    """Deterministic holdout split: md5(doc_id) first hex digit in {0,1}
+    selects a reproducible ~1/8 sample — the standard content-hash split
+    that stays stable across runs, shards, and cluster sizes (no RNG
+    state).  Same per-row C-core hashing trade as the md5 fingerprints."""
+    import hashlib as _hl
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def split(t: pa.Table) -> pa.Table:
+        # hash the string form of the id (matches SQL md5(doc_id), which
+        # casts non-varchar ids to VARCHAR)
+        ids = t.column("doc_id").cast(pa.string()).to_pylist()
+        keep = pa.array([_hl.md5(d.encode()).hexdigest()[0] in "01" for d in ids])
+        return t.filter(keep)
+
+    out = ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+    return _to_table(out).sort_by("doc_id")
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -844,6 +925,9 @@ QUERIES = {
     "range_join_events_orders": q_range_join_events_orders,
     "session_windows": q_session_windows,
     "masked_export": q_masked_export,
+    "pack_sequences": q_pack_sequences,
+    "source_cap": q_source_cap,
+    "hash_split": q_hash_split,
 }
 
 ORACLE_SQL = {
@@ -999,6 +1083,38 @@ ORACLE_SQL = {
                CAST(NULL AS VARCHAR) AS lang,
                sha256(source) AS source
         FROM documents ORDER BY doc_id
+    """,
+    "pack_sequences": r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(string_split_regex(trim(text), '\s+'))
+                   END AS n_tok
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, n_tok,
+                   COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_prev
+            FROM tok
+        )
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(cum_prev // 256 AS BIGINT) AS win_id
+        FROM s ORDER BY doc_id
+    """,
+    "source_cap": """
+        SELECT source, doc_id, n_chars, rnk FROM (
+            SELECT source, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rnk
+            FROM documents
+        ) WHERE rnk <= 20 ORDER BY source, rnk
+    """,
+    "hash_split": """
+        SELECT doc_id, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        ORDER BY doc_id
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

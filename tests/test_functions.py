@@ -189,6 +189,39 @@ def test_dedup_ngram_distributed_vs_bruteforce(ray_session):
     assert stats["driver_rows"] < stats["emitted_pair_rows"] / 4, stats
 
 
+def test_with_prefix_sum_distributed(ray_session):
+    """Global running sum (exclusive + inclusive) must equal the serial
+    scan regardless of block layout; blocks stay in the object store."""
+    import ray
+
+    from orc_ray.functions.aggregates import with_prefix_sum
+
+    rng = np.random.default_rng(2)
+    n = 5000
+    keys = rng.permutation(n).astype(np.int64)
+    vals = rng.integers(0, 100, n)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = pa.concat_tables(
+        list(
+            with_prefix_sum(ds, ["k"], "v", out="cum").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    ).sort_by("k")
+    order = np.argsort(keys)
+    expect = np.cumsum(vals[order]) - vals[order]  # exclusive
+    np.testing.assert_array_equal(out.column("cum").to_numpy(), expect)
+    out_inc = pa.concat_tables(
+        list(
+            with_prefix_sum(ds, ["k"], "v", out="cum", inclusive=True).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    ).sort_by("k")
+    np.testing.assert_array_equal(out_inc.column("cum").to_numpy(), np.cumsum(vals[order]))
+
+
 def test_topk_cosine_exact(ray_session):
     import ray
 
