@@ -893,6 +893,115 @@ def q_hash_split(sf_dir: str):
     return _to_table(out).sort_by("doc_id")
 
 
+SLIDE_HOURS = 3  # sliding window length; slide step = 1 h
+
+
+def q_sliding_window_events(sf_dir: str):
+    """SLIDING 3-hour window (1-hour step) aggregate per event_type — the
+    overlapping-window op the tumbling query can't express.  Each event
+    lands in SLIDE_HOURS windows, materialized per batch by a vectorized
+    repeat/tile (k-fold duplication happens inside the tasks, shuffles
+    only the O(windows) partial aggregates, same combine shape as the
+    hourly query)."""
+    ds = _decoded(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000  # hour index of the event
+        n = us.size
+        # window start hours: hour-k+1 .. hour (windows [start, start+k))
+        offs = np.arange(SLIDE_HOURS, dtype=np.int64)
+        win_start = (np.repeat(hour, SLIDE_HOURS) - np.tile(offs, n)) * 3600
+        t2 = pa.table(
+            {
+                "event_type": pc.take(
+                    t.column("event_type"), pa.array(np.repeat(np.arange(n), SLIDE_HOURS))
+                ),
+                "win_start_epoch": pa.array(win_start),
+                "value": pc.take(t.column("value"), pa.array(np.repeat(np.arange(n), SLIDE_HOURS))),
+            }
+        )
+        return t2.group_by(["event_type", "win_start_epoch"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    partials = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = partials.group_by(["event_type", "win_start_epoch"]).aggregate(
+        [("value_sum", "sum"), ("value_count", "sum")]
+    )
+    return pa.table(
+        {
+            "event_type": final.column("event_type"),
+            "win_start_epoch": final.column("win_start_epoch"),
+            "total_value_cents": pa.array(
+                np.rint(final.column("value_sum_sum").to_numpy() * 100).astype(np.int64)
+            ),
+            "n_events": final.column("value_count_sum"),
+        }
+    ).sort_by([("event_type", "ascending"), ("win_start_epoch", "ascending")])
+
+
+def q_median_value(sf_dir: str):
+    """EXACT distributed per-group median (PERCENTILE_DISC(0.5)): the
+    smallest value whose within-group rank reaches ceil(n/2).  Group
+    counts are a tiny aggregate; ranks come from ONE global sort by
+    (group, value, tiebreak) + the distributed prefix scan of ones —
+    no per-group sort, no driver-side value lists.  Exact quantiles are
+    inherently rank-selection; this is the sort-once shape that scales."""
+    import ray
+
+    from .functions.aggregates import with_prefix_sum
+
+    ds = _decoded(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    # group counts (bounded distinct types) -> per-type target global rank
+    def cnt(t: pa.Table) -> pa.Table:
+        return t.group_by("event_type").aggregate([("value", "count")])
+
+    counts = _to_table(ds.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True))
+    counts = counts.group_by("event_type").aggregate([("value_count", "sum")])
+    types = counts.column("event_type").to_pylist()
+    ns = counts.column("value_count_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    order_t = np.argsort(np.asarray(types, dtype=object))
+    types = [types[i] for i in order_t]
+    ns = ns[order_t]
+    group_start = np.zeros(len(types), dtype=np.int64)
+    np.cumsum(ns[:-1], out=group_start[1:])
+    # global rank of each group's median element ((n+1)//2 within group)
+    target = {ty: int(gs + (n + 1) // 2) for ty, gs, n in zip(types, group_start, ns)}
+    tref = ray.put(target)
+
+    ones = ds.map_batches(
+        lambda t: t.append_column("one", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    scanned = with_prefix_sum(
+        ones, ["event_type", "value", "event_id"], "one", out="rank", inclusive=True
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        tgt = ray.get(tref)
+        ranks = t.column("rank").to_numpy(zero_copy_only=False)
+        tys = t.column("event_type").to_pylist()
+        keep = np.fromiter((tgt.get(ty) == r for ty, r in zip(tys, ranks)), bool, len(tys))
+        sub = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_type": sub.column("event_type"),
+                "median_cents": pa.array(
+                    np.rint(sub.column("value").to_numpy(zero_copy_only=False) * 100).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    return _to_table(
+        scanned.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("event_type")
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -928,6 +1037,8 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "source_cap": q_source_cap,
     "hash_split": q_hash_split,
+    "sliding_window_events": q_sliding_window_events,
+    "median_value": q_median_value,
 }
 
 ORACLE_SQL = {
@@ -1115,6 +1226,22 @@ ORACLE_SQL = {
         SELECT doc_id, source FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
         ORDER BY doc_id
+    """,
+    "sliding_window_events": """
+        SELECT e.event_type,
+               (epoch(date_trunc('hour', e.ts))::BIGINT - k.off * 3600)
+                   AS win_start_epoch,
+               CAST(ROUND(SUM(e.value) * 100) AS BIGINT) AS total_value_cents,
+               COUNT(e.value) AS n_events
+        FROM events e CROSS JOIN (VALUES (0), (1), (2)) AS k(off)
+        GROUP BY e.event_type, win_start_epoch
+        ORDER BY e.event_type, win_start_epoch
+    """,
+    "median_value": """
+        SELECT event_type,
+               CAST(ROUND(quantile_disc(value, 0.5) * 100) AS BIGINT)
+                   AS median_cents
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),
