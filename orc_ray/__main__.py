@@ -32,6 +32,8 @@ def cmd_encode(a) -> int:
     opts = EncodeOptions(strategy=a.strategy)
     if a.zstd_level is not None:
         opts.compression_level = a.zstd_level
+    if a.mask:
+        opts.masks = dict(kv.split("=", 1) for kv in a.mask)
     rec = encode_dataset(
         a.input,
         a.store,
@@ -143,6 +145,13 @@ def main(argv=None) -> int:
                    help="default: EncodeOptions.compression_level (6)")
     e.add_argument("--strategy", default="speed", choices=["speed", "compression"])
     e.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
+    e.add_argument(
+        "--mask",
+        action="append",
+        default=[],
+        metavar="COL=MASK",
+        help="write-side column mask (nullify|redact|sha256), repeatable",
+    )
     e.set_defaults(fn=cmd_encode)
 
     d = sub.add_parser("decode")

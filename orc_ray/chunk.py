@@ -75,6 +75,9 @@ class EncodeOptions:
     column_codecs: dict = field(default_factory=dict)  # name -> forced codec
     bloom_columns: tuple = ()            # per-chunk bloom filters -> manifest
     bloom_fpp: float = 0.05              # reference default (probe [P1])
+    masks: dict = field(default_factory=dict)  # name -> nullify|redact|sha256
+    # write-side masking (the DataMask writer-option analog): applied to
+    # each batch inside the encoder, so the store never sees raw values
 
 
 DEFAULT_OPTIONS = EncodeOptions()

@@ -162,6 +162,12 @@ class EncoderActor:
                 sub = sub.drop_columns([_SALT_COL])
             if sub.num_rows == 0:
                 continue
+            if self.opts.masks:
+                # write-side masking (reference DataMask writer option):
+                # the chunk store never contains the raw values
+                from ..functions.mask import apply_masks
+
+                sub = apply_masks(sub, {k: v for k, v in self.opts.masks.items() if k in sub.column_names})
             t0 = time.time()
             payload = encode_chunk(sub, self.opts)
             cid = hashlib.sha256(payload).hexdigest()[:24]

@@ -43,6 +43,35 @@ def test_unknown_mask_and_column_raise():
         apply_masks(_t(), {"nope": "redact"})
 
 
+def test_write_side_mask_through_store(ray_session, tmp_path):
+    """EncodeOptions.masks (the writer-option analog): the chunk store
+    must contain MASKED values — decode shows them, raw values are gone."""
+    import pyarrow.parquet as pq
+
+    from orc_ray.chunk import EncodeOptions
+    from orc_ray.pipeline.decode import decode_dataset
+    from orc_ray.pipeline.encode import encode_dataset
+
+    src = tmp_path / "in.parquet"
+    pq.write_table(
+        pa.table({"id": [1, 2, 3], "ssn": ["123-45", "678-90", "ab"], "note": ["x", "y", "z"]}),
+        src,
+    )
+    out = tmp_path / "store"
+    opts = EncodeOptions(masks={"ssn": "redact", "note": "nullify"})
+    encode_dataset([str(src)], str(out), opts)
+    t = pa.concat_tables(
+        list(decode_dataset(str(out)).iter_batches(batch_format="pyarrow", batch_size=None))
+    ).sort_by("id")
+    assert t.column("ssn").to_pylist() == ["999-99", "999-99", "xx"]
+    assert t.column("note").null_count == 3
+    # raw values never reached the chunk files
+    import glob
+
+    blob = b"".join(open(p, "rb").read() for p in glob.glob(str(out / "chunks" / "*")))
+    assert b"123-45" not in blob
+
+
 def test_mask_columns_stage(ray_session):
     import ray
 
