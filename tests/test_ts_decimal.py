@@ -153,3 +153,15 @@ def test_decimal_nulls_and_precision_boundary():
     blob2 = encode_chunk(t2)
     assert _codecs(blob2)["d"] == "dec128"
     assert decode_chunk(blob2).equals(t2.combine_chunks())
+
+
+def test_timestamp_instant_tz_roundtrip():
+    """TIMESTAMP_INSTANT analog (TypeKind 18): tz-aware timestamps carry
+    their zone through the serialized Arrow schema and round-trip exactly."""
+    ts = pa.array(
+        np.arange(1000) * 1_000_000 + 1_420_070_400_000_000, pa.timestamp("us")
+    ).cast(pa.timestamp("us", tz="UTC"))
+    t = pa.table({"ts": ts})
+    out = decode_chunk(encode_chunk(t))
+    assert out.schema.field("ts").type == pa.timestamp("us", tz="UTC")
+    assert out.equals(t)
