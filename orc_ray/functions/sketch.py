@@ -1,0 +1,124 @@
+"""HyperLogLog sketch — distributed approximate COUNT(DISTINCT).
+
+Flajolet et al. 2007 (+ the standard bias-corrected small/large-range
+estimators).  The Ray Data shape is the canonical sketch-merge pattern:
+each batch reduces to a fixed 2^p-byte register array inside
+``map_batches`` (vectorized: one hash pass + one scatter-max), partial
+registers merge by element-wise max, and only O(2^p) bytes ever reach the
+driver — the exact-distinct shuffle (q_distinct_users) disappears
+entirely.  At 100 TB this is the difference between an all-to-all
+exchange of every key and a ~16 KiB reduction per stage.
+
+Registers use p bucket bits / 64-p rank bits of a splitmix64 hash; the
+estimator is deterministic for fixed input content (no RNG), so the op is
+retry-stable like every other kernel here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _hash64_bytes(col: pa.Array) -> np.ndarray:
+    """splitmix64 of each value's canonical byte form (string cast)."""
+    from .dedup import _varbytes, content_hash64
+
+    concat, offsets = _varbytes(col.cast(pa.large_binary()) if not pa.types.is_binary(col.type) else col)
+    return content_hash64(concat, offsets)
+
+
+def hll_partial(col: pa.Array, p: int = 12) -> np.ndarray:
+    """2^p uint8 registers for one batch of values (nulls ignored)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if col.null_count:
+        col = col.drop_null()
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(col) == 0:
+        return regs
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            h = h ^ (h >> np.uint64(31))
+    else:
+        h = _hash64_bytes(col.cast(pa.string()))
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+    # rank = leading zeros of `rest` + 1, capped at 64-p+1 (rest == 0)
+    nz = rest != 0
+    lz = np.full(h.size, 64 - p, dtype=np.int64)
+    if nz.any():
+        # floor(log2(x)) via frexp-free bit trick: 63 - bit_length(x>>?) —
+        # use np.log2 on float64: exact for leading-zero counts because we
+        # only need the EXPONENT (top bit position), never the mantissa
+        top = np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+        lz[nz] = 63 - top
+    rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+    np.maximum.at(regs, bucket, rank)
+    return regs
+
+
+def hll_merge(parts: list[np.ndarray]) -> np.ndarray:
+    out = parts[0].copy()
+    for q in parts[1:]:
+        np.maximum(out, q, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL estimate with small/large-range corrections."""
+    m = regs.size
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    elif est > (1 << 64) / 30.0:
+        est = -(2.0**64) * np.log1p(-est / 2.0**64)
+    return float(est)
+
+
+def approx_distinct(ds, col: str, group_col: str | None = None, p: int = 12) -> pa.Table:
+    """Approximate COUNT(DISTINCT col) [per group_col] over a Dataset.
+
+    Partial registers per (batch, group) inside map_batches; the driver
+    merges O(groups x 2^p) bytes of registers — never the keys."""
+    def partial(t: pa.Table) -> pa.Table:
+        groups: list = []
+        regs: list = []
+        if group_col is None:
+            groups.append("")
+            regs.append(hll_partial(t.column(col), p))
+        else:
+            g = t.column(group_col)
+            for val in pa.compute.unique(g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g).to_pylist():
+                sub = t.filter(pa.compute.equal(t.column(group_col), val))
+                groups.append(val)
+                regs.append(hll_partial(sub.column(col), p))
+        return pa.table(
+            {
+                "g": pa.array([str(x) for x in groups]),
+                "regs": pa.array([r.tobytes() for r in regs], pa.binary()),
+            }
+        )
+
+    merged: dict[str, np.ndarray] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for g, rb in zip(b.column("g").to_pylist(), b.column("regs").to_pylist()):
+            r = np.frombuffer(rb, np.uint8)
+            if g in merged:
+                np.maximum(merged[g], r, out=merged[g])
+            else:
+                merged[g] = r.copy()
+    keys = sorted(merged)
+    return pa.table(
+        {
+            "group": pa.array(keys),
+            "approx_distinct": pa.array([int(round(hll_estimate(merged[k]))) for k in keys]),
+        }
+    )

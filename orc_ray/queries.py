@@ -893,6 +893,18 @@ def q_hash_split(sf_dir: str):
     return _to_table(out).sort_by("doc_id")
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id) per event_type
+    (functions/sketch.py): per-batch register partials, O(groups x 4 KiB)
+    driver merge — the sketch alternative to q_distinct_users' exact
+    shuffle (no oracle: estimator-specific values; accuracy bounds are
+    unit-tested instead)."""
+    from .functions.sketch import approx_distinct
+
+    ds = _decoded(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_distinct(ds, "user_id", group_col="event_type")
+
+
 SLIDE_HOURS = 3  # sliding window length; slide step = 1 h
 
 
@@ -1039,6 +1051,7 @@ QUERIES = {
     "hash_split": q_hash_split,
     "sliding_window_events": q_sliding_window_events,
     "median_value": q_median_value,
+    "approx_distinct_users": q_approx_distinct_users,
 }
 
 ORACLE_SQL = {

@@ -1,0 +1,55 @@
+"""HyperLogLog sketch (functions/sketch.py): accuracy bounds, merge
+equivalence, determinism, and the distributed pipeline."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from orc_ray.functions.sketch import approx_distinct, hll_estimate, hll_merge, hll_partial
+
+
+@pytest.mark.parametrize("true_n", [100, 5_000, 200_000])
+def test_estimate_within_bounds(true_n):
+    """Standard error is ~1.04/sqrt(m); assert 5 sigma at p=12."""
+    rng = np.random.default_rng(true_n)
+    vals = rng.choice(10**12, size=true_n, replace=False)
+    data = np.repeat(vals, 3)  # duplicates must not matter
+    rng.shuffle(data)
+    regs = hll_partial(pa.array(data), p=12)
+    est = hll_estimate(regs)
+    rel = abs(est - true_n) / true_n
+    assert rel < 5 * 1.04 / np.sqrt(1 << 12), (est, true_n, rel)
+
+
+def test_merge_equals_single_pass():
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 50_000, 120_000)
+    whole = hll_partial(pa.array(data), p=10)
+    parts = [hll_partial(pa.array(chunk), p=10) for chunk in np.array_split(data, 7)]
+    assert np.array_equal(hll_merge(parts), whole)  # merge == union semantics
+
+
+def test_string_and_int_hashing_deterministic():
+    a = pa.array(["x", "y", "x", None, "z"])
+    r1, r2 = hll_partial(a), hll_partial(a)
+    assert np.array_equal(r1, r2)
+    est = hll_estimate(r1)
+    assert abs(est - 3) < 1  # tiny cardinalities: linear counting is near-exact
+
+
+def test_approx_distinct_grouped(ray_session):
+    import ray
+
+    rng = np.random.default_rng(3)
+    n = 60_000
+    groups = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    users = np.where(groups == "a", rng.integers(0, 500, n), rng.integers(0, 8000, n))
+    t = pa.table({"grp": pa.array(groups), "user": pa.array(users)})
+    ds = ray.data.from_arrow(t).repartition(6)
+    out = approx_distinct(ds, "user", group_col="grp")
+    got = dict(zip(out.column("group").to_pylist(), out.column("approx_distinct").to_pylist()))
+    import pandas as pd
+
+    true = pd.DataFrame({"g": groups, "u": users}).groupby("g")["u"].nunique().to_dict()
+    for g, tv in true.items():
+        assert abs(got[g] - tv) / tv < 0.1, (g, got[g], tv)
