@@ -512,14 +512,6 @@ def dedup_ngram_jaccard(
         pairs_ds = pairs_ds.union(ray.data.from_arrow(bpairs))
     if stats_out is not None:  # diagnostics only: extra pass over `mixed`
         stats_out["emitted_pair_rows"] = pairs_ds.count()
-    agg_stats: dict = {}
-    counts = sum_by_keys(pairs_ds, ["a", "b"], "c", out="inter", stats_out=agg_stats).materialize()
-    n_pairs = counts.count()
-    if stats_out is not None:
-        stats_out["driver_rows"] = driver_rows + agg_stats.get("boundary_rows", 0)
-        stats_out["distinct_pairs"] = n_pairs
-    if n_pairs == 0:
-        return empty_out
 
     # DISTRIBUTED set sizes: interior partial counts + boundary contributions
     sizes_ds = mixed.map_batches(
@@ -531,7 +523,28 @@ def dedup_ngram_jaccard(
         sizes_ds = sizes_ds.union(
             ray.data.from_arrow(pa.table({"d": pa.array(bsd), "n": pa.array(bsc.astype(np.int64))}))
         )
-    sizes = sum_by_keys(sizes_ds, ["d"], "n", out="nsz")
+
+    # the two aggregations are independent reads of the materialized
+    # `mixed` — run them concurrently (each thread drives its own Ray
+    # Data executor) instead of back-to-back
+    import concurrent.futures as _cf
+
+    agg_stats: dict = {}
+    with _cf.ThreadPoolExecutor(2) as ex:
+        f_counts = ex.submit(
+            lambda: sum_by_keys(
+                pairs_ds, ["a", "b"], "c", out="inter", stats_out=agg_stats
+            ).materialize()
+        )
+        f_sizes = ex.submit(lambda: sum_by_keys(sizes_ds, ["d"], "n", out="nsz").materialize())
+        counts = f_counts.result()
+        sizes = f_sizes.result()
+    n_pairs = counts.count()
+    if stats_out is not None:
+        stats_out["driver_rows"] = driver_rows + agg_stats.get("boundary_rows", 0)
+        stats_out["distinct_pairs"] = n_pairs
+    if n_pairs == 0:
+        return empty_out
 
     # DISTRIBUTED size join (hash-partitioned on the doc id) + threshold.
     # num_partitions auto-shrinks with the pair count: Ray's hash join
