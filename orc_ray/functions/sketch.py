@@ -33,30 +33,10 @@ def hll_partial(col: pa.Array, p: int = 12) -> np.ndarray:
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if col.null_count:
         col = col.drop_null()
-    m = 1 << p
-    regs = np.zeros(m, dtype=np.uint8)
+    regs = np.zeros(1 << p, dtype=np.uint8)
     if len(col) == 0:
         return regs
-    if pa.types.is_integer(col.type):
-        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            h = h ^ (h >> np.uint64(31))
-    else:
-        h = _hash64_bytes(col.cast(pa.string()))
-    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
-    rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
-    # rank = leading zeros of `rest` + 1, capped at 64-p+1 (rest == 0)
-    nz = rest != 0
-    lz = np.full(h.size, 64 - p, dtype=np.int64)
-    if nz.any():
-        # floor(log2(x)) via frexp-free bit trick: 63 - bit_length(x>>?) —
-        # use np.log2 on float64: exact for leading-zero counts because we
-        # only need the EXPONENT (top bit position), never the mantissa
-        top = np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
-        lz[nz] = 63 - top
-    rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+    bucket, rank = _hashes_and_ranks(col, p)
     np.maximum.at(regs, bucket, rank)
     return regs
 
@@ -81,26 +61,64 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+def _hashes_and_ranks(col: pa.Array, p: int):
+    """(bucket, rank) arrays for one value column — shared by the grouped
+    and ungrouped partials."""
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            h = h ^ (h >> np.uint64(31))
+    else:
+        h = _hash64_bytes(col.cast(pa.string()))
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)
+    nz = rest != 0
+    lz = np.full(h.size, 64 - p, dtype=np.int64)
+    if nz.any():
+        top = np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+        lz[nz] = 63 - top
+    rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+    return bucket, rank
+
+
 def approx_distinct(ds, col: str, group_col: str | None = None, p: int = 12) -> pa.Table:
     """Approximate COUNT(DISTINCT col) [per group_col] over a Dataset.
 
-    Partial registers per (batch, group) inside map_batches; the driver
-    merges O(groups x 2^p) bytes of registers — never the keys."""
+    Partial registers per (batch, group) inside map_batches; the grouped
+    path is one scatter-max into a flat (group x 2^p) register matrix —
+    no per-group Python, any group cardinality.  The driver merges
+    O(groups x 2^p) bytes of registers — never the keys."""
     def partial(t: pa.Table) -> pa.Table:
-        groups: list = []
-        regs: list = []
         if group_col is None:
-            groups.append("")
-            regs.append(hll_partial(t.column(col), p))
-        else:
-            g = t.column(group_col)
-            for val in pa.compute.unique(g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g).to_pylist():
-                sub = t.filter(pa.compute.equal(t.column(group_col), val))
-                groups.append(val)
-                regs.append(hll_partial(sub.column(col), p))
+            return pa.table(
+                {
+                    "g": pa.array([""]),
+                    "regs": pa.array([hll_partial(t.column(col), p).tobytes()], pa.binary()),
+                }
+            )
+        gcol = t.column(group_col)
+        gcol = gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) else gcol
+        vcol = t.column(col)
+        vcol = vcol.combine_chunks() if isinstance(vcol, pa.ChunkedArray) else vcol
+        if vcol.null_count:
+            keep = pa.compute.is_valid(vcol)
+            gcol, vcol = gcol.filter(keep), vcol.filter(keep)
+        import pyarrow.compute as pc
+
+        genc = pc.dictionary_encode(gcol)
+        genc = genc.combine_chunks() if isinstance(genc, pa.ChunkedArray) else genc
+        gidx = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        names = [str(x) for x in genc.dictionary.to_pylist()]
+        m = 1 << p
+        regs = np.zeros((len(names), m), dtype=np.uint8)
+        if len(vcol):
+            bucket, rank = _hashes_and_ranks(vcol, p)
+            np.maximum.at(regs.reshape(-1), gidx * m + bucket, rank)
         return pa.table(
             {
-                "g": pa.array([str(x) for x in groups]),
+                "g": pa.array(names),
                 "regs": pa.array([r.tobytes() for r in regs], pa.binary()),
             }
         )
