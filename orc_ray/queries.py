@@ -980,8 +980,8 @@ def q_median_value(sf_dir: str):
     group_start = np.zeros(len(types), dtype=np.int64)
     np.cumsum(ns[:-1], out=group_start[1:])
     # global rank of each group's median element ((n+1)//2 within group)
-    target = {ty: int(gs + (n + 1) // 2) for ty, gs, n in zip(types, group_start, ns)}
-    tref = ray.put(target)
+    targets = group_start + (ns + 1) // 2
+    tref = ray.put((pa.array(types, pa.string()), targets))
 
     ones = ds.map_batches(
         lambda t: t.append_column("one", pa.array(np.ones(t.num_rows, np.int64))),
@@ -993,11 +993,15 @@ def q_median_value(sf_dir: str):
     )
 
     def pick(t: pa.Table) -> pa.Table:
-        tgt = ray.get(tref)
+        # vectorized: map each row's group to its target rank (index_in +
+        # take), keep rows whose global rank equals it — no per-row Python
+        type_arr, tgt_ranks = ray.get(tref)
         ranks = t.column("rank").to_numpy(zero_copy_only=False)
-        tys = t.column("event_type").to_pylist()
-        keep = np.fromiter((tgt.get(ty) == r for ty, r in zip(tys, ranks)), bool, len(tys))
-        sub = t.filter(pa.array(keep))
+        idx = pc.index_in(t.column("event_type"), value_set=type_arr)
+        tgt = np.r_[tgt_ranks, -1][
+            pc.fill_null(idx, len(tgt_ranks)).to_numpy(zero_copy_only=False).astype(np.int64)
+        ]
+        sub = t.filter(pa.array(ranks == tgt))
         return pa.table(
             {
                 "event_type": sub.column("event_type"),
