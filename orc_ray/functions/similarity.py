@@ -233,28 +233,29 @@ def cosine_pairs(ds, threshold: float, id_col: str = "vec_id", vec_col: str = "e
     ]
     B = len(slices)
 
+    # vectorized cap-bound pruning over ALL slice pairs at once: one B x B
+    # centroid-dot matrix instead of a Python double loop (B can be large)
+    C = np.stack([s[3] for s in slices])  # (B, d) unit centroids
+    A = np.array([s[4] for s in slices])  # cap half-angles
+    theta = np.arccos(np.clip(C @ C.T, -1.0, 1.0))
+    cap = np.cos(np.maximum(0.0, theta - A[:, None] - A[None, :]))
+    iu, ju = np.triu_indices(B, 1)
+    live = cap[iu, ju] + 1e-9 > threshold  # provably-empty pairs dropped
+    pairs = list(zip(iu[live].tolist(), ju[live].tolist())) + [(i, i) for i in range(B)]
+
     pair_task = ray.remote(num_cpus=1)(_slice_pair_kernel)
     out_refs = []
-    pruned = total = 0
-    for i in range(B):
-        bi, sa, la, ci, ai = slices[i]
-        for j in range(i, B):
-            total += 1
-            bj, sb, lb, cj, aj = slices[j]
-            if i != j:
-                theta = float(np.arccos(np.clip(np.dot(ci, cj), -1.0, 1.0)))
-                cap = np.cos(max(0.0, theta - ai - aj))
-                if cap + 1e-9 <= threshold:  # provably no qualifying pair
-                    pruned += 1
-                    continue
-            out_refs.append(
-                pair_task.remote(
-                    refs[bi], refs[bj], sa, la, sb, lb, i == j, threshold, id_col, vec_col
-                )
+    for i, j in pairs:
+        bi, sa, la, _, _ = slices[i]
+        bj, sb, lb, _, _ = slices[j]
+        out_refs.append(
+            pair_task.remote(
+                refs[bi], refs[bj], sa, la, sb, lb, i == j, threshold, id_col, vec_col
             )
+        )
     if stats_out is not None:
-        stats_out["block_pairs_total"] = total
-        stats_out["block_pairs_pruned"] = pruned
+        stats_out["block_pairs_total"] = B * (B + 1) // 2
+        stats_out["block_pairs_pruned"] = int((~live).sum())
     parts = [t for t in ray.get(out_refs) if t.num_rows]
     if not parts:
         return pa.table(_EMPTY_PAIRS)
