@@ -13,12 +13,15 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001: encode the documents
-    table through the engine (chunk store + lineage manifest), decode it
-    back as a streaming Dataset, and return the decoded rows."""
-    from orc_ray.queries import q_roundtrip_documents
+    """Flagship on /root/testdata/sf0.001: the composed curation pipeline
+    — documents encoded through the engine (chunk store + lineage
+    manifest), decoded as a streaming Dataset, quality-filtered,
+    exact-deduped (fingerprint shuffle + partitioned semi-join), token
+    counted, and packed into fixed context windows via the distributed
+    prefix scan.  Oracle-checked end-to-end as queries()['curation_pipeline']."""
+    from orc_ray.queries import q_curation_pipeline
 
-    return q_roundtrip_documents("/root/testdata/sf0.001")
+    return q_curation_pipeline("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -1018,6 +1018,87 @@ def q_median_value(sf_dir: str):
     ).sort_by("event_type")
 
 
+CURATION_QUALITY_E6 = 600_000  # keep docs at/above this quality score
+
+
+def q_curation_pipeline(sf_dir: str):
+    """Composed curation flagship — the end-to-end shape a training-data
+    user actually runs, chaining the op library over one decoded stream:
+
+        decode -> quality filter (floor-e6 score >= threshold)
+               -> exact dedup (fingerprint shuffle + partitioned semi-join)
+               -> token counts -> distributed prefix scan
+               -> pack into fixed 256-token context windows
+
+    Every stage is the same oracle-exact operator used standalone, so the
+    whole composition has a single SQL mirror (quality CTE -> GROUP BY
+    dedup -> window-SUM packing)."""
+    from .functions.aggregates import with_prefix_sum
+    from .functions.dedup import dedup_exact_fingerprint
+    from .functions.text import quality_score, token_counts
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def qfilter(t: pa.Table) -> pa.Table:
+        q = quality_score(t, scale_e6=True)
+        mask = pc.greater_equal(q.column("quality_e6"), CURATION_QUALITY_E6)
+        return t.filter(mask)
+
+    kept = ds.map_batches(qfilter, batch_format="pyarrow", zero_copy_batch=True)
+    deduped = dedup_exact_fingerprint(kept, id_col="doc_id", text_col="text")
+    toks = deduped.map_batches(token_counts, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        lambda t: t.select(["doc_id", "n_ws_tokens"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    scanned = with_prefix_sum(toks, ["doc_id"], "n_ws_tokens", out="cum_prev")
+
+    def win(t: pa.Table) -> pa.Table:
+        cum = t.column("cum_prev").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tok": t.column("n_ws_tokens"),
+                "win_id": pa.array(cum // PACK_WINDOW_TOKENS),
+            }
+        )
+
+    return _to_table(
+        scanned.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("doc_id")
+
+
+def _curation_oracle_sql() -> str:
+    return f"""
+        WITH q AS ({_quality_oracle_sql()}),
+        kept AS (
+            SELECT d.doc_id, d.text FROM documents d
+            JOIN q ON d.doc_id = q.doc_id
+            WHERE q.quality_e6 >= {CURATION_QUALITY_E6}
+        ),
+        dedup AS (
+            SELECT MIN(doc_id) AS doc_id, text FROM kept GROUP BY text
+        ),
+        tok AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(string_split_regex(trim(text), '\\s+'))
+                   END AS n_tok
+            FROM dedup
+        ),
+        s AS (
+            SELECT doc_id, n_tok,
+                   COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_prev
+            FROM tok
+        )
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(cum_prev // {PACK_WINDOW_TOKENS} AS BIGINT) AS win_id
+        FROM s ORDER BY doc_id
+    """
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -1056,6 +1137,7 @@ QUERIES = {
     "sliding_window_events": q_sliding_window_events,
     "median_value": q_median_value,
     "approx_distinct_users": q_approx_distinct_users,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLE_SQL = {
@@ -1262,6 +1344,7 @@ ORACLE_SQL = {
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),
+    "curation_pipeline": _curation_oracle_sql(),
     # dedup_minhash / simhash / ann_ivf / multimodal_features: heuristic
     # or approximate ops with no SQL equivalent — driver records the
     # weaker rows-only check.
