@@ -38,11 +38,15 @@ def _run_sums(cols: list[np.ndarray], v: np.ndarray):
 def _block_total(t: pa.Table, val: str) -> int:
     import pyarrow.compute as pc
 
+    if t.num_rows == 0:  # empty sort partitions may be schema-less
+        return 0
     s = pc.sum(t.column(val)).as_py()
     return int(s or 0)
 
 
 def _add_scan(t: pa.Table, val: str, out: str, offset: int, inclusive: bool) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.table({})  # dropped by consumers (0 rows)
     v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
     c = np.cumsum(v) + np.int64(offset)
     if not inclusive:

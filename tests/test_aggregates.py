@@ -1,0 +1,93 @@
+"""Direct tests for functions/aggregates.py: sum_by_keys, agg_by_keys,
+with_prefix_sum — adversarial key distributions and boundary healing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from orc_ray.functions.aggregates import agg_by_keys, sum_by_keys, with_prefix_sum
+
+
+def _collect(ds) -> pa.Table:
+    parts = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables([p for p in parts if p.num_rows]).combine_chunks()
+
+
+def test_sum_by_keys_matches_pandas(ray_session):
+    import pandas as pd
+    import ray
+
+    rng = np.random.default_rng(1)
+    n = 30_000
+    a = rng.integers(0, 800, n)
+    b = rng.integers(0, 5, n)
+    v = rng.integers(-50, 50, n)
+    ds = ray.data.from_arrow(pa.table({"a": a, "b": b, "v": v})).repartition(9)
+    stats = {}
+    got = _collect(sum_by_keys(ds, ["a", "b"], "v", out="s", stats_out=stats)).to_pandas()
+    exp = (
+        pd.DataFrame({"a": a, "b": b, "v": v})
+        .groupby(["a", "b"], as_index=False)["v"]
+        .sum()
+        .rename(columns={"v": "s"})
+    )
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+    exp = exp.sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"s": "int64"}), exp.astype({"s": "int64"}))
+    assert 0 < stats["boundary_rows"] < 200  # O(blocks), not O(groups)
+
+
+@pytest.mark.parametrize("case", ["one_key", "all_unique"])
+def test_sum_by_keys_degenerate_distributions(ray_session, case):
+    import ray
+
+    n = 4_000
+    if case == "one_key":
+        k = np.zeros(n, np.int64)  # one group spanning every block
+    else:
+        k = np.arange(n)  # every row its own group
+    v = np.ones(n, np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": k, "v": v})).repartition(5)
+    got = _collect(sum_by_keys(ds, ["k"], "v", out="s"))
+    if case == "one_key":
+        assert got.num_rows == 1 and got.column("s")[0].as_py() == n
+    else:
+        assert got.num_rows == n
+        assert set(got.column("s").to_pylist()) == {1}
+
+
+def test_agg_by_keys_min_max_strings_and_counts(ray_session):
+    import ray
+
+    rng = np.random.default_rng(4)
+    n = 10_000
+    k = rng.integers(0, 300, n)
+    s = np.array([f"v{x:05d}" for x in rng.integers(0, 10_000, n)], dtype=object)
+    ds = ray.data.from_arrow(pa.table({"k": k, "s": pa.array(list(s))})).repartition(6)
+    got = (
+        _collect(
+            agg_by_keys(
+                ds, ["k"], [("s", "min", "lo"), ("s", "max", "hi"), ("s", "count_all", "n")]
+            )
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    import pandas as pd
+
+    df = pd.DataFrame({"k": k, "s": s})
+    exp = df.groupby("k")["s"].agg(lo="min", hi="max", n="count")
+    pd.testing.assert_frame_equal(got.astype({"n": "int64"}), exp.astype({"n": "int64"}))
+
+
+def test_with_prefix_sum_empty_and_single(ray_session):
+    import ray
+
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}))
+    assert with_prefix_sum(empty, ["k"], "v").count() == 0
+    one = ray.data.from_arrow(pa.table({"k": [5], "v": [7]}))
+    t = _collect(with_prefix_sum(one, ["k"], "v", out="c"))
+    assert t.column("c").to_pylist() == [0]
+    t2 = _collect(with_prefix_sum(one, ["k"], "v", out="c", inclusive=True))
+    assert t2.column("c").to_pylist() == [7]
