@@ -68,7 +68,9 @@ def cmd_decode(a) -> int:
         predicates=_parse_where(a.where),
     )
     if a.out:
-        ds.write_parquet(a.out)
+        # partitioned export: one directory per key value (hive layout) —
+        # a failed downstream run skips finished partitions by directory
+        ds.write_parquet(a.out, partition_cols=a.partition_by.split(",") if a.partition_by else None)
         print(f"wrote {a.out}")
     else:
         n = 0
@@ -159,6 +161,7 @@ def main(argv=None) -> int:
     d.add_argument("--columns")
     d.add_argument("--limit", type=int, default=20)
     d.add_argument("--out")
+    d.add_argument("--partition-by", help="comma-separated hive partition columns for --out")
     d.add_argument("--where", help='JSON predicates, e.g. \'[["col","<",100]]\'')
     d.set_defaults(fn=cmd_decode)
 

@@ -1,6 +1,7 @@
 """CSV / JSONL ingestion (orc-tools `convert` analog, trust-mode commit)."""
 
 import json
+import os
 
 import pyarrow as pa
 import pytest
@@ -42,3 +43,33 @@ def test_jsonl_roundtrip(ray_session, tmp_path):
     assert rec["totals"]["rows"] == 150
     t = _collect(decode_dataset(out)).sort_by("id")
     assert t.column("n").to_pylist() == [i * 3 for i in range(150)]
+
+
+def test_partitioned_parquet_export(tmp_path, ray_session):
+    """decode --out --partition-by: hive-layout export (one directory per
+    key) so a downstream consumer can skip finished partitions."""
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "in.parquet"
+    pq.write_table(
+        pa.table({"id": list(range(40)), "grp": ["a", "b"] * 20}), src
+    )
+    store = tmp_path / "store"
+    out = tmp_path / "export"
+    env = {**os.environ, "RAY_ADDRESS": "local"}
+    for args in (
+        ["encode", str(src), str(store)],
+        ["decode", str(store), "--out", str(out), "--partition-by", "grp"],
+    ):
+        r = subprocess.run(
+            [sys.executable, "-m", "orc_ray", *args],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+    dirs = sorted(p.name for p in out.iterdir() if p.is_dir())
+    assert dirs == ["grp=a", "grp=b"]
+    back = pq.read_table(str(out)).sort_by("id")
+    assert back.column("id").to_pylist() == list(range(40))
