@@ -375,6 +375,106 @@ def topk_cosine_ivf_store(
     return topk_cosine(ds, queries, k, id_col, vec_col), kept, total
 
 
+class LSHAssignStage:
+    """map_batches stage: append the random-hyperplane bucket id (sign
+    bits of V @ H packed into an int32)."""
+
+    def __init__(self, planes_ref, vec_col: str = "embedding"):
+        import ray
+
+        h = ray.get(planes_ref) if not isinstance(planes_ref, np.ndarray) else planes_ref
+        self.planes = np.asarray(h, np.float32)  # (d, b)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch.column(self.vec_col))
+        if m.size:
+            bits = (m @ self.planes) > 0  # (n, b)
+            bucket = (bits @ (1 << np.arange(self.planes.shape[1]))).astype(np.int32)
+        else:
+            bucket = np.zeros(0, np.int32)
+        return batch.append_column("lsh_bucket", pa.array(bucket))
+
+
+def lsh_planes(d: int, n_bits: int, seed: int = 29) -> np.ndarray:
+    return np.random.default_rng(seed).normal(size=(d, n_bits)).astype(np.float32)
+
+
+def build_lsh_store(
+    emb_path: str,
+    out_dir: str,
+    n_bits: int = 8,
+    vec_col: str = "embedding",
+    batch_size: int = 4096,
+) -> np.ndarray:
+    """Random-hyperplane LSH-bucketed ANN store — the second bucketed
+    scale path beside IVF (Charikar 2002 sign-random-projection): assign
+    each vector a bucket from the sign pattern of seeded hyperplanes,
+    SORT by bucket, and encode through the engine so chunk min/max spans
+    are narrow and a probe prunes whole chunks via the manifest.  Unlike
+    IVF there is no training pass at all — assignment is one matmul, so
+    the build is a pure streaming map + sort at any scale."""
+    import functools
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..pipeline.encode import encode_dataset
+
+    d = len(pq.read_table(emb_path, columns=[vec_col]).column(vec_col)[0].as_py())
+    planes = lsh_planes(d, n_bits)
+    pref = ray.put(planes)
+    assigned = ray.data.read_parquet(emb_path).map_batches(
+        functools.partial(_lsh_assign_mod, pref=pref, vec_col=vec_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    encode_dataset(None, out_dir, ds=assigned.sort("lsh_bucket"), batch_size=batch_size)
+    np.save(os.path.join(out_dir, "planes.npy"), planes)
+    return planes
+
+
+def _lsh_assign_mod(batch, *, pref, vec_col):
+    return LSHAssignStage(pref, vec_col)(batch)
+
+
+def topk_cosine_lsh_store(
+    store_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[pa.Table, int, int]:
+    """LSH-store query with multiprobe: the query's own bucket plus the
+    buckets reached by flipping its least-confident sign bits (smallest
+    |q . h| margins — the standard multiprobe order), exact cosine top-k
+    inside the pruned candidate set.  Returns (topk, chunks_read,
+    chunks_total) so callers can assert pruning."""
+    import os
+
+    from ..pipeline.decode import decode_dataset, list_chunks
+
+    planes = np.load(os.path.join(store_dir, "planes.npy"))
+    q = _normalize(np.atleast_2d(np.asarray(queries, np.float32)))
+    b = planes.shape[1]
+    weights = 1 << np.arange(b)
+    probe: set[int] = set()
+    for qi in range(q.shape[0]):
+        margins = q[qi] @ planes  # signed distances to each hyperplane
+        base_bits = margins > 0
+        base = int(base_bits @ weights)
+        probe.add(base)
+        order = np.argsort(np.abs(margins))  # least-confident bits first
+        for j in range(min(nprobe - 1, b)):
+            probe.add(base ^ int(weights[order[j]]))
+    preds = [("lsh_bucket", "in", sorted(probe))]
+    _, kept, total = list_chunks(store_dir, preds)
+    ds = decode_dataset(store_dir, columns=[id_col, vec_col], predicates=preds)
+    return topk_cosine(ds, queries, k, id_col, vec_col), kept, total
+
+
 def topk_cosine_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16, nprobe: int = 4,
                     id_col="vec_id", vec_col="embedding", sample_rows: int = 4096) -> pa.Table:
     """IVF approximate top-k: train centroids on a sample, prune batches to

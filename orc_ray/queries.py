@@ -459,6 +459,49 @@ def q_ann_ivf(sf_dir: str):
     return t.select(["vec_id", "sim"])
 
 
+def lsh_store_for(sf_dir: str, n_bits: int = 6) -> str:
+    """Build (once, cached) the LSH-bucket-sorted chunk store for the
+    embeddings table — the training-free bucketed ANN path."""
+    from .chunk import FORMAT_VERSION
+    from .functions.similarity import build_lsh_store
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|lsh{n_bits}|v{FORMAT_VERSION}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(CACHE_ROOT, f"lsh-{key}")
+    marker = os.path.join(out, "_lsh_done")
+    n_rows = pq.read_metadata(src).num_rows
+    ok = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            ok = f.read() == str(n_rows)
+    if not ok:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        bs = max(256, min(4096, n_rows // (2 * (1 << n_bits))))
+        build_lsh_store(src, out, n_bits=n_bits, batch_size=bs)
+        with open(marker, "w") as f:
+            f.write(str(n_rows))
+    return out
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-10 through the bucket-pruned chunk
+    store (no oracle: approximate; recall is unit-tested)."""
+    import pyarrow.parquet as _pq
+
+    from .functions.similarity import topk_cosine_lsh_store
+
+    emb = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    q = np.array(emb.filter(pc.equal(emb.column("vec_id"), 0)).column("embedding")[0].as_py(), np.float32)
+    store = lsh_store_for(sf_dir, n_bits=6)
+    t, kept, total = topk_cosine_lsh_store(store, q, k=10, nprobe=8)
+    assert kept < total or total <= 4, (kept, total)  # pruning must bite
+    return t.select(["vec_id", "sim"])
+
+
 def q_point_lookup_events(sf_dir: str):
     """Point lookup by equality predicate: chunk-level manifest pruning +
     sub-chunk stride seek (the RowIndexEntry/seekToRowGroup analog) keep
@@ -1138,6 +1181,7 @@ QUERIES = {
     "median_value": q_median_value,
     "approx_distinct_users": q_approx_distinct_users,
     "curation_pipeline": q_curation_pipeline,
+    "ann_lsh": q_ann_lsh,
 }
 
 ORACLE_SQL = {

@@ -340,6 +340,54 @@ def test_ivf_store_prunes_chunks(ray_session, tmp_path):
     assert len(ex_ids & ap_ids) >= 3
 
 
+def test_lsh_store_recall_and_pruning(ray_session, tmp_path):
+    """LSH-bucketed ANN store: multiprobe top-k must hit high recall vs
+    exact brute force AND prune chunks via the manifest."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from orc_ray.functions.similarity import (
+        _normalize,
+        build_lsh_store,
+        topk_cosine_lsh_store,
+    )
+
+    rng = np.random.default_rng(31)
+    n, d = 3000, 24
+    vecs = _normalize(rng.normal(size=(n, d))).astype(np.float32)
+    # plant true near-neighbors for the probed queries (uniform random
+    # vectors have none, which would make recall meaningless)
+    for base in (3, 700, 1500):
+        for j in range(10):
+            vecs[base + 1 + j] = _normalize(
+                np.atleast_2d(vecs[base] + 0.08 * rng.normal(size=d).astype(np.float32))
+            )[0]
+    src = tmp_path / "emb.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n)),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            }
+        ),
+        src,
+    )
+    store = tmp_path / "lsh"
+    build_lsh_store(str(src), str(store), n_bits=6, batch_size=256)
+    hits = 0
+    kept_total = 0
+    for qi in [3, 700, 1500]:
+        q = vecs[qi] + 0.05 * rng.normal(size=d).astype(np.float32)
+        t, kept, total = topk_cosine_lsh_store(str(store), q, k=10, nprobe=12)
+        assert kept < total, (kept, total)  # manifest pruning must bite
+        kept_total += kept
+        exact = np.argsort(-(_normalize(vecs.astype(np.float64)) @ _normalize(
+            np.atleast_2d(q.astype(np.float64)))[0]))[:10]
+        got = set(t.column("vec_id").to_pylist())
+        hits += len(got & set(int(x) for x in exact))
+    assert hits >= 20, hits  # >=2/3 recall@10 across the probes
+
+
 def test_text_stats_kernels():
     t = pa.table(
         {
