@@ -85,6 +85,73 @@ def with_prefix_sum(ds, sort_keys: list[str], val: str, out: str = "cum_prev",
     return ray.data.from_arrow_refs(out_refs)
 
 
+def _block_key_edges(t: pa.Table, keys: list[str]):
+    """(first key tuple, last key tuple, #rows of the last key) for one
+    sorted block — the carry metadata for the segmented rank scan; None
+    for an empty block."""
+    if t.num_rows == 0:
+        return None
+    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
+    starts = _group_starts(cols)
+    first_key = tuple(c[0] for c in cols)
+    last_key = tuple(c[-1] for c in cols)
+    n_last = t.num_rows - int(starts[-1])
+    return first_key, last_key, n_last
+
+
+def _add_ranks(t: pa.Table, keys: list[str], out: str, carry: int) -> pa.Table:
+    """Within-key ordinals for one sorted block; ``carry`` is how many
+    rows of the block's FIRST key preceded this block."""
+    if t.num_rows == 0:
+        return pa.table({})
+    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
+    starts = _group_starts(cols)
+    n = t.num_rows
+    seg = np.repeat(starts, np.diff(np.r_[starts, n]))
+    rnk = np.arange(n, dtype=np.int64) - seg + 1
+    rnk[: (int(starts[1]) if starts.size > 1 else n)] += carry
+    return t.append_column(out, pa.array(rnk))
+
+
+def with_group_ranks(ds, keys: list[str], order_by: list[str],
+                     descending: list[bool] | None = None, out: str = "rnk"):
+    """ROW_NUMBER() OVER (PARTITION BY keys ORDER BY order_by) as a
+    Dataset — the distributed window-rank operator.
+
+    One range sort on keys+order_by; a tiny per-block edge task feeds an
+    O(blocks) driver walk that carries the running count of the key
+    spanning each block boundary (segmented-scan carry); a second task
+    per block assigns within-key ordinals vectorized.  Works for
+    UNBOUNDED key domains (nothing O(keys) anywhere) — the scale path
+    behind per-domain capping."""
+    import ray
+
+    desc = [False] * len(keys) + (descending or [False] * len(order_by))
+    sorted_ds = ds.sort(keys + order_by, descending=desc).materialize()
+    refs = [r for b in sorted_ds.iter_internal_ref_bundles() for r in b.block_refs]
+    if not refs:
+        return sorted_ds
+    edge_task = ray.remote(num_cpus=0.5)(_block_key_edges)
+    edges = ray.get([edge_task.remote(r, keys) for r in refs])
+    # O(blocks) driver walk: carry the running row count of the key that
+    # spans each block boundary (a block wholly inside one key keeps the
+    # run going: first_key == last_key -> carry + n_last)
+    carries = []
+    prev_key, prev_run = None, 0
+    for e in edges:
+        if e is None:  # empty block
+            carries.append(0)
+            continue
+        first_key, last_key, n_last = e
+        carry = prev_run if first_key == prev_key else 0
+        carries.append(carry)
+        prev_run = (carry + n_last) if first_key == last_key else n_last
+        prev_key = last_key
+    rank_task = ray.remote(num_cpus=1)(_add_ranks)
+    out_refs = [rank_task.remote(r, keys, out, int(c)) for r, c in zip(refs, carries)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 _HEAL_OP = {"min": "min", "max": "max", "sum": "sum", "count": "sum", "count_all": "sum"}
 
 

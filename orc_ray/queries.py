@@ -898,19 +898,21 @@ SOURCE_CAP = 20
 def q_source_cap(sf_dir: str):
     """Per-source quota capping (the per-domain cap of pretraining data
     curation): keep the top SOURCE_CAP docs of each source ranked by
-    (n_chars DESC, doc_id).  Sources are the partition key — bounded
-    cardinality, so groupby().map_groups runs one vectorized rank kernel
-    per source, never per row."""
+    (n_chars DESC, doc_id), via the distributed window-rank operator
+    (functions/aggregates.with_group_ranks: ROW_NUMBER OVER (PARTITION BY
+    source ORDER BY ...) with an O(blocks) segmented carry — nothing
+    O(sources) anywhere, so the key domain may be unbounded)."""
+    from .functions.aggregates import with_group_ranks
+
     ds = _decoded(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    ranked = with_group_ranks(
+        ds, ["source"], ["n_chars", "doc_id"], descending=[True, False], out="rnk"
+    )
 
-    def rank_cap(t: pa.Table) -> pa.Table:
-        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
-        did = t.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((did, -nc))[:SOURCE_CAP]
-        sub = t.take(pa.array(order))
-        return sub.append_column("rnk", pa.array(np.arange(1, len(order) + 1)))
+    def cap(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t.column("rnk"), SOURCE_CAP))
 
-    out = ds.groupby("source").map_groups(rank_cap, batch_format="pyarrow")
+    out = ranked.map_batches(cap, batch_format="pyarrow", zero_copy_batch=True)
     return _to_table(out).select(["source", "doc_id", "n_chars", "rnk"]).sort_by(
         [("source", "ascending"), ("rnk", "ascending")]
     )

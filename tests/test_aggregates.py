@@ -91,3 +91,33 @@ def test_with_prefix_sum_empty_and_single(ray_session):
     assert t.column("c").to_pylist() == [0]
     t2 = _collect(with_prefix_sum(one, ["k"], "v", out="c", inclusive=True))
     assert t2.column("c").to_pylist() == [7]
+
+
+def test_with_group_ranks_matches_pandas(ray_session):
+    """ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC, id) across many
+    blocks, including keys that span several blocks."""
+    import pandas as pd
+    import ray
+
+    from orc_ray.functions.aggregates import with_group_ranks
+
+    rng = np.random.default_rng(9)
+    n = 20_000
+    # zipf-ish skew: a few huge keys (spanning many sorted blocks) + tail
+    k = np.minimum(rng.zipf(1.3, n) % 200, 199).astype(np.int64)
+    v = rng.integers(0, 1000, n)
+    rid = np.arange(n)
+    ds = ray.data.from_arrow(pa.table({"k": k, "v": v, "id": rid})).repartition(11)
+    got = _collect(
+        with_group_ranks(ds, ["k"], ["v", "id"], descending=[True, False], out="rnk")
+    ).to_pandas()
+    df = pd.DataFrame({"k": k, "v": v, "id": rid})
+    df["rnk"] = (
+        df.sort_values(["v", "id"], ascending=[False, True])
+        .groupby("k")
+        .cumcount()
+        + 1
+    )
+    merged = got.merge(df, on=["k", "v", "id"], suffixes=("_got", "_exp"))
+    assert len(merged) == n
+    assert (merged["rnk_got"] == merged["rnk_exp"]).all()
