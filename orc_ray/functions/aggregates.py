@@ -152,6 +152,72 @@ def with_group_ranks(ds, keys: list[str], order_by: list[str],
     return ray.data.from_arrow_refs(out_refs)
 
 
+def _block_key_sums(t: pa.Table, keys: list[str], val: str):
+    """(first key, last key, sum(val) of the last key's rows) — carry
+    metadata for the segmented prefix sum; None for an empty block."""
+    if t.num_rows == 0:
+        return None
+    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
+    v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = _group_starts(cols)
+    first_key = tuple(c[0] for c in cols)
+    last_key = tuple(c[-1] for c in cols)
+    return first_key, last_key, int(v[int(starts[-1]):].sum())
+
+
+def _add_group_scan(t: pa.Table, keys: list[str], val: str, out: str,
+                    carry: int, inclusive: bool) -> pa.Table:
+    """Per-key running sum within one sorted block + boundary carry."""
+    if t.num_rows == 0:
+        return pa.table({})
+    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
+    v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = _group_starts(cols)
+    n = v.size
+    c = np.cumsum(v)
+    # subtract each key group's preceding total -> per-key running sums
+    seg_base = np.repeat(c[starts] - v[starts], np.diff(np.r_[starts, n]))
+    run = c - seg_base  # inclusive per-key cumsum
+    if not inclusive:
+        run -= v
+    run[: (int(starts[1]) if starts.size > 1 else n)] += carry
+    return t.append_column(out, pa.array(run))
+
+
+def with_group_prefix_sum(ds, keys: list[str], order_by: list[str], val: str,
+                          out: str = "run_sum", inclusive: bool = True,
+                          descending: list[bool] | None = None):
+    """SUM(val) OVER (PARTITION BY keys ORDER BY order_by ROWS UNBOUNDED
+    PRECEDING) as a Dataset — the segmented sibling of with_prefix_sum,
+    same O(blocks) carry walk but keyed: the driver carries the running
+    sum of the key spanning each block boundary, never O(keys) state."""
+    import ray
+
+    desc = [False] * len(keys) + (descending or [False] * len(order_by))
+    sorted_ds = ds.sort(keys + order_by, descending=desc).materialize()
+    refs = [r for b in sorted_ds.iter_internal_ref_bundles() for r in b.block_refs]
+    if not refs:
+        return sorted_ds
+    edge_task = ray.remote(num_cpus=0.5)(_block_key_sums)
+    edges = ray.get([edge_task.remote(r, keys, val) for r in refs])
+    carries = []
+    prev_key, prev_run = None, 0
+    for e in edges:
+        if e is None:
+            carries.append(0)
+            continue
+        first_key, last_key, last_sum = e
+        carry = prev_run if first_key == prev_key else 0
+        carries.append(carry)
+        prev_run = (carry + last_sum) if first_key == last_key else last_sum
+        prev_key = last_key
+    scan_task = ray.remote(num_cpus=1)(_add_group_scan)
+    out_refs = [
+        scan_task.remote(r, keys, val, out, int(c), inclusive) for r, c in zip(refs, carries)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 _HEAL_OP = {"min": "min", "max": "max", "sum": "sum", "count": "sum", "count_all": "sum"}
 
 

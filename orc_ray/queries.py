@@ -1063,6 +1063,42 @@ def q_median_value(sf_dir: str):
     ).sort_by("event_type")
 
 
+def q_running_revenue(sf_dir: str):
+    """Per-customer running revenue — SUM OVER (PARTITION BY customer
+    ORDER BY date) — via the segmented distributed prefix sum
+    (functions/aggregates.with_group_prefix_sum: O(blocks) keyed carry,
+    nothing O(customers) anywhere)."""
+    from .functions.aggregates import with_group_prefix_sum
+
+    ds = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderdate": t.column("o_orderdate").cast(pa.int64()),
+                "cents": pa.array(c),
+            }
+        )
+
+    scanned = with_group_prefix_sum(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        "cents",
+        out="running_cents",
+    )
+    return _to_table(
+        scanned.map_batches(
+            lambda t: t.select(["o_orderkey", "running_cents"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    ).sort_by("o_orderkey")
+
+
 CURATION_QUALITY_E6 = 600_000  # keep docs at/above this quality score
 
 
@@ -1184,6 +1220,7 @@ QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,
     "curation_pipeline": q_curation_pipeline,
     "ann_lsh": q_ann_lsh,
+    "running_revenue": q_running_revenue,
 }
 
 ORACLE_SQL = {
@@ -1387,6 +1424,14 @@ ORACLE_SQL = {
                CAST(ROUND(quantile_disc(value, 0.5) * 100) AS BIGINT)
                    AS median_cents
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "running_revenue": """
+        SELECT o_orderkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+        FROM orders ORDER BY o_orderkey
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

@@ -121,3 +121,32 @@ def test_with_group_ranks_matches_pandas(ray_session):
     merged = got.merge(df, on=["k", "v", "id"], suffixes=("_got", "_exp"))
     assert len(merged) == n
     assert (merged["rnk_got"] == merged["rnk_exp"]).all()
+
+
+def test_with_group_prefix_sum_matches_pandas(ray_session):
+    """Segmented running sum per key across blocks (keys spanning several
+    blocks included), inclusive and exclusive."""
+    import pandas as pd
+    import ray
+
+    from orc_ray.functions.aggregates import with_group_prefix_sum
+
+    rng = np.random.default_rng(13)
+    n = 15_000
+    k = np.minimum(rng.zipf(1.4, n) % 100, 99).astype(np.int64)
+    o = rng.permutation(n)
+    v = rng.integers(-20, 100, n)
+    ds = ray.data.from_arrow(pa.table({"k": k, "o": o, "v": v})).repartition(8)
+    got = _collect(
+        with_group_prefix_sum(ds, ["k"], ["o"], "v", out="run")
+    ).to_pandas()
+    df = pd.DataFrame({"k": k, "o": o, "v": v}).sort_values(["k", "o"])
+    df["run"] = df.groupby("k")["v"].cumsum()
+    merged = got.merge(df, on=["k", "o", "v"], suffixes=("_got", "_exp"))
+    assert len(merged) == n and (merged["run_got"] == merged["run_exp"]).all()
+    got_ex = _collect(
+        with_group_prefix_sum(ds, ["k"], ["o"], "v", out="run", inclusive=False)
+    ).to_pandas()
+    df["run_ex"] = df["run"] - df["v"]
+    m2 = got_ex.merge(df, on=["k", "o", "v"], suffixes=("_got", "_exp"))
+    assert len(m2) == n and (m2["run_got"] == m2["run_ex"]).all()
