@@ -218,6 +218,66 @@ def with_group_prefix_sum(ds, keys: list[str], order_by: list[str], val: str,
     return ray.data.from_arrow_refs(out_refs)
 
 
+def _block_key_last(t: pa.Table, keys: list[str], val: str):
+    """(first key, last key, last row's val) — LAG carry; None if empty."""
+    if t.num_rows == 0:
+        return None
+    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
+    first_key = tuple(c[0] for c in cols)
+    last_key = tuple(c[-1] for c in cols)
+    return first_key, last_key, t.column(val)[t.num_rows - 1].as_py()
+
+
+def _add_group_lag(t: pa.Table, keys: list[str], val: str, out: str, carry) -> pa.Table:
+    """Per-key LAG(val, 1) within one sorted block; ``carry`` is the
+    previous block's last value iff it shares this block's first key."""
+    if t.num_rows == 0:
+        return pa.table({})
+    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
+    starts = _group_starts(cols)
+    v = t.column(val)
+    v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+    n = t.num_rows
+    # take v[i-1]; group-first rows take a NULL index -> null lag
+    mask = np.zeros(n, dtype=bool)
+    mask[starts] = True
+    idx = pa.array(np.maximum(np.arange(-1, n - 1), 0), mask=mask)
+    lag = v.take(idx)
+    if carry is not None:
+        # block's first row continues the previous block's key
+        lag = pa.concat_arrays([pa.array([carry], type=v.type), lag.slice(1)])
+    return t.append_column(out, lag)
+
+
+def with_group_lag(ds, keys: list[str], order_by: list[str], val: str,
+                   out: str = "lag", descending: list[bool] | None = None):
+    """LAG(val, 1) OVER (PARTITION BY keys ORDER BY order_by) as a
+    Dataset — per-key previous value, null at each key's first row.
+    Same O(blocks) keyed carry as the rank/sum scans: the driver carries
+    only the boundary key's last value."""
+    import ray
+
+    desc = [False] * len(keys) + (descending or [False] * len(order_by))
+    sorted_ds = ds.sort(keys + order_by, descending=desc).materialize()
+    refs = [r for b in sorted_ds.iter_internal_ref_bundles() for r in b.block_refs]
+    if not refs:
+        return sorted_ds
+    edge_task = ray.remote(num_cpus=0.5)(_block_key_last)
+    edges = ray.get([edge_task.remote(r, keys, val) for r in refs])
+    carries = []
+    prev_key, prev_val = None, None
+    for e in edges:
+        if e is None:
+            carries.append(None)
+            continue
+        first_key, last_key, last_val = e
+        carries.append(prev_val if first_key == prev_key else None)
+        prev_key, prev_val = last_key, last_val
+    lag_task = ray.remote(num_cpus=1)(_add_group_lag)
+    out_refs = [lag_task.remote(r, keys, val, out, c) for r, c in zip(refs, carries)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 _HEAL_OP = {"min": "min", "max": "max", "sum": "sum", "count": "sum", "count_all": "sum"}
 
 

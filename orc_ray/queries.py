@@ -1099,6 +1099,40 @@ def q_running_revenue(sf_dir: str):
     ).sort_by("o_orderkey")
 
 
+def q_order_gaps(sf_dir: str):
+    """Days since the customer's previous order — LAG OVER (PARTITION BY
+    customer ORDER BY date, key) via the distributed window-LAG operator
+    (functions/aggregates.with_group_lag); null for first orders."""
+    from .functions.aggregates import with_group_lag
+
+    ds = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "ts_us": t.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    lagged = with_group_lag(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"],
+        ["ts_us", "o_orderkey"],
+        "ts_us",
+        out="prev_us",
+    )
+
+    def gap(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.subtract(t.column("ts_us"), t.column("prev_us")), 86_400_000_000)
+        return pa.table({"o_orderkey": t.column("o_orderkey"), "gap_days": d})
+
+    return _to_table(
+        lagged.map_batches(gap, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("o_orderkey")
+
+
 CURATION_QUALITY_E6 = 600_000  # keep docs at/above this quality score
 
 
@@ -1221,6 +1255,7 @@ QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "ann_lsh": q_ann_lsh,
     "running_revenue": q_running_revenue,
+    "order_gaps": q_order_gaps,
 }
 
 ORACLE_SQL = {
@@ -1431,6 +1466,13 @@ ORACLE_SQL = {
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+        FROM orders ORDER BY o_orderkey
+    """,
+    "order_gaps": """
+        SELECT o_orderkey,
+               (epoch_us(o_orderdate) - LAG(epoch_us(o_orderdate)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+                   // 86400000000 AS gap_days
         FROM orders ORDER BY o_orderkey
     """,
     "lang_id": _lang_id_oracle_sql(),

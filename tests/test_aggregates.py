@@ -150,3 +150,26 @@ def test_with_group_prefix_sum_matches_pandas(ray_session):
     df["run_ex"] = df["run"] - df["v"]
     m2 = got_ex.merge(df, on=["k", "o", "v"], suffixes=("_got", "_exp"))
     assert len(m2) == n and (m2["run_got"] == m2["run_ex"]).all()
+
+
+def test_with_group_lag_matches_pandas(ray_session):
+    import pandas as pd
+    import ray
+
+    from orc_ray.functions.aggregates import with_group_lag
+
+    rng = np.random.default_rng(17)
+    n = 12_000
+    k = np.minimum(rng.zipf(1.4, n) % 80, 79).astype(np.int64)
+    o = rng.permutation(n)
+    v = rng.integers(0, 10**6, n)
+    ds = ray.data.from_arrow(pa.table({"k": k, "o": o, "v": v})).repartition(9)
+    got = _collect(with_group_lag(ds, ["k"], ["o"], "v", out="prev")).to_pandas()
+    df = pd.DataFrame({"k": k, "o": o, "v": v}).sort_values(["k", "o"])
+    df["prev"] = df.groupby("k")["v"].shift(1)
+    merged = got.merge(df, on=["k", "o", "v"], suffixes=("_got", "_exp"))
+    assert len(merged) == n
+    both_null = merged["prev_got"].isna() & merged["prev_exp"].isna()
+    assert (both_null | (merged["prev_got"] == merged["prev_exp"])).all()
+    # exactly one null per key (its first row)
+    assert int(merged["prev_got"].isna().sum()) == len(np.unique(k))
