@@ -25,10 +25,9 @@ __all__ = ["build", "might_contain", "serialize", "deserialize"]
 
 
 def _mix64(h: np.ndarray) -> np.ndarray:
-    with np.errstate(over="ignore"):
-        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return h ^ (h >> np.uint64(31))
+    from .hashmix import splitmix64_mix
+
+    return splitmix64_mix(h)
 
 
 def _hash_column(arr: pa.Array) -> np.ndarray:

@@ -17,8 +17,7 @@ import numpy as np
 
 _U64 = np.uint64
 _MAXB = 10  # ceil(64 / 7)
-# value-length thresholds: length k iff value < 2**(7k)
-_THRESH = np.array([1 << (7 * k) for k in range(1, _MAXB)], dtype=np.object_)
+# value-length thresholds: k bytes iff value <= 2**(7k) - 1
 _THRESH_U = np.array([min((1 << (7 * k)) - 1, (1 << 64) - 1) for k in range(1, _MAXB)], dtype=_U64)
 
 

@@ -299,17 +299,25 @@ def agg_by_keys(ds, keys: list[str], aggs: list[tuple], stats_out: dict | None =
     out_names = [o for _, _, o in aggs]
 
     def stage(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and not t.column_names:
+            return pa.table({})  # schema-less empty sort partition
         g = t.group_by(keys).aggregate(arrow_aggs)
-        # groups owning the block's first/last sorted key may continue in
-        # neighbouring blocks
+        # groups owning the block's first/last sorted KEY TUPLE may
+        # continue in neighbouring blocks.  The tuple must be compared as
+        # a whole (AND of per-column equality per endpoint, then OR):
+        # per-column first-or-last membership ANDed across keys would
+        # flag up to 2^K cross-combination interior groups as boundary.
         if t.num_rows == 0:
             edge = pa.array([], pa.bool_())
         else:
-            edge = None
+            eq_first = eq_last = None
             for k in keys:
                 col = t.column(k)
-                m = pc.or_(pc.equal(g.column(k), col[0]), pc.equal(g.column(k), col[-1]))
-                edge = m if edge is None else pc.and_(edge, m)
+                f = pc.equal(g.column(k), col[0])
+                l = pc.equal(g.column(k), col[-1])
+                eq_first = f if eq_first is None else pc.and_(eq_first, f)
+                eq_last = l if eq_last is None else pc.and_(eq_last, l)
+            edge = pc.or_(eq_first, eq_last)
         cols = {k: g.column(k) for k in keys}
         for pn, on in zip(part_names, out_names):
             cols[on] = g.column(pn)
@@ -323,12 +331,16 @@ def agg_by_keys(ds, keys: list[str], aggs: list[tuple], stats_out: dict | None =
     )
 
     def interior_rows(t: pa.Table) -> pa.Table:
+        if "_edge" not in t.column_names:  # schema-less empty block
+            return pa.table({})
         keep = t.filter(pc.invert(t.column("_edge").combine_chunks()))
         return keep.drop_columns(["_edge"])
 
     interior_ds = mixed.map_batches(interior_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     def edge_rows(t: pa.Table) -> pa.Table:
+        if "_edge" not in t.column_names:
+            return pa.table({})
         return t.filter(t.column("_edge").combine_chunks()).drop_columns(["_edge"])
 
     bparts = [
@@ -369,15 +381,19 @@ def sum_by_keys(ds, keys: list[str], val: str, out: str | None = None,
     out = out or val
 
     def stage(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                **{k: pa.array([], pa.int64()) for k in keys},
-                "_v": pa.array([], pa.int64()),
-                "_edge": pa.array([], pa.bool_()),
-            }
-        )
         if t.num_rows == 0:
-            return empty
+            if not t.column_names:  # schema-less empty sort partition
+                return pa.table({})
+            # derive key/value types from the input schema (keys may be
+            # strings — a hardcoded int64 placeholder would poison the
+            # dataset's unified schema)
+            return pa.table(
+                {
+                    **{k: t.column(k) for k in keys},
+                    "_v": pa.array([], pa.int64()),
+                    "_edge": pa.array([], pa.bool_()),
+                }
+            )
         cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
         v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
         starts, sums = _run_sums(cols, v)
@@ -400,12 +416,16 @@ def sum_by_keys(ds, keys: list[str], val: str, out: str | None = None,
     )
 
     def interior_rows(t: pa.Table) -> pa.Table:
+        if "_edge" not in t.column_names:  # schema-less empty block
+            return pa.table({})
         keep = t.filter(pc.invert(t.column("_edge").combine_chunks()))
         return pa.table({**{k: keep.column(k) for k in keys}, out: keep.column("_v")})
 
     interior_ds = mixed.map_batches(interior_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     def edge_rows(t: pa.Table) -> pa.Table:
+        if "_edge" not in t.column_names:
+            return pa.table({})
         sub = t.filter(t.column("_edge").combine_chunks())
         return pa.table({**{k: sub.column(k) for k in keys}, val: sub.column("_v")})
 

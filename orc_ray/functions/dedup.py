@@ -47,11 +47,10 @@ def _shingle_keys(concat: np.ndarray, offsets: np.ndarray, k: int = 8):
         from ..codecs.fsst import _MASKS
 
         h[first_win[short]] &= _MASKS[np.minimum(lens[short], 8)]
-    # mix to spread (splitmix64 finalizer)
-    with np.errstate(over="ignore"):
-        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        h = h ^ (h >> np.uint64(31))
+    # mix to spread (shared splitmix64 finalizer)
+    from ..codecs.hashmix import splitmix64_mix
+
+    h = splitmix64_mix(h)
     # unique per doc: sort within segments then drop repeats
     doc_ids = np.repeat(np.arange(n), counts)
     order = np.lexsort((h, doc_ids))
@@ -157,15 +156,31 @@ def content_hash64(concat: np.ndarray, offsets: np.ndarray, key: int = 0x3C79AC4
         pos = np.arange(concat.size, dtype=np.uint64)
         pos -= np.repeat(offsets[:-1].astype(np.uint64), lens)
         t = ((pos << np.uint64(8)) | concat.astype(np.uint64)) ^ np.uint64(key)
-        t = (t ^ (t >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        t = (t ^ (t >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        t = t ^ (t >> np.uint64(31))
+        from ..codecs.hashmix import splitmix64_mix
+
+        t = splitmix64_mix(t)
         c = np.zeros(t.size + 1, dtype=np.uint64)
         np.cumsum(t, out=c[1:])
         h = c[offsets[1:]] - c[offsets[:-1]]
         h ^= lens.astype(np.uint64) * np.uint64(0xFF51AFD7ED558CCD)
         h = (h ^ (h >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
         return h ^ (h >> np.uint64(33))
+
+
+def _collapse_pairs(a: np.ndarray, b: np.ndarray):
+    """Collapse duplicate (a, b) rows into (a, b, counts) — the local
+    combiner shared by the emit stage and the boundary healer (one
+    lexsort + run-length pass)."""
+    if a.size == 0:
+        return a.astype(np.int64), b.astype(np.int64), np.empty(0, np.int64)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    brk = np.zeros(a.size, dtype=bool)
+    brk[0] = True
+    brk[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(brk)
+    cnt = np.diff(np.r_[starts, a.size]).astype(np.int64)
+    return a[starts], b[starts], cnt
 
 
 def dedup_exact_fingerprint(
@@ -392,17 +407,7 @@ def dedup_ngram_jaccard(
         # local combiner: collapse duplicate (a, b) pairs before the
         # shuffle (two docs sharing many shingles inside this block emit
         # one counted row, not one row per shingle)
-        if a.size:
-            order = np.lexsort((b, a))
-            a, b = a[order], b[order]
-            pbrk = np.zeros(a.size, dtype=bool)
-            pbrk[0] = True
-            pbrk[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-            pstarts = np.flatnonzero(pbrk)
-            pc_ = np.diff(np.r_[pstarts, a.size])
-            a, b = a[pstarts], b[pstarts]
-        else:
-            pc_ = np.empty(0, np.int64)
+        a, b, pc_ = _collapse_pairs(a, b)
         # size contributions: members of kept interior groups, counted per doc
         kept_rows = np.repeat(interior & (glens <= max_df), glens)
         sd, sc = np.unique(d[kept_rows], return_counts=True)
@@ -484,15 +489,7 @@ def dedup_ngram_jaccard(
             bsd, bsc = np.unique(np.concatenate(kept_members), return_counts=True)
     # healed boundary pairs, locally pre-aggregated like the emit combiner
     if bp_a:
-        ba, bb = np.concatenate(bp_a), np.concatenate(bp_b)
-        order = np.lexsort((bb, ba))
-        ba, bb = ba[order], bb[order]
-        pbrk = np.zeros(ba.size, dtype=bool)
-        pbrk[0] = True
-        pbrk[1:] = (ba[1:] != ba[:-1]) | (bb[1:] != bb[:-1])
-        pstarts = np.flatnonzero(pbrk)
-        bc = np.diff(np.r_[pstarts, ba.size]).astype(np.int64)
-        ba, bb = ba[pstarts], bb[pstarts]
+        ba, bb, bc = _collapse_pairs(np.concatenate(bp_a), np.concatenate(bp_b))
     else:
         ba = bb = bc = np.empty(0, np.int64)
     bpairs = pa.table({"a": pa.array(ba), "b": pa.array(bb), "c": pa.array(bc)})
@@ -637,10 +634,9 @@ class MinHashStage:
         # identical bucket values in different bands cannot collide
         with np.errstate(over="ignore"):
             salt = np.arange(self.bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            h = buckets ^ salt[None, :]
-            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            h = h ^ (h >> np.uint64(31))
+            from ..codecs.hashmix import splitmix64_mix
+
+            h = splitmix64_mix(buckets ^ salt[None, :])
         # band-major layout: [ids, ids, ...] x bands
         return pa.table(
             {

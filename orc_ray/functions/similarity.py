@@ -197,7 +197,10 @@ def cosine_pairs(ds, threshold: float, id_col: str = "vec_id", vec_col: str = "e
     import ray
 
     # IVF-coherent ordering: sample -> centroids -> assign -> sort
-    sample_t = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+    try:
+        sample_t = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+    except ValueError:  # Ray raises on a fully-empty dataset
+        return pa.table(_EMPTY_PAIRS)
     sample = _matrix(pa.table(sample_t).column(vec_col))
     if sample.shape[0] == 0:
         return pa.table(_EMPTY_PAIRS)
@@ -422,7 +425,11 @@ def build_lsh_store(
 
     from ..pipeline.encode import encode_dataset
 
-    d = len(pq.read_table(emb_path, columns=[vec_col]).column(vec_col)[0].as_py())
+    # vector dimension from the FIRST batch only — reading the whole
+    # column onto the driver would defeat the streaming-build claim
+    pf = pq.ParquetFile(emb_path)
+    first = next(pf.iter_batches(batch_size=1, columns=[vec_col]))
+    d = len(first.column(0)[0].as_py())
     planes = lsh_planes(d, n_bits)
     pref = ray.put(planes)
     assigned = ray.data.read_parquet(emb_path).map_batches(

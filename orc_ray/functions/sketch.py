@@ -19,6 +19,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+# 2^0 .. 2^63 (uint64): bit_length(v) == #entries <= v via searchsorted
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
 
 def _hash64_bytes(col: pa.Array) -> np.ndarray:
     """splitmix64 of each value's canonical byte form (string cast)."""
@@ -65,20 +68,20 @@ def _hashes_and_ranks(col: pa.Array, p: int):
     """(bucket, rank) arrays for one value column — shared by the grouped
     and ungrouped partials."""
     if pa.types.is_integer(col.type):
-        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            h = h ^ (h >> np.uint64(31))
+        from ..codecs.hashmix import splitmix64_mix
+
+        h = splitmix64_mix(col.to_numpy(zero_copy_only=False).astype(np.uint64))
     else:
         h = _hash64_bytes(col.cast(pa.string()))
     bucket = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = h << np.uint64(p)
-    nz = rest != 0
-    lz = np.full(h.size, 64 - p, dtype=np.int64)
-    if nz.any():
-        top = np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
-        lz[nz] = 63 - top
+    # leading zeros via INTEGER bit-length (searchsorted over a pow2
+    # table, the intcodec _exact_bit_width trick): float log2 drifts in
+    # the last ulp near powers of two — rest >= 2^64 - 2^10 rounded up to
+    # top=64, rank 0, silently dropping the value (same float-drift class
+    # the ANN oracle fix 7732c6a hardened against)
+    bitlen = np.searchsorted(_POW2, rest, side="right")  # 0..64
+    lz = 64 - bitlen  # rest == 0 -> 64, clamped by the cap below
     rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
     return bucket, rank
 

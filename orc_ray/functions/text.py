@@ -187,11 +187,16 @@ def fingerprint_md5(batch: pa.Table, col: str = "text") -> pa.Table:
     loop over hashlib's C core (~1 us/doc) — acceptable for a checksum
     stage and still distributed via map_batches; the vectorized fast path
     for engine-internal fingerprinting is ``dedup.content_hash64`` (one
-    numpy pass), which exact-dedup uses."""
+    numpy pass), which exact-dedup uses.
+
+    Nulls stay null — SQL md5(NULL) is NULL, and the oracle parity claim
+    must hold on nullable text columns too."""
     import hashlib as _hl
 
-    text = _concat_np(batch.column(col)).cast(pa.large_binary())
-    fps = [_hl.md5(v.as_py()).hexdigest() for v in text]
+    text = batch.column(col)
+    text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    text = text.cast(pa.large_binary())
+    fps = [None if v is None else _hl.md5(v).hexdigest() for v in (x.as_py() for x in text)]
     out = batch.select(batch.column_names)
     return out.append_column("fp_md5", pa.array(fps, pa.string()))
 

@@ -164,10 +164,14 @@ class EncoderActor:
                 continue
             if self.opts.masks:
                 # write-side masking (reference DataMask writer option):
-                # the chunk store never contains the raw values
+                # the chunk store never contains the raw values.  Masks are
+                # passed through UNFILTERED: a mask naming a column absent
+                # from the data must raise (apply_masks KeyError), not
+                # silently write the raw column (a typo'd --mask would
+                # otherwise leak sensitive data with exit code 0)
                 from ..functions.mask import apply_masks
 
-                sub = apply_masks(sub, {k: v for k, v in self.opts.masks.items() if k in sub.column_names})
+                sub = apply_masks(sub, self.opts.masks)
             t0 = time.time()
             payload = encode_chunk(sub, self.opts)
             cid = hashlib.sha256(payload).hexdigest()[:24]

@@ -750,12 +750,10 @@ def _session_partition(t: pa.Table) -> pa.Table:
     """Hash-partition by a PARTITION of users (splitmix64(user) % P): every
     event of a user lands in the same partition, so sessionization is
     exact per partition with no cross-partition healing."""
+    from .codecs.hashmix import splitmix64_mix
+
     uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-    with np.errstate(over="ignore"):
-        h = (uid ^ (uid >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        h = h ^ (h >> np.uint64(31))
-    part = (h % np.uint64(SESSION_PARTITIONS)).astype(np.int64)
+    part = (splitmix64_mix(uid) % np.uint64(SESSION_PARTITIONS)).astype(np.int64)
     return t.append_column("part", pa.array(part))
 
 

@@ -473,3 +473,31 @@ def test_multimodal_resize_and_frame_sample(ray_session):
     )
     assert out.num_rows == 2 * n_vid
     assert out.column_names == ["media_id", "frame_idx", "frame"]
+
+
+def test_fingerprint_md5_preserves_nulls():
+    """Regression (review finding): SQL md5(NULL) is NULL — the engine
+    must not hash nulls as empty strings."""
+    from orc_ray.functions.text import fingerprint_md5
+
+    t = pa.table({"doc_id": [1, 2], "text": pa.array(["abc", None])})
+    out = fingerprint_md5(t)
+    got = out.column("fp_md5").to_pylist()
+    import hashlib
+
+    assert got[0] == hashlib.md5(b"abc").hexdigest()
+    assert got[1] is None
+
+
+def test_cosine_pairs_empty_dataset(ray_session):
+    """Regression (review finding): an empty stream returns the empty
+    pairs table instead of raising from take_batch."""
+    import ray
+
+    from orc_ray.functions.similarity import cosine_pairs
+
+    empty = pa.table(
+        {"vec_id": pa.array([], pa.int64()), "embedding": pa.array([], pa.list_(pa.float32()))}
+    )
+    out = cosine_pairs(ray.data.from_arrow(empty), threshold=0.5)
+    assert out.num_rows == 0

@@ -81,3 +81,18 @@ def test_mask_columns_stage(ray_session):
     t = t.sort_by("id")
     assert t.column("ssn").to_pylist() == ["999-99-9999", "999-99-9999", "x"]
     assert t.column("text").null_count == 3
+
+
+def test_write_side_mask_typo_fails_loudly(ray_session, tmp_path):
+    """Regression (review finding): a mask naming a missing column must
+    FAIL the encode, not silently write the raw data."""
+    import pyarrow.parquet as pq
+
+    from orc_ray.chunk import EncodeOptions
+    from orc_ray.pipeline.encode import encode_dataset
+
+    src = tmp_path / "in.parquet"
+    pq.write_table(pa.table({"id": [1], "ssn": ["123"]}), src)
+    with pytest.raises(Exception) as ei:
+        encode_dataset([str(src)], str(tmp_path / "store"), EncodeOptions(masks={"ssN": "sha256"}))
+    assert "ssN" in str(ei.value)
