@@ -45,7 +45,24 @@ def _mask_sha256(col: pa.Array) -> pa.Array:
     )
 
 
-_MASKS = {"nullify": _mask_nullify, "redact": _mask_redact, "sha256": _mask_sha256}
+_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def _mask_scrub_pii(col: pa.Array) -> pa.Array:
+    """Replace emails / phone-number-shaped runs with typed placeholders —
+    the text-curation PII scrub (RE2-safe patterns, fully vectorized)."""
+    s = col.cast(pa.string())
+    s = pc.replace_substring_regex(s, pattern=_EMAIL_RE, replacement="[EMAIL]")
+    return pc.replace_substring_regex(s, pattern=_PHONE_RE, replacement="[PHONE]")
+
+
+_MASKS = {
+    "nullify": _mask_nullify,
+    "redact": _mask_redact,
+    "sha256": _mask_sha256,
+    "scrub_pii": _mask_scrub_pii,
+}
 
 
 def apply_masks(batch: pa.Table, masks: dict[str, str]) -> pa.Table:

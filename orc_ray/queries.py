@@ -842,6 +842,30 @@ def q_multimodal_features(sf_dir: str):
     return _to_table(out).sort_by("media_id")
 
 
+def q_scrub_pii(sf_dir: str):
+    """PII scrubbing over the decoded stream: emails and phone-shaped
+    runs replaced with typed placeholders (functions/mask.py scrub_pii —
+    the standard text-curation privacy pass, vectorized RE2)."""
+    from .functions.mask import mask_columns
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+    return _to_table(mask_columns(ds, {"text": "scrub_pii"})).sort_by("doc_id")
+
+
+def _scrub_pii_oracle_sql() -> str:
+    from .functions.mask import _EMAIL_RE, _PHONE_RE
+
+    e = _EMAIL_RE.replace("'", "''")
+    p = _PHONE_RE.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text,
+                   '{e}', '[EMAIL]', 'g'),
+                   '{p}', '[PHONE]', 'g') AS text
+        FROM documents ORDER BY doc_id
+    """
+
+
 def q_masked_export(sf_dir: str):
     """Masked export of documents (the DataMask analog, functions/mask.py):
     text redacted (x/X/9 char map), source sha256-hashed, lang nullified —
@@ -1254,6 +1278,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "running_revenue": q_running_revenue,
     "order_gaps": q_order_gaps,
+    "scrub_pii": q_scrub_pii,
 }
 
 ORACLE_SQL = {
@@ -1476,6 +1501,7 @@ ORACLE_SQL = {
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),
     "curation_pipeline": _curation_oracle_sql(),
+    "scrub_pii": _scrub_pii_oracle_sql(),
     # dedup_minhash / simhash / ann_ivf / multimodal_features: heuristic
     # or approximate ops with no SQL equivalent — driver records the
     # weaker rows-only check.

@@ -96,3 +96,23 @@ def test_write_side_mask_typo_fails_loudly(ray_session, tmp_path):
     with pytest.raises(Exception) as ei:
         encode_dataset([str(src)], str(tmp_path / "store"), EncodeOptions(masks={"ssN": "sha256"}))
     assert "ssN" in str(ei.value)
+
+
+def test_scrub_pii_mask():
+    t = pa.table(
+        {
+            "id": [1, 2, 3],
+            "text": pa.array(
+                [
+                    "contact me at jane.doe+x@example.co.uk or call +1 (415) 555-0199 today",
+                    "no pii here",
+                    None,
+                ]
+            ),
+        }
+    )
+    out = apply_masks(t, {"text": "scrub_pii"})
+    got = out.column("text").to_pylist()
+    assert got[0] == "contact me at [EMAIL] or call [PHONE] today"
+    assert got[1] == "no pii here"
+    assert got[2] is None
