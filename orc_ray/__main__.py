@@ -33,6 +33,9 @@ def cmd_encode(a) -> int:
     if a.zstd_level is not None:
         opts.compression_level = a.zstd_level
     if a.mask:
+        for kv in a.mask:
+            if "=" not in kv:
+                raise SystemExit(f"--mask expects COL=MASK, got {kv!r}")
         opts.masks = dict(kv.split("=", 1) for kv in a.mask)
     rec = encode_dataset(
         a.input,
@@ -152,7 +155,7 @@ def main(argv=None) -> int:
         action="append",
         default=[],
         metavar="COL=MASK",
-        help="write-side column mask (nullify|redact|sha256), repeatable",
+        help="write-side column mask (nullify|redact|sha256|scrub_pii), repeatable",
     )
     e.set_defaults(fn=cmd_encode)
 

@@ -183,9 +183,7 @@ def _collapse_pairs(a: np.ndarray, b: np.ndarray):
     return a[starts], b[starts], cnt
 
 
-def dedup_exact_fingerprint(
-    ds, id_col: str = "doc_id", text_col: str = "text", _fp_fn=None, num_partitions: int = 8
-):
+def dedup_exact_fingerprint(ds, id_col: str = "doc_id", text_col: str = "text", _fp_fn=None):
     """Exact dedup keyed on a 64-bit content fingerprint: the shuffle moves
     (fp, fp2, id) triples — never the document text (the r1 full-text
     groupby key was the scale-killer at 100 TB).
@@ -200,8 +198,9 @@ def dedup_exact_fingerprint(
     Scale shape (the r2-promised partitioned semi-join, now implemented):
     the per-fp group aggregate stays a DISTRIBUTED dataset end-to-end —
     winners are selected with a map_batches filter over it, and the final
-    fetch is a hash-partitioned inner join (``Dataset.join``) of the doc
-    stream against the winner-id dataset.  Nothing O(distinct docs) ever
+    fetch is a hash-partitioned semi-join expressed as union + keyed
+    aggregation (agg_by_keys count==2; see the inline comment) — robust
+    where Ray's join operator rejects empty hash partitions.  Nothing O(distinct docs) ever
     lands on the driver or in a broadcast object; the only driver-side
     rows are fp groups whose SECOND fingerprint disagrees (true 64-bit
     collisions — expected count ~ n^2 / 2^64, i.e. none).

@@ -40,7 +40,7 @@ def _mask_redact(col: pa.Array) -> pa.Array:
 def _mask_sha256(col: pa.Array) -> pa.Array:
     b = col.cast(pa.string()).cast(pa.large_binary())
     return pa.array(
-        [None if v.as_py() is None else hashlib.sha256(v.as_py()).hexdigest() for v in b],
+        [None if pv is None else hashlib.sha256(pv).hexdigest() for pv in (v.as_py() for v in b)],
         pa.string(),
     )
 

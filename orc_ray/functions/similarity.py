@@ -393,9 +393,11 @@ class LSHAssignStage:
         m = _matrix(batch.column(self.vec_col))
         if m.size:
             bits = (m @ self.planes) > 0  # (n, b)
-            bucket = (bits @ (1 << np.arange(self.planes.shape[1]))).astype(np.int32)
+            # int64 buckets: an int32 pack would wrap bit 31 negative and
+            # silently never match the (positive int) probe predicates
+            bucket = (bits @ (np.int64(1) << np.arange(self.planes.shape[1], dtype=np.int64))).astype(np.int64)
         else:
-            bucket = np.zeros(0, np.int32)
+            bucket = np.zeros(0, np.int64)
         return batch.append_column("lsh_bucket", pa.array(bucket))
 
 
@@ -425,11 +427,23 @@ def build_lsh_store(
 
     from ..pipeline.encode import encode_dataset
 
-    # vector dimension from the FIRST batch only — reading the whole
+    if not 1 <= n_bits <= 62:  # int64 bucket domain
+        raise ValueError(f"n_bits must be in [1, 62], got {n_bits}")
+    # vector dimension from the first NON-NULL value — reading the whole
     # column onto the driver would defeat the streaming-build claim
     pf = pq.ParquetFile(emb_path)
-    first = next(pf.iter_batches(batch_size=1, columns=[vec_col]))
-    d = len(first.column(0)[0].as_py())
+    d = None
+    for b in pf.iter_batches(batch_size=256, columns=[vec_col]):
+        col = b.column(0)
+        for v in col:
+            pv = v.as_py()
+            if pv is not None:
+                d = len(pv)
+                break
+        if d is not None:
+            break
+    if d is None:
+        raise ValueError(f"{emb_path}: no non-null {vec_col!r} value to derive the dimension")
     planes = lsh_planes(d, n_bits)
     pref = ray.put(planes)
     assigned = ray.data.read_parquet(emb_path).map_batches(

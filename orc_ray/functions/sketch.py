@@ -103,6 +103,10 @@ def approx_distinct(ds, col: str, group_col: str | None = None, p: int = 12) -> 
             )
         gcol = t.column(group_col)
         gcol = gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) else gcol
+        # group keys are reported as strings; canonicalize here so null
+        # groups survive (null dictionary indices would become NaN ->
+        # garbage int64 scatter targets)
+        gcol = pa.compute.fill_null(gcol.cast(pa.string()), "__null__")
         vcol = t.column(col)
         vcol = vcol.combine_chunks() if isinstance(vcol, pa.ChunkedArray) else vcol
         if vcol.null_count:

@@ -233,12 +233,18 @@ def encode_dataset(
     files = _resolve_files(input_paths, file_format) if ds is None else []
     if batch_size is None:
         # memory governor (MemoryManagerImpl analog): size batches from
-        # parquet metadata + node budget + concurrency; see governor.py
+        # parquet metadata + node budget + concurrency; see governor.py.
+        # Only parquet file inputs carry the metadata the governor needs —
+        # refuse silently un-governed csv/json/ds inputs (the caller asked
+        # for memory-aware batching and must not believe it is active)
+        if not files or file_format != "parquet":
+            raise ValueError(
+                "batch_size=None (memory governor) requires parquet file "
+                "inputs; pass an explicit batch_size for csv/json/ds inputs"
+            )
         from .governor import plan_batch_size
 
-        batch_size = (
-            plan_batch_size(files, columns) if files and file_format == "parquet" else 16384
-        )
+        batch_size = plan_batch_size(files, columns)
     expected: dict | None = {}
     fast_path = ds is None and file_format == "parquet" and not partition_by
     if ds is None:

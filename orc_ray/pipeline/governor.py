@@ -36,8 +36,13 @@ _SAMPLE_FILES = 8
 
 def avg_row_bytes(files: list[str], columns=None) -> float:
     """Mean uncompressed bytes per row over (a sample of) the inputs,
-    from parquet footer metadata only — no data pages are read."""
+    from parquet footer metadata only — no data pages are read.
+
+    Raises KeyError when ``columns`` matches no top-level parquet column
+    (a typo'd projection must not silently size batches as ~1 byte/row);
+    returns 0.0 when the sampled files hold no rows."""
     tot_b = tot_r = 0
+    seen_roots: set = set()
     for f in files[:_SAMPLE_FILES]:
         md = pq.read_metadata(f)
         for rg in range(md.num_row_groups):
@@ -45,10 +50,16 @@ def avg_row_bytes(files: list[str], columns=None) -> float:
             for c in range(g.num_columns):
                 col = g.column(c)
                 root = col.path_in_schema.split(".")[0]
+                seen_roots.add(root)
                 if columns is None or root in columns:
                     tot_b += col.total_uncompressed_size
             tot_r += g.num_rows
-    return tot_b / max(tot_r, 1)
+    if columns is not None and not (set(columns) & seen_roots):
+        raise KeyError(
+            f"governor columns {sorted(columns)} match no top-level parquet "
+            f"column (have {sorted(seen_roots)})"
+        )
+    return tot_b / tot_r if tot_r else 0.0
 
 
 def node_memory_budget() -> int:
@@ -81,6 +92,8 @@ def plan_batch_size(
             concurrency = os.cpu_count() or 8
     if budget_bytes is None:
         budget_bytes = node_memory_budget()
-    rb = max(avg_row_bytes(files, columns), 1.0)
+    rb = avg_row_bytes(files, columns)
+    if rb <= 0:  # empty sample: no information — conservative default
+        return 16384
     rows = int(budget_bytes / (concurrency * scratch_factor * rb))
     return max(MIN_ROWS, min(rows, MAX_ROWS))

@@ -467,7 +467,7 @@ def lsh_store_for(sf_dir: str, n_bits: int = 6) -> str:
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{os.path.abspath(src)}|lsh{n_bits}|v{FORMAT_VERSION}".encode()
+        f"{os.path.abspath(src)}|lsh{n_bits}i64|v{FORMAT_VERSION}".encode()
     ).hexdigest()[:10]
     out = os.path.join(CACHE_ROOT, f"lsh-{key}")
     marker = os.path.join(out, "_lsh_done")
@@ -880,18 +880,14 @@ def q_masked_export(sf_dir: str):
 PACK_WINDOW_TOKENS = 256
 
 
-def q_pack_sequences(sf_dir: str):
-    """Sequence packing (concat-then-chunk): documents in doc_id order are
-    laid head-to-tail in token space and cut into fixed
-    PACK_WINDOW_TOKENS context windows — each doc's window id is its
-    exclusive running token offset // window.  The canonical pre-training
-    packing op over a pre-tokenized corpus, built on the distributed
-    prefix-scan primitive (functions/aggregates.with_prefix_sum: O(blocks)
-    driver state, blocks never leave the object store)."""
+def _pack_by_tokens(ds) -> pa.Table:
+    """(doc_id, text) Dataset -> (doc_id, n_tok, win_id) packing table:
+    token counts -> distributed prefix scan -> win_id = offset // window.
+    Shared by q_pack_sequences and the curation flagship so the packing
+    rule lives in exactly one place."""
     from .functions.aggregates import with_prefix_sum
     from .functions.text import token_counts
 
-    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
     toks = ds.map_batches(token_counts, batch_format="pyarrow", zero_copy_batch=True).map_batches(
         lambda t: t.select(["doc_id", "n_ws_tokens"]),
         batch_format="pyarrow",
@@ -912,6 +908,42 @@ def q_pack_sequences(sf_dir: str):
     return _to_table(
         scanned.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
     ).sort_by("doc_id")
+
+
+def _pack_oracle_ctes(source_rel: str) -> str:
+    """tok/s CTE block + final SELECT of the packing oracle, over any
+    (doc_id, text) relation — generated from the same PACK_WINDOW_TOKENS
+    constant the engine uses."""
+    return f"""
+        tok AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(string_split_regex(trim(text), '\\s+'))
+                   END AS n_tok
+            FROM {source_rel}
+        ),
+        s AS (
+            SELECT doc_id, n_tok,
+                   COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_prev
+            FROM tok
+        )
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(cum_prev // {PACK_WINDOW_TOKENS} AS BIGINT) AS win_id
+        FROM s ORDER BY doc_id
+    """
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing (concat-then-chunk): documents in doc_id order are
+    laid head-to-tail in token space and cut into fixed
+    PACK_WINDOW_TOKENS context windows — each doc's window id is its
+    exclusive running token offset // window.  The canonical pre-training
+    packing op over a pre-tokenized corpus, built on the distributed
+    prefix-scan primitive (functions/aggregates.with_prefix_sum: O(blocks)
+    driver state, blocks never leave the object store)."""
+    return _pack_by_tokens(_decoded(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 SOURCE_CAP = 20
@@ -1170,9 +1202,8 @@ def q_curation_pipeline(sf_dir: str):
     Every stage is the same oracle-exact operator used standalone, so the
     whole composition has a single SQL mirror (quality CTE -> GROUP BY
     dedup -> window-SUM packing)."""
-    from .functions.aggregates import with_prefix_sum
     from .functions.dedup import dedup_exact_fingerprint
-    from .functions.text import quality_score, token_counts
+    from .functions.text import quality_score
 
     ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1183,26 +1214,7 @@ def q_curation_pipeline(sf_dir: str):
 
     kept = ds.map_batches(qfilter, batch_format="pyarrow", zero_copy_batch=True)
     deduped = dedup_exact_fingerprint(kept, id_col="doc_id", text_col="text")
-    toks = deduped.map_batches(token_counts, batch_format="pyarrow", zero_copy_batch=True).map_batches(
-        lambda t: t.select(["doc_id", "n_ws_tokens"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    scanned = with_prefix_sum(toks, ["doc_id"], "n_ws_tokens", out="cum_prev")
-
-    def win(t: pa.Table) -> pa.Table:
-        cum = t.column("cum_prev").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "n_tok": t.column("n_ws_tokens"),
-                "win_id": pa.array(cum // PACK_WINDOW_TOKENS),
-            }
-        )
-
-    return _to_table(
-        scanned.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
-    ).sort_by("doc_id")
+    return _pack_by_tokens(deduped)
 
 
 def _curation_oracle_sql() -> str:
@@ -1216,23 +1228,7 @@ def _curation_oracle_sql() -> str:
         dedup AS (
             SELECT MIN(doc_id) AS doc_id, text FROM kept GROUP BY text
         ),
-        tok AS (
-            SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE array_length(string_split_regex(trim(text), '\\s+'))
-                   END AS n_tok
-            FROM dedup
-        ),
-        s AS (
-            SELECT doc_id, n_tok,
-                   COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                       AS cum_prev
-            FROM tok
-        )
-        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-               CAST(cum_prev // {PACK_WINDOW_TOKENS} AS BIGINT) AS win_id
-        FROM s ORDER BY doc_id
+        {_pack_oracle_ctes("dedup")}
     """
 
 
@@ -1435,25 +1431,7 @@ ORACLE_SQL = {
                sha256(source) AS source
         FROM documents ORDER BY doc_id
     """,
-    "pack_sequences": r"""
-        WITH tok AS (
-            SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE array_length(string_split_regex(trim(text), '\s+'))
-                   END AS n_tok
-            FROM documents
-        ),
-        s AS (
-            SELECT doc_id, n_tok,
-                   COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                       AS cum_prev
-            FROM tok
-        )
-        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-               CAST(cum_prev // 256 AS BIGINT) AS win_id
-        FROM s ORDER BY doc_id
-    """,
+    "pack_sequences": "WITH " + _pack_oracle_ctes("documents"),
     "source_cap": """
         SELECT source, doc_id, n_chars, rnk FROM (
             SELECT source, doc_id, n_chars,
