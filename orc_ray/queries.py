@@ -1232,6 +1232,51 @@ def _curation_oracle_sql() -> str:
     """
 
 
+def q_media_pipeline(sf_dir: str):
+    """Composed media pipeline over the engine-decoded media store:
+    images resized to a 128x128 box (payload + dims updated in place),
+    videos expanded to 3 sampled frames (1 row -> k rows), and features
+    extracted from the resized stills — all actor-pool stages from
+    functions/multimodal.py chained on one stream (decode libs gated,
+    plumbing real; rows-only check)."""
+    import pyarrow.compute as _pc
+
+    from .functions.multimodal import extract_features, resize_images, sample_frames
+
+    ds = decode_dataset(media_store_for(128))
+    resized = resize_images(ds, max_w=128, max_h=128, batch_size=16)
+    frames = _to_table(sample_frames(resized, k=3, batch_size=16))
+    stills = resized.map_batches(
+        lambda t: t.filter(_pc.not_equal(t.column("media_type"), "video")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    feats = _to_table(extract_features(stills, batch_size=16))
+    return pa.table(
+        {
+            "media_id": pa.concat_arrays(
+                [
+                    feats.column("media_id").combine_chunks(),
+                    frames.column("media_id").combine_chunks(),
+                ]
+            ),
+            "kind": pa.array(
+                ["still"] * feats.num_rows + ["frame"] * frames.num_rows
+            ),
+            "item_idx": pa.array(
+                np.r_[np.zeros(feats.num_rows, np.int64),
+                      frames.column("frame_idx").to_numpy(zero_copy_only=False).astype(np.int64)]
+            ),
+            "n_bytes": pa.array(
+                np.r_[
+                    feats.column("payload_bytes").to_numpy(zero_copy_only=False),
+                    [len(f) for f in frames.column("frame").to_pylist()],
+                ].astype(np.int64)
+            ),
+        }
+    ).sort_by([("media_id", "ascending"), ("kind", "ascending"), ("item_idx", "ascending")])
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -1275,6 +1320,7 @@ QUERIES = {
     "running_revenue": q_running_revenue,
     "order_gaps": q_order_gaps,
     "scrub_pii": q_scrub_pii,
+    "media_pipeline": q_media_pipeline,
 }
 
 ORACLE_SQL = {
