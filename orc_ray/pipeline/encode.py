@@ -157,9 +157,25 @@ class EncoderActor:
             ]
         else:
             groups = [("", batch)]
+        # salt-pure chunks: Ray may coalesce several salt groups into one
+        # block after the groupby shuffle — split them back apart so each
+        # chunk holds ONE (source, length-bucket) partition (that purity
+        # is the whole point of the salted co-location: shared symbol
+        # tables and bounded per-chunk byte volume)
+        split_groups = []
         for path, sub in groups:
             if _SALT_COL in sub.column_names:
-                sub = sub.drop_columns([_SALT_COL])
+                salts = pa.compute.unique(sub.column(_SALT_COL).combine_chunks()).to_pylist()
+                for sv in salts:
+                    part = (
+                        sub.filter(pa.compute.equal(sub.column(_SALT_COL), sv))
+                        if len(salts) > 1
+                        else sub
+                    )
+                    split_groups.append((path, part.drop_columns([_SALT_COL])))
+            else:
+                split_groups.append((path, sub))
+        for path, sub in split_groups:
             if sub.num_rows == 0:
                 continue
             if self.opts.masks:

@@ -127,3 +127,38 @@ def test_manifest_lineage_fields(ray_session, f1_files, tmp_path):
     assert row["n_rows"] > 0 and row["enc_bytes"] > 0
     stats = json.loads(row["stats"])
     assert "n_tok" in stats and stats["n_tok"]["min"] >= 8
+
+
+def test_salted_shuffle_bounds_chunk_length_spread(ray_session, tmp_path):
+    """The north-star skew rule: salt = floor(log2(n_tok)) must co-locate
+    similar-length docs, so every chunk's n_tok range stays within one
+    power-of-two bucket (max <= 2*min) even on a corpus with ~256x
+    length skew — the quantitative check behind 'salting bounds partition
+    byte volume'."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    n = 6000
+    lens = np.clip(np.rint(np.exp(rng.normal(5.0, 0.9, n))).astype(np.int64), 8, 2048)
+    toks = [rng.integers(0, 50257, l).astype(np.int32) for l in lens]
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:06d}" for i in range(n)]),
+            "tokens": pa.array([x.tolist() for x in toks], pa.list_(pa.int32())),
+            "n_tok": pa.array(lens.astype(np.int32)),
+            "source": pa.array([f"s{i % 4}" for i in range(n)]),
+        }
+    )
+    src = tmp_path / "in.parquet"
+    pq.write_table(t, src)
+    out = str(tmp_path / "store")
+    encode_dataset([str(src)], out, batch_size=500, partition_by="source", salt_length_col="n_tok")
+    man = mstate.read_manifest(out)
+    assert man.num_rows >= 8
+    spreads = []
+    for srow in man.column("stats").to_pylist():
+        st = json.loads(srow)["n_tok"]
+        assert st["max"] <= 2 * st["min"], st  # one log2 bucket per chunk
+        spreads.append(st["max"] / st["min"])
+    # and the corpus itself really is skewed ~256x
+    assert lens.max() / lens.min() > 100
