@@ -218,3 +218,58 @@ def _fnv1a_segmented(
             idx = offsets[:-1][active] + i
             h[active] = (h[active] ^ concat[idx].astype(np.uint64)) * prime
     return h
+
+
+def repetition_stats(batch: pa.Table, col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    repetition-removal class): fraction of words taken by the single most
+    frequent word, and fraction of duplicate word 2-grams.  The classic
+    filter for degenerate/boilerplate training text.
+
+    Fully vectorized across the batch: one dictionary-encode of the
+    flattened word stream, one np.unique over (doc, word) composite keys
+    for the top-word count, one lexsort-free run count over (doc, w, w+1)
+    composite keys for duplicate 2-grams.  Emits floor-scaled e6 integers
+    (exact integer division) so a SQL window/groupby mirror hash-matches
+    bit-exactly."""
+    text = _concat_np(batch.column(col))
+    off, flat, n_words = _ws_words(text)
+    d = len(n_words)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = max(len(enc.dictionary), 1)
+    doc_of = np.repeat(np.arange(d, dtype=np.int64), np.diff(off))
+    # phantom '' word of empty/whitespace-only docs: n_words==0 there
+    valid = n_words[doc_of] > 0
+    dv, cv = doc_of[valid], codes[valid]
+
+    top_cnt = np.zeros(d, np.int64)
+    if dv.size:
+        assert d * vocab < (1 << 62), "composite key would overflow"
+        uk, cnts = np.unique(dv * vocab + cv, return_counts=True)
+        udoc = uk // vocab
+        starts = np.flatnonzero(np.r_[True, np.diff(udoc) != 0])
+        top_cnt[udoc[starts]] = np.maximum.reduceat(cnts, starts)
+
+    # adjacent within-doc pairs: position p pairs with p+1 iff same doc
+    n_dup = np.zeros(d, np.int64)
+    n_g = np.maximum(n_words - 1, 0)
+    if dv.size > 1:
+        adj = dv[:-1] == dv[1:]
+        pd_, c1, c2 = dv[:-1][adj], cv[:-1][adj], cv[1:][adj]
+        assert d * vocab * vocab < (1 << 62), "pair key would overflow"
+        upk = np.unique(pd_ * vocab * vocab + c1 * vocab + c2)
+        n_distinct = np.bincount(upk // (vocab * vocab), minlength=d)
+        n_dup = n_g - n_distinct
+
+    out = batch.select([c for c in batch.column_names if c != col])
+    nw = np.maximum(n_words, 1)
+    out = out.append_column("n_words", pa.array(n_words.astype(np.int64)))
+    out = out.append_column(
+        "top_word_frac_e6", pa.array(top_cnt * 1_000_000 // nw)
+    )
+    return out.append_column(
+        "dup_2gram_frac_e6", pa.array(n_dup * 1_000_000 // np.maximum(n_g, 1))
+    )

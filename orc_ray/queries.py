@@ -1277,6 +1277,119 @@ def q_media_pipeline(sf_dir: str):
     ).sort_by([("media_id", "ascending"), ("kind", "ascending"), ("item_idx", "ascending")])
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (functions/decontam.py): docs whose md5
+    bucket is '0' form the held-out benchmark; any other doc sharing a
+    word 4-gram with it is dropped.  The benchmark gram set is broadcast
+    once (ray.put) — zero shuffle; the training pass streams.  Real
+    pipelines use 13-grams of a true eval set; n=4 keeps the overlap
+    non-trivial on this tiny-vocab corpus."""
+    from .functions.decontam import decontaminate
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+    out = decontaminate(ds, n=4)
+    return _to_table(out).select(["doc_id"]).sort_by("doc_id")
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition metrics per doc (functions/text.py):
+    top-word fraction + duplicate-2-gram fraction, floor-e6 integers.
+    Pure per-batch map — embarrassingly parallel at any scale."""
+    from .functions.text import repetition_stats
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(repetition_stats, batch_format="pyarrow", zero_copy_batch=True)
+    return _to_table(out).sort_by("doc_id")
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-source stratified sampling: source tier
+    (src<i> -> i % 4) sets the keep rate 100%/50%/25%/12.5% via the
+    md5(doc_id) first hex digit — RNG-free, stable across shards and
+    cluster sizes (the sampling analog of q_hash_split).  Per-batch
+    vectorized tier lookup; the md5 bucket reuses decontam.md5_first_hex."""
+    from .functions.decontam import md5_first_hex
+
+    tier_digits = [None, list("01234567"), list("0123"), list("01")]
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        tiers = (
+            pc.cast(pc.replace_substring_regex(t.column("source"), r"^src", ""), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            % 4
+        )
+        digits = md5_first_hex(t.column("doc_id"))
+        keep = np.ones(t.num_rows, bool)
+        for tier, allowed in enumerate(tier_digits):
+            if allowed is not None:
+                sel = tiers == tier
+                keep[sel] = np.isin(digits[sel], allowed)
+        return t.filter(pa.array(keep))
+
+    out = ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+    return _to_table(out).sort_by("doc_id")
+
+
+def q_join_lineitem_orders(sf_dir: str):
+    """Large-large distributed join: lineitem revenue per order (exact
+    integer e4 cents — no float-order ambiguity) via the distributed
+    sum_by_keys aggregate, then a HASH-SHUFFLE JOIN to orders with
+    ray.data Dataset.join (both sides co-partitioned by key — neither is
+    broadcast, unlike q_join_orders_customer's small-side ray.put path),
+    then a tiny per-priority rollup.  The two join strategies together
+    cover ORC's host-engine join surface (SURVEY.md §2.8)."""
+    li = _decoded(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev_e4": pa.array(e * (100 - d))}
+        )
+
+    from .functions.aggregates import sum_by_keys
+
+    per_order = sum_by_keys(
+        li.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"],
+        "rev_e4",
+    )
+    orders = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = per_order.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "rev_e4_sum": pa.array([], pa.int64()),
+                    "count_all": pa.array([], pa.int64()),
+                }
+            )
+        return t.group_by(["o_orderpriority"]).aggregate(
+            [("rev_e4", "sum"), ([], "count_all")]
+        )
+
+    parts = _to_table(joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by(["o_orderpriority"]).aggregate(
+        [("rev_e4_sum", "sum"), ("count_all", "sum")]
+    )
+    return pa.table(
+        {
+            "o_orderpriority": final.column("o_orderpriority"),
+            "rev_e4": final.column("rev_e4_sum_sum"),
+            "n_orders": final.column("count_all_sum"),
+        }
+    ).sort_by("o_orderpriority")
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -1321,6 +1434,10 @@ QUERIES = {
     "order_gaps": q_order_gaps,
     "scrub_pii": q_scrub_pii,
     "media_pipeline": q_media_pipeline,
+    "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
+    "stratified_sample": q_stratified_sample,
+    "join_lineitem_orders": q_join_lineitem_orders,
 }
 
 ORACLE_SQL = {
@@ -1521,6 +1638,69 @@ ORACLE_SQL = {
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
                    // 86400000000 AS gap_days
         FROM orders ORDER BY o_orderkey
+    """,
+    "decontaminate": r"""
+        WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                   FROM documents WHERE trim(text) <> ''),
+        g AS (SELECT doc_id,
+                     array_to_string(ws[CAST(u AS INTEGER):CAST(u AS INTEGER)+3], ' ') AS gram
+              FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 2)) AS u
+                    FROM w WHERE len(ws) >= 4)),
+        bench AS (SELECT DISTINCT gram FROM g
+                  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+        contaminated AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram))
+        SELECT d.doc_id FROM documents d
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <> '0'
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ORDER BY d.doc_id
+    """,
+    "repetition_stats": r"""
+        WITH w AS (SELECT doc_id,
+                          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                               ELSE string_split_regex(trim(text), '\s+') END AS ws
+                   FROM documents),
+        tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        wc AS (SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY doc_id, word),
+        top AS (SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS nw FROM wc GROUP BY doc_id),
+        g AS (SELECT doc_id,
+                     ws[CAST(u AS INTEGER)] || ' ' || ws[CAST(u AS INTEGER) + 1] AS gram
+              FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS u
+                    FROM w WHERE len(ws) >= 2)),
+        gc AS (SELECT doc_id, COUNT(*) AS n_g, COUNT(DISTINCT gram) AS n_d
+               FROM g GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(top.nw, 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(top.top_cnt, 0) * 1000000
+                    // GREATEST(COALESCE(top.nw, 0), 1) AS BIGINT)
+                   AS top_word_frac_e6,
+               CAST(COALESCE(gc.n_g - gc.n_d, 0) * 1000000
+                    // GREATEST(COALESCE(gc.n_g, 0), 1) AS BIGINT)
+                   AS dup_2gram_frac_e6
+        FROM documents d LEFT JOIN top USING (doc_id) LEFT JOIN gc USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    "stratified_sample": r"""
+        SELECT doc_id, source FROM documents
+        WHERE CASE CAST(regexp_extract(source, 'src(\d+)', 1) AS INTEGER) % 4
+              WHEN 0 THEN TRUE
+              WHEN 1 THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                          IN ('0','1','2','3','4','5','6','7')
+              WHEN 2 THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                          IN ('0','1','2','3')
+              ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') END
+        ORDER BY doc_id
+    """,
+    "join_lineitem_orders": """
+        WITH l AS (
+            SELECT l_orderkey,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_e4
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT o_orderpriority, CAST(SUM(rev_e4) AS BIGINT) AS rev_e4,
+               COUNT(*) AS n_orders
+        FROM l JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),
