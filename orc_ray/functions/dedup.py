@@ -309,6 +309,7 @@ def dedup_exact_fingerprint(ds, id_col: str = "doc_id", text_col: str = "text", 
 def dedup_ngram_jaccard(
     ds, id_col="doc_id", text_col="text", k: int = 8, max_df: int = 16,
     num_partitions: int = 8, stats_out: dict | None = None,
+    small_join_threshold: int = 1_000_000,
 ):
     """EXACT n-gram (byte 8-gram) Jaccard pairs at threshold 0.5 over the
     RARE-shingle sets, via a distributed inverted index:
@@ -318,8 +319,9 @@ def dedup_ngram_jaccard(
                  distinct hashes == distinct byte substrings)
           -> flat (shingle, doc) rows -> sort by shingle (the shuffle)
           -> per-group all-pairs emission (repeat/tile, no per-row Python)
-          -> DISTRIBUTED groupby (a, b) count = |A∩B|
-          -> DISTRIBUTED groupby (d) sum    = |A| set sizes
+          -> ONE fused DISTRIBUTED sum over the composite key (kind, a, b):
+             kind-0 rows aggregate to |A∩B| pair counts, kind-1 rows to
+             |A| set sizes — a single range sort instead of two shuffles
           -> hash-partitioned Dataset.join of counts against sizes (x2)
           -> threshold filter 2*inter >= union inside map_batches
 
@@ -368,7 +370,7 @@ def dedup_ngram_jaccard(
         kind 0: (a, b, c) PRE-AGGREGATED doc-pair count from interior
                 groups with 2<=g<=max_df (the combiner: within-block
                 duplicate pairs collapse before the shuffle)
-        kind 1: (a=doc, b=count) partial set-size contribution from
+        kind 1: (a=doc, c=count) partial set-size contribution from
                 interior groups with g<=max_df
         kind 2: (a=doc, s=shingle) member of a block-BOUNDARY group — the
                 driver regroups these across blocks and applies the same
@@ -423,10 +425,12 @@ def dedup_ngram_jaccard(
                     ]
                 ),
                 "a": pa.array(np.concatenate([a, sd, md])),
-                "b": pa.array(np.concatenate([b, sc.astype(np.int64), np.zeros(md.size, np.int64)])),
+                "b": pa.array(np.concatenate([b, np.zeros(sd.size + md.size, np.int64)])),
                 "s": pa.array(np.concatenate([np.zeros(a.size + sd.size, np.int64), ms])),
                 "c": pa.array(
-                    np.concatenate([pc_.astype(np.int64), np.zeros(sd.size + md.size, np.int64)])
+                    np.concatenate(
+                        [pc_.astype(np.int64), sc.astype(np.int64), np.zeros(md.size, np.int64)]
+                    )
                 ),
             }
         )
@@ -446,6 +450,10 @@ def dedup_ngram_jaccard(
 
     def _kind_stage(t: pa.Table, kk: int, cols: dict) -> pa.Table:
         sub = t.filter(pc.equal(t.column("kind"), kk))
+        return pa.table({new: sub.column(old) for new, old in cols.items()})
+
+    def _kind_stage_le(t: pa.Table, kk: int, cols: dict) -> pa.Table:
+        sub = t.filter(pc.less_equal(t.column("kind"), kk))
         return pa.table({new: sub.column(old) for new, old in cols.items()})
 
     import functools
@@ -493,54 +501,130 @@ def dedup_ngram_jaccard(
         ba = bb = bc = np.empty(0, np.int64)
     bpairs = pa.table({"a": pa.array(ba), "b": pa.array(bb), "c": pa.array(bc)})
 
-    # DISTRIBUTED pair counting: interior pre-counted pair rows + healed
-    # boundary pairs, summed with the sort + vectorized-block combiner
-    # (sum_by_keys) — Ray's groupby.aggregate pays per-group Python cost,
-    # prohibitive at O(pairs) distinct groups
+    # ONE fused DISTRIBUTED aggregation: pair counts (kind 0) and set
+    # sizes (kind 1) share the value column `c`, so a single sum_by_keys
+    # over the composite key (kind, a, b) co-locates and sums both in one
+    # range sort — the r2 shape paid two full shuffles (one per
+    # aggregation) over the same materialized `mixed`.  sum_by_keys (the
+    # sort + vectorized-block combiner) instead of ds.groupby.aggregate:
+    # Ray's aggregate pays per-group Python cost, prohibitive at O(pairs)
+    # distinct groups.
     from .aggregates import sum_by_keys
 
-    pairs_ds = mixed.map_batches(
-        functools.partial(_kind_stage, kk=0, cols={"a": "a", "b": "b", "c": "c"}),
+    fused_rows = mixed.map_batches(
+        functools.partial(
+            _kind_stage_le, kk=1, cols={"kind": "kind", "a": "a", "b": "b", "c": "c"}
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    healed_parts = []
     if bpairs.num_rows:
-        pairs_ds = pairs_ds.union(ray.data.from_arrow(bpairs))
-    if stats_out is not None:  # diagnostics only: extra pass over `mixed`
-        stats_out["emitted_pair_rows"] = pairs_ds.count()
-
-    # DISTRIBUTED set sizes: interior partial counts + boundary contributions
-    sizes_ds = mixed.map_batches(
-        functools.partial(_kind_stage, kk=1, cols={"d": "a", "n": "b"}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    if bsd.size:
-        sizes_ds = sizes_ds.union(
-            ray.data.from_arrow(pa.table({"d": pa.array(bsd), "n": pa.array(bsc.astype(np.int64))}))
+        healed_parts.append(
+            pa.table(
+                {
+                    "kind": pa.array(np.zeros(bpairs.num_rows, np.int8)),
+                    "a": bpairs.column("a"),
+                    "b": bpairs.column("b"),
+                    "c": bpairs.column("c"),
+                }
+            )
         )
-
-    # the two aggregations are independent reads of the materialized
-    # `mixed` — run them concurrently (each thread drives its own Ray
-    # Data executor) instead of back-to-back
-    import concurrent.futures as _cf
+    if bsd.size:
+        healed_parts.append(
+            pa.table(
+                {
+                    "kind": pa.array(np.ones(bsd.size, np.int8)),
+                    "a": pa.array(bsd),
+                    "b": pa.array(np.zeros(bsd.size, np.int64)),
+                    "c": pa.array(bsc.astype(np.int64)),
+                }
+            )
+        )
+    if healed_parts:
+        fused_rows = fused_rows.union(ray.data.from_arrow(pa.concat_tables(healed_parts)))
+    if stats_out is not None:  # diagnostics only: extra pass over `mixed`
+        stats_out["emitted_pair_rows"] = (
+            mixed.map_batches(
+                functools.partial(_kind_stage, kk=0, cols={"a": "a"}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).count()
+            + int(bpairs.num_rows)
+        )
 
     agg_stats: dict = {}
-    with _cf.ThreadPoolExecutor(2) as ex:
-        f_counts = ex.submit(
-            lambda: sum_by_keys(
-                pairs_ds, ["a", "b"], "c", out="inter", stats_out=agg_stats
-            ).materialize()
-        )
-        f_sizes = ex.submit(lambda: sum_by_keys(sizes_ds, ["d"], "n", out="nsz").materialize())
-        counts = f_counts.result()
-        sizes = f_sizes.result()
+    fused = sum_by_keys(
+        fused_rows, ["kind", "a", "b"], "c", out="v", stats_out=agg_stats
+    ).materialize()
+
+    counts = fused.map_batches(
+        functools.partial(_kind_stage, kk=0, cols={"a": "a", "b": "b", "inter": "v"}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    sizes = fused.map_batches(
+        functools.partial(_kind_stage, kk=1, cols={"d": "a", "nsz": "v"}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     n_pairs = counts.count()
     if stats_out is not None:
         stats_out["driver_rows"] = driver_rows + agg_stats.get("boundary_rows", 0)
         stats_out["distinct_pairs"] = n_pairs
     if n_pairs == 0:
         return empty_out
+
+    if n_pairs <= small_join_threshold:
+        # ADAPTIVE small side.  `counts` here is the DEDUPLICATED candidate
+        # pair table (post distributed aggregation — never the multiset), so
+        # at <= 1M rows it is a <= ~32 MB broadcast-class object, the same
+        # order as the boundary-healing buffers the driver already holds.
+        # A broadcast semi-join (is_in filter of sizes by the O(pairs) doc
+        # ids) + vectorized driver threshold beats the hash join's fixed
+        # actor-spawn cost by ~2 s.  The hash-join path below remains the
+        # asymptotic shape for large runs and is parity-tested
+        # (small_join_threshold=0).
+        pair_tbl = pa.concat_tables(
+            counts.iter_batches(batch_format="pyarrow", batch_size=None)
+        ).combine_chunks()
+        a_np = pair_tbl.column("a").to_numpy(zero_copy_only=False)
+        b_np = pair_tbl.column("b").to_numpy(zero_copy_only=False)
+        need = pa.array(np.union1d(a_np, b_np))
+
+        def sz_filter(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column("d"), value_set=need))
+
+        sz_parts = [
+            p
+            for p in sizes.map_batches(
+                sz_filter, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            if p.num_rows
+        ]
+        sz = pa.concat_tables(sz_parts).combine_chunks()
+        sd = sz.column("d").to_numpy(zero_copy_only=False)
+        sn = sz.column("nsz").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(sd)
+        sd, sn = sd[order], sn[order]
+        inter = pair_tbl.column("inter").to_numpy(zero_copy_only=False).astype(np.int64)
+        na = sn[np.searchsorted(sd, a_np)]
+        nb = sn[np.searchsorted(sd, b_np)]
+        un = na + nb - inter
+        keep = 2 * inter >= un
+        if stats_out is not None:
+            stats_out["driver_rows"] += int(n_pairs) + int(sz.num_rows)
+        if not keep.any():
+            return empty_out
+        out = pa.table(
+            {
+                "doc_a": pa.array(a_np[keep]),
+                "doc_b": pa.array(b_np[keep]),
+                "inter": pa.array(inter[keep]),
+                "un": pa.array(un[keep]),
+            }
+        )
+        return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
     # DISTRIBUTED size join (hash-partitioned on the doc id) + threshold.
     # num_partitions auto-shrinks with the pair count: Ray's hash join

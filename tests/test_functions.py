@@ -188,6 +188,19 @@ def test_dedup_ngram_distributed_vs_bruteforce(ray_session):
     assert stats["emitted_pair_rows"] > 2 * len(exp), stats
     assert stats["driver_rows"] < stats["emitted_pair_rows"] / 4, stats
 
+    # the large-run path (distributed hash size-join instead of the
+    # driver-side small-pair threshold) must produce identical pairs
+    out_join = dedup.dedup_ngram_jaccard(ds, max_df=200, small_join_threshold=0)
+    got_join = list(
+        zip(
+            out_join.column("doc_a").to_pylist(),
+            out_join.column("doc_b").to_pylist(),
+            out_join.column("inter").to_pylist(),
+            out_join.column("un").to_pylist(),
+        )
+    )
+    assert sorted(got_join) == sorted(exp)
+
 
 def test_with_prefix_sum_distributed(ray_session):
     """Global running sum (exclusive + inclusive) must equal the serial
