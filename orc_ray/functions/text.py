@@ -273,3 +273,82 @@ def repetition_stats(batch: pa.Table, col: str = "text", id_col: str = "doc_id")
     return out.append_column(
         "dup_2gram_frac_e6", pa.array(n_dup * 1_000_000 // np.maximum(n_g, 1))
     )
+
+
+def word_tf_df_rows(batch: pa.Table, col: str = "text", source_col: str = "source") -> pa.Table:
+    """Per-batch combiner for the fused term-frequency / document-frequency
+    aggregation (the q_salient_terms shape): emits
+
+        kind 0: (source, w, c) — word count within this batch's docs of
+                that source (Arrow C++ group_by, no per-row Python)
+        kind 1: ('',     w, c) — number of DISTINCT docs in this batch
+                containing w (each doc lives in exactly one batch row, so
+                summing these partials across batches is the exact df)
+
+    One sum_by_keys over (kind, source, w) downstream aggregates both —
+    the same composite-key fusion dedup_ngram_jaccard uses for its pair
+    counts and set sizes."""
+    text = _concat_np(batch.column(col))
+    off, flat, n_words = _ws_words(text)
+    d = len(n_words)
+    doc_of = np.repeat(np.arange(d, dtype=np.int64), np.diff(off))
+    valid = n_words[doc_of] > 0  # mask the phantom '' of empty docs
+    src = batch.column(source_col).to_numpy(zero_copy_only=False)
+    wtab = pa.table(
+        {
+            "d": pa.array(doc_of[valid]),
+            "src": pa.array(src[doc_of[valid]]),
+            "w": flat.filter(pa.array(valid)),
+        }
+    )
+    tf = wtab.group_by(["src", "w"]).aggregate([([], "count_all")])
+    per_doc = wtab.group_by(["d", "w"]).aggregate([])  # distinct (doc, word)
+    df = per_doc.group_by("w").aggregate([([], "count_all")])
+    n0, n1 = tf.num_rows, df.num_rows
+    return pa.table(
+        {
+            "kind": pa.array(np.r_[np.zeros(n0, np.int8), np.ones(n1, np.int8)]),
+            "source": pa.concat_arrays(
+                [tf.column("src").combine_chunks(), pa.nulls(n1, pa.string()).fill_null("")]
+            ),
+            "w": pa.concat_arrays(
+                [tf.column("w").combine_chunks(), df.column("w").combine_chunks()]
+            ),
+            "c": pa.concat_arrays(
+                [
+                    tf.column("count_all").cast(pa.int64()).combine_chunks(),
+                    df.column("count_all").cast(pa.int64()).combine_chunks(),
+                ]
+            ),
+        }
+    )
+
+
+def bigram_rows(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Per-batch combiner for adjacent word-bigram counting: emits
+    (w1, w2, c) locally pre-aggregated (Arrow group_by) so the downstream
+    sum_by_keys shuffle moves one row per distinct in-batch bigram, not
+    one per occurrence."""
+    text = _concat_np(batch.column(col))
+    off, flat, n_words = _ws_words(text)
+    m = np.maximum(n_words - 1, 0)  # bigram starts per doc
+    if int(m.sum()) == 0:
+        return pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+    excl = np.zeros(m.size, np.int64)
+    np.cumsum(m[:-1], out=excl[1:])
+    idx = np.repeat(off[:-1], m) + (np.arange(int(m.sum()), dtype=np.int64) - np.repeat(excl, m))
+    pairs = pa.table({"w1": flat.take(pa.array(idx)), "w2": flat.take(pa.array(idx + 1))})
+    g = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "w1": g.column("w1"),
+            "w2": g.column("w2"),
+            "c": g.column("count_all").cast(pa.int64()),
+        }
+    )

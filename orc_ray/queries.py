@@ -1331,6 +1331,126 @@ def q_stratified_sample(sf_dir: str):
     return _to_table(out).sort_by("doc_id")
 
 
+def q_global_quantiles(sf_dir: str):
+    """Exact global quantiles (p50/p90/p99) of events.value, quantized to
+    e6 integers so the DuckDB quantile_disc oracle hash-matches without
+    float ambiguity.
+
+    Shape: per-batch np.unique combiner -> ONE sum_by_keys over the value
+    domain (the distributed value-histogram — the classic exact-quantile
+    shape at scale) -> O(distinct quantized values) driver cumsum +
+    searchsorted selection.  quantile_disc semantics: the smallest value
+    whose running count reaches ceil(q * n)."""
+    from .functions.aggregates import sum_by_keys
+
+    ds = _decoded(sf_dir, "events", columns=["value"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        v = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 1_000_000).astype(
+            np.int64
+        )
+        d, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(d), "c": pa.array(c.astype(np.int64))})
+
+    dist = sum_by_keys(
+        ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True), ["v"], "c"
+    )
+    tbl = _to_table(dist)
+    v = tbl.column("v").to_numpy(zero_copy_only=False)
+    c = tbl.column("c").to_numpy(zero_copy_only=False)
+    order = np.argsort(v, kind="stable")
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    out_q, out_v = [], []
+    for label, q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
+        k = int(np.ceil(q * n))
+        out_q.append(label)
+        out_v.append(int(v[np.searchsorted(cum, k)]))
+    return pa.table({"q": pa.array(out_q), "val_e6": pa.array(out_v, pa.int64())})
+
+
+def q_salient_terms(sf_dir: str):
+    """Per-source salient terms: top-10 words by in-source count after
+    dropping corpus-wide stop words (document frequency > 79% of docs) —
+    integer-exact, so the SQL window mirror hash-matches.
+
+    Shape: per-batch Arrow group_by combiner emits fused tf + df partial
+    rows -> ONE sum_by_keys over the composite key (kind, source, w) (the
+    dedup_ngram fusion pattern) -> the stop LIST (rare by Zipf: only the
+    most common words exceed the cap) is the one driver-side object,
+    broadcast back as an is_in filter -> distributed window rank
+    (with_group_ranks) takes the per-source top-10."""
+    from .functions.aggregates import sum_by_keys, with_group_ranks
+    from .functions.text import word_tf_df_rows
+
+    ds = _decoded(sf_dir, "documents", columns=["text", "source"])
+    n_docs = ds.count()
+    rows = ds.map_batches(word_tf_df_rows, batch_format="pyarrow", zero_copy_batch=True)
+    fused = sum_by_keys(rows, ["kind", "source", "w"], "c", out="cnt").materialize()
+
+    def df_stop(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t.column("kind"), 1))
+        mask = pc.greater(pc.multiply(sub.column("cnt"), 100), 79 * n_docs)
+        return pa.table({"w": sub.column("w").filter(mask)})
+
+    stop_parts = [
+        p
+        for p in fused.map_batches(
+            df_stop, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if p.num_rows
+    ]
+    stop = (
+        pa.concat_tables(stop_parts).column("w").combine_chunks() if stop_parts else None
+    )
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t.column("kind"), 0))
+        if stop is not None:
+            sub = sub.filter(pc.invert(pc.is_in(sub.column("w"), value_set=stop)))
+        return pa.table(
+            {"source": sub.column("source"), "w": sub.column("w"), "tf": sub.column("cnt")}
+        )
+
+    tf = fused.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
+    ranked = with_group_ranks(tf, ["source"], ["tf", "w"], descending=[True, False])
+
+    def top10(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({})
+        return t.filter(pc.less_equal(t.column("rnk"), 10))
+
+    out = _to_table(ranked.map_batches(top10, batch_format="pyarrow", zero_copy_batch=True))
+    return out.sort_by([("source", "ascending"), ("rnk", "ascending")])
+
+
+def q_word_bigrams(sf_dir: str):
+    """Corpus-wide top-50 adjacent word bigrams by count (ties broken by
+    words ascending — a full deterministic ordering, so the SQL mirror's
+    LIMIT picks the identical set).
+
+    Shape: per-batch vectorized bigram extraction + Arrow group_by
+    combiner -> ONE sum_by_keys over (w1, w2) -> per-block top-50 (blocks
+    cover disjoint key ranges after the range sort, so block-local top-50
+    then a driver merge over O(blocks * 50) rows is exact)."""
+    from .functions.aggregates import sum_by_keys
+    from .functions.text import bigram_rows
+
+    sort_keys = [("cnt", "descending"), ("w1", "ascending"), ("w2", "ascending")]
+    ds = _decoded(sf_dir, "documents", columns=["text"])
+    rows = ds.map_batches(bigram_rows, batch_format="pyarrow", zero_copy_batch=True)
+    counts = sum_by_keys(rows, ["w1", "w2"], "c", out="cnt")
+
+    def local_top(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 50:
+            return t
+        return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:50])
+
+    tbl = _to_table(counts.map_batches(local_top, batch_format="pyarrow", zero_copy_batch=True))
+    return tbl.take(pc.sort_indices(tbl, sort_keys=sort_keys)[:50])
+
+
 def q_join_lineitem_orders(sf_dir: str):
     """Large-large distributed join: lineitem revenue per order (exact
     integer e4 cents — no float-order ambiguity) via the distributed
@@ -1438,6 +1558,9 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "stratified_sample": q_stratified_sample,
     "join_lineitem_orders": q_join_lineitem_orders,
+    "global_quantiles": q_global_quantiles,
+    "salient_terms": q_salient_terms,
+    "word_bigrams": q_word_bigrams,
 }
 
 ORACLE_SQL = {
@@ -1701,6 +1824,40 @@ ORACLE_SQL = {
                COUNT(*) AS n_orders
         FROM l JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "global_quantiles": """
+        WITH v AS (SELECT CAST(ROUND(value * 1000000) AS BIGINT) v FROM events)
+        SELECT 'p50' AS q, quantile_disc(v, 0.5) AS val_e6 FROM v
+        UNION ALL SELECT 'p90', quantile_disc(v, 0.9) FROM v
+        UNION ALL SELECT 'p99', quantile_disc(v, 0.99) FROM v
+        ORDER BY q
+    """,
+    "salient_terms": """
+        WITH words AS (
+            SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+        ), df AS (
+            SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w
+        ), tot AS (SELECT COUNT(*) n FROM documents),
+        tf AS (
+            SELECT source, w, COUNT(*) AS tf FROM words GROUP BY source, w
+        ), kept AS (
+            SELECT tf.* FROM tf JOIN df USING (w), tot
+            WHERE df.df * 100 <= tot.n * 79
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY tf DESC, w) AS rnk
+            FROM kept
+        )
+        SELECT source, w, tf, rnk FROM ranked WHERE rnk <= 10
+        ORDER BY source, rnk
+    """,
+    "word_bigrams": """
+        WITH s AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        p AS (SELECT ws, UNNEST(generate_series(1, len(ws) - 1)) AS i FROM s)
+        SELECT ws[i] AS w1, ws[i + 1] AS w2, COUNT(*) AS cnt
+        FROM p GROUP BY 1, 2
+        ORDER BY cnt DESC, w1, w2 LIMIT 50
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

@@ -25,6 +25,9 @@ NEW_QUERIES = [
     "lang_id",
     "quality_scores",
     "dedup_ngram",
+    "global_quantiles",
+    "salient_terms",
+    "word_bigrams",
 ]
 
 
