@@ -1510,6 +1510,52 @@ def q_join_lineitem_orders(sf_dir: str):
     ).sort_by("o_orderpriority")
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid sums over the list<float> column,
+    e6-quantized to integers so the SQL zipped-UNNEST mirror hash-matches
+    exactly (the centroid itself is sum_e6 / n downstream — kept as the
+    exact integer pair here).
+
+    Shape: per-batch scatter-add into a (labels_present x dim) int64
+    matrix (two np.add.at passes over the flattened list values — no
+    per-row Python), emitting O(labels x dim) partial rows per block ->
+    ONE agg_by_keys over (label, dim).  At 10^12 sequences the shuffle
+    moves only the tiny partials; the embedding payload never leaves its
+    block."""
+    from .functions.aggregates import agg_by_keys
+
+    ds = _decoded(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t.column("embedding").combine_chunks()
+        off = arr.offsets.to_numpy()
+        off = off - off[0]
+        vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(vals * 1_000_000.0).astype(np.int64)
+        lens = np.diff(off)
+        labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        ulab = np.unique(labels)
+        lab_idx = np.searchsorted(ulab, np.repeat(labels, lens))
+        dim = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], lens)
+        d_max = int(lens.max()) if lens.size else 0
+        mat = np.zeros((ulab.size, d_max), dtype=np.int64)
+        np.add.at(mat, (lab_idx, dim), q)
+        cnt = np.zeros((ulab.size, d_max), dtype=np.int64)
+        np.add.at(cnt, (lab_idx, dim), 1)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ulab, d_max).astype(np.int32)),
+                "dim": pa.array(np.tile(np.arange(d_max), ulab.size).astype(np.int32)),
+                "s": pa.array(mat.ravel()),
+                "c": pa.array(cnt.ravel()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = agg_by_keys(parts, ["label", "dim"], [("s", "sum", "sum_e6"), ("c", "sum", "n")])
+    return _to_table(agg).sort_by([("label", "ascending"), ("dim", "ascending")])
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -1561,6 +1607,7 @@ QUERIES = {
     "global_quantiles": q_global_quantiles,
     "salient_terms": q_salient_terms,
     "word_bigrams": q_word_bigrams,
+    "label_centroids": q_label_centroids,
 }
 
 ORACLE_SQL = {
@@ -1858,6 +1905,15 @@ ORACLE_SQL = {
         SELECT ws[i] AS w1, ws[i + 1] AS w2, COUNT(*) AS cnt
         FROM p GROUP BY 1, 2
         ORDER BY cnt DESC, w1, w2 LIMIT 50
+    """,
+    "label_centroids": """
+        SELECT label, CAST(dim AS INTEGER) AS dim,
+               CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+                    AS BIGINT) AS sum_e6,
+               COUNT(*) AS n
+        FROM (SELECT label, UNNEST(embedding) AS e,
+                     UNNEST(range(len(embedding))) AS dim FROM embeddings)
+        GROUP BY label, dim ORDER BY label, dim
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

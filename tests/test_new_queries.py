@@ -28,6 +28,7 @@ NEW_QUERIES = [
     "global_quantiles",
     "salient_terms",
     "word_bigrams",
+    "label_centroids",
 ]
 
 
