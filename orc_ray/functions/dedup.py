@@ -570,7 +570,11 @@ def dedup_ngram_jaccard(
     )
     n_pairs = counts.count()
     if stats_out is not None:
-        stats_out["driver_rows"] = driver_rows + agg_stats.get("boundary_rows", 0)
+        # boundary_driver_rows is the O(blocks) healing cost alone; the
+        # adaptive small-join path below legitimately adds the DEDUPLICATED
+        # candidate table (never the multiset) to driver_rows.
+        stats_out["boundary_driver_rows"] = driver_rows + agg_stats.get("boundary_rows", 0)
+        stats_out["driver_rows"] = stats_out["boundary_driver_rows"]
         stats_out["distinct_pairs"] = n_pairs
     if n_pairs == 0:
         return empty_out

@@ -71,14 +71,21 @@ def _mask(t: pa.Table, pred):
 
     def lit(v):
         # unsigned columns: int literals >= 2**63 overflow pa.scalar's
-        # default int64 inference — type them to the column instead
-        if isinstance(v, int) and pa.types.is_unsigned_integer(c.type):
+        # default int64 inference — type them to the column instead.
+        # temporal columns: int literals are epoch counts in the column's
+        # unit (matching the integer min/max chunk stats, so one literal
+        # form drives both stats pruning and the row filter).
+        if isinstance(v, int) and (
+            pa.types.is_unsigned_integer(c.type) or pa.types.is_temporal(c.type)
+        ):
             return pa.scalar(v, type=c.type)
         return pa.scalar(v)
 
     if op == "in":
-        vs = pred[2]
-        if pa.types.is_unsigned_integer(c.type):
+        vs = list(pred[2])
+        if pa.types.is_unsigned_integer(c.type) or (
+            pa.types.is_temporal(c.type) and vs and isinstance(vs[0], int)
+        ):
             return pc.is_in(c, value_set=pa.array(vs, type=c.type))
         return pc.is_in(c, value_set=pa.array(vs))
     if op == "between":

@@ -1556,6 +1556,94 @@ def q_label_centroids(sf_dir: str):
     return _to_table(agg).sort_by([("label", "ascending"), ("dim", "ascending")])
 
 
+def q_top_segment_revenue(sf_dir: str):
+    """TPC-H Q3 analog — a THREE-table composition exercising every join
+    strategy the engine offers in one pipeline: broadcast semi-join
+    (customer segment keys via ray.put, probed with a vectorized is_in),
+    predicate-pushdown decodes on BOTH fact streams (the l_shipdate /
+    o_orderdate chunk+stride pruning is the SargsApplier analog; temporal
+    literals are epoch-us ints so one literal form drives stats pruning
+    and the row filter), distributed sum_by_keys revenue, a hash-shuffle
+    Dataset.join (neither fact side broadcast), and local top-k with an
+    O(blocks x 10) driver merge — no global sort."""
+    from .functions.aggregates import sum_by_keys
+
+    cut_us = 883_612_800_000_000  # 1998-01-01 00:00:00 UTC in epoch-us
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = (
+        cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+        .column("c_custkey")
+        .combine_chunks()
+    )
+    keys_ref = ray.put(keys)
+
+    li = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        predicates=[("l_shipdate", ">", cut_us)],
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev_e4": pa.array(e * (100 - d))}
+        )
+
+    rev = sum_by_keys(
+        li.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"],
+        "rev_e4",
+    )
+
+    orders = _decoded(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        predicates=[("o_orderdate", "<", cut_us)],
+    )
+
+    def seg_filter(t: pa.Table, *, ref=keys_ref) -> pa.Table:
+        ks = ray.get(ref)  # local zero-copy object-store fetch
+        sub = t.filter(pc.is_in(t.column("o_custkey"), value_set=ks))
+        return sub.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    orders_f = orders.map_batches(seg_filter, batch_format="pyarrow", zero_copy_batch=True)
+    joined = rev.join(
+        orders_f,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    sort_keys = [
+        ("rev_e4", "descending"),
+        ("o_orderdate", "ascending"),
+        ("l_orderkey", "ascending"),
+    ]
+
+    def local_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({})
+        return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:10])
+
+    tops = _to_table(joined.map_batches(local_top, batch_format="pyarrow", zero_copy_batch=True))
+    out = tops.take(pc.sort_indices(tops, sort_keys=sort_keys)[:10])
+    return pa.table(
+        {
+            "o_orderkey": out.column("l_orderkey"),
+            "rev_e4": out.column("rev_e4"),
+            "o_orderdate": out.column("o_orderdate"),
+            "o_orderpriority": out.column("o_orderpriority"),
+        }
+    )
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -1608,6 +1696,7 @@ QUERIES = {
     "salient_terms": q_salient_terms,
     "word_bigrams": q_word_bigrams,
     "label_centroids": q_label_centroids,
+    "top_segment_revenue": q_top_segment_revenue,
 }
 
 ORACLE_SQL = {
@@ -1914,6 +2003,22 @@ ORACLE_SQL = {
         FROM (SELECT label, UNNEST(embedding) AS e,
                      UNNEST(range(len(embedding))) AS dim FROM embeddings)
         GROUP BY label, dim ORDER BY label, dim
+    """,
+    "top_segment_revenue": """
+        WITH rev AS (
+            SELECT l_orderkey,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_e4
+            FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey
+        )
+        SELECT o_orderkey, CAST(rev.rev_e4 AS BIGINT) AS rev_e4,
+               o_orderdate, o_orderpriority
+        FROM rev
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        ORDER BY rev_e4 DESC, o_orderdate, o_orderkey LIMIT 10
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

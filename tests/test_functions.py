@@ -186,7 +186,11 @@ def test_dedup_ngram_distributed_vs_bruteforce(ray_session):
     # the in-block combiner) exceeds the result, and the driver sees only
     # boundary rows + the result — never the multiset
     assert stats["emitted_pair_rows"] > 2 * len(exp), stats
-    assert stats["driver_rows"] < stats["emitted_pair_rows"] / 4, stats
+    # the healing cost alone is O(blocks) — far under the multiset; the
+    # total driver rows may also include the DEDUPLICATED candidate table
+    # (adaptive small-join path) but never the multiset itself
+    assert stats["boundary_driver_rows"] < stats["emitted_pair_rows"] / 4, stats
+    assert stats["driver_rows"] < stats["emitted_pair_rows"], stats
 
     # the large-run path (distributed hash size-join instead of the
     # driver-side small-pair threshold) must produce identical pairs

@@ -29,6 +29,7 @@ NEW_QUERIES = [
     "salient_terms",
     "word_bigrams",
     "label_centroids",
+    "top_segment_revenue",
 ]
 
 
@@ -66,7 +67,7 @@ def _norm(df: pd.DataFrame) -> tuple:
 def oracle():
     duckdb = pytest.importorskip("duckdb")
     con = duckdb.connect()
-    for t in ["orders", "events", "documents", "embeddings"]:
+    for t in ["orders", "events", "documents", "embeddings", "lineitem", "customer"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )

@@ -95,3 +95,32 @@ def test_string_minmax_prunes_doc_id(store):
     # type-mismatched literal must not mis-prune (conservative MAYBE)
     _, kept2, total2 = list_chunks(out, predicates=[("doc_id", "==", 123)])
     assert kept2 == total2
+
+
+def test_timestamp_predicate_pushdown(tmp_path, ray_session):
+    """Temporal predicates take epoch-count int literals (in the column's
+    unit): the same literal drives chunk-stats pruning (integer min/max)
+    AND the exact row filter (typed to the ts column)."""
+    import numpy as np
+
+    n = 4000
+    us = (1_500_000_000_000_000 + np.arange(n, dtype=np.int64) * 60_000_000)
+    t = pa.table({
+        "id": pa.array(np.arange(n)),
+        "ts": pa.array(us, pa.timestamp("us")),
+    })
+    src = str(tmp_path / "ts.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "store")
+    encode_dataset([src], out, batch_size=500)
+    cut = int(us[3500])
+    _, kept, total = list_chunks(out, predicates=[("ts", ">", cut)])
+    assert kept < total, (kept, total)
+    got = _run(out, [("ts", ">", cut)])
+    assert got.num_rows == n - 3501
+    assert got.column("ts").to_pylist() == t.filter(
+        pc.greater(t.column("ts"), t.column("ts")[3500])
+    ).column("ts").to_pylist()
+    # IN with epoch ints
+    got_in = _run(out, [("ts", "in", [int(us[7]), int(us[1234])])])
+    assert sorted(got_in.column("id").to_pylist()) == [7, 1234]
