@@ -1644,6 +1644,247 @@ def q_top_segment_revenue(sf_dir: str):
     )
 
 
+def q_group_quantiles(sf_dir: str):
+    """Exact per-group quantiles (p50/p90/p99 of events.value per
+    event_type), e6-quantized — the grouped extension of
+    q_global_quantiles' distributed value-histogram shape.
+
+    Per-batch Arrow group_by combiner over (event_type, v) -> ONE
+    sum_by_keys -> the driver sees only the distinct (group, value)
+    histogram (the documented exact-quantile ceiling), lexsorts once and
+    selects per-group with vectorized cumsums."""
+    from .functions.aggregates import sum_by_keys
+
+    ds = _decoded(sf_dir, "events", columns=["event_type", "value"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        v = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 1_000_000).astype(
+            np.int64
+        )
+        g = (
+            pa.table({"g": t.column("event_type"), "v": pa.array(v)})
+            .group_by(["g", "v"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({"g": g.column("g"), "v": g.column("v"), "c": g.column("count_all")})
+
+    dist = sum_by_keys(
+        ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True), ["g", "v"], "c"
+    )
+    tbl = _to_table(dist)
+    gs = tbl.column("g").to_numpy(zero_copy_only=False)
+    v = tbl.column("v").to_numpy(zero_copy_only=False)
+    c = tbl.column("c").to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, gs))
+    gs, v, c = gs[order], v[order], c[order]
+    brk = np.ones(gs.size, dtype=bool)
+    brk[1:] = gs[1:] != gs[:-1]
+    starts = np.flatnonzero(brk)
+    ends = np.r_[starts[1:], gs.size]
+    out_g, out_q, out_v = [], [], []
+    for st, en in zip(starts, ends):
+        cum = np.cumsum(c[st:en])
+        n = int(cum[-1])
+        for label, q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
+            k = int(np.ceil(q * n))
+            out_g.append(gs[st])
+            out_q.append(label)
+            out_v.append(int(v[st + np.searchsorted(cum, k)]))
+    return pa.table(
+        {
+            "event_type": pa.array(out_g, pa.string()),
+            "q": pa.array(out_q, pa.string()),
+            "val_e6": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
+WEEK_US = 604_800 * 1_000_000
+
+
+def _week_partial(t: pa.Table) -> pa.Table:
+    """Per-batch DISTINCT (user, week) combiner: shrinks the shuffle from
+    O(events) to O(distinct user-weeks per batch) before the hash
+    partition."""
+    uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    wk = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // WEEK_US
+    key = np.unique(uid * np.int64(1 << 20) + wk)  # weeks fit far below 2^20
+    return pa.table({"user_id": pa.array(key >> 20), "wk": pa.array(key & ((1 << 20) - 1))})
+
+
+def _retention_partition(t: pa.Table) -> pa.Table:
+    """One user-hash partition of (user, wk) partials -> per-week
+    (active, retained) partial counts.  All of a user's weeks are in this
+    partition, so adjacency is exact with no healing."""
+    uid = t.column("user_id").to_numpy(zero_copy_only=False)
+    wk = t.column("wk").to_numpy(zero_copy_only=False)
+    key = np.unique(uid * np.int64(1 << 20) + wk)  # cross-batch dedup
+    uid, wk = key >> 20, key & ((1 << 20) - 1)
+    aw, ac = np.unique(wk, return_counts=True)
+    # sorted composite keys: user's weeks are adjacent ascending — a
+    # retained week w is one whose successor row is (same user, w+1)
+    ret = (uid[1:] == uid[:-1]) & (wk[1:] == wk[:-1] + 1) if key.size > 1 else np.array([], bool)
+    rw, rc = np.unique(wk[:-1][ret], return_counts=True)
+    return pa.table(
+        {
+            "wk": pa.array(np.r_[aw, rw]),
+            "active": pa.array(np.r_[ac.astype(np.int64), np.zeros(rw.size, np.int64)]),
+            "retained": pa.array(np.r_[np.zeros(aw.size, np.int64), rc.astype(np.int64)]),
+        }
+    )
+
+
+def q_weekly_retention(sf_dir: str):
+    """Week-over-week user retention: per calendar week (epoch//7d), how
+    many distinct users were active, and how many of those were also
+    active the following week — the cohort-retention analytic, exact.
+
+    Shape: per-batch DISTINCT (user, week) combiner -> hash-partition by
+    user (splitmix64 % P — a user's weeks co-located, the session-window
+    pattern) -> per-partition vectorized dedup + adjacency detection ->
+    O(partitions x weeks) partial rows -> tiny driver sum.  No global
+    sort; the event stream is reduced before the only shuffle."""
+    from .codecs.hashmix import splitmix64_mix
+
+    ds = _decoded(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partition(t: pa.Table) -> pa.Table:
+        t = _week_partial(t)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (splitmix64_mix(uid) % np.uint64(SESSION_PARTITIONS)).astype(np.int64)
+        return t.append_column("part", pa.array(part))
+
+    out = (
+        ds.map_batches(partition, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(_retention_partition, batch_format="pyarrow")
+    )
+    parts = _to_table(out)
+    if parts.num_rows == 0:
+        return pa.table(
+            {
+                "wk": pa.array([], pa.int64()),
+                "active": pa.array([], pa.int64()),
+                "retained": pa.array([], pa.int64()),
+            }
+        )
+    final = parts.group_by("wk").aggregate([("active", "sum"), ("retained", "sum")])
+    return pa.table(
+        {
+            "wk": final.column("wk"),
+            "active": final.column("active_sum"),
+            "retained": final.column("retained_sum"),
+        }
+    ).sort_by("wk")
+
+
+def q_source_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources (corpus-drift
+    analytics): |vocab(A) ∩ vocab(B)| and |vocab(A) ∪ vocab(B)| for every
+    source pair, integer-exact.
+
+    Shape: word rows -> distributed DISTINCT (source, w) via agg_by_keys
+    -> per-word source BITMASK (each distinct pair contributes its
+    source bit exactly once, so a SUM is an exact OR — one sum_by_keys)
+    -> per-batch mask histogram (<= 2^S distinct masks, S = #sources) ->
+    O(blocks x 2^S) driver rows -> pairwise popcount math.  The word
+    domain stays distributed end-to-end; only the tiny mask histogram
+    reaches the driver."""
+    from .functions.aggregates import agg_by_keys, sum_by_keys
+    from .functions.text import word_tf_df_rows
+
+    ds = _decoded(sf_dir, "documents", columns=["text", "source"])
+    rows = ds.map_batches(word_tf_df_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kind0(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t.column("kind"), 0))
+        return pa.table({"source": sub.column("source"), "w": sub.column("w")})
+
+    distinct = agg_by_keys(
+        rows.map_batches(kind0, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "w"],
+        [("w", "count_all", "c")],
+    ).materialize()
+
+    # tiny driver object: the distinct source list (O(blocks x S) rows in)
+    src_parts = [
+        p
+        for p in distinct.map_batches(
+            lambda t: pa.table({"source": pc.unique(t.column("source"))})
+            if t.num_rows
+            else pa.table({}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if p.num_rows
+    ]
+    if not src_parts:
+        return pa.table(
+            {
+                "src_a": pa.array([], pa.string()),
+                "src_b": pa.array([], pa.string()),
+                "inter": pa.array([], pa.int64()),
+                "uni": pa.array([], pa.int64()),
+            }
+        )
+    sources = sorted(
+        set(pa.concat_tables(src_parts).column("source").to_pylist())
+    )
+    src_arr = pa.array(sources, pa.string())
+
+    def bit_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({})
+        idx = pc.index_in(t.column("source"), value_set=src_arr)
+        bits = np.left_shift(
+            np.int64(1), idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        g = (
+            pa.table({"w": t.column("w"), "b": pa.array(bits)})
+            .group_by("w")
+            .aggregate([("b", "sum")])
+        )
+        return pa.table({"w": g.column("w"), "b": g.column("b_sum")})
+
+    masks = sum_by_keys(
+        distinct.map_batches(bit_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["w"],
+        "b",
+    )
+
+    def mask_hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({})
+        m, c = np.unique(t.column("b").to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"m": pa.array(m), "c": pa.array(c.astype(np.int64))})
+
+    hist = _to_table(
+        masks.map_batches(mask_hist, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    hist = hist.group_by("m").aggregate([("c", "sum")])
+    m = hist.column("m").to_numpy(zero_copy_only=False)
+    c = hist.column("c_sum").to_numpy(zero_copy_only=False)
+    sizes = [int(c[(m >> i) & 1 == 1].sum()) for i in range(len(sources))]
+    out_a, out_b, out_i, out_u = [], [], [], []
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            inter = int(c[((m >> i) & 1 == 1) & ((m >> j) & 1 == 1)].sum())
+            if inter == 0:
+                continue  # SQL inner join emits no zero-intersection pairs
+            out_a.append(sources[i])
+            out_b.append(sources[j])
+            out_i.append(inter)
+            out_u.append(sizes[i] + sizes[j] - inter)
+    return pa.table(
+        {
+            "src_a": pa.array(out_a, pa.string()),
+            "src_b": pa.array(out_b, pa.string()),
+            "inter": pa.array(out_i, pa.int64()),
+            "uni": pa.array(out_u, pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -1697,6 +1938,9 @@ QUERIES = {
     "word_bigrams": q_word_bigrams,
     "label_centroids": q_label_centroids,
     "top_segment_revenue": q_top_segment_revenue,
+    "source_vocab_overlap": q_source_vocab_overlap,
+    "weekly_retention": q_weekly_retention,
+    "group_quantiles": q_group_quantiles,
 }
 
 ORACLE_SQL = {
@@ -2019,6 +2263,54 @@ ORACLE_SQL = {
         JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
         ORDER BY rev_e4 DESC, o_orderdate, o_orderkey LIMIT 10
+    """,
+    "source_vocab_overlap": """
+        WITH sw AS (
+            SELECT DISTINCT source, w FROM (
+                SELECT source, UNNEST(string_split(text, ' ')) AS w
+                FROM documents)
+        ),
+        sz AS (SELECT source, COUNT(*) AS n FROM sw GROUP BY source),
+        ix AS (
+            SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+            FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT src_a, src_b, inter, sa.n + sb.n - inter AS uni
+        FROM ix
+        JOIN sz sa ON sa.source = src_a
+        JOIN sz sb ON sb.source = src_b
+        ORDER BY src_a, src_b
+    """,
+    "group_quantiles": """
+        WITH qv AS (
+            SELECT event_type, CAST(ROUND(value * 1000000) AS BIGINT) AS v
+            FROM events
+        )
+        SELECT event_type, 'p50' AS q, quantile_disc(v, 0.5) AS val_e6
+        FROM qv GROUP BY event_type
+        UNION ALL
+        SELECT event_type, 'p90' AS q, quantile_disc(v, 0.9) AS val_e6
+        FROM qv GROUP BY event_type
+        UNION ALL
+        SELECT event_type, 'p99' AS q, quantile_disc(v, 0.99) AS val_e6
+        FROM qv GROUP BY event_type
+        ORDER BY event_type, q
+    """,
+    "weekly_retention": """
+        WITH uw AS (
+            SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+            FROM events
+        ),
+        act AS (SELECT wk, COUNT(*) AS active FROM uw GROUP BY wk),
+        ret AS (
+            SELECT a.wk, COUNT(*) AS retained
+            FROM uw a JOIN uw b ON a.user_id = b.user_id AND b.wk = a.wk + 1
+            GROUP BY a.wk
+        )
+        SELECT act.wk, act.active, COALESCE(ret.retained, 0) AS retained
+        FROM act LEFT JOIN ret ON act.wk = ret.wk
+        ORDER BY act.wk
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

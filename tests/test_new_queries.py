@@ -30,6 +30,9 @@ NEW_QUERIES = [
     "word_bigrams",
     "label_centroids",
     "top_segment_revenue",
+    "source_vocab_overlap",
+    "weekly_retention",
+    "group_quantiles",
 ]
 
 
