@@ -1644,6 +1644,56 @@ def q_top_segment_revenue(sf_dir: str):
     )
 
 
+CHUNK_W, CHUNK_S = 200, 150  # window chars, stride (50-char overlap)
+
+
+def q_chunk_passages(sf_dir: str):
+    """Passage chunking (RAG / context-window prep): split each document
+    into overlapping character windows of width 200 and stride 150 — the
+    1->N flat-map expansion op.  Chunk count per doc is
+    ceil(max(len-W,0)/S)+1, so the tail is always covered and no
+    degenerate all-overlap windows are emitted.
+
+    Fully vectorized: one utf8_length pass, then one utf8_slice_codeunits
+    kernel per chunk ORDINAL (bounded by the longest doc, not the row
+    count).  Streams block-by-block — no driver materialization, no
+    shuffle at all."""
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        text = t.column("text").combine_chunks()
+        nc = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chunks = np.ceil(np.maximum(nc - CHUNK_W, 0) / CHUNK_S).astype(np.int64) + 1
+        parts = []
+        for k in range(int(n_chunks.max()) if n_chunks.size else 0):
+            mask = pa.array(n_chunks > k)
+            sub = text.filter(mask)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": t.column("doc_id").combine_chunks().filter(mask),
+                        "chunk_id": pa.array(
+                            np.full(len(sub), k, np.int32), pa.int32()
+                        ),
+                        "chunk": pc.utf8_slice_codeunits(
+                            sub, start=k * CHUNK_S, stop=k * CHUNK_S + CHUNK_W
+                        ),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], t.column("doc_id").type),
+                    "chunk_id": pa.array([], pa.int32()),
+                    "chunk": pa.array([], pa.string()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_group_quantiles(sf_dir: str):
     """Exact per-group quantiles (p50/p90/p99 of events.value per
     event_type), e6-quantized — the grouped extension of
@@ -1941,6 +1991,7 @@ QUERIES = {
     "source_vocab_overlap": q_source_vocab_overlap,
     "weekly_retention": q_weekly_retention,
     "group_quantiles": q_group_quantiles,
+    "chunk_passages": q_chunk_passages,
 }
 
 ORACLE_SQL = {
@@ -2281,6 +2332,18 @@ ORACLE_SQL = {
         JOIN sz sa ON sa.source = src_a
         JOIN sz sb ON sb.source = src_b
         ORDER BY src_a, src_b
+    """,
+    "chunk_passages": """
+        WITH n AS (
+            SELECT doc_id, text,
+                   CAST(CEIL(GREATEST(length(text) - 200, 0) / 150.0)
+                        AS BIGINT) + 1 AS n_chunks
+            FROM documents
+        )
+        SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+               substr(text, CAST(k * 150 + 1 AS INTEGER), 200) AS chunk
+        FROM (SELECT doc_id, text, UNNEST(range(n_chunks)) AS k FROM n)
+        ORDER BY doc_id, chunk_id
     """,
     "group_quantiles": """
         WITH qv AS (

@@ -33,6 +33,7 @@ NEW_QUERIES = [
     "source_vocab_overlap",
     "weekly_retention",
     "group_quantiles",
+    "chunk_passages",
 ]
 
 
