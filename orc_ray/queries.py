@@ -1644,6 +1644,77 @@ def q_top_segment_revenue(sf_dir: str):
     )
 
 
+_ROLLUP_ALL = "\x00ALL"  # non-null sentinel for rolled-up dims (sum_by_keys keys must be non-null)
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUPING SETS / ROLLUP aggregate: lineitem revenue at three levels
+    — (returnflag, linestatus), (returnflag), () — in ONE pass.  Each
+    batch emits partial rows for every level (the rolled-up dims carry a
+    sentinel, mapped to SQL NULL at the end), so the shuffle stays
+    O(groups x levels) and no second scan of the data is needed — the
+    classic one-pass cube shape."""
+    from .functions.aggregates import sum_by_keys
+
+    ds = _decoded(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        base = (
+            pa.table(
+                {
+                    "f": t.column("l_returnflag"),
+                    "s": t.column("l_linestatus"),
+                    "rev": pa.array(e * (100 - d)),
+                }
+            )
+            .group_by(["f", "s"])
+            .aggregate([("rev", "sum")])
+        )
+        lvl0 = pa.table(
+            {"f": base.column("f"), "s": base.column("s"), "rev": base.column("rev_sum")}
+        )
+        up1 = lvl0.group_by("f").aggregate([("rev", "sum")])
+        lvl1 = pa.table(
+            {
+                "f": up1.column("f"),
+                "s": pa.array([_ROLLUP_ALL] * up1.num_rows, pa.string()),
+                "rev": up1.column("rev_sum"),
+            }
+        )
+        total = int(pc.sum(lvl0.column("rev")).as_py() or 0)
+        lvl2 = pa.table(
+            {
+                "f": pa.array([_ROLLUP_ALL], pa.string()),
+                "s": pa.array([_ROLLUP_ALL], pa.string()),
+                "rev": pa.array([total], pa.int64()),
+            }
+        )
+        return pa.concat_tables([lvl0, lvl1, lvl2])
+
+    agg = sum_by_keys(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["f", "s"],
+        "rev",
+        out="rev_e4",
+    )
+    tbl = _to_table(agg)
+    null_f = pc.equal(tbl.column("f"), _ROLLUP_ALL)
+    null_s = pc.equal(tbl.column("s"), _ROLLUP_ALL)
+    return pa.table(
+        {
+            "l_returnflag": pc.if_else(null_f, pa.scalar(None, pa.string()), tbl.column("f")),
+            "l_linestatus": pc.if_else(null_s, pa.scalar(None, pa.string()), tbl.column("s")),
+            "rev_e4": tbl.column("rev_e4"),
+        }
+    ).sort_by(
+        [("l_returnflag", "ascending"), ("l_linestatus", "ascending")]
+    )
+
+
 CHUNK_W, CHUNK_S = 200, 150  # window chars, stride (50-char overlap)
 
 
@@ -1992,6 +2063,7 @@ QUERIES = {
     "weekly_retention": q_weekly_retention,
     "group_quantiles": q_group_quantiles,
     "chunk_passages": q_chunk_passages,
+    "rollup_revenue": q_rollup_revenue,
 }
 
 ORACLE_SQL = {
@@ -2332,6 +2404,15 @@ ORACLE_SQL = {
         JOIN sz sa ON sa.source = src_a
         JOIN sz sb ON sb.source = src_b
         ORDER BY src_a, src_b
+    """,
+    "rollup_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS rev_e4
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
     """,
     "chunk_passages": """
         WITH n AS (

@@ -34,6 +34,7 @@ NEW_QUERIES = [
     "weekly_retention",
     "group_quantiles",
     "chunk_passages",
+    "rollup_revenue",
 ]
 
 
