@@ -1644,6 +1644,123 @@ def q_top_segment_revenue(sf_dir: str):
     )
 
 
+def q_nation_revenue(sf_dir: str):
+    """TPC-H Q5 analog — the star-schema multi-join covering ALL the dim
+    tables (region ⋈ nation ⋈ supplier ⋈ customer): 1996 revenue per
+    ASIA nation where the supplier and customer share the nation.
+
+    Shape: the three dim maps (nation-region, supplier->nation,
+    customer->nation) are broadcast ONCE via ray.put and probed with
+    vectorized index_in inside map_batches; orders decodes under an
+    o_orderdate predicate pushdown; lineitem revenue is pre-aggregated
+    per (l_orderkey, s_nat) with sum_by_keys BEFORE the one hash-shuffle
+    Dataset.join; the final per-nation rollup is O(nations)."""
+    from .functions.aggregates import sum_by_keys
+
+    lo_us = 820_454_400_000_000  # 1996-01-01 epoch-us
+    hi_us = 852_076_800_000_000  # 1997-01-01 epoch-us
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia_rk = region.filter(pc.equal(region.column("r_name"), "ASIA")).column("r_regionkey")
+    asia = nation.filter(pc.is_in(nation.column("n_regionkey"), value_set=asia_rk.combine_chunks()))
+    asia_keys = asia.column("n_nationkey").combine_chunks()
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    dims_ref = ray.put(
+        (
+            asia_keys,
+            supp.column("s_suppkey").combine_chunks(),
+            supp.column("s_nationkey").combine_chunks(),
+            cust.column("c_custkey").combine_chunks(),
+            cust.column("c_nationkey").combine_chunks(),
+        )
+    )
+
+    li = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_stage(t: pa.Table, *, ref=dims_ref) -> pa.Table:
+        asia_k, sk, sn, _, _ = ray.get(ref)
+        s_nat = pc.take(sn, pc.index_in(t.column("l_suppkey"), value_set=sk))
+        keep = pc.is_in(s_nat, value_set=asia_k)
+        t = t.append_column("s_nat", s_nat).filter(keep)
+        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "s_nat": t.column("s_nat"),
+                "rev_e4": pa.array(e * (100 - d)),
+            }
+        )
+
+    li_rev = sum_by_keys(
+        li.map_batches(li_stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey", "s_nat"],
+        "rev_e4",
+    )
+
+    orders = _decoded(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        predicates=[
+            ("and", ("o_orderdate", ">=", lo_us), ("o_orderdate", "<", hi_us))
+        ],
+    )
+
+    def ord_stage(t: pa.Table, *, ref=dims_ref) -> pa.Table:
+        asia_k, _, _, ck, cn = ray.get(ref)
+        c_nat = pc.take(cn, pc.index_in(t.column("o_custkey"), value_set=ck))
+        t = t.append_column("c_nat", c_nat)
+        t = t.filter(pc.is_in(t.column("c_nat"), value_set=asia_k))
+        return t.select(["o_orderkey", "c_nat"])
+
+    orders_f = orders.map_batches(ord_stage, batch_format="pyarrow", zero_copy_batch=True)
+    joined = li_rev.join(
+        orders_f,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def nat_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"nat": pa.array([], pa.int64()), "rev_e4": pa.array([], pa.int64())}
+            )
+        t = t.filter(pc.equal(t.column("s_nat"), t.column("c_nat")))
+        g = t.group_by("s_nat").aggregate([("rev_e4", "sum")])
+        return pa.table(
+            {
+                "nat": g.column("s_nat").cast(pa.int64()),
+                "rev_e4": g.column("rev_e4_sum"),
+            }
+        )
+
+    parts = _to_table(joined.map_batches(nat_partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by("nat").aggregate([("rev_e4", "sum")])
+    name_of = dict(
+        zip(asia.column("n_nationkey").to_pylist(), asia.column("n_name").to_pylist())
+    )
+    names = [name_of[k] for k in final.column("nat").to_pylist()]
+    return pa.table(
+        {
+            "n_name": pa.array(names, pa.string()),
+            "rev_e4": final.column("rev_e4_sum"),
+        }
+    ).sort_by([("rev_e4", "descending"), ("n_name", "ascending")])
+
+
 _ROLLUP_ALL = "\x00ALL"  # non-null sentinel for rolled-up dims (sum_by_keys keys must be non-null)
 
 
@@ -2064,6 +2181,7 @@ QUERIES = {
     "group_quantiles": q_group_quantiles,
     "chunk_passages": q_chunk_passages,
     "rollup_revenue": q_rollup_revenue,
+    "nation_revenue": q_nation_revenue,
 }
 
 ORACLE_SQL = {
@@ -2404,6 +2522,20 @@ ORACLE_SQL = {
         JOIN sz sa ON sa.source = src_a
         JOIN sz sb ON sb.source = src_b
         ORDER BY src_a, src_b
+    """,
+    "nation_revenue": """
+        SELECT n_name,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS rev_e4
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY rev_e4 DESC, n_name
     """,
     "rollup_revenue": """
         SELECT l_returnflag, l_linestatus,

@@ -35,6 +35,7 @@ NEW_QUERIES = [
     "group_quantiles",
     "chunk_passages",
     "rollup_revenue",
+    "nation_revenue",
 ]
 
 
@@ -72,7 +73,7 @@ def _norm(df: pd.DataFrame) -> tuple:
 def oracle():
     duckdb = pytest.importorskip("duckdb")
     con = duckdb.connect()
-    for t in ["orders", "events", "documents", "embeddings", "lineitem", "customer"]:
+    for t in ["orders", "events", "documents", "embeddings", "lineitem", "customer", "supplier", "nation", "region"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
