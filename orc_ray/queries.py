@@ -1761,6 +1761,71 @@ def q_nation_revenue(sf_dir: str):
     ).sort_by([("rev_e4", "descending"), ("n_name", "ascending")])
 
 
+def q_promo_share(sf_dir: str):
+    """TPC-H Q14 analog (covers the `part` dim): monthly revenue split by
+    whether the part is a PROMO type.  The part->is_promo bitmap is
+    broadcast once (ray.put), probed with index_in; per-batch partials
+    emit O(months) rows; the final rollup is tiny."""
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    pk = part.column("p_partkey").combine_chunks()
+    promo = pc.starts_with(part.column("p_type").combine_chunks(), "PROMO")
+    ref = ray.put((pk, promo))
+
+    ds = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table, *, ref=ref) -> pa.Table:
+        pk, promo = ray.get(ref)
+        isp = pc.take(promo, pc.index_in(t.column("l_partkey"), value_set=pk))
+        us = t.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # epoch-us -> calendar month id (12*y+m), vectorized via days
+        days = us // 86_400_000_000
+        # civil-from-days (Howard Hinnant's algorithm), vectorized
+        z = days + 719_468
+        era = z // 146_097
+        doe = z - era * 146_097
+        yoe = (doe - doe // 1460 + doe // 36_524 - doe // 146_096) // 365
+        y = yoe + era * 400
+        doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+        mp = (5 * doy + 2) // 153
+        m = mp + 3 - 12 * (mp // 10)
+        y = y + (mp // 10)
+        month_id = y * 12 + (m - 1)
+        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        rev = e * (100 - d)
+        ispn = isp.to_numpy(zero_copy_only=False).astype(bool)
+        g = pa.table(
+            {
+                "month_id": pa.array(month_id),
+                "promo_rev": pa.array(np.where(ispn, rev, 0)),
+                "total_rev": pa.array(rev),
+            }
+        ).group_by("month_id").aggregate([("promo_rev", "sum"), ("total_rev", "sum")])
+        return pa.table(
+            {
+                "month_id": g.column("month_id"),
+                "promo_rev": g.column("promo_rev_sum"),
+                "total_rev": g.column("total_rev_sum"),
+            }
+        )
+
+    parts = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by("month_id").aggregate([("promo_rev", "sum"), ("total_rev", "sum")])
+    return pa.table(
+        {
+            "month_id": final.column("month_id"),
+            "promo_rev_e4": final.column("promo_rev_sum"),
+            "total_rev_e4": final.column("total_rev_sum"),
+        }
+    ).sort_by("month_id")
+
+
 _ROLLUP_ALL = "\x00ALL"  # non-null sentinel for rolled-up dims (sum_by_keys keys must be non-null)
 
 
@@ -2182,6 +2247,7 @@ QUERIES = {
     "chunk_passages": q_chunk_passages,
     "rollup_revenue": q_rollup_revenue,
     "nation_revenue": q_nation_revenue,
+    "promo_share": q_promo_share,
 }
 
 ORACLE_SQL = {
@@ -2522,6 +2588,19 @@ ORACLE_SQL = {
         JOIN sz sa ON sa.source = src_a
         JOIN sz sb ON sb.source = src_b
         ORDER BY src_a, src_b
+    """,
+    "promo_share": """
+        SELECT (CAST(YEAR(l_shipdate) AS BIGINT) * 12
+                + CAST(MONTH(l_shipdate) AS BIGINT) - 1) AS month_id,
+               CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                    ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS total_rev_e4
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY month_id ORDER BY month_id
     """,
     "nation_revenue": """
         SELECT n_name,

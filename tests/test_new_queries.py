@@ -36,6 +36,7 @@ NEW_QUERIES = [
     "chunk_passages",
     "rollup_revenue",
     "nation_revenue",
+    "promo_share",
 ]
 
 
@@ -73,7 +74,7 @@ def _norm(df: pd.DataFrame) -> tuple:
 def oracle():
     duckdb = pytest.importorskip("duckdb")
     con = duckdb.connect()
-    for t in ["orders", "events", "documents", "embeddings", "lineitem", "customer", "supplier", "nation", "region"]:
+    for t in ["orders", "events", "documents", "embeddings", "lineitem", "customer", "supplier", "nation", "region", "part"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
