@@ -74,10 +74,16 @@ def _params(n_items: int, fpp: float) -> tuple[int, int]:
     return m, min(k, 8)
 
 
-def build(arr: pa.Array, fpp: float = 0.05) -> bytes:
-    """Serialized bloom filter for a column chunk."""
+def build(arr: pa.Array, fpp: float = 0.05, *, m: int | None = None, k: int | None = None) -> bytes:
+    """Serialized bloom filter for a column chunk.
+
+    Passing explicit ``m`` (bits, multiple of 64) and ``k`` fixes the
+    filter geometry so partial filters built on different batches can be
+    OR-merged (``merge``) — the distributed semi-join build: every batch
+    emits one fixed-size filter, merge is an element-wise byte OR."""
     h = _hash_column(arr)
-    m, k = _params(h.size, fpp)
+    if m is None or k is None:
+        m, k = _params(h.size, fpp)
     bits = np.zeros(m // 8, dtype=np.uint8)
     h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
     h2 = (h >> np.uint64(32)).astype(np.uint64)
@@ -100,6 +106,47 @@ def might_contain(filt: bytes, value) -> bool:
         if not (bits[pos >> 3] >> (pos & 7)) & 1:
             return False
     return True
+
+
+def might_contain_many(filt: bytes, arr: pa.Array) -> np.ndarray:
+    """Vectorized conservative membership for a whole column: one bool
+    per row (False = definitely absent).  One hash pass + k gather-AND
+    passes over the bit array — no per-value Python.  This is the
+    semi-join pruning kernel: probe a batch of the big join side against
+    the small side's filter before the shuffle.  Null rows probe False
+    (a null key matches nothing in an equi-join)."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    valid = None
+    if arr.null_count:
+        valid = np.asarray(arr.is_valid())
+        fill = "" if (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)) else (b"" if pa.types.is_binary(arr.type) else 0)
+        arr = arr.fill_null(fill)
+    k = filt[0]
+    bits = np.frombuffer(filt, np.uint8, offset=1)
+    m = bits.size * 8
+    h = _hash_column(arr)
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = (h >> np.uint64(32)).astype(np.uint64)
+    ok = np.ones(h.size, dtype=bool)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+            ok &= ((byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1).astype(bool)
+    if valid is not None:
+        ok &= valid
+    return ok
+
+
+def merge(parts: list[bytes]) -> bytes:
+    """OR-merge fixed-geometry partial filters (same m and k)."""
+    k = parts[0][0]
+    acc = np.frombuffer(parts[0], np.uint8, offset=1).copy()
+    for p in parts[1:]:
+        if p[0] != k or len(p) != len(parts[0]):
+            raise ValueError("bloom merge requires identical geometry")
+        np.bitwise_or(acc, np.frombuffer(p, np.uint8, offset=1), out=acc)
+    return bytes([k]) + acc.tobytes()
 
 
 def serialize(filt: bytes) -> str:

@@ -142,3 +142,42 @@ def range_count_join(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def build_bloom_stream(ds, col: str, expected_items: int, fpp: float = 0.01) -> bytes:
+    """Distributed Bloom-filter build over a Dataset column.
+
+    The semi-join build side: every batch emits ONE fixed-geometry
+    partial filter (geometry derived from ``expected_items``/``fpp`` so
+    partials are OR-mergeable), and the driver merges O(batches) filters
+    of a few KiB each — row count never matters driver-side.  The merged
+    filter is the broadcast probe object for ``bloom.might_contain_many``
+    inside the big side's ``map_batches``: rows whose key is definitely
+    absent never enter the join shuffle.  The analog of the reference's
+    BloomFilterUtf8 index consulted by SargsApplier (SURVEY.md §2.5),
+    lifted from chunk pruning to join pruning.
+    """
+    import functools
+
+    from ..codecs import bloom
+
+    m, k = bloom._params(max(int(expected_items), 1), fpp)
+
+    def part(t: pa.Table, *, col, m, k) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"f": pa.array([], pa.large_binary())})
+        f = bloom.build(t.column(col), m=m, k=k)
+        return pa.table({"f": pa.array([f], pa.large_binary())})
+
+    parts = [
+        p.column("f")[0].as_py()
+        for p in ds.map_batches(
+            functools.partial(part, col=col, m=m, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if p.num_rows
+    ]
+    if not parts:
+        return bloom.build(pa.array([], pa.int64()), m=m, k=k)
+    return bloom.merge(parts)

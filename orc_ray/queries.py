@@ -2188,6 +2188,93 @@ def q_source_vocab_overlap(sf_dir: str):
     )
 
 
+def q_bloom_join(sf_dir: str, stats_out: dict | None = None):
+    """Bloom-pruned semi-join: lineitem ⋈ high-value orders
+    (o_totalprice > 475000, ~5% of orders).
+
+    The build side streams through ``build_bloom_stream`` (one
+    fixed-geometry partial filter per batch, OR-merged — O(batches x KiB)
+    driver traffic), the merged filter is broadcast ONCE (``ray.put``),
+    and every lineitem batch probes it vectorized
+    (``bloom.might_contain_many``) BEFORE any join work: rows whose key
+    is definitely absent (~95% here) are dropped inside the map task, so
+    at 100 TB the join moves ~5%+fpp of the big side instead of all of
+    it.  Survivors resolve against the exact broadcast (key -> priority)
+    dict, which also eliminates bloom false positives — the result is
+    exact.  Join-pruning analog of the reference's BloomFilterUtf8 +
+    SargsApplier chunk skipping (SURVEY.md §2.5), applied to the shuffle
+    instead of the scan."""
+    THRESH = 475000.0
+    hi = _decoded(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+        predicates=[("o_totalprice", ">", THRESH)],
+    )
+    n_orders_total = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+    from .functions.joins import build_bloom_stream
+
+    # geometry from the EXPECTED filtered cardinality (~5% + slack);
+    # sizing from a prior estimate keeps the build one-pass
+    filt = build_bloom_stream(hi, "o_orderkey", expected_items=max(1024, n_orders_total // 10), fpp=0.01)
+
+    # exact small side: (key -> priority) for false-positive elimination +
+    # payload.  Documented ceiling: one object-store copy per node; for a
+    # larger build side, hash-partition both sides (q_join_lineitem_orders).
+    hi_t = _to_table(hi)
+    keys = hi_t.column("o_orderkey").combine_chunks()
+    prio = hi_t.column("o_orderpriority").combine_chunks()
+    bref = ray.put((filt, keys, prio))
+
+    li = _decoded(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def probe(t: pa.Table, *, bref) -> pa.Table:
+        from .codecs import bloom as _bloom
+
+        filt, keys, prio = ray.get(bref)
+        lk = t.column("l_orderkey").combine_chunks() if isinstance(t.column("l_orderkey"), pa.ChunkedArray) else t.column("l_orderkey")
+        rows_in = t.num_rows
+        keep = _bloom.might_contain_many(filt, lk)
+        rows_bloom = int(keep.sum())
+        sub = t.filter(pa.array(keep))
+        # exact resolve kills bloom false positives
+        pos = pc.index_in(sub.column("l_orderkey"), value_set=keys)
+        hit = pc.is_valid(pos)
+        sub = sub.filter(hit)
+        pos = pos.filter(hit)
+        if sub.num_rows == 0:
+            g = pa.table({"o_orderpriority": pa.array([""], pa.string()),
+                          "rev_e4": pa.array([0], pa.int64()),
+                          "n_items": pa.array([0], pa.int64())})
+        else:
+            e = np.rint(sub.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+            d = np.rint(sub.column("l_discount").to_numpy() * 100).astype(np.int64)
+            g = pa.table(
+                {"o_orderpriority": pc.take(prio, pos), "rev_e4": pa.array(e * (100 - d))}
+            ).group_by("o_orderpriority").aggregate([("rev_e4", "sum"), ([], "count_all")])
+            g = g.rename_columns(["o_orderpriority", "rev_e4", "n_items"])
+        # per-batch pruning counters ride on the first group row; summed in
+        # the final rollup, asserted (kept << in) by tests
+        bin_ = np.zeros(g.num_rows, np.int64)
+        bkept = np.zeros(g.num_rows, np.int64)
+        bin_[0], bkept[0] = rows_in, rows_bloom
+        return g.append_column("b_in", pa.array(bin_)).append_column("b_kept", pa.array(bkept))
+
+    parts = _to_table(li.map_batches(functools.partial(probe, bref=bref), batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by("o_orderpriority").aggregate(
+        [("rev_e4", "sum"), ("n_items", "sum"), ("b_in", "sum"), ("b_kept", "sum")]
+    )
+    if stats_out is not None:
+        stats_out["rows_in"] = int(pc.sum(final.column("b_in_sum")).as_py())
+        stats_out["rows_after_bloom"] = int(pc.sum(final.column("b_kept_sum")).as_py())
+    final = final.filter(pc.greater(final.column("n_items_sum"), 0))  # drop the empty-batch counter rows
+    return pa.table(
+        {
+            "o_orderpriority": final.column("o_orderpriority"),
+            "rev_e4": final.column("rev_e4_sum"),
+            "n_items": final.column("n_items_sum"),
+        }
+    ).sort_by("o_orderpriority")
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -2248,6 +2335,7 @@ QUERIES = {
     "rollup_revenue": q_rollup_revenue,
     "nation_revenue": q_nation_revenue,
     "promo_share": q_promo_share,
+    "bloom_join": q_bloom_join,
 }
 
 ORACLE_SQL = {
@@ -2666,6 +2754,15 @@ ORACLE_SQL = {
         SELECT act.wk, act.active, COALESCE(ret.retained, 0) AS retained
         FROM act LEFT JOIN ret ON act.wk = ret.wk
         ORDER BY act.wk
+    """,
+    "bloom_join": """
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 475000
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

@@ -76,3 +76,57 @@ def test_schema_evolution_cast(ray_session, tmp_path):
     ds2 = decode_dataset(out, columns=["n_tok"], cast_schema={"n_tok": pa.string()})
     t2 = pa.concat_tables(list(ds2.iter_batches(batch_format="pyarrow", batch_size=None)))
     assert t2.schema.field("n_tok").type == pa.string()
+
+
+def test_bloom_vectorized_probe_matches_scalar():
+    arr = pa.array([3, 17, 999, 2**40, -5])
+    f = bloom.build(arr)
+    probe = pa.array(list(range(50)) + [2**40, -5, None])
+    mask = bloom.might_contain_many(f, probe)
+    for i, v in enumerate(probe):
+        if v.as_py() is None:
+            assert not mask[i]  # null key matches nothing
+        else:
+            assert mask[i] == bloom.might_contain(f, v.as_py())
+
+    sarr = pa.array([f"doc-{i}" for i in range(100)])
+    fs = bloom.build(sarr)
+    sp = pa.array(["doc-7", "nope", "doc-99", "zz"])
+    ms = bloom.might_contain_many(fs, sp)
+    assert list(ms) == [bloom.might_contain(fs, v.as_py()) for v in sp]
+
+
+def test_bloom_fixed_geometry_merge_equals_single_build():
+    import numpy as np
+
+    a = pa.array(np.arange(0, 500, dtype=np.int64))
+    b = pa.array(np.arange(500, 1000, dtype=np.int64))
+    m, k = bloom._params(1000, 0.01)
+    merged = bloom.merge([bloom.build(a, m=m, k=k), bloom.build(b, m=m, k=k)])
+    single = bloom.build(pa.array(np.arange(1000, dtype=np.int64)), m=m, k=k)
+    assert merged == single  # OR of partials == one-shot build
+    probe = pa.array(np.arange(0, 2000, dtype=np.int64))
+    mask = bloom.might_contain_many(merged, probe)
+    assert mask[:1000].all()  # zero false negatives
+    assert mask[1000:].mean() < 0.05  # fpp holds after merge
+
+
+def test_bloom_join_prunes_and_is_exact(ray_session):
+    """q_bloom_join: bloom keeps ~sel+fpp of the probe side; result is
+    exact vs a direct duckdb join."""
+    import duckdb
+
+    from orc_ray.queries import ORACLE_SQL, q_bloom_join
+
+    sf = "/root/testdata/sf0.001"
+    stats = {}
+    t = q_bloom_join(sf, stats_out=stats).to_pandas()
+    assert stats["rows_after_bloom"] < stats["rows_in"] * 0.25  # pruning engaged
+    con = duckdb.connect()
+    for tb in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM read_parquet('{sf}/{tb}.parquet')")
+    o = con.execute(ORACLE_SQL["bloom_join"]).df()
+    pd_t = t.sort_values("o_orderpriority").reset_index(drop=True)
+    pd_o = o.sort_values("o_orderpriority").reset_index(drop=True)
+    assert pd_t["rev_e4"].astype("int64").tolist() == pd_o["rev_e4"].astype("int64").tolist()
+    assert pd_t["n_items"].astype("int64").tolist() == pd_o["n_items"].astype("int64").tolist()

@@ -37,6 +37,7 @@ NEW_QUERIES = [
     "rollup_revenue",
     "nation_revenue",
     "promo_share",
+    "bloom_join",
 ]
 
 
