@@ -181,3 +181,67 @@ def build_bloom_stream(ds, col: str, expected_items: int, fpp: float = 0.01) -> 
     if not parts:
         return bloom.build(pa.array([], pa.int64()), m=m, k=k)
     return bloom.merge(parts)
+
+
+def join_adaptive(
+    big_ds,
+    small_ds,
+    big_key: str,
+    small_key: str,
+    payload_cols: list[str],
+    threshold_rows: int = 500_000,
+    num_partitions: int = 8,
+):
+    """Inner equi-join with runtime strategy selection — the optimizer
+    move every host engine applies around ORC scans (SURVEY.md §2.8).
+
+    The (presumed) small side is materialized first; if it holds at most
+    ``threshold_rows`` rows it is broadcast ONCE (``ray.put``) and the
+    big side probes it with a vectorized ``index_in`` inside
+    ``map_batches`` — the big side never shuffles.  Above the threshold
+    it falls back to a hash-shuffle ``Dataset.join`` (both sides
+    co-partitioned).  The threshold is a per-node object-store budget:
+    one (key + payload) copy per node, NOT per batch.
+
+    Returns a Dataset with the big side's columns plus ``payload_cols``.
+    Duplicate keys on the small side are NOT supported on the broadcast
+    path (index_in resolves one match) — callers pre-aggregate, as every
+    pipeline here already does.
+    """
+    import functools
+
+    import pyarrow.compute as pc
+    import ray
+
+    small = small_ds.materialize()
+    if small.count() <= threshold_rows:
+        t = pa.concat_tables(
+            small.iter_batches(batch_format="pyarrow", batch_size=None)
+        ).combine_chunks() if small.count() else None
+        if t is None:
+            return big_ds.filter(lambda _: False)
+        ref = ray.put((t.column(small_key).combine_chunks(),
+                       {c: t.column(c).combine_chunks() for c in payload_cols}))
+
+        def probe(b: pa.Table, *, ref, big_key, payload_cols) -> pa.Table:
+            keys, payload = ray.get(ref)
+            pos = pc.index_in(b.column(big_key), value_set=keys)
+            hit = pc.is_valid(pos)
+            b = b.filter(hit)
+            pos = pos.filter(hit)
+            for c in payload_cols:
+                b = b.append_column(c, pc.take(payload[c], pos))
+            return b
+
+        return big_ds.map_batches(
+            functools.partial(probe, ref=ref, big_key=big_key, payload_cols=payload_cols),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return big_ds.join(
+        small,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(big_key,),
+        right_on=(small_key,),
+    )

@@ -1652,11 +1652,13 @@ def q_nation_revenue(sf_dir: str):
     Shape: the three dim maps (nation-region, supplier->nation,
     customer->nation) are broadcast ONCE via ray.put and probed with
     vectorized index_in inside map_batches; orders decodes under an
-    o_orderdate predicate pushdown; lineitem revenue is pre-aggregated
-    per (l_orderkey, s_nat) with sum_by_keys BEFORE the one hash-shuffle
-    Dataset.join; the final per-nation rollup is O(nations)."""
-    from .functions.aggregates import sum_by_keys
-
+    o_orderdate predicate pushdown and — being ~3% selective — rides the
+    BROADCAST arm of join_adaptive, so the lineitem stream never
+    shuffles at all: one pass, per-batch O(nations) partials, tiny
+    driver rollup.  Past the broadcast threshold the same call becomes a
+    hash-shuffle Dataset.join (exercised by q_join_lineitem_orders /
+    q_top_segment_revenue), where the sum_by_keys pre-aggregation
+    pattern applies."""
     lo_us = 820_454_400_000_000  # 1996-01-01 epoch-us
     hi_us = 852_076_800_000_000  # 1997-01-01 epoch-us
 
@@ -1702,11 +1704,7 @@ def q_nation_revenue(sf_dir: str):
             }
         )
 
-    li_rev = sum_by_keys(
-        li.map_batches(li_stage, batch_format="pyarrow", zero_copy_batch=True),
-        ["l_orderkey", "s_nat"],
-        "rev_e4",
-    )
+    li_rev = li.map_batches(li_stage, batch_format="pyarrow", zero_copy_batch=True)
 
     orders = _decoded(
         sf_dir,
@@ -1725,12 +1723,14 @@ def q_nation_revenue(sf_dir: str):
         return t.select(["o_orderkey", "c_nat"])
 
     orders_f = orders.map_batches(ord_stage, batch_format="pyarrow", zero_copy_batch=True)
-    joined = li_rev.join(
+    from .functions.joins import join_adaptive
+
+    joined = join_adaptive(
+        li_rev,
         orders_f,
-        join_type="inner",
-        num_partitions=8,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+        big_key="l_orderkey",
+        small_key="o_orderkey",
+        payload_cols=["c_nat"],
     )
 
     def nat_partial(t: pa.Table) -> pa.Table:
