@@ -2275,6 +2275,77 @@ def q_bloom_join(sf_dir: str, stats_out: dict | None = None):
     ).sort_by("o_orderpriority")
 
 
+def q_order_clusters(sf_dir: str):
+    """Connected-components cluster assignment over an order-affinity
+    graph — the distributed graph-resolution operator every dedup
+    pipeline ends with, run standalone with an oracle-checkable graph.
+
+    Edge construction is fully distributed using the existing window
+    machinery: LAG chains link orders within a (customer, month) group
+    (with_group_lag — one range sort, O(blocks) driver carry), group
+    heads star to the per-customer min order (agg_by_keys + the adaptive
+    broadcast join).  The resulting multi-hop graph (monthly chains
+    merged through customer stars, diameter ~5) resolves with
+    functions.graph.connected_components, whose adaptive backend runs
+    union-find in-process below the edge threshold and min-label
+    propagation rounds above it (distributed path covered by
+    tests/test_graph.py).  Label = MIN(o_orderkey) per component ==
+    MIN(o_orderkey) per customer — the SQL window mirror."""
+    from .functions.aggregates import agg_by_keys, with_group_lag
+    from .functions.graph import connected_components
+    from .functions.joins import join_adaptive
+
+    ds = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def addmonth(t: pa.Table) -> pa.Table:
+        us = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = us // 86_400_000_000
+        z = days + 719_468
+        era = z // 146_097
+        doe = z - era * 146_097
+        yoe = (doe - doe // 1460 + doe // 36_524 - doe // 146_096) // 365
+        doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+        mp = (5 * doy + 2) // 153
+        m = mp + 3 - 12 * (mp // 10)
+        y = yoe + era * 400 + (mp // 10)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "month_id": pa.array(y * 12 + (m - 1)),
+            }
+        )
+
+    withm = ds.map_batches(addmonth, batch_format="pyarrow", zero_copy_batch=True)
+    lagged = with_group_lag(
+        withm, ["o_custkey", "month_id"], ["o_orderkey"], "o_orderkey", out="prev"
+    ).materialize()
+
+    def chain_edges(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_valid(t.column("prev")))
+        return pa.table({"a": sub.column("prev"), "b": sub.column("o_orderkey")})
+
+    def head_rows(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_null(t.column("prev")))
+        return pa.table({"o_custkey": sub.column("o_custkey"), "o_orderkey": sub.column("o_orderkey")})
+
+    e1 = lagged.map_batches(chain_edges, batch_format="pyarrow", zero_copy_batch=True)
+    heads = lagged.map_batches(head_rows, batch_format="pyarrow", zero_copy_batch=True)
+    centers = agg_by_keys(heads, ["o_custkey"], [("o_orderkey", "min", "center")])
+    starred = join_adaptive(heads, centers, "o_custkey", "o_custkey", ["center"])
+    # keep self-loops (center -> itself) so single-order customers appear
+    e2 = starred.map_batches(
+        lambda t: pa.table({"a": t.column("center"), "b": t.column("o_orderkey")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    labels = connected_components(e1.union(e2))
+    out = _to_table(labels)
+    return pa.table(
+        {"o_orderkey": out.column("node"), "cluster_rep": out.column("label")}
+    ).sort_by("o_orderkey")
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -2336,6 +2407,7 @@ QUERIES = {
     "nation_revenue": q_nation_revenue,
     "promo_share": q_promo_share,
     "bloom_join": q_bloom_join,
+    "order_clusters": q_order_clusters,
 }
 
 ORACLE_SQL = {
@@ -2763,6 +2835,11 @@ ORACLE_SQL = {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 475000
         GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "order_clusters": """
+        SELECT o_orderkey,
+               MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS cluster_rep
+        FROM orders ORDER BY o_orderkey
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

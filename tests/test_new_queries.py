@@ -38,6 +38,7 @@ NEW_QUERIES = [
     "nation_revenue",
     "promo_share",
     "bloom_join",
+    "order_clusters",
 ]
 
 
