@@ -147,3 +147,65 @@ def approx_distinct(ds, col: str, group_col: str | None = None, p: int = 12) -> 
             "approx_distinct": pa.array([int(round(hll_estimate(merged[k]))) for k in keys]),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — distributed approximate frequency / heavy hitters.
+# Cormode & Muthukrishnan 2005: d x w counter matrix; add = scatter-add on
+# d row-keyed hashes; point estimate = min over rows (always >= truth,
+# over by <= e/w * N with prob 1 - e^-d).  The Ray Data shape mirrors the
+# HLL above: fixed-size per-batch partials inside map_batches, merge by
+# element-wise SUM (counts are additive), O(d x w x 8 B) driver traffic
+# regardless of row count or key cardinality.
+
+CMS_D = 4
+_CMS_ROW_KEYS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+
+def _cms_hashes(col: pa.Array, w: int) -> np.ndarray:
+    """(d, n) bucket matrix for one value column (nulls dropped)."""
+    from ..codecs.hashmix import splitmix64_mix
+
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if col.null_count:
+        col = col.drop_null()
+    if pa.types.is_integer(col.type):
+        base = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        base = _hash64_bytes(col.cast(pa.string()))
+    rows = []
+    with np.errstate(over="ignore"):
+        for k in _CMS_ROW_KEYS:
+            rows.append((splitmix64_mix(base ^ np.uint64(k)) % np.uint64(w)).astype(np.int64))
+    return np.stack(rows)
+
+
+def cms_partial(col: pa.Array, w: int = 8192) -> np.ndarray:
+    """(d, w) int64 counter partial for one batch of values."""
+    regs = np.zeros((CMS_D, w), dtype=np.int64)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if col.null_count:
+        col = col.drop_null()
+    if len(col) == 0:
+        return regs
+    buckets = _cms_hashes(col, w)
+    flat = regs.reshape(-1)
+    off = (np.arange(CMS_D, dtype=np.int64) * w)[:, None]
+    np.add.at(flat, (buckets + off).reshape(-1), 1)
+    return regs
+
+
+def cms_merge(parts: list[np.ndarray]) -> np.ndarray:
+    out = parts[0].copy()
+    for q in parts[1:]:
+        out += q
+    return out
+
+
+def cms_estimate(regs: np.ndarray, col: pa.Array) -> np.ndarray:
+    """Point-frequency estimates for each value in col (vectorized min
+    over the d rows; always an overestimate)."""
+    w = regs.shape[1]
+    buckets = _cms_hashes(col, w)
+    ests = np.stack([regs[i][buckets[i]] for i in range(CMS_D)])
+    return ests.min(axis=0)

@@ -2346,6 +2346,71 @@ def q_order_clusters(sf_dir: str):
     ).sort_by("o_orderkey")
 
 
+def q_heavy_users(sf_dir: str):
+    """Top-20 users by event count — the sketch-candidates + exact-verify
+    heavy-hitter shape: per batch ONE fixed-size Count-Min partial
+    (additive merge, O(d x w x 8 B) per batch to the driver — never the
+    key domain) plus a local top-M candidate list; merged CMS estimates
+    rank the candidate union, and only the top-2K survivors are exactly
+    re-counted in a second filtered pass (is_in + per-batch group partial
+    — a BOUNDED-domain aggregate).  At 100 TB nothing driver-side scales
+    with rows or distinct users; candidate completeness is the standard
+    CMS heavy-hitter guarantee (error <= eN with e = e/w), exact after
+    the re-count pass.  Sketch kernels unit-tested in tests/test_sketch.py."""
+    from .functions.sketch import CMS_D, cms_estimate, cms_merge, cms_partial
+
+    K = 20
+    M = 4 * K
+    W = 8192
+    ds = _decoded(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("user_id").combine_chunks() if isinstance(t.column("user_id"), pa.ChunkedArray) else t.column("user_id")
+        regs = cms_partial(col, W)
+        vc = pc.value_counts(col)
+        vals = vc.field("values").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, -cnts))[:M]
+        cand = vals[order]
+        n = cand.size + 1
+        regcol = [None] * (n - 1) + [regs.tobytes()]
+        return pa.table(
+            {
+                "cand": pa.array(np.r_[cand, [0]].astype(np.int64)),
+                "is_sketch": pa.array([False] * (n - 1) + [True]),
+                "regs": pa.array(regcol, pa.large_binary()),
+            }
+        )
+
+    mixed = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    sk = mixed.filter(mixed.column("is_sketch").combine_chunks())
+    cms = cms_merge(
+        [np.frombuffer(b, np.int64).reshape(CMS_D, W).copy() for b in sk.column("regs").to_pylist()]
+    )
+    cand = pc.unique(mixed.filter(pc.invert(mixed.column("is_sketch").combine_chunks())).column("cand").combine_chunks())
+    est = cms_estimate(cms, cand)
+    cand_np = cand.to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = np.lexsort((cand_np, -est))[: 2 * K]
+    short = pa.array(np.sort(cand_np[keep]))
+    sref = ray.put(short)
+
+    def recount(t: pa.Table, *, sref) -> pa.Table:
+        vs = ray.get(sref)
+        col = t.column("user_id").combine_chunks() if isinstance(t.column("user_id"), pa.ChunkedArray) else t.column("user_id")
+        sub = col.filter(pc.is_in(col, value_set=vs))
+        vc = pc.value_counts(sub)
+        return pa.table(
+            {"user_id": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    parts = _to_table(ds.map_batches(functools.partial(recount, sref=sref), batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by("user_id").aggregate([("cnt", "sum")])
+    u = final.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    c = final.column("cnt_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((u, -c))[:K]
+    return pa.table({"user_id": pa.array(u[order]), "cnt": pa.array(c[order])})
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -2408,6 +2473,7 @@ QUERIES = {
     "promo_share": q_promo_share,
     "bloom_join": q_bloom_join,
     "order_clusters": q_order_clusters,
+    "heavy_users": q_heavy_users,
 }
 
 ORACLE_SQL = {
@@ -2840,6 +2906,10 @@ ORACLE_SQL = {
         SELECT o_orderkey,
                MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS cluster_rep
         FROM orders ORDER BY o_orderkey
+    """,
+    "heavy_users": """
+        SELECT user_id, COUNT(*) AS cnt FROM events
+        GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 20
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

@@ -39,6 +39,7 @@ NEW_QUERIES = [
     "promo_share",
     "bloom_join",
     "order_clusters",
+    "heavy_users",
 ]
 
 

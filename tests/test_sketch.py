@@ -76,3 +76,47 @@ def test_rank_exact_near_powers_of_two():
     assert lz.tolist() == [0, 0, 1, 63, 64]
     ranks = np.minimum(lz + 1, 64 - 12 + 1)
     assert ranks.min() >= 1  # rank 0 (the no-op) is impossible
+
+
+# --- Count-Min sketch ---
+
+
+def test_cms_merge_equals_single_build():
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_ray.functions.sketch import cms_merge, cms_partial
+
+    rng = np.random.default_rng(3)
+    vals = (rng.zipf(1.4, 30000) % 500).astype(np.int64)
+    parts = [cms_partial(pa.array(vals[i::5])) for i in range(5)]
+    assert (cms_merge(parts) == cms_partial(pa.array(vals))).all()
+
+
+def test_cms_overestimates_within_bound():
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_ray.functions.sketch import cms_estimate, cms_partial
+
+    rng = np.random.default_rng(4)
+    n = 50000
+    vals = (rng.zipf(1.3, n) % 4000).astype(np.int64)
+    regs = cms_partial(pa.array(vals), w=8192)
+    uniq, true = np.unique(vals, return_counts=True)
+    est = cms_estimate(regs, pa.array(uniq))
+    assert (est >= true).all()  # CMS never underestimates
+    assert (est - true).max() <= np.e / 8192 * n * 3  # loose 3x the 1-sigma bound
+
+
+def test_cms_string_and_int_kinds_hash_independently():
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_ray.functions.sketch import cms_estimate, cms_partial
+
+    svals = pa.array(["a", "b", "a", "c", "a"])
+    regs = cms_partial(svals)
+    est = cms_estimate(regs, pa.array(["a", "b", "c", "zz"]))
+    assert est[0] >= 3 and est[1] >= 1 and est[2] >= 1
+    assert est[3] <= 5  # absent key bounded by N
