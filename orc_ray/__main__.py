@@ -115,6 +115,15 @@ def cmd_sort(a) -> int:
     return 0
 
 
+def cmd_zorder(a) -> int:
+    _ray_up()
+    from .pipeline.encode import zorder_store
+
+    rec = zorder_store(a.store, a.out, a.by.split(","), batch_size=a.batch_size)
+    print(json.dumps(rec["totals"]))
+    return 0
+
+
 def cmd_merge(a) -> int:
     from .state.manifest import merge_stores
 
@@ -179,6 +188,13 @@ def main(argv=None) -> int:
     so.add_argument("--by", required=True, help="comma-separated sort columns")
     so.add_argument("--batch-size", type=int, default=16384)
     so.set_defaults(fn=cmd_sort)
+
+    zo = sub.add_parser("zorder", help="re-encode clustered on a Z-order curve for multi-column pruning")
+    zo.add_argument("store")
+    zo.add_argument("out")
+    zo.add_argument("--by", required=True, help="comma-separated numeric columns (>=2)")
+    zo.add_argument("--batch-size", type=int, default=16384)
+    zo.set_defaults(fn=cmd_zorder)
 
     m = sub.add_parser("merge", help="merge committed stores (orc-tools merge analog)")
     m.add_argument("out")

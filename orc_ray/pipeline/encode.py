@@ -451,3 +451,80 @@ class _AddSalt:
         else:
             salt = base
         return batch.append_column(_SALT_COL, pa.array(salt))
+
+
+def zorder_store(
+    in_dir: str,
+    out_dir: str,
+    cols: list[str],
+    opts: EncodeOptions = DEFAULT_OPTIONS,
+    *,
+    batch_size: int = 16384,
+    bits: int | None = None,
+) -> dict:
+    """Re-encode a chunk store clustered on a Z-ORDER (Morton) curve over
+    ``cols`` — multi-dimensional clustering: after the curve sort, each
+    chunk covers a narrow range of EVERY participating column, so the
+    existing min/max chunk+stride pruning works for predicates on any of
+    them (a linear ``sort_store`` only tightens its leading key).  The
+    classic lakehouse OPTIMIZE ZORDER BY move, built from the pieces the
+    engine already has: manifest stats supply the global value ranges
+    with NO extra data pass, one map_batches computes the interleaved
+    key, one Ray Data sort clusters, and the streaming encode + stats
+    machinery does the rest.
+
+    Numeric columns only (int/float/temporal).  ``bits`` defaults to
+    64 // len(cols) capped at 16 per column.
+    """
+    import functools
+    import json as _json
+    import shutil
+
+    from ..state import manifest as mstate
+    from .decode import decode_dataset
+
+    if len(cols) < 2:
+        raise ValueError("zorder needs >= 2 columns (use sort_store for one)")
+    b = bits or min(16, 64 // len(cols))
+    if b * len(cols) > 64:
+        raise ValueError("bits * len(cols) must be <= 64")
+
+    # global per-column [min, max] from the committed manifest stats —
+    # the zero-pass range estimate (RowIndex/file-stats analog)
+    man = mstate.read_manifest(in_dir)
+    lo: dict[str, float] = {}
+    hi: dict[str, float] = {}
+    for s in man.column("stats").to_pylist():
+        st = _json.loads(s)
+        for c in cols:
+            if c in st and st[c].get("min") is not None:
+                mn, mx = float(st[c]["min"]), float(st[c]["max"])
+                lo[c] = mn if c not in lo else min(lo[c], mn)
+                hi[c] = mx if c not in hi else max(hi[c], mx)
+    missing = [c for c in cols if c not in lo]
+    if missing:
+        raise ValueError(f"no numeric manifest stats for zorder columns: {missing}")
+
+    def zkey(t: pa.Table, *, cols, lo, hi, b) -> pa.Table:
+        k = len(cols)
+        z = np.zeros(t.num_rows, dtype=np.uint64)
+        for i, c in enumerate(cols):
+            v = t.column(c).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            span = hi[c] - lo[c]
+            q = np.clip((v - lo[c]) / (span if span > 0 else 1.0), 0.0, 1.0)
+            cell = np.minimum((q * (1 << b)).astype(np.uint64), np.uint64((1 << b) - 1))
+            for j in range(b):
+                z |= ((cell >> np.uint64(j)) & np.uint64(1)) << np.uint64(j * k + i)
+        return t.append_column("_zkey", pa.array(z.view(np.int64)))
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = decode_dataset(in_dir)
+    ds = ds.map_batches(
+        functools.partial(zkey, cols=cols, lo=lo, hi=hi, b=b),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort("_zkey")
+    ds = ds.map_batches(
+        lambda t: t.drop_columns(["_zkey"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return encode_dataset(None, out_dir, opts, ds=ds, batch_size=batch_size)
