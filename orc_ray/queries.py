@@ -2411,6 +2411,30 @@ def q_heavy_users(sf_dir: str):
     return pa.table({"user_id": pa.array(u[order]), "cnt": pa.array(c[order])})
 
 
+def q_profile_lineitem(sf_dir: str):
+    """One-pass numeric profile of the decoded lineitem stream
+    (functions/profile.py): per column n / nulls / min / max / exact
+    integer-arithmetic mean — each batch reduces to one tiny row per
+    column, so the driver merges O(columns x batches) rows regardless of
+    table size.  The HLL approx-distinct field the operator also
+    computes is dropped here to keep the oracle comparison exact
+    (accuracy covered by tests/test_profile.py)."""
+    from .functions.profile import profile_numeric
+
+    cols = [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    ]
+    ds = _decoded(sf_dir, "lineitem", columns=cols)
+    t = profile_numeric(ds, cols)
+    return t.drop_columns(["approx_distinct"]).sort_by("col")
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -2474,6 +2498,7 @@ QUERIES = {
     "bloom_join": q_bloom_join,
     "order_clusters": q_order_clusters,
     "heavy_users": q_heavy_users,
+    "profile_lineitem": q_profile_lineitem,
 }
 
 ORACLE_SQL = {
@@ -2910,6 +2935,37 @@ ORACLE_SQL = {
     "heavy_users": """
         SELECT user_id, COUNT(*) AS cnt FROM events
         GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 20
+    """,
+    "profile_lineitem": """
+        SELECT * FROM (SELECT 'l_orderkey' AS col, COUNT(l_orderkey) AS n, COUNT(*)-COUNT(l_orderkey) AS nulls,
+            CAST(ROUND(MIN(l_orderkey)*1000000) AS BIGINT) AS min_e6,
+            CAST(ROUND(MAX(l_orderkey)*1000000) AS BIGINT) AS max_e6,
+            CAST(ROUND(SUM(CAST(ROUND(l_orderkey*100) AS BIGINT)) * 10000.0 / COUNT(l_orderkey)) AS BIGINT) AS mean_e6
+            FROM lineitem UNION ALL SELECT 'l_partkey' AS col, COUNT(l_partkey) AS n, COUNT(*)-COUNT(l_partkey) AS nulls,
+            CAST(ROUND(MIN(l_partkey)*1000000) AS BIGINT) AS min_e6,
+            CAST(ROUND(MAX(l_partkey)*1000000) AS BIGINT) AS max_e6,
+            CAST(ROUND(SUM(CAST(ROUND(l_partkey*100) AS BIGINT)) * 10000.0 / COUNT(l_partkey)) AS BIGINT) AS mean_e6
+            FROM lineitem UNION ALL SELECT 'l_suppkey' AS col, COUNT(l_suppkey) AS n, COUNT(*)-COUNT(l_suppkey) AS nulls,
+            CAST(ROUND(MIN(l_suppkey)*1000000) AS BIGINT) AS min_e6,
+            CAST(ROUND(MAX(l_suppkey)*1000000) AS BIGINT) AS max_e6,
+            CAST(ROUND(SUM(CAST(ROUND(l_suppkey*100) AS BIGINT)) * 10000.0 / COUNT(l_suppkey)) AS BIGINT) AS mean_e6
+            FROM lineitem UNION ALL SELECT 'l_quantity' AS col, COUNT(l_quantity) AS n, COUNT(*)-COUNT(l_quantity) AS nulls,
+            CAST(ROUND(MIN(l_quantity)*1000000) AS BIGINT) AS min_e6,
+            CAST(ROUND(MAX(l_quantity)*1000000) AS BIGINT) AS max_e6,
+            CAST(ROUND(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) * 10000.0 / COUNT(l_quantity)) AS BIGINT) AS mean_e6
+            FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col, COUNT(l_extendedprice) AS n, COUNT(*)-COUNT(l_extendedprice) AS nulls,
+            CAST(ROUND(MIN(l_extendedprice)*1000000) AS BIGINT) AS min_e6,
+            CAST(ROUND(MAX(l_extendedprice)*1000000) AS BIGINT) AS max_e6,
+            CAST(ROUND(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) * 10000.0 / COUNT(l_extendedprice)) AS BIGINT) AS mean_e6
+            FROM lineitem UNION ALL SELECT 'l_discount' AS col, COUNT(l_discount) AS n, COUNT(*)-COUNT(l_discount) AS nulls,
+            CAST(ROUND(MIN(l_discount)*1000000) AS BIGINT) AS min_e6,
+            CAST(ROUND(MAX(l_discount)*1000000) AS BIGINT) AS max_e6,
+            CAST(ROUND(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) * 10000.0 / COUNT(l_discount)) AS BIGINT) AS mean_e6
+            FROM lineitem UNION ALL SELECT 'l_tax' AS col, COUNT(l_tax) AS n, COUNT(*)-COUNT(l_tax) AS nulls,
+            CAST(ROUND(MIN(l_tax)*1000000) AS BIGINT) AS min_e6,
+            CAST(ROUND(MAX(l_tax)*1000000) AS BIGINT) AS max_e6,
+            CAST(ROUND(SUM(CAST(ROUND(l_tax*100) AS BIGINT)) * 10000.0 / COUNT(l_tax)) AS BIGINT) AS mean_e6
+            FROM lineitem) ORDER BY col
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

@@ -40,6 +40,7 @@ NEW_QUERIES = [
     "bloom_join",
     "order_clusters",
     "heavy_users",
+    "profile_lineitem",
 ]
 
 
