@@ -10,13 +10,12 @@ takes the minimum label among itself and its neighbours:
     messages  = labels(self) ∪ labels(neighbour via one hash join)
     new label = MIN(messages)    (agg_by_keys — sort + vectorized reduce)
 
-which converges in O(graph diameter) rounds (dedup cluster graphs are
-shallow: near-clique groups from banding/fingerprint collisions).  For
-adversarially long chains the pointer-doubling/hash-to-min variants
-(Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14) drop this to O(log n) rounds — same message shape, shortcut
-edges added per round; not needed for dedup-shaped graphs and therefore
-not implemented.
+which alone converges in O(graph diameter) rounds.  Pointer-doubling
+shortcut messages (on by default) add ``label(label(v))`` each round —
+the label table self-joined on (label -> node) — collapsing long chains
+in O(log diameter) rounds (the Kiveris et al. "Connected Components in
+MapReduce and Beyond", SoCC'14 family); dedup cluster graphs
+(near-clique groups) usually finish in 2-4 rounds either way.
 
 Convergence detection is exact and distributed: self-messages carry
 their label in a separate ``selflab`` column (null on neighbour
@@ -54,6 +53,8 @@ def connected_components(
     max_iters: int = 64,
     num_partitions: int = 8,
     driver_threshold: int = 1_000_000,
+    shortcut: bool = True,
+    stats_out: dict | None = None,
 ):
     """Label every node of the undirected graph ``edges`` (Dataset with
     columns ``a``, ``b``) with the minimum node id of its component.
@@ -154,7 +155,16 @@ def connected_components(
         )
     np_eff = max(1, min(num_partitions, n_nodes // 2048))
 
-    for _ in range(max_iters):
+    def shortcut_msgs(t: pa.Table) -> pa.Table:
+        # self-joined row: (lnode=v, label=l, label2=label(l)) -> (v, label2)
+        if t.num_rows == 0:
+            return _msg_empty()
+        null_self = pa.nulls(t.num_rows, t.column("label2").type)
+        return pa.table(
+            {"node": t.column("lnode"), "label": t.column("label2"), "selflab": null_self}
+        )
+
+    for it in range(max_iters):
         joined = und.join(
             labels,
             join_type="inner",
@@ -165,6 +175,24 @@ def connected_components(
         msgs = joined.map_batches(nbr_msgs, batch_format="pyarrow", zero_copy_batch=True).union(
             labels.map_batches(self_msgs, batch_format="pyarrow", zero_copy_batch=True)
         )
+        if shortcut:
+            # pointer doubling: label(label(v)) messages via a label-table
+            # self-join (every label IS a node, so the inner join is total)
+            lab2 = labels.map_batches(
+                lambda t: t.rename_columns(["lnode2", "label2"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            hopped = labels.join(
+                lab2,
+                join_type="inner",
+                num_partitions=np_eff,
+                on=("label",),
+                right_on=("lnode2",),
+            )
+            msgs = msgs.union(
+                hopped.map_batches(shortcut_msgs, batch_format="pyarrow", zero_copy_batch=True)
+            )
         agg = agg_by_keys(
             msgs, ["node"], [("label", "min", "label"), ("selflab", "min", "old")]
         )
@@ -182,6 +210,8 @@ def connected_components(
             zero_copy_batch=True,
         ).materialize()
         if changed == 0:
+            if stats_out is not None:
+                stats_out["rounds"] = it + 1
             return labels.map_batches(
                 lambda t: t.rename_columns(["node", "label"]),
                 batch_format="pyarrow",
@@ -189,6 +219,5 @@ def connected_components(
             )
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
-        "graph diameter exceeds the min-propagation budget; use the "
-        "pointer-doubling variant for long-chain graphs"
+        "raise max_iters (pointer-doubling needs ~log2(diameter) + 2)"
     )

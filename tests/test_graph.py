@@ -61,3 +61,24 @@ def test_cc_nonconvergence_raises(ray_session):
 def test_cc_driver_backend_matches_distributed(ray_session):
     tbl = pa.table({"a": [1, 2, 3, 10, 7], "b": [2, 3, 4, 11, 7]})
     assert _cc(tbl) == _cc(tbl, driver_threshold=10_000)
+
+
+def test_cc_pointer_doubling_collapses_chains(ray_session):
+    """a 40-chain needs ~40 min-propagation rounds; shortcut messages
+    finish in O(log): assert well under the linear budget."""
+    import ray as _ray
+
+    from orc_ray.functions.graph import connected_components
+
+    a = list(range(40))
+    b = list(range(1, 41))
+    st = {}
+    ds = _ray.data.from_arrow(pa.table({"a": a, "b": b}))
+    out = pa.concat_tables(
+        connected_components(ds, driver_threshold=0, stats_out=st).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    labels = set(out.column("label").to_pylist())
+    assert labels == {0}
+    assert st["rounds"] <= 12
