@@ -209,3 +209,105 @@ def cms_estimate(regs: np.ndarray, col: pa.Array) -> np.ndarray:
     buckets = _cms_hashes(col, w)
     ests = np.stack([regs[i][buckets[i]] for i in range(CMS_D)])
     return ests.min(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# t-digest — mergeable approximate quantiles (Dunning & Ertl 2019).
+# Centroids are (mean, weight) pairs built by greedy clustering of sorted
+# values under the k1 scale function (tight at the tails, coarse in the
+# middle).  The Ray Data shape: one fixed-size centroid list per batch
+# inside map_batches, driver merges O(batches x delta) centroids and
+# re-compresses once — the exact global sort (q_global_quantiles)
+# disappears.  Deterministic for fixed input content (sorting + greedy),
+# so retry-stable.
+
+
+def _k1(q: np.ndarray, delta: int) -> np.ndarray:
+    return delta / (2 * np.pi) * np.arcsin(np.clip(2 * q - 1, -1, 1))
+
+
+def tdigest_partial(col, delta: int = 200) -> tuple[np.ndarray, np.ndarray]:
+    """(means, weights) centroid arrays for one batch of values."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        if col.null_count:
+            col = col.drop_null()
+        v = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+    else:
+        v = np.asarray(col, np.float64)
+    if v.size == 0:
+        return np.empty(0), np.empty(0)
+    return _compress(np.sort(v), np.ones(v.size), delta)
+
+
+def _compress(means: np.ndarray, weights: np.ndarray, delta: int) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy left-to-right clustering of SORTED (means, weights) under
+    the k1 bound.  Vectorized grouping: a new centroid starts wherever
+    the running k1 span would exceed 1."""
+    n = weights.sum()
+    qr = np.cumsum(weights) / n  # right cumulative rank of each input
+    kk = _k1(qr, delta)
+    # boundary when k1 has advanced >= 1 since the current group's start:
+    # emulate with a scan — greedy grouping is inherently sequential, but
+    # over <= batches x delta centroids, not rows; do it with a python
+    # loop over GROUP STARTS only (bounded by ~delta, not input size)
+    starts = [0]
+    k_start = _k1(np.array([0.0]), delta)[0]
+    for i in range(kk.size):
+        if kk[i] - k_start > 1.0:
+            if i + 1 < kk.size:
+                starts.append(i + 1)
+            k_start = _k1(np.array([qr[i]]), delta)[0]
+    idx = np.array(starts, np.int64)
+    ends = np.r_[idx[1:], kk.size]
+    wsum = np.add.reduceat(weights, idx)
+    msum = np.add.reduceat(weights * means, idx)
+    return msum / wsum, wsum
+
+
+def tdigest_merge(parts: list[tuple[np.ndarray, np.ndarray]], delta: int = 200):
+    means = np.concatenate([p[0] for p in parts if p[0].size])
+    weights = np.concatenate([p[1] for p in parts if p[1].size])
+    if means.size == 0:
+        return np.empty(0), np.empty(0)
+    order = np.argsort(means, kind="stable")
+    return _compress(means[order], weights[order], delta)
+
+
+def tdigest_quantile(digest: tuple[np.ndarray, np.ndarray], qs) -> np.ndarray:
+    """Interpolated quantile estimates from a (means, weights) digest."""
+    means, weights = digest
+    qs = np.atleast_1d(np.asarray(qs, np.float64))
+    if means.size == 0:
+        return np.full(qs.size, np.nan)
+    cw = np.cumsum(weights) - weights / 2.0  # centroid mid-ranks
+    total = weights.sum()
+    return np.interp(qs * total, cw, means, left=means[0], right=means[-1])
+
+
+def approx_quantiles(ds, col: str, qs, delta: int = 200) -> pa.Table:
+    """Approximate quantiles of ds[col] via per-batch t-digest partials."""
+    def partial(t: pa.Table) -> pa.Table:
+        m, w = tdigest_partial(t.column(col), delta)
+        return pa.table(
+            {
+                "means": pa.array([m.tobytes()], pa.large_binary()),
+                "weights": pa.array([w.tobytes()], pa.large_binary()),
+            }
+        )
+
+    parts = []
+    for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for mb, wb in zip(b.column("means").to_pylist(), b.column("weights").to_pylist()):
+            parts.append((np.frombuffer(mb, np.float64), np.frombuffer(wb, np.float64)))
+    digest = tdigest_merge(parts, delta)
+    est = tdigest_quantile(digest, qs)
+    return pa.table(
+        {
+            "q": pa.array(np.atleast_1d(np.asarray(qs, np.float64))),
+            "value_est": pa.array(est),
+        }
+    )

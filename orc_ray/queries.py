@@ -2435,6 +2435,27 @@ def q_profile_lineitem(sf_dir: str):
     return t.drop_columns(["approx_distinct"]).sort_by("col")
 
 
+def q_approx_quantiles(sf_dir: str):
+    """Approximate global quantiles of l_extendedprice via distributed
+    t-digest partials (functions/sketch.py) — the fixed-size-summary
+    alternative to q_global_quantiles' exact one-sort path: per batch one
+    <=delta-centroid digest, one driver merge, <=1% rank error
+    (accuracy pinned by tests/test_sketch.py).  Rows-only driver check
+    (approximate by design, like the HLL distinct)."""
+    from .functions.sketch import approx_quantiles
+
+    ds = _decoded(sf_dir, "lineitem", columns=["l_extendedprice"])
+    t = approx_quantiles(ds, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99])
+    import numpy as np
+
+    return pa.table(
+        {
+            "q": t.column("q"),
+            "value_e2": pa.array(np.rint(t.column("value_est").to_numpy() * 100).astype(np.int64)),
+        }
+    )
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -2499,6 +2520,7 @@ QUERIES = {
     "order_clusters": q_order_clusters,
     "heavy_users": q_heavy_users,
     "profile_lineitem": q_profile_lineitem,
+    "approx_quantiles": q_approx_quantiles,
 }
 
 ORACLE_SQL = {

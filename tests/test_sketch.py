@@ -120,3 +120,48 @@ def test_cms_string_and_int_kinds_hash_independently():
     est = cms_estimate(regs, pa.array(["a", "b", "c", "zz"]))
     assert est[0] >= 3 and est[1] >= 1 and est[2] >= 1
     assert est[3] <= 5  # absent key bounded by N
+
+
+# --- t-digest ---
+
+
+def test_tdigest_rank_error_and_merge():
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_ray.functions.sketch import tdigest_merge, tdigest_partial, tdigest_quantile
+
+    rng = np.random.default_rng(8)
+    v = rng.lognormal(0, 1, 100000)
+    parts = [tdigest_partial(pa.array(v[i::6])) for i in range(6)]
+    d = tdigest_merge(parts)
+    qs = np.array([0.01, 0.1, 0.5, 0.9, 0.99])
+    est = tdigest_quantile(d, qs)
+    for e, q in zip(est, qs):
+        assert abs((v < e).mean() - q) < 0.01  # <=1% rank error
+    assert d[0].size < 400  # bounded summary
+
+
+def test_tdigest_exact_on_tiny_input():
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_ray.functions.sketch import tdigest_partial, tdigest_quantile
+
+    d = tdigest_partial(pa.array([1.0, 2.0, 3.0, 4.0]))
+    assert abs(tdigest_quantile(d, [0.5])[0] - 2.5) < 1.0
+
+
+def test_approx_quantiles_dataset(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from orc_ray.functions.sketch import approx_quantiles
+
+    rng = np.random.default_rng(9)
+    v = rng.uniform(0, 1000, 50000)
+    ds = ray.data.from_arrow(pa.table({"x": v}))
+    out = approx_quantiles(ds, "x", [0.25, 0.5, 0.75]).to_pandas()
+    for q, e in zip(out["q"], out["value_est"]):
+        assert abs((v < e).mean() - q) < 0.01
