@@ -1,0 +1,80 @@
+"""Deterministic weighted reservoir sampling (Efraimidis–Spirakis A-ES).
+
+Fixed-size weighted sampling without RNG state: each row gets priority
+``ln(u) / w`` with ``u`` a (0,1) uniform derived from md5(id) — the
+equivalent of ranking by ``u^(1/w)`` — and the sample is the global
+top-k by priority.  Deterministic, shard-stable, and retry-stable: the
+same row set is selected no matter how batches are split or re-executed
+(the same property q_hash_split / q_stratified_sample build on).
+
+Ray Data shape: each batch emits only its local top-k (priority, id)
+rows; the driver merges O(batches x k) candidates — never the data.
+Priorities are reported as e9-quantized integers so the SQL oracle
+(identical md5/LN/FLOOR formula in DuckDB) hash-matches without
+last-ulp float ambiguity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_DENOM = float(1 << 60) + 1.0  # uhex in [0, 2^60): (uhex+1)/_DENOM is in (0,1)
+
+
+def md5_hex15_int(ids) -> np.ndarray:
+    """int64 of the first 15 md5 hex digits of str(id) per row — matches
+    SQL ``CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT)``.
+    Python loop over a C-core hash (the md5_first_hex precedent): ~1
+    us/row, acceptable where oracle parity is required."""
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    vals = ids.cast(pa.string()).to_pylist()
+    return np.array([int(hashlib.md5(v.encode()).hexdigest()[:15], 16) for v in vals], np.int64)
+
+
+def es_priority_e9(ids, weights: np.ndarray) -> np.ndarray:
+    """e9-quantized Efraimidis–Spirakis priority ln(u)/w per row."""
+    u = (md5_hex15_int(ids) + 1.0) / _DENOM
+    return np.floor(np.log(u) / np.asarray(weights, np.float64) * 1e9).astype(np.int64)
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, k: int) -> pa.Table:
+    """Top-k weighted sample of a Dataset: returns (id, pri_e9) sorted by
+    (pri_e9 desc, id asc).  Weights must be positive."""
+    import functools
+
+    def local_top(t: pa.Table, *, id_col, weight_col, k) -> pa.Table:
+        ids = t.column(id_col)
+        w = t.column(weight_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        if np.any(w <= 0):
+            raise ValueError("weighted_sample requires positive weights")
+        pri = es_priority_e9(ids, w)
+        idv = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        order = np.lexsort((idv.to_numpy(zero_copy_only=False), -pri))[:k]
+        import pyarrow.compute as pc
+
+        take = pa.array(order)
+        return pa.table({"id": pc.take(idv, take), "pri_e9": pa.array(pri[order])})
+
+    parts = [
+        b
+        for b in ds.map_batches(
+            functools.partial(local_top, id_col=id_col, weight_col=weight_col, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    if not parts:
+        return pa.table({"id": pa.array([], pa.string()), "pri_e9": pa.array([], pa.int64())})
+    cand = pa.concat_tables(parts).combine_chunks()
+    pri = cand.column("pri_e9").to_numpy(zero_copy_only=False)
+    ids = cand.column("id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -pri))[:k]
+    import pyarrow.compute as pc
+
+    take = pa.array(order)
+    return pa.table({"id": pc.take(cand.column("id"), take), "pri_e9": pa.array(pri[order])})

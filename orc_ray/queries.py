@@ -2456,6 +2456,20 @@ def q_approx_quantiles(sf_dir: str):
     )
 
 
+def q_weighted_sample(sf_dir: str):
+    """Fixed-size weighted reservoir sample (Efraimidis-Spirakis A-ES)
+    of 100 documents with inclusion priority ln(u)/n_chars — longer docs
+    proportionally likelier.  Deterministic md5-derived uniforms make it
+    RNG-free and shard/retry-stable; per batch only the local top-k
+    leaves the task, and the e9-quantized priorities hash-match the
+    identical-formula DuckDB oracle."""
+    from .functions.sampling import weighted_sample
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    t = weighted_sample(ds, "doc_id", "n_chars", k=100)
+    return pa.table({"doc_id": t.column("id"), "pri_e9": t.column("pri_e9")})
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -2521,6 +2535,7 @@ QUERIES = {
     "heavy_users": q_heavy_users,
     "profile_lineitem": q_profile_lineitem,
     "approx_quantiles": q_approx_quantiles,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLE_SQL = {
@@ -2988,6 +3003,14 @@ ORACLE_SQL = {
             CAST(ROUND(MAX(l_tax)*1000000) AS BIGINT) AS max_e6,
             CAST(ROUND(SUM(CAST(ROUND(l_tax*100) AS BIGINT)) * 10000.0 / COUNT(l_tax)) AS BIGINT) AS mean_e6
             FROM lineitem) ORDER BY col
+    """,
+    "weighted_sample": """
+        SELECT doc_id,
+               CAST(FLOOR(LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
+                             / 1152921504606846977.0)
+                          / n_chars * 1000000000) AS BIGINT) AS pri_e9
+        FROM documents
+        ORDER BY pri_e9 DESC, doc_id LIMIT 100
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

@@ -41,6 +41,7 @@ NEW_QUERIES = [
     "order_clusters",
     "heavy_users",
     "profile_lineitem",
+    "weighted_sample",
 ]
 
 
