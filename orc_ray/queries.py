@@ -2470,6 +2470,40 @@ def q_weighted_sample(sf_dir: str):
     return pa.table({"doc_id": t.column("id"), "pri_e9": t.column("pri_e9")})
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_weekday(sf_dir: str):
+    """PIVOT: weekday x event_type count matrix — the rows-to-columns
+    reshape every reporting layer runs.  Distributed shape: each batch
+    computes its own tiny pivot (one group_by + a CASE-mask sum per
+    known column — the SQL PIVOT lowering), partials sum on the driver
+    at O(7 x types).  Weekday from epoch-days (1970-01-01 was a
+    Thursday: (days + 4) % 7 gives 0=Sunday, DuckDB's dayofweek)."""
+    ds = _decoded(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wd = ((us // 86_400_000_000 + 4) % 7).astype(np.int64)
+        et = t.column("event_type").combine_chunks() if isinstance(t.column("event_type"), pa.ChunkedArray) else t.column("event_type")
+        cols = {"weekday": []}
+        mats = np.zeros((7, len(_EVENT_TYPES)), np.int64)
+        codes = pc.index_in(et, value_set=pa.array(_EVENT_TYPES)).to_numpy(zero_copy_only=False)
+        np.add.at(mats, (wd, codes.astype(np.int64)), 1)
+        cols["weekday"] = pa.array(np.arange(7, dtype=np.int64))
+        out = {"weekday": cols["weekday"]}
+        for j, name in enumerate(_EVENT_TYPES):
+            out[f"n_{name}"] = pa.array(mats[:, j])
+        return pa.table(out)
+
+    parts = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by("weekday").aggregate([(f"n_{n}", "sum") for n in _EVENT_TYPES])
+    out = {"weekday": final.column("weekday")}
+    for n in _EVENT_TYPES:
+        out[f"n_{n}"] = final.column(f"n_{n}_sum")
+    return pa.table(out).sort_by("weekday")
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -2536,6 +2570,7 @@ QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "approx_quantiles": q_approx_quantiles,
     "weighted_sample": q_weighted_sample,
+    "pivot_weekday": q_pivot_weekday,
 }
 
 ORACLE_SQL = {
@@ -3011,6 +3046,15 @@ ORACLE_SQL = {
                           / n_chars * 1000000000) AS BIGINT) AS pri_e9
         FROM documents
         ORDER BY pri_e9 DESC, doc_id LIMIT 100
+    """,
+    "pivot_weekday": """
+        SELECT CAST(dayofweek(ts) AS BIGINT) AS weekday,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events GROUP BY weekday ORDER BY weekday
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

@@ -42,6 +42,7 @@ NEW_QUERIES = [
     "heavy_users",
     "profile_lineitem",
     "weighted_sample",
+    "pivot_weekday",
 ]
 
 
