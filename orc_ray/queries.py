@@ -2470,6 +2470,28 @@ def q_weighted_sample(sf_dir: str):
     return pa.table({"doc_id": t.column("id"), "pri_e9": t.column("pri_e9")})
 
 
+def q_bm25_search(sf_dir: str):
+    """Okapi BM25 keyword search ('window merge scan', top-10) over an
+    inverted index that IS a chunk store: postings (token, doc_id, tf)
+    are tokenized in one pass, globally sorted by token, and encoded —
+    so each term lookup is a pruned decode (manifest min/max + stride
+    index skip every chunk outside the term's token range, the
+    SargsApplier analog applied to a search index).  Doc lengths ride a
+    second store; scores are e6-quantized for the identical-formula
+    DuckDB oracle.  Query cost is O(df of the query terms), not
+    O(corpus); pruning is asserted in tests/test_search.py."""
+    import hashlib as _hl
+
+    from .chunk import FORMAT_VERSION
+    from .functions.search import bm25_search, build_text_index
+
+    key = _hl.md5(f"{os.path.abspath(sf_dir)}|bm25|v{FORMAT_VERSION}".encode()).hexdigest()[:10]
+    idx = os.path.join(CACHE_ROOT, f"bm25-{key}")
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        build_text_index(_decoded(sf_dir, "documents", columns=["doc_id", "text"]), idx)
+    return bm25_search(idx, ["window", "merge", "scan"], k=10)
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2571,6 +2593,7 @@ QUERIES = {
     "approx_quantiles": q_approx_quantiles,
     "weighted_sample": q_weighted_sample,
     "pivot_weekday": q_pivot_weekday,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLE_SQL = {
@@ -3055,6 +3078,34 @@ ORACLE_SQL = {
                CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
                CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         FROM events GROUP BY weekday ORDER BY weekday
+    """,
+    "bm25_search": r"""
+        WITH dl AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE array_length(string_split_regex(trim(text), '\s+')) END AS dl
+          FROM documents
+        ),
+        st AS (SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+        tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents WHERE trim(text) <> ''
+          ) WHERE tok IN ('window', 'merge', 'scan') GROUP BY doc_id, tok
+        ),
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        sc AS (
+          SELECT tf.doc_id,
+                 SUM( LN(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                      * tf.tf * 2.2
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+          FROM tf CROSS JOIN st
+               JOIN df ON tf.tok = df.tok
+               JOIN dl ON tf.doc_id = dl.doc_id
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, CAST(FLOOR(s * 1000000 + 0.5) AS BIGINT) AS score_e6
+        FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 10
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

@@ -43,6 +43,7 @@ NEW_QUERIES = [
     "profile_lineitem",
     "weighted_sample",
     "pivot_weekday",
+    "bm25_search",
 ]
 
 
