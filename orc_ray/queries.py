@@ -2492,6 +2492,53 @@ def q_bm25_search(sf_dir: str):
     return bm25_search(idx, ["window", "merge", "scan"], k=10)
 
 
+def q_embedding_moments(sf_dir: str):
+    """Per-dimension first/second moments of the embedding matrix — the
+    distributed linear-algebra primitive (X / X^T X partial sums per
+    batch) behind covariance, whitening, and PCA.  Values are e6-floor
+    quantized FIRST (both engines), so the sums and sums-of-squares are
+    EXACT integers: no float addition order anywhere, and variance is
+    recoverable downstream as (n*sumsq - sum^2)/n^2 in exact rational
+    arithmetic.  Per batch: one flatten + two scatter-adds into
+    (dim,)-shaped partials; the driver merges O(dim x batches) rows."""
+    ds = _decoded(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t.column("embedding").combine_chunks()
+        off = arr.offsets.to_numpy()
+        off = off - off[0]
+        vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(vals * 1_000_000.0).astype(np.int64)
+        lens = np.diff(off)
+        dim = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], lens)
+        d_max = int(lens.max()) if lens.size else 0
+        s = np.zeros(d_max, np.int64)
+        s2 = np.zeros(d_max, np.int64)
+        n = np.zeros(d_max, np.int64)
+        np.add.at(s, dim, q)
+        np.add.at(s2, dim, q * q)
+        np.add.at(n, dim, 1)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d_max, dtype=np.int64)),
+                "n": pa.array(n),
+                "sum_q": pa.array(s),
+                "sumsq_q": pa.array(s2),
+            }
+        )
+
+    parts = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by("dim").aggregate([("n", "sum"), ("sum_q", "sum"), ("sumsq_q", "sum")])
+    return pa.table(
+        {
+            "dim": final.column("dim"),
+            "n": final.column("n_sum"),
+            "sum_q": final.column("sum_q_sum"),
+            "sumsq_q": final.column("sumsq_q_sum"),
+        }
+    ).sort_by("dim")
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2594,6 +2641,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "pivot_weekday": q_pivot_weekday,
     "bm25_search": q_bm25_search,
+    "embedding_moments": q_embedding_moments,
 }
 
 ORACLE_SQL = {
@@ -3106,6 +3154,15 @@ ORACLE_SQL = {
         )
         SELECT doc_id, CAST(FLOOR(s * 1000000 + 0.5) AS BIGINT) AS score_e6
         FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 10
+    """,
+    "embedding_moments": """
+        SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+               CAST(SUM(q) AS BIGINT) AS sum_q,
+               CAST(SUM(q * q) AS BIGINT) AS sumsq_q
+        FROM (SELECT CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS q, dim
+              FROM (SELECT UNNEST(embedding) AS e,
+                           UNNEST(range(len(embedding))) AS dim FROM embeddings))
+        GROUP BY dim ORDER BY dim
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

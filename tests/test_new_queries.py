@@ -44,6 +44,7 @@ NEW_QUERIES = [
     "weighted_sample",
     "pivot_weekday",
     "bm25_search",
+    "embedding_moments",
 ]
 
 
