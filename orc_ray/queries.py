@@ -2573,6 +2573,29 @@ def q_pivot_weekday(sf_dir: str):
     return pa.table(out).sort_by("weekday")
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means (k=8) over the embeddings table
+    (functions/kmeans.py): per batch one matmul assignment + one
+    scatter-add of per-cluster partial sums — the driver merges
+    O(k x dim) floats per batch; deterministic smallest-id seeding makes
+    every run/retry identical.  Rows-only driver check (iterative ML,
+    no SQL equivalent); centroid math pinned against an in-process
+    reference in tests/test_kmeans.py."""
+    from .functions.kmeans import kmeans
+
+    ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents, _ = kmeans(ds, "embedding", k=8, id_col="vec_id")
+    import numpy as np
+
+    norms = np.floor(np.linalg.norm(cents, axis=1) * 1e6).astype(np.int64)
+    return pa.table(
+        {
+            "cluster": pa.array(np.arange(cents.shape[0], dtype=np.int64)),
+            "centroid_norm_e6": pa.array(norms),
+        }
+    )
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -2642,6 +2665,7 @@ QUERIES = {
     "pivot_weekday": q_pivot_weekday,
     "bm25_search": q_bm25_search,
     "embedding_moments": q_embedding_moments,
+    "kmeans_embeddings": q_kmeans_embeddings,
 }
 
 ORACLE_SQL = {

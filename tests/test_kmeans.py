@@ -1,0 +1,45 @@
+"""Distributed Lloyd k-means vs an in-process reference on the same
+deterministic seeding — centroids must match to float tolerance."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _ref_kmeans(x, ids, k, iters=20):
+    order = np.argsort(ids, kind="stable")[:k]
+    c = x[order].copy()
+    for _ in range(iters):
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+        a = d2.argmin(1)
+        new = np.stack([x[a == j].mean(0) if (a == j).any() else c[j] for j in range(k)])
+        if np.allclose(new, c, rtol=0, atol=1e-12):
+            return new
+        c = new
+    return c
+
+
+def test_kmeans_matches_reference_and_separates_blobs(ray_session):
+    from orc_ray.functions.kmeans import kmeans
+
+    rng = np.random.default_rng(21)
+    k, dim, per = 4, 8, 500
+    centers = rng.normal(0, 10, (k, dim))
+    x = np.concatenate([centers[j] + rng.normal(0, 0.5, (per, dim)) for j in range(k)])
+    ids = np.arange(x.shape[0], dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.array([row.tolist() for row in x], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    cents, assign = kmeans(ds, "embedding", k, id_col="vec_id")
+    ref = _ref_kmeans(x, ids, k)
+    # same deterministic seeding -> same fixpoint (order included)
+    assert np.allclose(cents, ref, atol=1e-8)
+    # blobs separated: assignment agrees with true generator up to relabel
+    a = assign(x)
+    for j in range(k):
+        block = a[j * per : (j + 1) * per]
+        assert (block == np.bincount(block).argmax()).mean() > 0.99
