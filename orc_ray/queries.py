@@ -2596,6 +2596,78 @@ def q_kmeans_embeddings(sf_dir: str):
     )
 
 
+_FUNNEL_SENT = np.iinfo(np.int64).max
+
+
+def _funnel_partition(t: pa.Table) -> pa.Table:
+    """One user-hash partition -> (n_signup, n_click_after,
+    n_purchase_after) counts, fully vectorized: per-user segment minima
+    via masked np.minimum.reduceat, each stage's threshold broadcast
+    back by np.repeat — no per-user Python."""
+    if t.num_rows == 0 or "user_id" not in t.column_names:
+        return pa.table(
+            {"n_signup": pa.array([], pa.int64()), "n_click_after": pa.array([], pa.int64()),
+             "n_purchase_after": pa.array([], pa.int64())}
+        )
+    uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    et = t.column("event_type").combine_chunks() if isinstance(t.column("event_type"), pa.ChunkedArray) else t.column("event_type")
+    code = pc.index_in(et, value_set=pa.array(["signup", "click", "purchase"])).to_numpy(
+        zero_copy_only=False
+    )
+    order = np.lexsort((ts, uid))
+    uid, ts, code = uid[order], ts[order], code[order]
+    brk = np.zeros(uid.size, bool)
+    brk[0] = True
+    brk[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(brk)
+    seglen = np.diff(np.r_[starts, uid.size])
+
+    def stage_min(cond: np.ndarray) -> np.ndarray:
+        arr = np.where(cond, ts, _FUNNEL_SENT)
+        return np.minimum.reduceat(arr, starts)
+
+    t1 = stage_min(code == 0)
+    t1_row = np.repeat(t1, seglen)
+    t2 = stage_min((code == 1) & (ts > t1_row))
+    t2_row = np.repeat(t2, seglen)
+    t3 = stage_min((code == 2) & (ts > t2_row))
+    return pa.table(
+        {
+            "n_signup": pa.array([int((t1 < _FUNNEL_SENT).sum())]),
+            "n_click_after": pa.array([int((t2 < _FUNNEL_SENT).sum())]),
+            "n_purchase_after": pa.array([int((t3 < _FUNNEL_SENT).sum())]),
+        }
+    )
+
+
+def q_funnel(sf_dir: str):
+    """Sequential funnel (signup -> later click -> later purchase) —
+    the event-sequence pattern-match behind conversion analytics.  Users
+    are hash-partitioned (the session_windows idiom: a user's events
+    never split), each partition resolves the three ordered stages with
+    masked segment-minimum kernels, and only 3 counters per partition
+    reach the driver.  Strictly value-based (ts comparisons, no
+    order-of-arrival dependence) so the correlated-subquery SQL oracle
+    matches exactly."""
+    ds = _decoded(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    parts = _to_table(
+        ds.map_batches(_session_partition, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(
+            lambda t: _funnel_partition(t.drop_columns(["part"]) if "part" in t.column_names else t),
+            batch_format="pyarrow",
+        )
+    )
+    return pa.table(
+        {
+            "n_signup": pa.array([int(pc.sum(parts.column("n_signup")).as_py() or 0)]),
+            "n_click_after": pa.array([int(pc.sum(parts.column("n_click_after")).as_py() or 0)]),
+            "n_purchase_after": pa.array([int(pc.sum(parts.column("n_purchase_after")).as_py() or 0)]),
+        }
+    )
+
+
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -2666,6 +2738,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "embedding_moments": q_embedding_moments,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "funnel": q_funnel,
 }
 
 ORACLE_SQL = {
@@ -3187,6 +3260,19 @@ ORACLE_SQL = {
               FROM (SELECT UNNEST(embedding) AS e,
                            UNNEST(range(len(embedding))) AS dim FROM embeddings))
         GROUP BY dim ORDER BY dim
+    """,
+    "funnel": """
+        WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                    WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+               JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+               JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+               (SELECT COUNT(*) FROM s2) AS n_click_after,
+               (SELECT COUNT(*) FROM s3) AS n_purchase_after
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

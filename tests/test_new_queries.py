@@ -45,6 +45,7 @@ NEW_QUERIES = [
     "pivot_weekday",
     "bm25_search",
     "embedding_moments",
+    "funnel",
 ]
 
 
