@@ -2627,11 +2627,13 @@ def _funnel_partition(t: pa.Table) -> pa.Table:
         arr = np.where(cond, ts, _FUNNEL_SENT)
         return np.minimum.reduceat(arr, starts)
 
+    day_us = 86_400_000_000
     t1 = stage_min(code == 0)
     t1_row = np.repeat(t1, seglen)
-    t2 = stage_min((code == 1) & (ts > t1_row))
-    t2_row = np.repeat(t2, seglen)
-    t3 = stage_min((code == 2) & (ts > t2_row))
+    with np.errstate(over="ignore"):
+        t2 = stage_min((code == 1) & (ts > t1_row) & (ts <= t1_row + day_us))
+        t2_row = np.repeat(t2, seglen)
+        t3 = stage_min((code == 2) & (ts > t2_row) & (ts <= t2_row + day_us))
     return pa.table(
         {
             "n_signup": pa.array([int((t1 < _FUNNEL_SENT).sum())]),
@@ -2642,7 +2644,8 @@ def _funnel_partition(t: pa.Table) -> pa.Table:
 
 
 def q_funnel(sf_dir: str):
-    """Sequential funnel (signup -> later click -> later purchase) —
+    """Sequential funnel (signup -> click within 24h -> purchase within
+    24h of that click) —
     the event-sequence pattern-match behind conversion analytics.  Users
     are hash-partitioned (the session_windows idiom: a user's events
     never split), each partition resolves the three ordered stages with
@@ -3266,9 +3269,11 @@ ORACLE_SQL = {
                     WHERE event_type = 'signup' GROUP BY user_id),
         s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
                JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+                    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
                WHERE e.event_type = 'click' GROUP BY e.user_id),
         s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
                JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+                    AND e.ts <= s2.t2 + INTERVAL 24 HOUR
                WHERE e.event_type = 'purchase' GROUP BY e.user_id)
         SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
                (SELECT COUNT(*) FROM s2) AS n_click_after,
