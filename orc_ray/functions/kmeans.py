@@ -9,9 +9,10 @@ payload never leaves its block.  Initialization is deterministic
 (first-k-by-id seeding), making every run and every retry bit-identical
 — the same retry-stability contract as the rest of the engine.
 
-Convergence: stop when no assignment changes (tracked exactly via a
-per-batch changed-count against the previous assignment hash) or after
-``max_iters``.  For 10^12-scale inputs the per-iteration cost is one
+Convergence: stop when the centroid matrix is fixed to within 1e-12
+(componentwise) or after ``max_iters`` — assignment stability follows
+except for exact argmin ties, which both this and the reference kernel
+break identically (lowest cluster id wins in ``argmin``).  For 10^12-scale inputs the per-iteration cost is one
 pass over the data; k-means|| style oversampled init is the documented
 upgrade for faster convergence on adversarial data.
 """
@@ -44,7 +45,9 @@ def kmeans(ds, col: str, k: int, max_iters: int = 20, id_col: str | None = None)
     Returns (centroids ndarray [k, dim], assign_fn) where assign_fn maps
     an embedding matrix to cluster ids — usable as a broadcast-probe
     stage.  Deterministic: seeds are the k vectors with the smallest
-    ``id_col`` (or the first k in block order when id_col is None).
+    ``id_col``; pass an id column for cross-run determinism (with
+    id_col=None, per-batch positional ids are used, which depends on the
+    dataset's block layout).
     """
     import ray
 

@@ -26,6 +26,12 @@ from .sketch import hll_estimate, hll_partial
 _HLL_P = 12
 
 
+def _round_half_away(x: float) -> int:
+    """SQL ROUND(): half away from zero; np.rint's half-even and plain
+    floor(x+0.5) (half-up) both diverge on negatives."""
+    return int(np.sign(x) * np.floor(abs(x) + 0.5))
+
+
 def profile_partial(t: pa.Table, cols: list[str]) -> pa.Table:
     """One profile row per column for one batch."""
     rows = {
@@ -99,11 +105,9 @@ def profile_numeric(ds, cols: list[str]) -> pa.Table:
         out["col"].append(c)
         out["n"].append(n)
         out["nulls"].append(nulls)
-        out["min_e6"].append(None if vmin is None else int(np.rint(vmin * 1e6)))
-        out["max_e6"].append(None if vmax is None else int(np.rint(vmax * 1e6)))
-        # half-AWAY rounding (floor(x+0.5)) to mirror SQL ROUND();
-        # np.rint's half-even would drift on exact .5 quotients
-        out["mean_e6"].append(None if n == 0 else int(np.floor(sum_cents * 10000.0 / n + 0.5)))
+        out["min_e6"].append(None if vmin is None else _round_half_away(vmin * 1e6))
+        out["max_e6"].append(None if vmax is None else _round_half_away(vmax * 1e6))
+        out["mean_e6"].append(None if n == 0 else _round_half_away(sum_cents * 10000.0 / n))
         out["approx_distinct"].append(0 if regs is None else int(round(hll_estimate(regs))))
     return pa.table(
         {

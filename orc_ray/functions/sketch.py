@@ -247,18 +247,21 @@ def _compress(means: np.ndarray, weights: np.ndarray, delta: int) -> tuple[np.nd
     the running k1 span would exceed 1."""
     n = weights.sum()
     qr = np.cumsum(weights) / n  # right cumulative rank of each input
-    kk = _k1(qr, delta)
-    # boundary when k1 has advanced >= 1 since the current group's start:
-    # emulate with a scan — greedy grouping is inherently sequential, but
-    # over <= batches x delta centroids, not rows; do it with a python
-    # loop over GROUP STARTS only (bounded by ~delta, not input size)
+    kk = _k1(qr, delta)  # monotone nondecreasing
+    # greedy grouping via searchsorted JUMPS between group boundaries:
+    # each group takes every element whose k1 stays within +1 of the
+    # group's left boundary — O(centroids ~ delta) iterations, not O(n)
     starts = [0]
-    k_start = _k1(np.array([0.0]), delta)[0]
-    for i in range(kk.size):
-        if kk[i] - k_start > 1.0:
-            if i + 1 < kk.size:
-                starts.append(i + 1)
-            k_start = _k1(np.array([qr[i]]), delta)[0]
+    i = 0
+    while True:
+        q_left = 0.0 if i == 0 else float(qr[i - 1])
+        limit = float(_k1(np.array([q_left]), delta)[0]) + 1.0
+        j = int(np.searchsorted(kk, limit, side="right"))
+        j = max(j, i + 1)
+        if j >= kk.size:
+            break
+        starts.append(j)
+        i = j
     idx = np.array(starts, np.int64)
     ends = np.r_[idx[1:], kk.size]
     wsum = np.add.reduceat(weights, idx)

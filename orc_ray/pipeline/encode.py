@@ -485,9 +485,11 @@ def zorder_store(
 
     if len(cols) < 2:
         raise ValueError("zorder needs >= 2 columns (use sort_store for one)")
-    b = bits or min(16, 64 // len(cols))
-    if b * len(cols) > 64:
-        raise ValueError("bits * len(cols) must be <= 64")
+    b = bits or min(16, 63 // len(cols))
+    if b * len(cols) > 63:
+        # 63, not 64: the key column is int64 and a used sign bit would
+        # split the curve (negative keys sort first)
+        raise ValueError("bits * len(cols) must be <= 63")
 
     # global per-column [min, max] from the committed manifest stats —
     # the zero-pass range estimate (RowIndex/file-stats analog)

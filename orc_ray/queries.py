@@ -1725,9 +1725,17 @@ def q_nation_revenue(sf_dir: str):
     orders_f = orders.map_batches(ord_stage, batch_format="pyarrow", zero_copy_batch=True)
     from .functions.joins import join_adaptive
 
+    # past the broadcast threshold, RESTORE the sum_by_keys
+    # pre-aggregation before the hash-shuffle join (the at-scale path
+    # must shuffle (l_orderkey, s_nat) partials, not raw lineitem rows)
+    orders_small = orders_f.materialize()
+    if orders_small.count() > 500_000:
+        from .functions.aggregates import sum_by_keys
+
+        li_rev = sum_by_keys(li_rev, ["l_orderkey", "s_nat"], "rev_e4")
     joined = join_adaptive(
         li_rev,
-        orders_f,
+        orders_small,
         big_key="l_orderkey",
         small_key="o_orderkey",
         payload_cols=["c_nat"],
@@ -1761,6 +1769,22 @@ def q_nation_revenue(sf_dir: str):
     ).sort_by([("rev_e4", "descending"), ("n_name", "ascending")])
 
 
+def _month_id_from_epoch_us(us: np.ndarray) -> np.ndarray:
+    """epoch-us -> calendar month id (12*y + m-1), vectorized via
+    Hinnant's civil-from-days algorithm (shared by promo_share and
+    order_clusters)."""
+    days = us // 86_400_000_000
+    z = days + 719_468
+    era = z // 146_097
+    doe = z - era * 146_097
+    yoe = (doe - doe // 1460 + doe // 36_524 - doe // 146_096) // 365
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    m = mp + 3 - 12 * (mp // 10)
+    y = yoe + era * 400 + (mp // 10)
+    return y * 12 + (m - 1)
+
+
 def q_promo_share(sf_dir: str):
     """TPC-H Q14 analog (covers the `part` dim): monthly revenue split by
     whether the part is a PROMO type.  The part->is_promo bitmap is
@@ -1783,19 +1807,7 @@ def q_promo_share(sf_dir: str):
         pk, promo = ray.get(ref)
         isp = pc.take(promo, pc.index_in(t.column("l_partkey"), value_set=pk))
         us = t.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        # epoch-us -> calendar month id (12*y+m), vectorized via days
-        days = us // 86_400_000_000
-        # civil-from-days (Howard Hinnant's algorithm), vectorized
-        z = days + 719_468
-        era = z // 146_097
-        doe = z - era * 146_097
-        yoe = (doe - doe // 1460 + doe // 36_524 - doe // 146_096) // 365
-        y = yoe + era * 400
-        doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
-        mp = (5 * doy + 2) // 153
-        m = mp + 3 - 12 * (mp // 10)
-        y = y + (mp // 10)
-        month_id = y * 12 + (m - 1)
+        month_id = _month_id_from_epoch_us(us)
         e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
         d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
         rev = e * (100 - d)
@@ -2299,20 +2311,11 @@ def q_order_clusters(sf_dir: str):
 
     def addmonth(t: pa.Table) -> pa.Table:
         us = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        days = us // 86_400_000_000
-        z = days + 719_468
-        era = z // 146_097
-        doe = z - era * 146_097
-        yoe = (doe - doe // 1460 + doe // 36_524 - doe // 146_096) // 365
-        doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
-        mp = (5 * doy + 2) // 153
-        m = mp + 3 - 12 * (mp // 10)
-        y = yoe + era * 400 + (mp // 10)
         return pa.table(
             {
                 "o_orderkey": t.column("o_orderkey"),
                 "o_custkey": t.column("o_custkey"),
-                "month_id": pa.array(y * 12 + (m - 1)),
+                "month_id": pa.array(_month_id_from_epoch_us(us)),
             }
         )
 
@@ -2370,8 +2373,14 @@ def q_heavy_users(sf_dir: str):
         vc = pc.value_counts(col)
         vals = vc.field("values").to_numpy(zero_copy_only=False).astype(np.int64)
         cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        # candidates: local top-M UNION every key with local count >=
+        # ceil(rows/M) — pigeonhole: a key with GLOBAL count >= N/M must
+        # clear that threshold in at least one batch, so heavy hitters
+        # with share >= 1/M are captured deterministically (the
+        # Misra-Gries bound); flatter keys ride the top-M best-effort arm
         order = np.lexsort((vals, -cnts))[:M]
-        cand = vals[order]
+        thresh = max(1, -(-t.num_rows // M))
+        cand = np.union1d(vals[order], vals[cnts >= thresh])
         n = cand.size + 1
         regcol = [None] * (n - 1) + [regs.tobytes()]
         return pa.table(
@@ -2557,8 +2566,10 @@ def q_pivot_weekday(sf_dir: str):
         et = t.column("event_type").combine_chunks() if isinstance(t.column("event_type"), pa.ChunkedArray) else t.column("event_type")
         cols = {"weekday": []}
         mats = np.zeros((7, len(_EVENT_TYPES)), np.int64)
-        codes = pc.index_in(et, value_set=pa.array(_EVENT_TYPES)).to_numpy(zero_copy_only=False)
-        np.add.at(mats, (wd, codes.astype(np.int64)), 1)
+        codes_arr = pc.index_in(et, value_set=pa.array(_EVENT_TYPES))
+        known = pc.is_valid(codes_arr).to_numpy(zero_copy_only=False)
+        codes = codes_arr.to_numpy(zero_copy_only=False)
+        np.add.at(mats, (wd[known], codes[known].astype(np.int64)), 1)
         cols["weekday"] = pa.array(np.arange(7, dtype=np.int64))
         out = {"weekday": cols["weekday"]}
         for j, name in enumerate(_EVENT_TYPES):
