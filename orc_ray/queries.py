@@ -2607,6 +2607,99 @@ def q_kmeans_embeddings(sf_dir: str):
     )
 
 
+_WM_LATENESS_S = 600  # allowed lateness: 10 minutes (second precision)
+
+
+def _watermark_partition(t: pa.Table) -> pa.Table:
+    """One user-hash partition -> per-hour (n_on_time, n_late) counts
+    under a per-user WATERMARK: processing order is md5(event_id) (the
+    deterministic arrival proxy), the watermark is the running max event-time of the
+    user's EARLIER arrivals minus the allowed lateness, and an event
+    behind it is dropped late — the streaming tumbling-window semantic
+    (event time vs processing time) evaluated deterministically in
+    batch.  Vectorized grouped shifted-cummax via the segment-offset
+    trick: ts is rebased per partition so (seg * B + ts_rel) fits int64
+    and a segment's first row always dominates earlier segments."""
+    if t.num_rows == 0 or "user_id" not in t.column_names:
+        return pa.table(
+            {"hour_epoch": pa.array([], pa.int64()), "n_on_time": pa.array([], pa.int64()),
+             "n_late": pa.array([], pa.int64())}
+        )
+    uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # arrival proxy: md5(event_id) order — a DETERMINISTIC shuffle of
+    # processing order vs event time, so the late path actually fires
+    # (event_id itself is ts-ordered in the corpus); matches the SQL
+    # ORDER BY md5(...) exactly (the md5_first_hex parity precedent)
+    import hashlib as _hl
+
+    arr = np.array(
+        [_hl.md5(str(v).encode()).hexdigest() for v in t.column("event_id").to_pylist()]
+    )
+    order = np.lexsort((arr, uid))
+    uid, us = uid[order], us[order]
+    ts_s = us // 1_000_000  # second precision, mirrored in the SQL oracle
+    brk = np.zeros(uid.size, bool)
+    brk[0] = True
+    brk[1:] = uid[1:] != uid[:-1]
+    seg = np.cumsum(brk) - 1
+    rel = ts_s - ts_s.min()
+    B = int(rel.max()) + 2
+    aug = seg.astype(np.int64) * B + rel
+    cm = np.maximum.accumulate(aug)
+    prev = np.empty_like(cm)
+    prev[1:] = cm[:-1]
+    prev[0] = -1
+    # a segment's first row has no predecessor IN-SEGMENT: earlier
+    # segments' cummax is < seg*B, detected by integer division
+    has_prev = ~brk & (prev // B == seg)
+    prev_rel = np.where(has_prev, prev - seg * B, np.int64(-(1 << 62)))
+    late = rel < prev_rel - _WM_LATENESS_S
+    hour = (ts_s // 3600) * 3600
+    key = hour * 2 + late.astype(np.int64)
+    vals, cnts = np.unique(key, return_counts=True)
+    hrs = vals // 2
+    uh = np.unique(hrs)
+    on_t = np.zeros(uh.size, np.int64)
+    lt = np.zeros(uh.size, np.int64)
+    pos = np.searchsorted(uh, hrs)
+    np.add.at(on_t, pos[vals % 2 == 0], cnts[vals % 2 == 0])
+    np.add.at(lt, pos[vals % 2 == 1], cnts[vals % 2 == 1])
+    return pa.table(
+        {"hour_epoch": pa.array(uh), "n_on_time": pa.array(on_t), "n_late": pa.array(lt)}
+    )
+
+
+def q_watermark_windows(sf_dir: str):
+    """Event-time tumbling windows with a per-user watermark and late
+    -data drop — the streaming-window custom operator evaluated
+    deterministically in batch: arrival order is md5(event_id) (a
+    deterministic shuffle, so lateness actually occurs), the watermark
+    trails the user's running max event time by 10 minutes, late
+    arrivals are counted out-of-window.  Same partition shape as
+    q_session_windows (user-hash groups, zero driver healing); per-hour
+    partials merge in a tiny driver groupby.  The SQL oracle is the
+    identical MAX() OVER (... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)
+    window formula at second precision."""
+    ds = _decoded(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    parts = _to_table(
+        ds.map_batches(_session_partition, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(
+            lambda t: _watermark_partition(t.drop_columns(["part"]) if "part" in t.column_names else t),
+            batch_format="pyarrow",
+        )
+    )
+    final = parts.group_by("hour_epoch").aggregate([("n_on_time", "sum"), ("n_late", "sum")])
+    return pa.table(
+        {
+            "hour_epoch": final.column("hour_epoch"),
+            "n_on_time": final.column("n_on_time_sum"),
+            "n_late": final.column("n_late_sum"),
+        }
+    ).sort_by("hour_epoch")
+
+
 _FUNNEL_SENT = np.iinfo(np.int64).max
 
 
@@ -2753,6 +2846,7 @@ QUERIES = {
     "embedding_moments": q_embedding_moments,
     "kmeans_embeddings": q_kmeans_embeddings,
     "funnel": q_funnel,
+    "watermark_windows": q_watermark_windows,
 }
 
 ORACLE_SQL = {
@@ -3289,6 +3383,23 @@ ORACLE_SQL = {
         SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
                (SELECT COUNT(*) FROM s2) AS n_click_after,
                (SELECT COUNT(*) FROM s3) AS n_purchase_after
+    """,
+    "watermark_windows": """
+        WITH w AS (
+          SELECT ts,
+                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+                 MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id
+                           ORDER BY md5(CAST(event_id AS VARCHAR))
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_s
+          FROM events
+        )
+        SELECT (ts_s // 3600) * 3600 AS hour_epoch,
+               CAST(SUM(CASE WHEN prev_s IS NULL OR ts_s >= prev_s - 600
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+               CAST(SUM(CASE WHEN prev_s IS NOT NULL AND ts_s < prev_s - 600
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        FROM w GROUP BY hour_epoch ORDER BY hour_epoch
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

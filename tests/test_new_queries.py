@@ -46,6 +46,7 @@ NEW_QUERIES = [
     "bm25_search",
     "embedding_moments",
     "funnel",
+    "watermark_windows",
 ]
 
 

@@ -60,3 +60,23 @@ def test_zorder_rejects_single_column(ray_session, tmp_path):
     src, store, _ = _mk_store(tmp_path, n=2000)
     with pytest.raises(ValueError, match="zorder needs"):
         zorder_store(store, str(tmp_path / "z1"), ["x"])
+
+
+def test_zorder_four_columns_defaults_avoid_sign_bit(ray_session, tmp_path):
+    """4-column default must stay within 63 bits (int64 sign bit unused)
+    and still prune on a non-leading column."""
+    rng = np.random.default_rng(17)
+    n = 20000
+    t = pa.table({c: rng.integers(0, 1000, n) for c in ("a", "b", "c", "d")})
+    src = str(tmp_path / "abcd.parquet")
+    pq.write_table(t, src)
+    store = str(tmp_path / "s4")
+    encode_dataset([src], store, batch_size=2048)
+    zdir = str(tmp_path / "z4")
+    zorder_store(store, zdir, ["a", "b", "c", "d"], batch_size=1024)
+    _, kd, total = list_chunks(zdir, predicates=[("and", ("d", ">=", 100), ("d", "<", 200))])
+    assert total >= 8
+    assert kd < total  # last curve column still prunes
+    ds = decode_dataset(zdir)
+    got = pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert got.num_rows == n
