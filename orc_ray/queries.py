@@ -2607,6 +2607,68 @@ def q_kmeans_embeddings(sf_dir: str):
     )
 
 
+def q_revenue_quartiles(sf_dir: str):
+    """NTILE(4) revenue quartiles over orders — equal-population rank
+    bucketing via the distributed window-rank operator (with_group_ranks
+    with a constant partition key: one range sort, O(blocks) driver
+    carry, vectorized in-block ordinals), then the standard NTILE split
+    (first n%4 buckets one row larger) and O(4 x blocks) partials."""
+    from .functions.aggregates import with_group_ranks
+
+    n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+    ds = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(t.num_rows, np.int64)),
+                "o_orderkey": t.column("o_orderkey"),
+                "cents": pa.array(cents),
+            }
+        )
+
+    ranked = with_group_ranks(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["g"],
+        ["cents", "o_orderkey"],
+    )
+    q_, r_ = divmod(n_orders, 4)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "n_orders": pa.array([], pa.int64()),
+                 "revenue_cents": pa.array([], pa.int64())}
+            )
+        rnk = t.column("rnk").to_numpy(zero_copy_only=False)  # 1-based
+        # NTILE: first r_ buckets have q_+1 rows, the rest q_
+        cut = r_ * (q_ + 1)
+        b = np.where(rnk <= cut, (rnk - 1) // max(q_ + 1, 1), r_ + (rnk - 1 - cut) // max(q_, 1))
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        out = np.zeros(4, np.int64)
+        cnt = np.zeros(4, np.int64)
+        np.add.at(out, b, cents)
+        np.add.at(cnt, b, 1)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(1, 5, dtype=np.int64)),
+                "n_orders": pa.array(cnt),
+                "revenue_cents": pa.array(out),
+            }
+        )
+
+    parts = _to_table(ranked.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by("bucket").aggregate([("n_orders", "sum"), ("revenue_cents", "sum")])
+    return pa.table(
+        {
+            "bucket": final.column("bucket"),
+            "n_orders": final.column("n_orders_sum"),
+            "revenue_cents": final.column("revenue_cents_sum"),
+        }
+    ).sort_by("bucket")
+
+
 _WM_LATENESS_S = 600  # allowed lateness: 10 minutes (second precision)
 
 
@@ -2847,6 +2909,7 @@ QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "funnel": q_funnel,
     "watermark_windows": q_watermark_windows,
+    "revenue_quartiles": q_revenue_quartiles,
 }
 
 ORACLE_SQL = {
@@ -3400,6 +3463,15 @@ ORACLE_SQL = {
                CAST(SUM(CASE WHEN prev_s IS NOT NULL AND ts_s < prev_s - 600
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_late
         FROM w GROUP BY hour_epoch ORDER BY hour_epoch
+    """,
+    "revenue_quartiles": """
+        SELECT bucket, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM (SELECT CAST(NTILE(4) OVER (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                                         o_orderkey) AS BIGINT) AS bucket,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders)
+        GROUP BY bucket ORDER BY bucket
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

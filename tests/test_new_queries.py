@@ -47,6 +47,7 @@ NEW_QUERIES = [
     "embedding_moments",
     "funnel",
     "watermark_windows",
+    "revenue_quartiles",
 ]
 
 
