@@ -2669,6 +2669,50 @@ def q_revenue_quartiles(sf_dir: str):
     ).sort_by("bucket")
 
 
+def q_hybrid_retrieval(sf_dir: str):
+    """Hybrid retrieval: BM25 keyword candidates ('window merge scan')
+    and exact cosine ANN candidates (query = the vec_id=0 embedding)
+    fused with reciprocal-rank fusion (RRF, Cormack et al. 2009:
+    score = sum 1/(60 + rank)).  Composes two already-proved engines —
+    the chunk-store inverted index (pruned term decode) and the
+    broadcast-matmul top-k — with only two 50-row rank lists meeting at
+    the fusion step; both rank orders and the fused score are integer-
+    quantized so the FULL OUTER JOIN window-SQL oracle hash-matches."""
+    import hashlib as _hl
+
+    from .chunk import FORMAT_VERSION
+    from .functions.search import bm25_search, build_text_index
+    from .functions.similarity import topk_cosine
+
+    K_LIST, K_OUT, C = 50, 10, 60
+
+    key = _hl.md5(f"{os.path.abspath(sf_dir)}|bm25|v{FORMAT_VERSION}".encode()).hexdigest()[:10]
+    idx = os.path.join(CACHE_ROOT, f"bm25-{key}")
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        build_text_index(_decoded(sf_dir, "documents", columns=["doc_id", "text"]), idx)
+    bm = bm25_search(idx, ["window", "merge", "scan"], k=K_LIST)
+    bm_ids = bm.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q = np.array(emb.filter(pc.equal(emb.column("vec_id"), 0)).column("embedding")[0].as_py(), np.float64)
+    ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    t = topk_cosine(ds, q, k=K_LIST + 16, dtype=np.float64)
+    sim_e4 = np.rint(t.column("sim").to_numpy() * 1e4).astype(np.int64)
+    vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    aorder = np.lexsort((vid, -sim_e4))[:K_LIST]
+    ann_ids = vid[aorder]
+
+    scores: dict[int, float] = {}
+    for r, d in enumerate(bm_ids, start=1):
+        scores[int(d)] = scores.get(int(d), 0.0) + 1.0 / (C + r)
+    for r, d in enumerate(ann_ids, start=1):
+        scores[int(d)] = scores.get(int(d), 0.0) + 1.0 / (C + r)
+    docs = np.array(sorted(scores), np.int64)
+    rrf = np.floor(np.array([scores[int(d)] for d in docs]) * 1e9).astype(np.int64)
+    order = np.lexsort((docs, -rrf))[:K_OUT]
+    return pa.table({"doc_id": pa.array(docs[order]), "rrf_e9": pa.array(rrf[order])})
+
+
 _WM_LATENESS_S = 600  # allowed lateness: 10 minutes (second precision)
 
 
@@ -2910,6 +2954,7 @@ QUERIES = {
     "funnel": q_funnel,
     "watermark_windows": q_watermark_windows,
     "revenue_quartiles": q_revenue_quartiles,
+    "hybrid_retrieval": q_hybrid_retrieval,
 }
 
 ORACLE_SQL = {
@@ -3472,6 +3517,53 @@ ORACLE_SQL = {
                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
               FROM orders)
         GROUP BY bucket ORDER BY bucket
+    """,
+    "hybrid_retrieval": r"""
+        WITH dl AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE array_length(string_split_regex(trim(text), '\s+')) END AS dl
+          FROM documents
+        ),
+        st AS (SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+        tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents WHERE trim(text) <> ''
+          ) WHERE tok IN ('window', 'merge', 'scan') GROUP BY doc_id, tok
+        ),
+        dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        sc AS (
+          SELECT tf.doc_id,
+                 SUM( LN(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                      * tf.tf * 2.2
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+          FROM tf CROSS JOIN st
+               JOIN dfq ON tf.tok = dfq.tok
+               JOIN dl ON tf.doc_id = dl.doc_id
+          GROUP BY tf.doc_id
+        ),
+        bm AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS r
+          FROM (SELECT doc_id, CAST(FLOOR(s * 1000000 + 0.5) AS BIGINT) AS score_e6
+                FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 50)
+        ),
+        ann AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim_e4 DESC, doc_id) AS r
+          FROM (SELECT e.vec_id AS doc_id,
+                       CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+                            * 10000) AS BIGINT) AS sim_e4
+                FROM embeddings e
+                ORDER BY sim_e4 DESC, doc_id LIMIT 50)
+        ),
+        fused AS (
+          SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+                 COALESCE(1.0 / (60 + bm.r), 0) + COALESCE(1.0 / (60 + ann.r), 0) AS s
+          FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
+        )
+        SELECT doc_id, CAST(FLOOR(s * 1000000000) AS BIGINT) AS rrf_e9
+        FROM fused ORDER BY rrf_e9 DESC, doc_id LIMIT 10
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

@@ -48,6 +48,7 @@ NEW_QUERIES = [
     "funnel",
     "watermark_windows",
     "revenue_quartiles",
+    "hybrid_retrieval",
 ]
 
 
