@@ -124,6 +124,35 @@ def cmd_zorder(a) -> int:
     return 0
 
 
+def cmd_profile(a) -> int:
+    _ray_up()
+    from .functions.profile import profile_numeric
+    from .pipeline.decode import decode_dataset
+
+    t = profile_numeric(decode_dataset(a.store), a.cols.split(","))
+    print(t.to_pandas().to_string(index=False))
+    return 0
+
+
+def cmd_text_index(a) -> int:
+    _ray_up()
+    from .functions.search import build_text_index
+    from .pipeline.decode import decode_dataset
+
+    build_text_index(decode_dataset(a.store), a.out, id_col=a.id_col, text_col=a.text_col)
+    print(json.dumps({"index": a.out}))
+    return 0
+
+
+def cmd_bm25(a) -> int:
+    _ray_up()
+    from .functions.search import bm25_search
+
+    t = bm25_search(a.index, a.terms.split(","), k=a.k)
+    print(t.to_pandas().to_string(index=False))
+    return 0
+
+
 def cmd_merge(a) -> int:
     from .state.manifest import merge_stores
 
@@ -195,6 +224,24 @@ def main(argv=None) -> int:
     zo.add_argument("--by", required=True, help="comma-separated numeric columns (>=2)")
     zo.add_argument("--batch-size", type=int, default=16384)
     zo.set_defaults(fn=cmd_zorder)
+
+    pr = sub.add_parser("profile", help="one-pass numeric profile of a chunk store")
+    pr.add_argument("store")
+    pr.add_argument("--cols", required=True, help="comma-separated numeric columns")
+    pr.set_defaults(fn=cmd_profile)
+
+    ti = sub.add_parser("text-index", help="build a BM25 inverted index (chunk-store postings)")
+    ti.add_argument("store")
+    ti.add_argument("out")
+    ti.add_argument("--id-col", default="doc_id")
+    ti.add_argument("--text-col", default="text")
+    ti.set_defaults(fn=cmd_text_index)
+
+    bq = sub.add_parser("bm25", help="BM25 search against a text-index")
+    bq.add_argument("index")
+    bq.add_argument("terms", help="comma-separated query terms")
+    bq.add_argument("-k", type=int, default=10)
+    bq.set_defaults(fn=cmd_bm25)
 
     m = sub.add_parser("merge", help="merge committed stores (orc-tools merge analog)")
     m.add_argument("out")
