@@ -117,3 +117,39 @@ def test_range_decode_property(xs, data):
     got = decode_ints_ranges(blob, ranges)
     exp = np.concatenate([v[a:b] for a, b in ranges]) if ranges else v[:0]
     np.testing.assert_array_equal(got, exp)
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=400),
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=100),
+)
+def test_bloom_no_false_negatives_property(members, probes):
+    import pyarrow as pa
+
+    from orc_ray.codecs import bloom
+
+    f = bloom.build(pa.array(members))
+    mask = bloom.might_contain_many(f, pa.array(members))
+    assert mask.all()  # zero false negatives, always
+    # vectorized probe agrees with the scalar probe on arbitrary values
+    vm = bloom.might_contain_many(f, pa.array(probes))
+    for v, m in zip(probes, vm):
+        assert m == bloom.might_contain(f, v)
+
+
+@given(
+    st.lists(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False), min_size=2, max_size=2000),
+    st.integers(min_value=2, max_value=6),
+)
+def test_tdigest_weight_conservation_and_rank_property(xs, nparts):
+    import numpy as np
+
+    from orc_ray.functions.sketch import tdigest_merge, tdigest_partial, tdigest_quantile
+
+    v = np.asarray(xs)
+    parts = [tdigest_partial(v[i::nparts]) for i in range(nparts)]
+    m, w = tdigest_merge(parts)
+    assert w.sum() == v.size  # weight conserved through merge+compress
+    assert (np.diff(m) >= 0).all()  # centroid means stay sorted
+    med = tdigest_quantile((m, w), [0.5])[0]
+    assert v.min() <= med <= v.max()
