@@ -314,3 +314,60 @@ def approx_quantiles(ds, col: str, qs, delta: int = 200) -> pa.Table:
             "value_est": pa.array(est),
         }
     )
+
+
+def approx_group_quantiles(ds, group_col: str, val_col: str, qs, delta: int = 200) -> pa.Table:
+    """Approximate quantiles PER GROUP via t-digest partials — the
+    sketch alternative to the exact per-group sort path
+    (q_group_quantiles).  Each batch emits one <=delta-centroid digest
+    per group present (a per-GROUP loop over pre-grouped slices, not a
+    per-row loop); the driver merges O(groups x batches) fixed-size
+    digests.  Driver memory is O(groups x delta) — suited to bounded
+    group domains (event types, sources); an unbounded-group variant
+    would shuffle digests with agg_by_keys first."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        gcol = t.column(group_col)
+        gcol = gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) else gcol
+        out_g, out_m, out_w = [], [], []
+        for gv in pc.unique(gcol).to_pylist():
+            sub = t.filter(pc.equal(gcol, gv)).column(val_col)
+            m, w = tdigest_partial(sub, delta)
+            out_g.append(str(gv))
+            out_m.append(m.tobytes())
+            out_w.append(w.tobytes())
+        return pa.table(
+            {
+                "g": pa.array(out_g, pa.string()),
+                "means": pa.array(out_m, pa.large_binary()),
+                "weights": pa.array(out_w, pa.large_binary()),
+            }
+        )
+
+    merged: dict[str, list] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for g, mb, wb in zip(
+            b.column("g").to_pylist(), b.column("means").to_pylist(), b.column("weights").to_pylist()
+        ):
+            merged.setdefault(g, []).append(
+                (np.frombuffer(mb, np.float64), np.frombuffer(wb, np.float64))
+            )
+    qs_arr = np.atleast_1d(np.asarray(qs, np.float64))
+    rows_g, rows_q, rows_v = [], [], []
+    for g in sorted(merged):
+        d = tdigest_merge(merged[g], delta)
+        est = tdigest_quantile(d, qs_arr)
+        for q, e in zip(qs_arr, est):
+            rows_g.append(g)
+            rows_q.append(float(q))
+            rows_v.append(float(e))
+    return pa.table(
+        {
+            "group": pa.array(rows_g, pa.string()),
+            "q": pa.array(rows_q, pa.float64()),
+            "value_est": pa.array(rows_v, pa.float64()),
+        }
+    )

@@ -165,3 +165,22 @@ def test_approx_quantiles_dataset(ray_session):
     out = approx_quantiles(ds, "x", [0.25, 0.5, 0.75]).to_pandas()
     for q, e in zip(out["q"], out["value_est"]):
         assert abs((v < e).mean() - q) < 0.01
+
+
+def test_approx_group_quantiles_accuracy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from orc_ray.functions.sketch import approx_group_quantiles
+
+    rng = np.random.default_rng(31)
+    n = 30000
+    g = rng.choice(["a", "b", "c"], n)
+    v = np.where(g == "a", rng.uniform(0, 10, n), np.where(g == "b", rng.normal(100, 5, n), rng.lognormal(2, 1, n)))
+    ds = ray.data.from_arrow(pa.table({"g": g, "v": v})).repartition(7)
+    out = approx_group_quantiles(ds, "g", "v", [0.1, 0.5, 0.9]).to_pandas()
+    for _, row in out.iterrows():
+        sub = v[g == row["group"]]
+        rank = (sub < row["value_est"]).mean()
+        assert abs(rank - row["q"]) < 0.015, (row.to_dict(), rank)
