@@ -2713,6 +2713,35 @@ def q_hybrid_retrieval(sf_dir: str):
     return pa.table({"doc_id": pa.array(docs[order]), "rrf_e9": pa.array(rrf[order])})
 
 
+def q_upsert_read(sf_dir: str):
+    """Merge-on-read upsert (functions/upsert.py): a deterministic CDC
+    delta (every doc with doc_id % 17 == 0, text upper-cased, n_chars
+    kept) overlays the immutable base documents store at decode time —
+    delta keys broadcast once behind a bloom fast path, base rows never
+    shuffle, base chunks never rewritten.  The SQL mirror is the
+    canonical anti-join UNION."""
+    from .functions.upsert import upsert_read
+
+    base = _decoded(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def mk_delta(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (ids % 17) == 0
+        sub = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": sub.column("doc_id"),
+                "text": pc.utf8_upper(sub.column("text")),
+                "n_chars": sub.column("n_chars"),
+            }
+        )
+
+    delta = _decoded(sf_dir, "documents", columns=["doc_id", "text", "n_chars"]).map_batches(
+        mk_delta, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _to_table(upsert_read(base, delta, "doc_id")).sort_by("doc_id")
+
+
 _WM_LATENESS_S = 600  # allowed lateness: 10 minutes (second precision)
 
 
@@ -2955,6 +2984,7 @@ QUERIES = {
     "watermark_windows": q_watermark_windows,
     "revenue_quartiles": q_revenue_quartiles,
     "hybrid_retrieval": q_hybrid_retrieval,
+    "upsert_read": q_upsert_read,
 }
 
 ORACLE_SQL = {
@@ -3564,6 +3594,17 @@ ORACLE_SQL = {
         )
         SELECT doc_id, CAST(FLOOR(s * 1000000000) AS BIGINT) AS rrf_e9
         FROM fused ORDER BY rrf_e9 DESC, doc_id LIMIT 10
+    """,
+    "upsert_read": """
+        WITH delta AS (
+          SELECT doc_id, UPPER(text) AS text, n_chars
+          FROM documents WHERE doc_id % 17 = 0
+        )
+        SELECT doc_id, text, n_chars FROM delta
+        UNION ALL
+        SELECT doc_id, text, n_chars FROM documents
+        WHERE doc_id % 17 <> 0
+        ORDER BY doc_id
     """,
     "lang_id": _lang_id_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

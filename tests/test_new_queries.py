@@ -49,6 +49,7 @@ NEW_QUERIES = [
     "watermark_windows",
     "revenue_quartiles",
     "hybrid_retrieval",
+    "upsert_read",
 ]
 
 

@@ -1,0 +1,30 @@
+"""Merge-on-read upsert: reconciliation semantics + duplicate-key guard."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def test_upsert_read_replaces_and_unions(ray_session):
+    from orc_ray.functions.upsert import upsert_read
+
+    base = ray.data.from_arrow(
+        pa.table({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+    ).repartition(2)
+    delta = ray.data.from_arrow(pa.table({"k": [2, 5], "v": ["B", "E"]}))
+    out = pa.concat_tables(
+        upsert_read(base, delta, "k").iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("k")
+    assert out.column("k").to_pylist() == [1, 2, 3, 4, 5]
+    assert out.column("v").to_pylist() == ["a", "B", "c", "d", "E"]
+
+
+def test_upsert_rejects_duplicate_delta_keys(ray_session):
+    import pytest
+
+    from orc_ray.functions.upsert import upsert_read
+
+    base = ray.data.from_arrow(pa.table({"k": [1], "v": ["a"]}))
+    delta = ray.data.from_arrow(pa.table({"k": [2, 2], "v": ["x", "y"]}))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert_read(base, delta, "k")
