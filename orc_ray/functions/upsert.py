@@ -37,9 +37,10 @@ def upsert_read(base_ds, delta_ds, key: str):
 
     from ..codecs import bloom
 
-    delta_t = pa.concat_tables(
-        [b for b in delta_ds.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
-    ).combine_chunks()
+    parts = [b for b in delta_ds.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
+    if not parts:
+        return base_ds  # empty delta: nothing to reconcile
+    delta_t = pa.concat_tables(parts).combine_chunks()
     keys = delta_t.column(key).combine_chunks()
     if pc.count_distinct(keys).as_py() != len(keys):
         raise ValueError("delta has duplicate keys — add a version column and pre-dedup")

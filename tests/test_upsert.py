@@ -28,3 +28,14 @@ def test_upsert_rejects_duplicate_delta_keys(ray_session):
     delta = ray.data.from_arrow(pa.table({"k": [2, 2], "v": ["x", "y"]}))
     with pytest.raises(ValueError, match="duplicate keys"):
         upsert_read(base, delta, "k")
+
+
+def test_upsert_empty_delta_is_identity(ray_session):
+    from orc_ray.functions.upsert import upsert_read
+
+    base = ray.data.from_arrow(pa.table({"k": [1, 2], "v": ["a", "b"]}))
+    delta = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.string())}))
+    out = pa.concat_tables(
+        upsert_read(base, delta, "k").iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("k")
+    assert out.column("v").to_pylist() == ["a", "b"]
