@@ -181,8 +181,11 @@ def scaling() -> None:
     # levels are run ALTERNATING over two rounds and each level keeps its
     # best — both levels sample both host phases.
     rows = os.environ.get("ORC_RAY_SCALE_ROWS", "2000000")
-    rounds = int(os.environ.get("ORC_RAY_SCALE_ROUNDS", "2"))
-    results: dict = {}
+    # 3 rounds: today's phase spread showed 2 rounds can miss the fast
+    # phase entirely for one level (0.65-0.90 across same-HEAD runs)
+    rounds = int(os.environ.get("ORC_RAY_SCALE_ROUNDS", "3"))
+    enc_best: dict = {}
+    dec_best: dict = {}
     for _ in range(rounds):
         for n in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n), ORC_RAY_BENCH_ROWS=rows)
@@ -193,15 +196,14 @@ def scaling() -> None:
                 text=True,
             )
             line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
-            best = results.get(n)
-            if best is None or r["headline"]["encode_MiBps"] > best["headline"]["encode_MiBps"]:
-                results[n] = r
-    thr_lo = results[lo]["headline"]["encode_MiBps"]
-    thr_hi = results[hi]["headline"]["encode_MiBps"]
+            h = json.loads(line)["headline"]
+            # encode and decode keep their own per-level bests: one round's
+            # fast encode phase need not be a fast decode phase
+            enc_best[n] = max(enc_best.get(n, 0.0), h["encode_MiBps"])
+            dec_best[n] = max(dec_best.get(n, 0.0), h["decode_MiBps"])
+    thr_lo, thr_hi = enc_best[lo], enc_best[hi]
     eff = thr_hi / (thr_lo * (hi / lo))
-    dec_lo = results[lo]["headline"]["decode_MiBps"]
-    dec_hi = results[hi]["headline"]["decode_MiBps"]
+    dec_lo, dec_hi = dec_best[lo], dec_best[hi]
     eff_dec = dec_hi / (dec_lo * (hi / lo))
     out = {
         "metric": "scaling efficiency encode N->4N",
