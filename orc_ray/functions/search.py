@@ -97,31 +97,53 @@ def build_text_index(docs_ds, index_dir: str, id_col: str = "doc_id", text_col: 
         json.dump({"n_docs": n, "avgdl": avgdl}, f)
 
 
-def bm25_search(index_dir: str, terms: list[str], k: int = 10, stats_out: dict | None = None) -> pa.Table:
-    """Top-k (doc_id, score_e6) for an OR-of-terms query."""
+def bm25_search(index_dir, terms: list[str], k: int = 10, stats_out: dict | None = None) -> pa.Table:
+    """Top-k (doc_id, score_e6) for an OR-of-terms query.
+
+    ``index_dir`` may be a single index or a LIST of indexes over
+    disjoint doc sets (a base index plus CDC delta indexes — incremental
+    indexing without a rebuild): corpus stats combine exactly
+    (n = sum n_i, avgdl = weighted mean, df = sum of per-index df), so a
+    multi-index search scores identically to one rebuilt combined index
+    (pinned by tests/test_search.py)."""
     from ..pipeline.decode import decode_dataset, list_chunks
 
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        st = json.load(f)
-    n_docs, avgdl = st["n_docs"], st["avgdl"]
+    dirs = [index_dir] if isinstance(index_dir, (str, os.PathLike)) else list(index_dir)
+    n_docs = 0
+    dl_sum = 0.0
+    for d in dirs:
+        with open(os.path.join(d, "stats.json")) as f:
+            st = json.load(f)
+        n_docs += st["n_docs"]
+        dl_sum += st["avgdl"] * st["n_docs"]
+    avgdl = dl_sum / max(n_docs, 1)
 
-    meta_ds = decode_dataset(os.path.join(index_dir, "docmeta"))
-    meta = pa.concat_tables(meta_ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    meta = pa.concat_tables(
+        b
+        for d in dirs
+        for b in decode_dataset(os.path.join(d, "docmeta")).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
     dl_ids = meta.column("doc_id").combine_chunks()
     dl_vals = meta.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
 
     term_tables = []
     kept_total = total_total = 0
     for term in sorted(set(terms)):
-        _, kept, total = list_chunks(
-            os.path.join(index_dir, "postings"), predicates=[("token", "==", term)]
-        )
-        kept_total += kept
-        total_total += total
-        ds = decode_dataset(
-            os.path.join(index_dir, "postings"), predicates=[("token", "==", term)]
-        )
-        parts = [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
+        parts = []
+        for d in dirs:
+            _, kept, total = list_chunks(
+                os.path.join(d, "postings"), predicates=[("token", "==", term)]
+            )
+            kept_total += kept
+            total_total += total
+            ds = decode_dataset(
+                os.path.join(d, "postings"), predicates=[("token", "==", term)]
+            )
+            parts.extend(
+                b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows
+            )
         if not parts:
             continue
         rows = pa.concat_tables(parts)

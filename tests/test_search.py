@@ -34,3 +34,27 @@ def test_bm25_index_prunes_term_lookups(ray_session, tmp_path):
 
     miss = bm25_search(idx, ["zzz_not_a_word"], k=5)
     assert miss.num_rows == 0
+
+
+def test_multi_index_search_equals_combined_rebuild(ray_session, tmp_path):
+    """Base + delta indexes must score identically to one rebuilt index
+    over the union corpus (the incremental-indexing contract)."""
+    from orc_ray.functions.search import bm25_search, build_text_index
+
+    rng = np.random.default_rng(29)
+    vocab = [f"t{i:02d}" for i in range(60)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(4, 30))) for _ in range(1200)]
+    ids = np.arange(1200, dtype=np.int64)
+    base_t = pa.table({"doc_id": ids[:900], "text": docs[:900]})
+    delta_t = pa.table({"doc_id": ids[900:], "text": docs[900:]})
+    full_t = pa.table({"doc_id": ids, "text": docs})
+
+    b_idx, d_idx, f_idx = (str(tmp_path / n) for n in ("b", "d", "f"))
+    build_text_index(ray.data.from_arrow(base_t).repartition(4), b_idx)
+    build_text_index(ray.data.from_arrow(delta_t).repartition(2), d_idx)
+    build_text_index(ray.data.from_arrow(full_t).repartition(4), f_idx)
+
+    multi = bm25_search([b_idx, d_idx], ["t07", "t33"], k=15)
+    single = bm25_search(f_idx, ["t07", "t33"], k=15)
+    assert multi.column("doc_id").to_pylist() == single.column("doc_id").to_pylist()
+    assert multi.column("score_e6").to_pylist() == single.column("score_e6").to_pylist()
