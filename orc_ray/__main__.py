@@ -129,7 +129,8 @@ def cmd_profile(a) -> int:
     from .functions.profile import profile_numeric
     from .pipeline.decode import decode_dataset
 
-    t = profile_numeric(decode_dataset(a.store), a.cols.split(","))
+    cols = a.cols.split(",")
+    t = profile_numeric(decode_dataset(a.store, columns=cols), cols)
     print(t.to_pandas().to_string(index=False))
     return 0
 
@@ -139,7 +140,12 @@ def cmd_text_index(a) -> int:
     from .functions.search import build_text_index
     from .pipeline.decode import decode_dataset
 
-    build_text_index(decode_dataset(a.store), a.out, id_col=a.id_col, text_col=a.text_col)
+    build_text_index(
+        decode_dataset(a.store, columns=[a.id_col, a.text_col]),
+        a.out,
+        id_col=a.id_col,
+        text_col=a.text_col,
+    )
     print(json.dumps({"index": a.out}))
     return 0
 

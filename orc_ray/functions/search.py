@@ -83,7 +83,8 @@ def build_text_index(docs_ds, index_dir: str, id_col: str = "doc_id", text_col: 
     )
     meta_rows = pa.concat_tables(meta.iter_batches(batch_format="pyarrow", batch_size=None))
     n = meta_rows.num_rows
-    avgdl = float(pc.sum(meta_rows.column("dl")).as_py() or 0) / max(n, 1)
+    dl_sum = int(pc.sum(meta_rows.column("dl")).as_py() or 0)
+    avgdl = dl_sum / max(n, 1)
     import ray
 
     encode_dataset(
@@ -94,7 +95,10 @@ def build_text_index(docs_ds, index_dir: str, id_col: str = "doc_id", text_col: 
         batch_size=65536,
     )
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump({"n_docs": n, "avgdl": avgdl}, f)
+        # dl_sum (exact integer) is what multi-index search combines:
+        # reconstructing it from the rounded avgdl float would break the
+        # bit-identical multi-index == rebuilt-index contract
+        json.dump({"n_docs": n, "avgdl": avgdl, "dl_sum": dl_sum}, f)
 
 
 def bm25_search(index_dir, terms: list[str], k: int = 10, stats_out: dict | None = None) -> pa.Table:
@@ -110,12 +114,13 @@ def bm25_search(index_dir, terms: list[str], k: int = 10, stats_out: dict | None
 
     dirs = [index_dir] if isinstance(index_dir, (str, os.PathLike)) else list(index_dir)
     n_docs = 0
-    dl_sum = 0.0
+    dl_sum = 0
     for d in dirs:
         with open(os.path.join(d, "stats.json")) as f:
             st = json.load(f)
         n_docs += st["n_docs"]
-        dl_sum += st["avgdl"] * st["n_docs"]
+        # exact integer combine; fall back for pre-dl_sum indexes
+        dl_sum += st.get("dl_sum", st["avgdl"] * st["n_docs"])
     avgdl = dl_sum / max(n_docs, 1)
 
     meta = pa.concat_tables(

@@ -330,16 +330,35 @@ def approx_group_quantiles(ds, group_col: str, val_col: str, qs, delta: int = 20
     def partial(t: pa.Table) -> pa.Table:
         gcol = t.column(group_col)
         gcol = gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) else gcol
+        if gcol.null_count:  # null groups are dropped, like SQL GROUP BY+WHERE g IS NOT NULL
+            keep = pc.is_valid(gcol)
+            t = t.filter(keep)
+            gcol = t.column(group_col).combine_chunks() if isinstance(t.column(group_col), pa.ChunkedArray) else t.column(group_col)
+        gtype = gcol.type
+        if t.num_rows == 0:
+            return pa.table(
+                {"g": pa.array([], gtype), "means": pa.array([], pa.large_binary()),
+                 "weights": pa.array([], pa.large_binary())}
+            )
+        # one dictionary-encode + one argsort pre-groups the batch; each
+        # group is then a contiguous SLICE (no per-group full-column scan)
+        enc = pc.dictionary_encode(gcol)
+        enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        vals = t.column(val_col).take(pa.array(order))
+        sc = codes[order]
+        bounds = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        ends = np.r_[bounds[1:], sc.size]
         out_g, out_m, out_w = [], [], []
-        for gv in pc.unique(gcol).to_pylist():
-            sub = t.filter(pc.equal(gcol, gv)).column(val_col)
-            m, w = tdigest_partial(sub, delta)
-            out_g.append(str(gv))
+        for b0, b1 in zip(bounds, ends):
+            m, w = tdigest_partial(vals.slice(int(b0), int(b1 - b0)), delta)
+            out_g.append(enc.dictionary[int(sc[b0])].as_py())
             out_m.append(m.tobytes())
             out_w.append(w.tobytes())
         return pa.table(
             {
-                "g": pa.array(out_g, pa.string()),
+                "g": pa.array(out_g, gtype),
                 "means": pa.array(out_m, pa.large_binary()),
                 "weights": pa.array(out_w, pa.large_binary()),
             }
@@ -366,7 +385,7 @@ def approx_group_quantiles(ds, group_col: str, val_col: str, qs, delta: int = 20
             rows_v.append(float(e))
     return pa.table(
         {
-            "group": pa.array(rows_g, pa.string()),
+            "group": pa.array(rows_g),  # keeps the source group type
             "q": pa.array(rows_q, pa.float64()),
             "value_est": pa.array(rows_v, pa.float64()),
         }

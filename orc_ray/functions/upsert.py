@@ -42,6 +42,8 @@ def upsert_read(base_ds, delta_ds, key: str):
         return base_ds  # empty delta: nothing to reconcile
     delta_t = pa.concat_tables(parts).combine_chunks()
     keys = delta_t.column(key).combine_chunks()
+    if keys.null_count:
+        raise ValueError("delta contains null keys — an equi-key upsert cannot match them")
     if pc.count_distinct(keys).as_py() != len(keys):
         raise ValueError("delta has duplicate keys — add a version column and pre-dedup")
     filt = bloom.build(keys, fpp=0.01)

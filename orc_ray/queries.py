@@ -2479,6 +2479,21 @@ def q_weighted_sample(sf_dir: str):
     return pa.table({"doc_id": t.column("id"), "pri_e9": t.column("pri_e9")})
 
 
+def _bm25_index(sf_dir: str) -> str:
+    """Cached BM25 index over documents (single source of the cache-key
+    format for every caller)."""
+    import hashlib as _hl
+
+    from .chunk import FORMAT_VERSION
+    from .functions.search import build_text_index
+
+    key = _hl.md5(f"{os.path.abspath(sf_dir)}|bm25|v{FORMAT_VERSION}".encode()).hexdigest()[:10]
+    idx = os.path.join(CACHE_ROOT, f"bm25-{key}")
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        build_text_index(_decoded(sf_dir, "documents", columns=["doc_id", "text"]), idx)
+    return idx
+
+
 def q_bm25_search(sf_dir: str):
     """Okapi BM25 keyword search ('window merge scan', top-10) over an
     inverted index that IS a chunk store: postings (token, doc_id, tf)
@@ -2489,16 +2504,9 @@ def q_bm25_search(sf_dir: str):
     second store; scores are e6-quantized for the identical-formula
     DuckDB oracle.  Query cost is O(df of the query terms), not
     O(corpus); pruning is asserted in tests/test_search.py."""
-    import hashlib as _hl
+    from .functions.search import bm25_search
 
-    from .chunk import FORMAT_VERSION
-    from .functions.search import bm25_search, build_text_index
-
-    key = _hl.md5(f"{os.path.abspath(sf_dir)}|bm25|v{FORMAT_VERSION}".encode()).hexdigest()[:10]
-    idx = os.path.join(CACHE_ROOT, f"bm25-{key}")
-    if not os.path.exists(os.path.join(idx, "stats.json")):
-        build_text_index(_decoded(sf_dir, "documents", columns=["doc_id", "text"]), idx)
-    return bm25_search(idx, ["window", "merge", "scan"], k=10)
+    return bm25_search(_bm25_index(sf_dir), ["window", "merge", "scan"], k=10)
 
 
 def q_embedding_moments(sf_dir: str):
@@ -2678,25 +2686,21 @@ def q_hybrid_retrieval(sf_dir: str):
     broadcast-matmul top-k — with only two 50-row rank lists meeting at
     the fusion step; both rank orders and the fused score are integer-
     quantized so the FULL OUTER JOIN window-SQL oracle hash-matches."""
-    import hashlib as _hl
-
-    from .chunk import FORMAT_VERSION
-    from .functions.search import bm25_search, build_text_index
+    from .functions.search import bm25_search
     from .functions.similarity import topk_cosine
 
     K_LIST, K_OUT, C = 50, 10, 60
 
-    key = _hl.md5(f"{os.path.abspath(sf_dir)}|bm25|v{FORMAT_VERSION}".encode()).hexdigest()[:10]
-    idx = os.path.join(CACHE_ROOT, f"bm25-{key}")
-    if not os.path.exists(os.path.join(idx, "stats.json")):
-        build_text_index(_decoded(sf_dir, "documents", columns=["doc_id", "text"]), idx)
-    bm = bm25_search(idx, ["window", "merge", "scan"], k=K_LIST)
+    bm = bm25_search(_bm25_index(sf_dir), ["window", "merge", "scan"], k=K_LIST)
     bm_ids = bm.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
 
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     q = np.array(emb.filter(pc.equal(emb.column("vec_id"), 0)).column("embedding")[0].as_py(), np.float64)
     ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    t = topk_cosine(ds, q, k=K_LIST + 16, dtype=np.float64)
+    # 3x headroom before the quantized re-rank (the q_ann_topk ratio):
+    # e4 ties spanning the raw-sim cutoff must all be available so the
+    # doc_id tie-break matches the oracle's global ORDER BY
+    t = topk_cosine(ds, q, k=3 * K_LIST, dtype=np.float64)
     sim_e4 = np.rint(t.column("sim").to_numpy() * 1e4).astype(np.int64)
     vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
     aorder = np.lexsort((vid, -sim_e4))[:K_LIST]
