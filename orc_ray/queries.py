@@ -306,7 +306,9 @@ def q_lang_id(sf_dir: str):
     return _to_table(out).select(["doc_id", "lang_pred"]).sort_by("doc_id")
 
 
-def _lang_id_oracle_sql() -> str:
+def _lang_pred_ctes() -> str:
+    """Shared CTE prefix computing (doc_id, lang_pred) — used by the
+    lang_id oracle and every query that composes on top of it."""
     from .functions.text import _STOPWORDS
 
     rows = ",".join(
@@ -328,10 +330,32 @@ def _lang_id_oracle_sql() -> str:
                    ROW_NUMBER() OVER (PARTITION BY doc_id
                                       ORDER BY h DESC, lang DESC) AS rn
             FROM hits
+        ),
+        lang AS (
+            SELECT d.doc_id, COALESCE(b.lang, 'unk') AS lang_pred
+            FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+        )"""
+
+
+def _lang_id_oracle_sql() -> str:
+    return _lang_pred_ctes() + """
+        SELECT doc_id, lang_pred FROM lang ORDER BY doc_id"""
+
+
+def _balanced_sample_oracle_sql() -> str:
+    return _lang_pred_ctes() + """,
+        cnt AS (SELECT lang_pred, COUNT(*) AS n FROM lang GROUP BY lang_pred),
+        tot AS (SELECT COUNT(*) AS n_total FROM lang),
+        pri AS (
+          SELECT l.doc_id, l.lang_pred,
+                 CAST(FLOOR(
+                   LN((CAST(('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
+                        / 1152921504606846977.0)
+                   / SQRT(tot.n_total * 1.0 / cnt.n) * 1000000000) AS BIGINT) AS pri_e9
+          FROM lang l JOIN cnt ON l.lang_pred = cnt.lang_pred CROSS JOIN tot
         )
-        SELECT d.doc_id, COALESCE(b.lang, 'unk') AS lang_pred
-        FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
-        ORDER BY d.doc_id
+        SELECT doc_id, lang_pred, pri_e9 FROM pri
+        ORDER BY pri_e9 DESC, doc_id LIMIT 100
     """
 
 
@@ -2746,6 +2770,67 @@ def q_upsert_read(sf_dir: str):
     return _to_table(upsert_read(base, delta, "doc_id")).sort_by("doc_id")
 
 
+def q_balanced_sample(sf_dir: str):
+    """Temperature-balanced corpus sampling (the multilingual-mix move:
+    sample languages ∝ count^alpha, alpha=0.5): language-ID the decoded
+    stream, lift per-language counts (tiny), give every doc weight
+    sqrt(n_total / n_lang) — IEEE sqrt is exactly rounded, so the weight
+    is bit-identical in SQL — and draw a 100-doc Efraimidis-Spirakis
+    sample with the md5-uniform priorities.  Composes three proved
+    operators (lang_id, distributed count, weighted_sample) into the
+    standard data-mixing pipeline; rarer languages are up-weighted
+    exactly as the alpha=0.5 temperature prescribes."""
+    from .functions.sampling import es_priority_e9
+    from .functions.text import lang_id
+
+    K = 100
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+    tagged = ds.map_batches(lang_id, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    counts = _to_table(
+        tagged.map_batches(
+            lambda t: t.group_by("lang_pred").aggregate([([], "count_all")]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    ).group_by("lang_pred").aggregate([("count_all", "sum")])
+    langs = counts.column("lang_pred").to_pylist()
+    n_by = dict(zip(langs, counts.column("count_all_sum").to_pylist()))
+    n_total = sum(n_by.values())
+    wmap = {lg: np.sqrt(n_total / n) for lg, n in n_by.items()}
+    wref = ray.put(wmap)
+
+    def local_top(t: pa.Table, *, wref) -> pa.Table:
+        wmap = ray.get(wref)
+        w = np.array([wmap[lg] for lg in t.column("lang_pred").to_pylist()])
+        pri = es_priority_e9(t.column("doc_id"), w)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lp = t.column("lang_pred")
+        order = np.lexsort((ids, -pri))[:K]
+        take = pa.array(order)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "lang_pred": pc.take(lp, take),
+                "pri_e9": pa.array(pri[order]),
+            }
+        )
+
+    parts = _to_table(
+        tagged.map_batches(functools.partial(local_top, wref=wref), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    pri = parts.column("pri_e9").to_numpy(zero_copy_only=False)
+    ids = parts.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -pri))[:K]
+    take = pa.array(order)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order]),
+            "lang_pred": pc.take(parts.column("lang_pred"), take),
+            "pri_e9": pa.array(pri[order]),
+        }
+    )
+
+
 _WM_LATENESS_S = 600  # allowed lateness: 10 minutes (second precision)
 
 
@@ -2989,6 +3074,7 @@ QUERIES = {
     "revenue_quartiles": q_revenue_quartiles,
     "hybrid_retrieval": q_hybrid_retrieval,
     "upsert_read": q_upsert_read,
+    "balanced_sample": q_balanced_sample,
 }
 
 ORACLE_SQL = {
@@ -3611,6 +3697,7 @@ ORACLE_SQL = {
         ORDER BY doc_id
     """,
     "lang_id": _lang_id_oracle_sql(),
+    "balanced_sample": _balanced_sample_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),
     "curation_pipeline": _curation_oracle_sql(),
     "scrub_pii": _scrub_pii_oracle_sql(),

@@ -50,6 +50,7 @@ NEW_QUERIES = [
     "revenue_quartiles",
     "hybrid_retrieval",
     "upsert_read",
+    "balanced_sample",
 ]
 
 
