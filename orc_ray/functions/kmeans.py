@@ -12,9 +12,11 @@ payload never leaves its block.  Initialization is deterministic
 Convergence: stop when the centroid matrix is fixed to within 1e-12
 (componentwise) or after ``max_iters`` — assignment stability follows
 except for exact argmin ties, which both this and the reference kernel
-break identically (lowest cluster id wins in ``argmin``).  For 10^12-scale inputs the per-iteration cost is one
-pass over the data; k-means|| style oversampled init is the documented
-upgrade for faster convergence on adversarial data.
+break identically (lowest cluster id wins in ``argmin``).
+
+For 10^12-scale inputs the per-iteration cost is one pass over the
+data; k-means|| style oversampled init is the documented upgrade for
+faster convergence on adversarial data.
 """
 
 from __future__ import annotations
