@@ -41,10 +41,29 @@ def es_priority_e9(ids, weights: np.ndarray) -> np.ndarray:
     return np.floor(np.log(u) / np.asarray(weights, np.float64) * 1e9).astype(np.int64)
 
 
-def weighted_sample(ds, id_col: str, weight_col: str, k: int) -> pa.Table:
-    """Top-k weighted sample of a Dataset: returns (id, pri_e9) sorted by
-    (pri_e9 desc, id asc).  Weights must be positive."""
+def _top_by_priority(t: pa.Table, k: int, payload_cols: list[str]) -> pa.Table:
+    """(pri_e9 desc, id asc) top-k of an (id, pri_e9, *payload) table —
+    the one place the sampler's tie-break/selection logic lives (shared
+    by the per-batch and driver-merge stages)."""
+    import pyarrow.compute as pc
+
+    pri = t.column("pri_e9").to_numpy(zero_copy_only=False)
+    ids = t.column("id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -pri))[:k]
+    take = pa.array(order)
+    cols = {"id": pc.take(t.column("id"), take), "pri_e9": pa.array(pri[order])}
+    for c in payload_cols:
+        cols[c] = pc.take(t.column(c), take)
+    return pa.table(cols)
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, k: int, payload_cols: list[str] | None = None) -> pa.Table:
+    """Top-k weighted sample of a Dataset: returns (id, pri_e9,
+    *payload_cols) sorted by (pri_e9 desc, id asc).  Weights must be
+    positive."""
     import functools
+
+    payload_cols = payload_cols or []
 
     def local_top(t: pa.Table, *, id_col, weight_col, k) -> pa.Table:
         ids = t.column(id_col)
@@ -53,11 +72,10 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int) -> pa.Table:
             raise ValueError("weighted_sample requires positive weights")
         pri = es_priority_e9(ids, w)
         idv = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
-        order = np.lexsort((idv.to_numpy(zero_copy_only=False), -pri))[:k]
-        import pyarrow.compute as pc
-
-        take = pa.array(order)
-        return pa.table({"id": pc.take(idv, take), "pri_e9": pa.array(pri[order])})
+        base = pa.table(
+            {"id": idv, "pri_e9": pa.array(pri), **{c: t.column(c) for c in payload_cols}}
+        )
+        return _top_by_priority(base, k, payload_cols)
 
     parts = [
         b
@@ -70,11 +88,4 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int) -> pa.Table:
     ]
     if not parts:
         return pa.table({"id": pa.array([], pa.string()), "pri_e9": pa.array([], pa.int64())})
-    cand = pa.concat_tables(parts).combine_chunks()
-    pri = cand.column("pri_e9").to_numpy(zero_copy_only=False)
-    ids = cand.column("id").to_numpy(zero_copy_only=False)
-    order = np.lexsort((ids, -pri))[:k]
-    import pyarrow.compute as pc
-
-    take = pa.array(order)
-    return pa.table({"id": pc.take(cand.column("id"), take), "pri_e9": pa.array(pri[order])})
+    return _top_by_priority(pa.concat_tables(parts).combine_chunks(), k, payload_cols)

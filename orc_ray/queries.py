@@ -342,20 +342,25 @@ def _lang_id_oracle_sql() -> str:
         SELECT doc_id, lang_pred FROM lang ORDER BY doc_id"""
 
 
+_BALANCED_K = 100
+
+
 def _balanced_sample_oracle_sql() -> str:
-    return _lang_pred_ctes() + """,
+    from .functions.sampling import _DENOM
+
+    return _lang_pred_ctes() + f""",
         cnt AS (SELECT lang_pred, COUNT(*) AS n FROM lang GROUP BY lang_pred),
         tot AS (SELECT COUNT(*) AS n_total FROM lang),
         pri AS (
           SELECT l.doc_id, l.lang_pred,
                  CAST(FLOOR(
                    LN((CAST(('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
-                        / 1152921504606846977.0)
+                        / {_DENOM!r})
                    / SQRT(tot.n_total * 1.0 / cnt.n) * 1000000000) AS BIGINT) AS pri_e9
           FROM lang l JOIN cnt ON l.lang_pred = cnt.lang_pred CROSS JOIN tot
         )
         SELECT doc_id, lang_pred, pri_e9 FROM pri
-        ORDER BY pri_e9 DESC, doc_id LIMIT 100
+        ORDER BY pri_e9 DESC, doc_id LIMIT {_BALANCED_K}
     """
 
 
@@ -2780,12 +2785,18 @@ def q_balanced_sample(sf_dir: str):
     operators (lang_id, distributed count, weighted_sample) into the
     standard data-mixing pipeline; rarer languages are up-weighted
     exactly as the alpha=0.5 temperature prescribes."""
-    from .functions.sampling import es_priority_e9
     from .functions.text import lang_id
 
-    K = 100
+    from .functions.sampling import weighted_sample
+
     ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
-    tagged = ds.map_batches(lang_id, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # drop text + the unused lang_conf before materializing: only
+    # (doc_id, lang_pred) is pinned in the object store
+    tagged = ds.map_batches(
+        lambda t: lang_id(t).select(["doc_id", "lang_pred"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
     counts = _to_table(
         tagged.map_batches(
             lambda t: t.group_by("lang_pred").aggregate([([], "count_all")]),
@@ -2793,41 +2804,26 @@ def q_balanced_sample(sf_dir: str):
             zero_copy_batch=True,
         )
     ).group_by("lang_pred").aggregate([("count_all", "sum")])
-    langs = counts.column("lang_pred").to_pylist()
-    n_by = dict(zip(langs, counts.column("count_all_sum").to_pylist()))
-    n_total = sum(n_by.values())
-    wmap = {lg: np.sqrt(n_total / n) for lg, n in n_by.items()}
-    wref = ray.put(wmap)
+    langs = counts.column("lang_pred").combine_chunks()
+    n_by = counts.column("count_all_sum").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_total = float(n_by.sum())
+    weights = pa.array(np.sqrt(n_total / n_by))
+    wref = ray.put((langs, weights))
 
-    def local_top(t: pa.Table, *, wref) -> pa.Table:
-        wmap = ray.get(wref)
-        w = np.array([wmap[lg] for lg in t.column("lang_pred").to_pylist()])
-        pri = es_priority_e9(t.column("doc_id"), w)
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        lp = t.column("lang_pred")
-        order = np.lexsort((ids, -pri))[:K]
-        take = pa.array(order)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[order]),
-                "lang_pred": pc.take(lp, take),
-                "pri_e9": pa.array(pri[order]),
-            }
-        )
+    def add_weight(t: pa.Table, *, wref) -> pa.Table:
+        langs, weights = ray.get(wref)
+        pos = pc.index_in(t.column("lang_pred"), value_set=langs)
+        return t.append_column("w", pc.take(weights, pos))
 
-    parts = _to_table(
-        tagged.map_batches(functools.partial(local_top, wref=wref), batch_format="pyarrow", zero_copy_batch=True)
+    t = weighted_sample(
+        tagged.map_batches(functools.partial(add_weight, wref=wref), batch_format="pyarrow", zero_copy_batch=True),
+        "doc_id",
+        "w",
+        k=_BALANCED_K,
+        payload_cols=["lang_pred"],
     )
-    pri = parts.column("pri_e9").to_numpy(zero_copy_only=False)
-    ids = parts.column("doc_id").to_numpy(zero_copy_only=False)
-    order = np.lexsort((ids, -pri))[:K]
-    take = pa.array(order)
     return pa.table(
-        {
-            "doc_id": pa.array(ids[order]),
-            "lang_pred": pc.take(parts.column("lang_pred"), take),
-            "pri_e9": pa.array(pri[order]),
-        }
+        {"doc_id": t.column("id"), "lang_pred": t.column("lang_pred"), "pri_e9": t.column("pri_e9")}
     )
 
 
