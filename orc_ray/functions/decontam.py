@@ -16,7 +16,6 @@ broadcast 10x at scale (collision rate 2^-64 per pair, fine for hygiene).
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -58,13 +57,11 @@ def word_ngrams(texts, n: int):
 def md5_first_hex(ids) -> np.ndarray:
     """First hex digit of md5(str(id)) per row — the deterministic,
     shard-stable bucket used for holdout splits (matches SQL
-    ``substr(md5(CAST(id AS VARCHAR)), 1, 1)``).  Python loop over a
-    C-core hash: ~1 us/row, dwarfed by the text kernels it gates; swap
-    for a numpy splitmix64 when oracle parity isn't needed."""
-    if isinstance(ids, pa.ChunkedArray):
-        ids = ids.combine_chunks()
-    vals = ids.cast(pa.string()).to_pylist()
-    return np.array([hashlib.md5(v.encode()).hexdigest()[0] for v in vals])
+    ``substr(md5(CAST(id AS VARCHAR)), 1, 1)``).  Vectorized through the
+    block-parallel md5 kernel (md5vec.py) — no per-row Python."""
+    from .md5vec import md5_first_hex as _vec
+
+    return _vec(ids)
 
 
 def decontaminate(ds, *, n: int = 4, id_col: str = "doc_id",

@@ -16,23 +16,12 @@ last-ulp float ambiguity.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
+from .md5vec import md5_hex15_int  # vectorized, bit-exact vs SQL md5  # noqa: F401
+
 _DENOM = float(1 << 60) + 1.0  # uhex in [0, 2^60): (uhex+1)/_DENOM is in (0,1)
-
-
-def md5_hex15_int(ids) -> np.ndarray:
-    """int64 of the first 15 md5 hex digits of str(id) per row — matches
-    SQL ``CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT)``.
-    Python loop over a C-core hash (the md5_first_hex precedent): ~1
-    us/row, acceptable where oracle parity is required."""
-    if isinstance(ids, pa.ChunkedArray):
-        ids = ids.combine_chunks()
-    vals = ids.cast(pa.string()).to_pylist()
-    return np.array([int(hashlib.md5(v.encode()).hexdigest()[:15], 16) for v in vals], np.int64)
 
 
 def es_priority_e9(ids, weights: np.ndarray) -> np.ndarray:

@@ -182,23 +182,21 @@ def fingerprint64(batch: pa.Table, col: str = "text") -> pa.Table:
 def fingerprint_md5(batch: pa.Table, col: str = "text") -> pa.Table:
     """Hex md5 content fingerprint per document — the ORACLE-PARITY mode
     (DuckDB's md5() reproduces it exactly, so the driver hash-checks it).
-
-    md5 has no vectorized kernel in this environment, so this is a per-row
-    loop over hashlib's C core (~1 us/doc) — acceptable for a checksum
-    stage and still distributed via map_batches; the vectorized fast path
-    for engine-internal fingerprinting is ``dedup.content_hash64`` (one
-    numpy pass), which exact-dedup uses.
+    Runs through the block-parallel numpy md5 kernel (md5vec.py) — one
+    vectorized pass, no per-row Python; the engine-internal fast path for
+    dedup remains ``dedup.content_hash64``.
 
     Nulls stay null — SQL md5(NULL) is NULL, and the oracle parity claim
     must hold on nullable text columns too."""
-    import hashlib as _hl
+    from .md5vec import md5_hex
 
     text = batch.column(col)
     text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
-    text = text.cast(pa.large_binary())
-    fps = [None if v is None else _hl.md5(v).hexdigest() for v in (x.as_py() for x in text)]
+    fps = md5_hex(text)
+    if text.null_count:
+        fps = pc.if_else(pc.is_valid(text), fps, pa.scalar(None, pa.string()))
     out = batch.select(batch.column_names)
-    return out.append_column("fp_md5", pa.array(fps, pa.string()))
+    return out.append_column("fp_md5", fps)
 
 
 def _fnv1a_segmented(

@@ -1005,16 +1005,15 @@ def q_hash_split(sf_dir: str):
     """Deterministic holdout split: md5(doc_id) first hex digit in {0,1}
     selects a reproducible ~1/8 sample — the standard content-hash split
     that stays stable across runs, shards, and cluster sizes (no RNG
-    state).  Same per-row C-core hashing trade as the md5 fingerprints."""
-    import hashlib as _hl
+    state).  Vectorized through the block-parallel md5 kernel."""
+    from .functions.md5vec import md5_first_hex
 
     ds = _decoded(sf_dir, "documents", columns=["doc_id", "source"])
 
     def split(t: pa.Table) -> pa.Table:
         # hash the string form of the id (matches SQL md5(doc_id), which
         # casts non-varchar ids to VARCHAR)
-        ids = t.column("doc_id").cast(pa.string()).to_pylist()
-        keep = pa.array([_hl.md5(d.encode()).hexdigest()[0] in "01" for d in ids])
+        keep = pa.array(np.isin(md5_first_hex(t.column("doc_id")), ["0", "1"]))
         return t.filter(keep)
 
     out = ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
@@ -2850,12 +2849,10 @@ def _watermark_partition(t: pa.Table) -> pa.Table:
     # arrival proxy: md5(event_id) order — a DETERMINISTIC shuffle of
     # processing order vs event time, so the late path actually fires
     # (event_id itself is ts-ordered in the corpus); matches the SQL
-    # ORDER BY md5(...) exactly (the md5_first_hex parity precedent)
-    import hashlib as _hl
+    # ORDER BY md5(...) exactly, vectorized through md5vec
+    from .functions.md5vec import md5_hex
 
-    arr = np.array(
-        [_hl.md5(str(v).encode()).hexdigest() for v in t.column("event_id").to_pylist()]
-    )
+    arr = md5_hex(t.column("event_id")).to_numpy(zero_copy_only=False)
     order = np.lexsort((arr, uid))
     uid, us = uid[order], us[order]
     ts_s = us // 1_000_000  # second precision, mirrored in the SQL oracle
