@@ -2515,7 +2515,8 @@ def _bm25_index(sf_dir: str) -> str:
     from .chunk import FORMAT_VERSION
     from .functions.search import build_text_index
 
-    key = _hl.md5(f"{os.path.abspath(sf_dir)}|bm25|v{FORMAT_VERSION}".encode()).hexdigest()[:10]
+    # idx3: docmeta sorted by doc_id, distributed build stats (r4)
+    key = _hl.md5(f"{os.path.abspath(sf_dir)}|bm25|idx3|v{FORMAT_VERSION}".encode()).hexdigest()[:10]
     idx = os.path.join(CACHE_ROOT, f"bm25-{key}")
     if not os.path.exists(os.path.join(idx, "stats.json")):
         build_text_index(_decoded(sf_dir, "documents", columns=["doc_id", "text"]), idx)
@@ -2722,8 +2723,14 @@ def q_hybrid_retrieval(sf_dir: str):
     bm = bm25_search(_bm25_index(sf_dir), ["window", "merge", "scan"], k=K_LIST)
     bm_ids = bm.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    q = np.array(emb.filter(pc.equal(emb.column("vec_id"), 0)).column("embedding")[0].as_py(), np.float64)
+    # column-projected + row-filtered read: only the vec_id=0 row's
+    # row group leaves storage, never the whole table (r3 verdict item 2)
+    emb = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    q = np.array(emb.column("embedding")[0].as_py(), np.float64)
     ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     # 3x headroom before the quantized re-rank (the q_ann_topk ratio):
     # e4 ties spanning the raw-sim cutoff must all be available so the

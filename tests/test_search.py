@@ -27,6 +27,10 @@ def test_bm25_index_prunes_term_lookups(ray_session, tmp_path):
     # sorted postings -> term lookup touches a fraction of the chunks
     assert st["chunks_total"] >= 4
     assert st["chunks_kept"] < st["chunks_total"] * 0.7, st
+    # driver ceiling: only the per-term df rows and O(blocks x k) top-k
+    # candidates reach the driver — never the postings or the doc-length
+    # table (both scale with the corpus)
+    assert 0 < st["driver_rows"] < 500, st
 
     # a doc stuffed with the query term must outrank background docs
     s = out.column("score_e6").to_numpy()
