@@ -12,8 +12,11 @@ turns them into nulls/zeros.
 
 Partitioning assumption at 100 TB: the build side must fit in one
 object-store copy per node (it is a lookup table, shipped once — not per
-batch).  For a large build side, hash-partition BOTH sides on the key and
-run the same kernel per partition (the documented co-location path).
+batch).  For a large build side, ``asof_join_partitioned`` hash-partitions
+BOTH sides on the key and runs the same searchsorted kernel per
+partition (groupby(part).map_groups co-location — one shuffle, nothing
+driver-side); ``asof_join_auto`` picks the arm by build-side row count.
+Parity of the two arms is pinned by tests/test_join_adaptive.py.
 """
 
 from __future__ import annotations
@@ -38,8 +41,9 @@ class AsofIndex:
             self.kmin, self.kmax = int(self.keys.min()), int(self.keys.max())
             if (self.kmax + 1) * self.span >= 2**63 or self.kmin * self.span <= -(2**63):
                 raise OverflowError(
-                    "composite (key, time) domain exceeds int64 — "
-                    "hash-partition both sides and build per-partition indexes"
+                    "composite (key, time) domain exceeds int64 — use "
+                    "asof_join_partitioned (hash-partitions both sides; "
+                    "per-partition key ranges shrink the composite domain)"
                 )
         else:
             self.tmin, self.span = 0, 2
@@ -107,6 +111,111 @@ def asof_join(
         functools.partial(_probe, iref=iref, probe_key=probe_key, probe_time=probe_time, out_col=out_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def _hash_part(k: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Fibonacci-mix hash partition of int64 keys (structured key values
+    like user ids must not alias a partition stripe)."""
+    x = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(29)
+    return (x % np.uint64(num_partitions)).astype(np.int64)
+
+
+def asof_join_partitioned(
+    probe_ds,
+    build_ds,
+    build_key: str,
+    build_time: str,
+    probe_key: str,
+    probe_time: str,
+    out_col: str = "asof_time",
+    num_partitions: int = 16,
+):
+    """ASOF LEFT JOIN with a build side too large to broadcast: both
+    sides are hash-partitioned on the key and co-located with ONE
+    groupby(part).map_groups shuffle; each partition builds a local
+    sorted composite index and probes it with the same vectorized
+    searchsorted kernel as the broadcast arm.  Nothing is materialized
+    on the driver.  The int64 composite-packing bound applies per
+    partition (narrower key range than the global build side)."""
+    probe_fields = list(probe_ds.schema().base_schema)
+
+    def tag_probe(t: pa.Table) -> pa.Table:
+        k = t.column(probe_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tt = t.column(probe_time).cast(pa.int64())
+        cols = {f.name: t.column(f.name) for f in probe_fields}
+        cols["_k"] = pa.array(k)
+        cols["_t"] = tt
+        cols["_side"] = pa.array(np.ones(t.num_rows, np.int8))
+        cols["_part"] = pa.array(_hash_part(k, num_partitions))
+        return pa.table(cols)
+
+    def tag_build(t: pa.Table) -> pa.Table:
+        k = t.column(build_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tt = t.column(build_time).cast(pa.int64())
+        cols = {f.name: pa.nulls(t.num_rows, f.type) for f in probe_fields}
+        cols["_k"] = pa.array(k)
+        cols["_t"] = tt
+        cols["_side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        cols["_part"] = pa.array(_hash_part(k, num_partitions))
+        return pa.table(cols)
+
+    tagged = probe_ds.map_batches(
+        tag_probe, batch_format="pyarrow", zero_copy_batch=True
+    ).union(build_ds.map_batches(tag_build, batch_format="pyarrow", zero_copy_batch=True))
+
+    out_fields = [(f.name, f.type) for f in probe_fields] + [(out_col, pa.int64())]
+
+    def per_part(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if g.num_rows == 0:
+            return pa.table({n: pa.array([], t) for n, t in out_fields})
+        side = g.column("_side").combine_chunks()
+        b = g.filter(pc.equal(side, 0))
+        p = g.filter(pc.equal(side, 1))
+        if p.num_rows == 0:
+            return pa.table({n: pa.array([], t) for n, t in out_fields})
+        index = AsofIndex(
+            b.column("_k").to_numpy(zero_copy_only=False),
+            b.column("_t").to_numpy(zero_copy_only=False),
+        )
+        k = p.column("_k").to_numpy(zero_copy_only=False)
+        tt = p.column("_t").to_numpy(zero_copy_only=False)
+        idx, matched = index.asof(k, tt)
+        vals = pa.array(index.times[np.maximum(idx, 0)], pa.int64())
+        sel = pa.array(np.arange(len(k), dtype=np.int64), mask=~matched)
+        cols = {f.name: p.column(f.name) for f in probe_fields}
+        cols[out_col] = vals.take(sel)
+        return pa.table(cols)
+
+    return tagged.groupby("_part").map_groups(per_part, batch_format="pyarrow")
+
+
+def asof_join_auto(
+    probe_ds,
+    build_keys: np.ndarray,
+    build_times: np.ndarray,
+    probe_key: str,
+    probe_time: str,
+    out_col: str = "asof_time",
+    broadcast_threshold_rows: int = 5_000_000,
+    num_partitions: int = 16,
+):
+    """Arm selection for the as-of join: a build side at most
+    ``broadcast_threshold_rows`` rows is broadcast once (one object-store
+    copy per node); above that both sides hash-partition.  The two arms
+    are parity-tested with the threshold forced to 0."""
+    import ray
+
+    if len(build_keys) <= broadcast_threshold_rows:
+        return asof_join(probe_ds, build_keys, build_times, probe_key, probe_time, out_col)
+    build_ds = ray.data.from_arrow(
+        pa.table({"_bk": np.asarray(build_keys, np.int64), "_bt": np.asarray(build_times, np.int64)})
+    )
+    return asof_join_partitioned(
+        probe_ds, build_ds, "_bk", "_bt", probe_key, probe_time, out_col, num_partitions
     )
 
 

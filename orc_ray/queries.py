@@ -711,13 +711,15 @@ def _orders_build_side(sf_dir: str):
 
 def q_asof_join_events_orders(sf_dir: str):
     """ASOF LEFT JOIN: each event matched to the user's latest order at or
-    before the event time — broadcast sorted index + one vectorized
-    searchsorted per batch (functions/joins.py), no shuffle."""
-    from .functions.joins import asof_join
+    before the event time — arm-selected (functions/joins.py): broadcast
+    sorted index + one vectorized searchsorted per batch below the
+    build-side threshold, hash-partitioned per-partition indexes above
+    it (parity-pinned in tests/test_join_adaptive.py)."""
+    from .functions.joins import asof_join_auto
 
     keys, times = _orders_build_side(sf_dir)
     ds = _decoded(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-    out = asof_join(ds, keys, times, "user_id", "ts", out_col="asof_us")
+    out = asof_join_auto(ds, keys, times, "user_id", "ts", out_col="asof_us")
     t = _to_table(out)
     return pa.table(
         {
