@@ -44,7 +44,12 @@ def _hash_column(arr: pa.Array) -> np.ndarray:
         else:
             v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
         return _mix64(v.copy())
-    if pa.types.is_string(ty) or pa.types.is_large_string(ty) or pa.types.is_binary(ty):
+    if (
+        pa.types.is_string(ty)
+        or pa.types.is_large_string(ty)
+        or pa.types.is_binary(ty)
+        or pa.types.is_large_binary(ty)
+    ):
         from ..functions.dedup import _varbytes
 
         concat, offsets = _varbytes(pa.table({"x": arr}).column("x"))
@@ -119,7 +124,15 @@ def might_contain_many(filt: bytes, arr: pa.Array) -> np.ndarray:
     valid = None
     if arr.null_count:
         valid = np.asarray(arr.is_valid())
-        fill = "" if (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)) else (b"" if pa.types.is_binary(arr.type) else 0)
+        fill = (
+            ""
+            if (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type))
+            else (
+                b""
+                if (pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type))
+                else 0
+            )
+        )
         arr = arr.fill_null(fill)
     k = filt[0]
     bits = np.frombuffer(filt, np.uint8, offset=1)

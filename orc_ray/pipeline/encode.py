@@ -511,7 +511,13 @@ def zorder_store(
         k = len(cols)
         z = np.zeros(t.num_rows, dtype=np.uint64)
         for i, c in enumerate(cols):
-            v = t.column(c).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            col = t.column(c)
+            if pa.types.is_temporal(col.type):
+                # Arrow has no timestamp->double cast; go through the
+                # epoch integer (which is also how the manifest stores
+                # temporal min/max stats)
+                col = col.cast(pa.int64())
+            v = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
             span = hi[c] - lo[c]
             q = np.clip((v - lo[c]) / (span if span > 0 else 1.0), 0.0, 1.0)
             cell = np.minimum((q * (1 << b)).astype(np.uint64), np.uint64((1 << b) - 1))

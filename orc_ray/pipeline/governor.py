@@ -54,10 +54,12 @@ def avg_row_bytes(files: list[str], columns=None) -> float:
                 if columns is None or root in columns:
                     tot_b += col.total_uncompressed_size
             tot_r += g.num_rows
-    if columns is not None and not (set(columns) & seen_roots):
+    if columns is not None and (set(columns) - seen_roots):
+        # full coverage required: a typo'd column alongside valid ones
+        # would contribute 0 bytes and silently oversize batches
         raise KeyError(
-            f"governor columns {sorted(columns)} match no top-level parquet "
-            f"column (have {sorted(seen_roots)})"
+            f"governor columns {sorted(set(columns) - seen_roots)} match no "
+            f"top-level parquet column (have {sorted(seen_roots)})"
         )
     return tot_b / tot_r if tot_r else 0.0
 

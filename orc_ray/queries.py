@@ -1413,9 +1413,12 @@ def q_salient_terms(sf_dir: str):
     (with_group_ranks) takes the per-source top-10."""
     from .functions.aggregates import sum_by_keys, with_group_ranks
     from .functions.text import word_tf_df_rows
+    from .pipeline.decode import count_rows
 
+    # n_docs from the manifest's per-chunk row counts (the ORC footer
+    # numberOfRows rollup) — no extra decode pass (r3 verdict item 6)
+    n_docs = count_rows(store_for(sf_dir, "documents"), trust_stats=True)
     ds = _decoded(sf_dir, "documents", columns=["text", "source"])
-    n_docs = ds.count()
     rows = ds.map_batches(word_tf_df_rows, batch_format="pyarrow", zero_copy_batch=True)
     fused = sum_by_keys(rows, ["kind", "source", "w"], "c", out="cnt").materialize()
 
@@ -2387,13 +2390,17 @@ def q_heavy_users(sf_dir: str):
     rank the candidate union, and only the top-2K survivors are exactly
     re-counted in a second filtered pass (is_in + per-batch group partial
     — a BOUNDED-domain aggregate).  At 100 TB nothing driver-side scales
-    with rows or distinct users; candidate completeness is the standard
-    CMS heavy-hitter guarantee (error <= eN with e = e/w), exact after
-    the re-count pass.  Sketch kernels unit-tested in tests/test_sketch.py."""
+    with rows or distinct users; EVERY candidate that cleared the local
+    pigeonhole threshold in any batch is re-counted (never cut), so any
+    key with global share >= 1/M is captured deterministically (the
+    Misra-Gries bound, M = 8K -> share 0.625%); keys below that bound
+    ride the best-effort local-top-M + CMS-ranked arm — the documented
+    completeness contract of one-pass candidate generation.  Sketch
+    kernels unit-tested in tests/test_sketch.py."""
     from .functions.sketch import CMS_D, cms_estimate, cms_merge, cms_partial
 
     K = 20
-    M = 4 * K
+    M = 8 * K
     W = 8192
     ds = _decoded(sf_dir, "events", columns=["user_id"])
 
@@ -2410,12 +2417,15 @@ def q_heavy_users(sf_dir: str):
         # Misra-Gries bound); flatter keys ride the top-M best-effort arm
         order = np.lexsort((vals, -cnts))[:M]
         thresh = max(1, -(-t.num_rows // M))
-        cand = np.union1d(vals[order], vals[cnts >= thresh])
+        cleared_vals = vals[cnts >= thresh]
+        cand = np.union1d(vals[order], cleared_vals)
+        cleared = np.isin(cand, cleared_vals)
         n = cand.size + 1
         regcol = [None] * (n - 1) + [regs.tobytes()]
         return pa.table(
             {
                 "cand": pa.array(np.r_[cand, [0]].astype(np.int64)),
+                "cleared": pa.array(np.r_[cleared, [False]]),
                 "is_sketch": pa.array([False] * (n - 1) + [True]),
                 "regs": pa.array(regcol, pa.large_binary()),
             }
@@ -2426,11 +2436,18 @@ def q_heavy_users(sf_dir: str):
     cms = cms_merge(
         [np.frombuffer(b, np.int64).reshape(CMS_D, W).copy() for b in sk.column("regs").to_pylist()]
     )
-    cand = pc.unique(mixed.filter(pc.invert(mixed.column("is_sketch").combine_chunks())).column("cand").combine_chunks())
+    cand_rows = mixed.filter(pc.invert(mixed.column("is_sketch").combine_chunks()))
+    g = cand_rows.group_by("cand").aggregate([("cleared", "max")])
+    cand = g.column("cand").combine_chunks()
+    cleared_any = g.column("cleared_max").to_numpy(zero_copy_only=False).astype(bool)
     est = cms_estimate(cms, cand)
     cand_np = cand.to_numpy(zero_copy_only=False).astype(np.int64)
-    keep = np.lexsort((cand_np, -est))[: 2 * K]
-    short = pa.array(np.sort(cand_np[keep]))
+    # exact-capture set: every threshold-clearing candidate survives
+    # unconditionally (the Misra-Gries guarantee); the CMS-ranked top-2K
+    # only tops up the best-effort tail
+    keep_mask = cleared_any.copy()
+    keep_mask[np.lexsort((cand_np, -est))[: 2 * K]] = True
+    short = pa.array(np.sort(cand_np[keep_mask]))
     sref = ray.put(short)
 
     def recount(t: pa.Table, *, sref) -> pa.Table:

@@ -130,3 +130,17 @@ def test_bloom_join_prunes_and_is_exact(ray_session):
     pd_o = o.sort_values("o_orderpriority").reset_index(drop=True)
     assert pd_t["rev_e4"].astype("int64").tolist() == pd_o["rev_e4"].astype("int64").tolist()
     assert pd_t["n_items"].astype("int64").tolist() == pd_o["n_items"].astype("int64").tolist()
+
+
+def test_bloom_large_binary_keys():
+    """ADVICE r3: large_binary columns (with nulls) must probe cleanly."""
+    import numpy as np
+
+    from orc_ray.codecs import bloom
+
+    keys = pa.array([b"k%d" % i for i in range(100)], pa.large_binary())
+    f = bloom.build(keys, fpp=0.01)
+    probe = pa.array([b"k1", None, b"absent", b"k99"], pa.large_binary())
+    got = bloom.might_contain_many(f, probe)
+    assert bool(got[0]) and bool(got[3])
+    assert not bool(got[1])  # null matches nothing

@@ -75,3 +75,15 @@ def test_encode_dataset_engages_governor(tmp_path, ray_session, corpora):
         list(decode_dataset(str(out)).iter_batches(batch_format="pyarrow", batch_size=None))
     )
     assert got.sort_by("a").num_rows == 5000
+
+
+def test_partial_typo_projection_raises(corpora):
+    """ADVICE r3: one valid + one typo'd column must raise, not silently
+    undercount bytes."""
+    import pytest
+
+    from orc_ray.pipeline.governor import avg_row_bytes
+
+    narrow, _ = corpora
+    with pytest.raises(KeyError, match="no top-level"):
+        avg_row_bytes([narrow], columns=["a", "no_such_column"])

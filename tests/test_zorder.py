@@ -80,3 +80,37 @@ def test_zorder_four_columns_defaults_avoid_sign_bit(ray_session, tmp_path):
     ds = decode_dataset(zdir)
     got = pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=None))
     assert got.num_rows == n
+
+
+def test_zorder_timestamp_column(ray_session, tmp_path):
+    """ADVICE r3: a temporal z-order column must work (Arrow has no
+    timestamp->double cast; the engine routes through the epoch int)."""
+    rng = np.random.default_rng(5)
+    n = 8000
+    t = pa.table(
+        {
+            "ts": pa.array(
+                rng.integers(1_600_000_000, 1_700_000_000, n) * 1_000_000,
+                pa.timestamp("us"),
+            ),
+            "x": rng.integers(0, 1000, n),
+        }
+    )
+    src = str(tmp_path / "ts.parquet")
+    pq.write_table(t, src)
+    store = str(tmp_path / "tstore")
+    encode_dataset([src], store, batch_size=1000)
+    zdir = str(tmp_path / "tz")
+    zorder_store(store, zdir, ["ts", "x"], batch_size=1000)
+    # both curve columns must prune
+    mid_ts = 1_650_000_000 * 1_000_000
+    _, kept_ts, total = list_chunks(zdir, [("ts", "<", mid_ts)])
+    _, kept_x, _ = list_chunks(zdir, [("x", "<", 500)])
+    assert kept_ts < total and kept_x < total
+    # decoded rows round-trip exactly
+    out = pa.concat_tables(
+        decode_dataset(zdir).iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("ts")
+    assert out.sort_by([("ts", "ascending"), ("x", "ascending")]).equals(
+        t.sort_by([("ts", "ascending"), ("x", "ascending")])
+    )
