@@ -850,8 +850,9 @@ def media_store_for(n: int = 128) -> str:
     from .functions.multimodal import synth_media_table
     from .state.manifest import load_committed
 
-    src = os.path.join(CACHE_ROOT, f"media-src-{n}.parquet")
-    out = os.path.join(CACHE_ROOT, f"media-{n}-v{FORMAT_VERSION}")
+    # m2: decodable BMP/WAV/VID0 payloads (r4)
+    src = os.path.join(CACHE_ROOT, f"media-src-{n}-m2.parquet")
+    out = os.path.join(CACHE_ROOT, f"media-{n}-m2-v{FORMAT_VERSION}")
     if not os.path.exists(src):
         os.makedirs(CACHE_ROOT, exist_ok=True)
         pq.write_table(synth_media_table(n), src)
@@ -864,8 +865,9 @@ def media_store_for(n: int = 128) -> str:
 
 def q_multimodal_features(sf_dir: str):
     """Media feature extraction over the ENGINE-DECODED media chunk store
-    (binary payload codec round-trips under this query; decode libs gated
-    with a logged deterministic stub — see functions/multimodal.py)."""
+    (binary payload codec round-trips under this query; features derive
+    from REAL decoded pixels/samples — pure-NumPy BMP/WAV/VID0 decoders,
+    see functions/multimodal.py)."""
     from .functions.multimodal import extract_features
 
     ds = decode_dataset(media_store_for(128))
@@ -1267,8 +1269,9 @@ def q_media_pipeline(sf_dir: str):
     images resized to a 128x128 box (payload + dims updated in place),
     videos expanded to 3 sampled frames (1 row -> k rows), and features
     extracted from the resized stills — all actor-pool stages from
-    functions/multimodal.py chained on one stream (decode libs gated,
-    plumbing real; rows-only check)."""
+    functions/multimodal.py chained on one stream.  The decode work is
+    real in-sandbox: BMP pixels resampled and re-encoded, VID0 frames
+    demuxed, WAV samples measured (rows-only check)."""
     import pyarrow.compute as _pc
 
     from .functions.multimodal import extract_features, resize_images, sample_frames
