@@ -138,3 +138,100 @@ def kmeans(ds, col: str, k: int, max_iters: int = 20, id_col: str | None = None)
         return d2.argmin(1)
 
     return cents, assign_fn
+
+
+def kmeans_step_exact(ds, col: str, k: int, id_col: str):
+    """ONE Lloyd assignment step in EXACT integer arithmetic — the
+    oracle-checkable k-means mirror (r3 verdict item 8).
+
+    Vectors are e6-floor quantized to int64 (the embedding_moments
+    precedent), seeds are the k vectors with the smallest ``id_col``,
+    and squared distances are exact int64 sums (|q| <= ~2^20, dim <= 64
+    -> d2 < 2^47), so the argmin (ties to the smallest seed id) and the
+    per-cluster aggregates are bit-identical to the SQL mirror.  Per
+    batch: one (n, k, dim) int64 distance reduction + k partial rows;
+    the driver merges O(k x batches) rows.  Returns
+    (cluster=seed id, n_members, coord_sum) sorted by cluster.
+    """
+    import ray
+
+    def q6(x: np.ndarray) -> np.ndarray:
+        return np.floor(x.astype(np.float64) * 1_000_000.0).astype(np.int64)
+
+    # --- deterministic seeds: k smallest-id vectors, O(k x batches) driver
+    def seed_rows(t: pa.Table) -> pa.Table:
+        x = _embed_matrix(t, col)
+        if x.shape[0] == 0:
+            return pa.table(
+                {"sid": pa.array([], pa.int64()), "vec": pa.array([], pa.large_binary())}
+            )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")[:k]
+        return pa.table(
+            {
+                "sid": pa.array(ids[order]),
+                "vec": pa.array([q6(x[i]).tobytes() for i in order], pa.large_binary()),
+            }
+        )
+
+    parts = [
+        b
+        for b in ds.map_batches(
+            seed_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    cand = pa.concat_tables(parts)
+    sids = cand.column("sid").to_numpy(zero_copy_only=False)
+    order = np.argsort(sids, kind="stable")[:k]
+    seed_ids = sids[order]
+    cents = np.stack(
+        [np.frombuffer(cand.column("vec")[int(i)].as_py(), np.int64) for i in order]
+    )
+    cref = ray.put((seed_ids, cents))
+
+    def partial(t: pa.Table, *, cref) -> pa.Table:
+        seed_ids, c = ray.get(cref)
+        x = _embed_matrix(t, col)
+        if x.shape[0] == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "n_members": pa.array([], pa.int64()),
+                    "coord_sum": pa.array([], pa.int64()),
+                }
+            )
+        qx = q6(x)
+        # exact integer squared distances; argmin ties -> first (seed
+        # ids are ascending, matching ORDER BY d2, cid)
+        d2 = ((qx[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        rowsum = qx.sum(axis=1)
+        n = np.bincount(a, minlength=c.shape[0]).astype(np.int64)
+        # integer scatter-add (bincount weights would round through
+        # float64; the oracle contract is exact int sums)
+        s = np.zeros(c.shape[0], np.int64)
+        np.add.at(s, a, rowsum)
+        return pa.table(
+            {
+                "cluster": pa.array(seed_ids),
+                "n_members": pa.array(n),
+                "coord_sum": pa.array(s),
+            }
+        )
+
+    out = [
+        b
+        for b in ds.map_batches(
+            functools.partial(partial, cref=cref), batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    merged = pa.concat_tables(out).group_by("cluster").aggregate(
+        [("n_members", "sum"), ("coord_sum", "sum")]
+    )
+    merged = merged.rename_columns(["cluster", "n_members", "coord_sum"])
+    merged = merged.sort_by("cluster")
+    import pyarrow.compute as pc
+
+    return merged.filter(pc.greater(merged.column("n_members"), 0))

@@ -2504,8 +2504,36 @@ def q_approx_quantiles(sf_dir: str):
     from .functions.sketch import approx_quantiles
 
     ds = _decoded(sf_dir, "lineitem", columns=["l_extendedprice"])
-    t = approx_quantiles(ds, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99])
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    t = approx_quantiles(ds, "l_extendedprice", qs)
     import numpy as np
+
+    # query-level accuracy gate (r3 verdict item 8): the TRUE rank of
+    # each estimate, from one distributed counting pass (5 counters per
+    # batch), must sit within the t-digest k1 rank-error bound.  The
+    # check streams — nothing row-scaled on the driver.
+    est = t.column("value_est").to_numpy()
+
+    def rank_partial(b: pa.Table) -> pa.Table:
+        x = b.column("l_extendedprice").to_numpy(zero_copy_only=False).astype(np.float64)
+        le = (x[:, None] <= est[None, :]).sum(axis=0).astype(np.int64)
+        return pa.table(
+            {
+                "le": pa.array([le.tobytes()], pa.large_binary()),
+                "n": pa.array([x.size], pa.int64()),
+            }
+        )
+
+    ds2 = _decoded(sf_dir, "lineitem", columns=["l_extendedprice"])
+    parts = _to_table(
+        ds2.map_batches(rank_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    n_total = int(pc.sum(parts.column("n")).as_py() or 0)
+    ranks = np.sum(
+        [np.frombuffer(bb, np.int64) for bb in parts.column("le").to_pylist()], axis=0
+    )
+    err = np.abs(ranks / max(n_total, 1) - np.asarray(qs))
+    assert (err <= 0.015).all(), f"t-digest rank error exceeded bound: {err}"
 
     return pa.table(
         {
@@ -2513,6 +2541,20 @@ def q_approx_quantiles(sf_dir: str):
             "value_e2": pa.array(np.rint(t.column("value_est").to_numpy() * 100).astype(np.int64)),
         }
     )
+
+
+def q_kmeans_step(sf_dir: str):
+    """ONE exact-integer Lloyd assignment step (k=8) over e6-quantized
+    embeddings (functions/kmeans.py kmeans_step_exact): deterministic
+    smallest-vec_id seeds, exact int64 squared distances, ties to the
+    smallest seed id — per-cluster member counts and coordinate sums are
+    exact integers, so the cross-join + window SQL mirror hash-matches
+    (the oracle-checkable face of the iterative kmeans_embeddings
+    query)."""
+    from .functions.kmeans import kmeans_step_exact
+
+    ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_step_exact(ds, "embedding", k=8, id_col="vec_id")
 
 
 def q_weighted_sample(sf_dir: str):
@@ -3091,6 +3133,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "embedding_moments": q_embedding_moments,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "kmeans_step": q_kmeans_step,
     "funnel": q_funnel,
     "watermark_windows": q_watermark_windows,
     "revenue_quartiles": q_revenue_quartiles,
@@ -3618,6 +3661,32 @@ ORACLE_SQL = {
               FROM (SELECT UNNEST(embedding) AS e,
                            UNNEST(range(len(embedding))) AS dim FROM embeddings))
         GROUP BY dim ORDER BY dim
+    """,
+    "kmeans_step": """
+        WITH q AS (
+            SELECT vec_id, CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS qv, dim
+            FROM (SELECT vec_id, UNNEST(embedding) AS e,
+                         UNNEST(range(len(embedding))) AS dim FROM embeddings)
+        ),
+        seed_ids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+        seeds AS (SELECT q.* FROM q JOIN seed_ids USING (vec_id)),
+        d AS (
+            SELECT q.vec_id, s.vec_id AS cid,
+                   SUM((q.qv - s.qv) * (q.qv - s.qv)) AS d2
+            FROM q JOIN seeds s ON q.dim = s.dim
+            GROUP BY q.vec_id, s.vec_id
+        ),
+        a AS (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d
+        ),
+        rs AS (SELECT vec_id, CAST(SUM(qv) AS BIGINT) AS qsum FROM q GROUP BY vec_id)
+        SELECT a.cid AS cluster, COUNT(*) AS n_members,
+               CAST(SUM(rs.qsum) AS BIGINT) AS coord_sum
+        FROM a JOIN rs USING (vec_id)
+        WHERE rn = 1
+        GROUP BY a.cid ORDER BY a.cid
     """,
     "funnel": """
         WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
