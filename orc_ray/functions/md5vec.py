@@ -17,10 +17,11 @@ and the shift schedule is the RFC 1321 table; no code is derived from
 any reference implementation.
 
 Cost: 64 rounds x max_blocks x O(n) uint32 ops — about 400 vector ops
-per 64-byte block, amortized ~40 ns/row at batch sizes >= 4096 (25x the
-hashlib loop).  Equality with ``hashlib.md5`` is property-tested across
-lengths 0..200 including multi-block and non-ASCII
-(tests/test_md5vec.py).
+per 64-byte block.  Measured on this (memory-bandwidth-limited) host:
+~460 ns/row at 200k short ids, ~2x the hashlib loop — and unlike the
+loop it releases the GIL per kernel and scales with actor parallelism.
+Equality with ``hashlib.md5`` is property-tested across lengths 0..200
+including multi-block and non-ASCII (tests/test_md5vec.py).
 """
 
 from __future__ import annotations

@@ -1,0 +1,411 @@
+"""Embedding + search queries: ANN stores, k-means, BM25, hybrid retrieval, clustering.
+
+Split from the monolithic queries.py (r3 verdict item 10); see the
+package __init__ for the registry and the original design docstring.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from ..chunk import DEFAULT_OPTIONS
+from .tpch import _month_id_from_epoch_us
+from ..pipeline.decode import decode_dataset
+from ..pipeline.encode import encode_dataset
+from ._shared import CACHE_ROOT, _decoded, _to_table, store_for
+
+
+def q_ann_topk(sf_dir: str):
+    """Exact cosine top-10 around the vec_id=0 embedding, through the
+    engine-decoded embeddings stream; float64 math to match the oracle.
+
+    The compared value is rounded to e4 and BOTH engines rank by the
+    rounded value: numpy's blocked matmul and the oracle's sequential
+    dot product can differ in the last ulp, which at e6 precision landed
+    on a .5 rounding knife-edge (seen at sf0.001)."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.similarity import topk_cosine
+
+    emb = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q = np.array(emb.filter(pc.equal(emb.column("vec_id"), 0)).column("embedding")[0].as_py(), np.float64)
+    ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    t = topk_cosine(ds, q, k=32, dtype=np.float64)  # headroom for e4 ties
+    sim_e4 = np.rint(t.column("sim").to_numpy() * 1e4).astype(np.int64)
+    vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((vid, -sim_e4))[:10]
+    return pa.table(
+        {
+            "vec_id": pa.array(vid[order]),
+            "sim_e4": pa.array(sim_e4[order]),
+        }
+    )
+
+
+def ivf_store_for(sf_dir: str, n_clusters: int = 8) -> str:
+    """Build (once, cached) the IVF-partition-sorted chunk store for the
+    embeddings table — chunks cover narrow partition ranges, so probes
+    prune via manifest stats instead of scanning everything."""
+    from ..functions.similarity import build_ivf_store
+
+    from ..chunk import FORMAT_VERSION
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|ivf{n_clusters}|v{FORMAT_VERSION}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(CACHE_ROOT, f"ivf-{key}")
+    marker = os.path.join(out, "_ivf_done")
+    n_rows = pq.read_metadata(src).num_rows
+    ok = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            ok = f.read() == str(n_rows)  # validate, don't just trust
+    if not ok:
+        # wipe first: a partial prior build would otherwise leave manifest
+        # parts beside the new ones and double every decoded row
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        # aim for ~2 chunks per partition so probe pruning has granularity
+        bs = max(256, min(4096, n_rows // (2 * n_clusters)))
+        build_ivf_store(src, out, n_clusters=n_clusters, batch_size=bs)
+        with open(marker, "w") as f:
+            f.write(str(n_rows))
+    return out
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate top-10 through the partition-pruned chunk store
+    (no oracle: approximate)."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.similarity import topk_cosine_ivf_store
+
+    emb = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    q = np.array(emb.filter(pc.equal(emb.column("vec_id"), 0)).column("embedding")[0].as_py(), np.float32)
+    store = ivf_store_for(sf_dir, n_clusters=8)
+    t, kept, total = topk_cosine_ivf_store(store, q, k=10, nprobe=4)
+    assert kept < total or total <= 4, (kept, total)  # pruning must bite
+    return t.select(["vec_id", "sim"])
+
+
+def lsh_store_for(sf_dir: str, n_bits: int = 6) -> str:
+    """Build (once, cached) the LSH-bucket-sorted chunk store for the
+    embeddings table — the training-free bucketed ANN path."""
+    from ..chunk import FORMAT_VERSION
+    from ..functions.similarity import build_lsh_store
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|lsh{n_bits}i64|v{FORMAT_VERSION}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(CACHE_ROOT, f"lsh-{key}")
+    marker = os.path.join(out, "_lsh_done")
+    n_rows = pq.read_metadata(src).num_rows
+    ok = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            ok = f.read() == str(n_rows)
+    if not ok:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        bs = max(256, min(4096, n_rows // (2 * (1 << n_bits))))
+        build_lsh_store(src, out, n_bits=n_bits, batch_size=bs)
+        with open(marker, "w") as f:
+            f.write(str(n_rows))
+    return out
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-10 through the bucket-pruned chunk
+    store (no oracle: approximate; recall is unit-tested)."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.similarity import topk_cosine_lsh_store
+
+    emb = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    q = np.array(emb.filter(pc.equal(emb.column("vec_id"), 0)).column("embedding")[0].as_py(), np.float32)
+    store = lsh_store_for(sf_dir, n_bits=6)
+    t, kept, total = topk_cosine_lsh_store(store, q, k=10, nprobe=8)
+    assert kept < total or total <= 4, (kept, total)  # pruning must bite
+    return t.select(["vec_id", "sim"])
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid sums over the list<float> column,
+    e6-quantized to integers so the SQL zipped-UNNEST mirror hash-matches
+    exactly (the centroid itself is sum_e6 / n downstream — kept as the
+    exact integer pair here).
+
+    Shape: per-batch scatter-add into a (labels_present x dim) int64
+    matrix (two np.add.at passes over the flattened list values — no
+    per-row Python), emitting O(labels x dim) partial rows per block ->
+    ONE agg_by_keys over (label, dim).  At 10^12 sequences the shuffle
+    moves only the tiny partials; the embedding payload never leaves its
+    block."""
+    from ..functions.aggregates import agg_by_keys
+
+    ds = _decoded(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t.column("embedding").combine_chunks()
+        off = arr.offsets.to_numpy()
+        off = off - off[0]
+        vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(vals * 1_000_000.0).astype(np.int64)
+        lens = np.diff(off)
+        labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        ulab = np.unique(labels)
+        lab_idx = np.searchsorted(ulab, np.repeat(labels, lens))
+        dim = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], lens)
+        d_max = int(lens.max()) if lens.size else 0
+        mat = np.zeros((ulab.size, d_max), dtype=np.int64)
+        np.add.at(mat, (lab_idx, dim), q)
+        cnt = np.zeros((ulab.size, d_max), dtype=np.int64)
+        np.add.at(cnt, (lab_idx, dim), 1)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ulab, d_max).astype(np.int32)),
+                "dim": pa.array(np.tile(np.arange(d_max), ulab.size).astype(np.int32)),
+                "s": pa.array(mat.ravel()),
+                "c": pa.array(cnt.ravel()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = agg_by_keys(parts, ["label", "dim"], [("s", "sum", "sum_e6"), ("c", "sum", "n")])
+    return _to_table(agg).sort_by([("label", "ascending"), ("dim", "ascending")])
+
+
+def q_order_clusters(sf_dir: str):
+    """Connected-components cluster assignment over an order-affinity
+    graph — the distributed graph-resolution operator every dedup
+    pipeline ends with, run standalone with an oracle-checkable graph.
+
+    Edge construction is fully distributed using the existing window
+    machinery: LAG chains link orders within a (customer, month) group
+    (with_group_lag — one range sort, O(blocks) driver carry), group
+    heads star to the per-customer min order (agg_by_keys + the adaptive
+    broadcast join).  The resulting multi-hop graph (monthly chains
+    merged through customer stars, diameter ~5) resolves with
+    functions.graph.connected_components, whose adaptive backend runs
+    union-find in-process below the edge threshold and min-label
+    propagation rounds above it (distributed path covered by
+    tests/test_graph.py).  Label = MIN(o_orderkey) per component ==
+    MIN(o_orderkey) per customer — the SQL window mirror."""
+    from ..functions.aggregates import agg_by_keys, with_group_lag
+    from ..functions.graph import connected_components
+    from ..functions.joins import join_adaptive
+
+    ds = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def addmonth(t: pa.Table) -> pa.Table:
+        us = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "month_id": pa.array(_month_id_from_epoch_us(us)),
+            }
+        )
+
+    withm = ds.map_batches(addmonth, batch_format="pyarrow", zero_copy_batch=True)
+    lagged = with_group_lag(
+        withm, ["o_custkey", "month_id"], ["o_orderkey"], "o_orderkey", out="prev"
+    ).materialize()
+
+    def chain_edges(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_valid(t.column("prev")))
+        return pa.table({"a": sub.column("prev"), "b": sub.column("o_orderkey")})
+
+    def head_rows(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_null(t.column("prev")))
+        return pa.table({"o_custkey": sub.column("o_custkey"), "o_orderkey": sub.column("o_orderkey")})
+
+    e1 = lagged.map_batches(chain_edges, batch_format="pyarrow", zero_copy_batch=True)
+    heads = lagged.map_batches(head_rows, batch_format="pyarrow", zero_copy_batch=True)
+    centers = agg_by_keys(heads, ["o_custkey"], [("o_orderkey", "min", "center")])
+    starred = join_adaptive(heads, centers, "o_custkey", "o_custkey", ["center"])
+    # keep self-loops (center -> itself) so single-order customers appear
+    e2 = starred.map_batches(
+        lambda t: pa.table({"a": t.column("center"), "b": t.column("o_orderkey")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    labels = connected_components(e1.union(e2))
+    out = _to_table(labels)
+    return pa.table(
+        {"o_orderkey": out.column("node"), "cluster_rep": out.column("label")}
+    ).sort_by("o_orderkey")
+
+
+def q_kmeans_step(sf_dir: str):
+    """ONE exact-integer Lloyd assignment step (k=8) over e6-quantized
+    embeddings (functions/kmeans.py kmeans_step_exact): deterministic
+    smallest-vec_id seeds, exact int64 squared distances, ties to the
+    smallest seed id — per-cluster member counts and coordinate sums are
+    exact integers, so the cross-join + window SQL mirror hash-matches
+    (the oracle-checkable face of the iterative kmeans_embeddings
+    query)."""
+    from ..functions.kmeans import kmeans_step_exact
+
+    ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_step_exact(ds, "embedding", k=8, id_col="vec_id")
+
+
+def _bm25_index(sf_dir: str) -> str:
+    """Cached BM25 index over documents (single source of the cache-key
+    format for every caller)."""
+    import hashlib as _hl
+
+    from ..chunk import FORMAT_VERSION
+    from ..functions.search import build_text_index
+
+    # idx3: docmeta sorted by doc_id, distributed build stats (r4)
+    key = _hl.md5(f"{os.path.abspath(sf_dir)}|bm25|idx3|v{FORMAT_VERSION}".encode()).hexdigest()[:10]
+    idx = os.path.join(CACHE_ROOT, f"bm25-{key}")
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        build_text_index(_decoded(sf_dir, "documents", columns=["doc_id", "text"]), idx)
+    return idx
+
+
+def q_bm25_search(sf_dir: str):
+    """Okapi BM25 keyword search ('window merge scan', top-10) over an
+    inverted index that IS a chunk store: postings (token, doc_id, tf)
+    are tokenized in one pass, globally sorted by token, and encoded —
+    so each term lookup is a pruned decode (manifest min/max + stride
+    index skip every chunk outside the term's token range, the
+    SargsApplier analog applied to a search index).  Doc lengths ride a
+    second store; scores are e6-quantized for the identical-formula
+    DuckDB oracle.  Query cost is O(df of the query terms), not
+    O(corpus); pruning is asserted in tests/test_search.py."""
+    from ..functions.search import bm25_search
+
+    return bm25_search(_bm25_index(sf_dir), ["window", "merge", "scan"], k=10)
+
+
+def q_embedding_moments(sf_dir: str):
+    """Per-dimension first/second moments of the embedding matrix — the
+    distributed linear-algebra primitive (X / X^T X partial sums per
+    batch) behind covariance, whitening, and PCA.  Values are e6-floor
+    quantized FIRST (both engines), so the sums and sums-of-squares are
+    EXACT integers: no float addition order anywhere, and variance is
+    recoverable downstream as (n*sumsq - sum^2)/n^2 in exact rational
+    arithmetic.  Per batch: one flatten + two scatter-adds into
+    (dim,)-shaped partials; the driver merges O(dim x batches) rows."""
+    ds = _decoded(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t.column("embedding").combine_chunks()
+        off = arr.offsets.to_numpy()
+        off = off - off[0]
+        vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(vals * 1_000_000.0).astype(np.int64)
+        lens = np.diff(off)
+        dim = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], lens)
+        d_max = int(lens.max()) if lens.size else 0
+        s = np.zeros(d_max, np.int64)
+        s2 = np.zeros(d_max, np.int64)
+        n = np.zeros(d_max, np.int64)
+        np.add.at(s, dim, q)
+        np.add.at(s2, dim, q * q)
+        np.add.at(n, dim, 1)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d_max, dtype=np.int64)),
+                "n": pa.array(n),
+                "sum_q": pa.array(s),
+                "sumsq_q": pa.array(s2),
+            }
+        )
+
+    parts = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by("dim").aggregate([("n", "sum"), ("sum_q", "sum"), ("sumsq_q", "sum")])
+    return pa.table(
+        {
+            "dim": final.column("dim"),
+            "n": final.column("n_sum"),
+            "sum_q": final.column("sum_q_sum"),
+            "sumsq_q": final.column("sumsq_q_sum"),
+        }
+    ).sort_by("dim")
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means (k=8) over the embeddings table
+    (functions/kmeans.py): per batch one matmul assignment + one
+    scatter-add of per-cluster partial sums — the driver merges
+    O(k x dim) floats per batch; deterministic smallest-id seeding makes
+    every run/retry identical.  Rows-only driver check (iterative ML,
+    no SQL equivalent); centroid math pinned against an in-process
+    reference in tests/test_kmeans.py."""
+    from ..functions.kmeans import kmeans
+
+    ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents, _ = kmeans(ds, "embedding", k=8, id_col="vec_id")
+    import numpy as np
+
+    norms = np.floor(np.linalg.norm(cents, axis=1) * 1e6).astype(np.int64)
+    return pa.table(
+        {
+            "cluster": pa.array(np.arange(cents.shape[0], dtype=np.int64)),
+            "centroid_norm_e6": pa.array(norms),
+        }
+    )
+
+
+def q_hybrid_retrieval(sf_dir: str):
+    """Hybrid retrieval: BM25 keyword candidates ('window merge scan')
+    and exact cosine ANN candidates (query = the vec_id=0 embedding)
+    fused with reciprocal-rank fusion (RRF, Cormack et al. 2009:
+    score = sum 1/(60 + rank)).  Composes two already-proved engines —
+    the chunk-store inverted index (pruned term decode) and the
+    broadcast-matmul top-k — with only two 50-row rank lists meeting at
+    the fusion step; both rank orders and the fused score are integer-
+    quantized so the FULL OUTER JOIN window-SQL oracle hash-matches."""
+    from ..functions.search import bm25_search
+    from ..functions.similarity import topk_cosine
+
+    K_LIST, K_OUT, C = 50, 10, 60
+
+    bm = bm25_search(_bm25_index(sf_dir), ["window", "merge", "scan"], k=K_LIST)
+    bm_ids = bm.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # column-projected + row-filtered read: only the vec_id=0 row's
+    # row group leaves storage, never the whole table (r3 verdict item 2)
+    emb = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    q = np.array(emb.column("embedding")[0].as_py(), np.float64)
+    ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # 3x headroom before the quantized re-rank (the q_ann_topk ratio):
+    # e4 ties spanning the raw-sim cutoff must all be available so the
+    # doc_id tie-break matches the oracle's global ORDER BY
+    t = topk_cosine(ds, q, k=3 * K_LIST, dtype=np.float64)
+    sim_e4 = np.rint(t.column("sim").to_numpy() * 1e4).astype(np.int64)
+    vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    aorder = np.lexsort((vid, -sim_e4))[:K_LIST]
+    ann_ids = vid[aorder]
+
+    scores: dict[int, float] = {}
+    for r, d in enumerate(bm_ids, start=1):
+        scores[int(d)] = scores.get(int(d), 0.0) + 1.0 / (C + r)
+    for r, d in enumerate(ann_ids, start=1):
+        scores[int(d)] = scores.get(int(d), 0.0) + 1.0 / (C + r)
+    docs = np.array(sorted(scores), np.int64)
+    rrf = np.floor(np.array([scores[int(d)] for d in docs]) * 1e9).astype(np.int64)
+    order = np.lexsort((docs, -rrf))[:K_OUT]
+    return pa.table({"doc_id": pa.array(docs[order]), "rrf_e9": pa.array(rrf[order])})

@@ -1,0 +1,329 @@
+"""Corpus curation: packing, capping, splits, samplers, upsert.
+
+Split from the monolithic queries.py (r3 verdict item 10); see the
+package __init__ for the registry and the original design docstring.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from ..chunk import DEFAULT_OPTIONS
+from ..pipeline.decode import decode_dataset
+from ..pipeline.encode import encode_dataset
+from ._shared import CACHE_ROOT, _decoded, _to_table, store_for
+from .textq import _lang_pred_ctes, _quality_oracle_sql
+
+
+_BALANCED_K = 100
+
+
+def _balanced_sample_oracle_sql() -> str:
+    from ..functions.sampling import _DENOM
+
+    return _lang_pred_ctes() + f""",
+        cnt AS (SELECT lang_pred, COUNT(*) AS n FROM lang GROUP BY lang_pred),
+        tot AS (SELECT COUNT(*) AS n_total FROM lang),
+        pri AS (
+          SELECT l.doc_id, l.lang_pred,
+                 CAST(FLOOR(
+                   LN((CAST(('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
+                        / {_DENOM!r})
+                   / SQRT(tot.n_total * 1.0 / cnt.n) * 1000000000) AS BIGINT) AS pri_e9
+          FROM lang l JOIN cnt ON l.lang_pred = cnt.lang_pred CROSS JOIN tot
+        )
+        SELECT doc_id, lang_pred, pri_e9 FROM pri
+        ORDER BY pri_e9 DESC, doc_id LIMIT {_BALANCED_K}
+    """
+
+
+PACK_WINDOW_TOKENS = 256
+
+
+def _pack_by_tokens(ds) -> pa.Table:
+    """(doc_id, text) Dataset -> (doc_id, n_tok, win_id) packing table:
+    token counts -> distributed prefix scan -> win_id = offset // window.
+    Shared by q_pack_sequences and the curation flagship so the packing
+    rule lives in exactly one place."""
+    from ..functions.aggregates import with_prefix_sum
+    from ..functions.text import token_counts
+
+    toks = ds.map_batches(token_counts, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        lambda t: t.select(["doc_id", "n_ws_tokens"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    scanned = with_prefix_sum(toks, ["doc_id"], "n_ws_tokens", out="cum_prev")
+
+    def win(t: pa.Table) -> pa.Table:
+        cum = t.column("cum_prev").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tok": t.column("n_ws_tokens"),
+                "win_id": pa.array(cum // PACK_WINDOW_TOKENS),
+            }
+        )
+
+    return _to_table(
+        scanned.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("doc_id")
+
+
+def _pack_oracle_ctes(source_rel: str) -> str:
+    """tok/s CTE block + final SELECT of the packing oracle, over any
+    (doc_id, text) relation — generated from the same PACK_WINDOW_TOKENS
+    constant the engine uses."""
+    return f"""
+        tok AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(string_split_regex(trim(text), '\\s+'))
+                   END AS n_tok
+            FROM {source_rel}
+        ),
+        s AS (
+            SELECT doc_id, n_tok,
+                   COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_prev
+            FROM tok
+        )
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(cum_prev // {PACK_WINDOW_TOKENS} AS BIGINT) AS win_id
+        FROM s ORDER BY doc_id
+    """
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing (concat-then-chunk): documents in doc_id order are
+    laid head-to-tail in token space and cut into fixed
+    PACK_WINDOW_TOKENS context windows — each doc's window id is its
+    exclusive running token offset // window.  The canonical pre-training
+    packing op over a pre-tokenized corpus, built on the distributed
+    prefix-scan primitive (functions/aggregates.with_prefix_sum: O(blocks)
+    driver state, blocks never leave the object store)."""
+    return _pack_by_tokens(_decoded(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+SOURCE_CAP = 20
+
+
+def q_source_cap(sf_dir: str):
+    """Per-source quota capping (the per-domain cap of pretraining data
+    curation): keep the top SOURCE_CAP docs of each source ranked by
+    (n_chars DESC, doc_id), via the distributed window-rank operator
+    (functions/aggregates.with_group_ranks: ROW_NUMBER OVER (PARTITION BY
+    source ORDER BY ...) with an O(blocks) segmented carry — nothing
+    O(sources) anywhere, so the key domain may be unbounded)."""
+    from ..functions.aggregates import with_group_ranks
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    ranked = with_group_ranks(
+        ds, ["source"], ["n_chars", "doc_id"], descending=[True, False], out="rnk"
+    )
+
+    def cap(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t.column("rnk"), SOURCE_CAP))
+
+    out = ranked.map_batches(cap, batch_format="pyarrow", zero_copy_batch=True)
+    return _to_table(out).select(["source", "doc_id", "n_chars", "rnk"]).sort_by(
+        [("source", "ascending"), ("rnk", "ascending")]
+    )
+
+
+def q_hash_split(sf_dir: str):
+    """Deterministic holdout split: md5(doc_id) first hex digit in {0,1}
+    selects a reproducible ~1/8 sample — the standard content-hash split
+    that stays stable across runs, shards, and cluster sizes (no RNG
+    state).  Vectorized through the block-parallel md5 kernel."""
+    from ..functions.md5vec import md5_first_hex
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def split(t: pa.Table) -> pa.Table:
+        # hash the string form of the id (matches SQL md5(doc_id), which
+        # casts non-varchar ids to VARCHAR)
+        keep = pa.array(np.isin(md5_first_hex(t.column("doc_id")), ["0", "1"]))
+        return t.filter(keep)
+
+    out = ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+    return _to_table(out).sort_by("doc_id")
+
+
+CURATION_QUALITY_E6 = 600_000  # keep docs at/above this quality score
+
+
+def q_curation_pipeline(sf_dir: str):
+    """Composed curation flagship — the end-to-end shape a training-data
+    user actually runs, chaining the op library over one decoded stream:
+
+        decode -> quality filter (floor-e6 score >= threshold)
+               -> exact dedup (fingerprint shuffle + partitioned semi-join)
+               -> token counts -> distributed prefix scan
+               -> pack into fixed 256-token context windows
+
+    Every stage is the same oracle-exact operator used standalone, so the
+    whole composition has a single SQL mirror (quality CTE -> GROUP BY
+    dedup -> window-SUM packing)."""
+    from ..functions.dedup import dedup_exact_fingerprint
+    from ..functions.text import quality_score
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def qfilter(t: pa.Table) -> pa.Table:
+        q = quality_score(t, scale_e6=True)
+        mask = pc.greater_equal(q.column("quality_e6"), CURATION_QUALITY_E6)
+        return t.filter(mask)
+
+    kept = ds.map_batches(qfilter, batch_format="pyarrow", zero_copy_batch=True)
+    deduped = dedup_exact_fingerprint(kept, id_col="doc_id", text_col="text")
+    return _pack_by_tokens(deduped)
+
+
+def _curation_oracle_sql() -> str:
+    return f"""
+        WITH q AS ({_quality_oracle_sql()}),
+        kept AS (
+            SELECT d.doc_id, d.text FROM documents d
+            JOIN q ON d.doc_id = q.doc_id
+            WHERE q.quality_e6 >= {CURATION_QUALITY_E6}
+        ),
+        dedup AS (
+            SELECT MIN(doc_id) AS doc_id, text FROM kept GROUP BY text
+        ),
+        {_pack_oracle_ctes("dedup")}
+    """
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-source stratified sampling: source tier
+    (src<i> -> i % 4) sets the keep rate 100%/50%/25%/12.5% via the
+    md5(doc_id) first hex digit — RNG-free, stable across shards and
+    cluster sizes (the sampling analog of q_hash_split).  Per-batch
+    vectorized tier lookup; the md5 bucket reuses decontam.md5_first_hex."""
+    from ..functions.decontam import md5_first_hex
+
+    tier_digits = [None, list("01234567"), list("0123"), list("01")]
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        tiers = (
+            pc.cast(pc.replace_substring_regex(t.column("source"), r"^src", ""), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            % 4
+        )
+        digits = md5_first_hex(t.column("doc_id"))
+        keep = np.ones(t.num_rows, bool)
+        for tier, allowed in enumerate(tier_digits):
+            if allowed is not None:
+                sel = tiers == tier
+                keep[sel] = np.isin(digits[sel], allowed)
+        return t.filter(pa.array(keep))
+
+    out = ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+    return _to_table(out).sort_by("doc_id")
+
+
+def q_weighted_sample(sf_dir: str):
+    """Fixed-size weighted reservoir sample (Efraimidis-Spirakis A-ES)
+    of 100 documents with inclusion priority ln(u)/n_chars — longer docs
+    proportionally likelier.  Deterministic md5-derived uniforms make it
+    RNG-free and shard/retry-stable; per batch only the local top-k
+    leaves the task, and the e9-quantized priorities hash-match the
+    identical-formula DuckDB oracle."""
+    from ..functions.sampling import weighted_sample
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    t = weighted_sample(ds, "doc_id", "n_chars", k=100)
+    return pa.table({"doc_id": t.column("id"), "pri_e9": t.column("pri_e9")})
+
+
+def q_upsert_read(sf_dir: str):
+    """Merge-on-read upsert (functions/upsert.py): a deterministic CDC
+    delta (every doc with doc_id % 17 == 0, text upper-cased, n_chars
+    kept) overlays the immutable base documents store at decode time —
+    delta keys broadcast once behind a bloom fast path, base rows never
+    shuffle, base chunks never rewritten.  The SQL mirror is the
+    canonical anti-join UNION."""
+    from ..functions.upsert import upsert_read
+
+    base = _decoded(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def mk_delta(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (ids % 17) == 0
+        sub = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": sub.column("doc_id"),
+                "text": pc.utf8_upper(sub.column("text")),
+                "n_chars": sub.column("n_chars"),
+            }
+        )
+
+    delta = _decoded(sf_dir, "documents", columns=["doc_id", "text", "n_chars"]).map_batches(
+        mk_delta, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _to_table(upsert_read(base, delta, "doc_id")).sort_by("doc_id")
+
+
+def q_balanced_sample(sf_dir: str):
+    """Temperature-balanced corpus sampling (the multilingual-mix move:
+    sample languages ∝ count^alpha, alpha=0.5): language-ID the decoded
+    stream, lift per-language counts (tiny), give every doc weight
+    sqrt(n_total / n_lang) — IEEE sqrt is exactly rounded, so the weight
+    is bit-identical in SQL — and draw a 100-doc Efraimidis-Spirakis
+    sample with the md5-uniform priorities.  Composes three proved
+    operators (lang_id, distributed count, weighted_sample) into the
+    standard data-mixing pipeline; rarer languages are up-weighted
+    exactly as the alpha=0.5 temperature prescribes."""
+    from ..functions.text import lang_id
+
+    from ..functions.sampling import weighted_sample
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+    # drop text + the unused lang_conf before materializing: only
+    # (doc_id, lang_pred) is pinned in the object store
+    tagged = ds.map_batches(
+        lambda t: lang_id(t).select(["doc_id", "lang_pred"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    counts = _to_table(
+        tagged.map_batches(
+            lambda t: t.group_by("lang_pred").aggregate([([], "count_all")]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    ).group_by("lang_pred").aggregate([("count_all", "sum")])
+    langs = counts.column("lang_pred").combine_chunks()
+    n_by = counts.column("count_all_sum").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_total = float(n_by.sum())
+    weights = pa.array(np.sqrt(n_total / n_by))
+    wref = ray.put((langs, weights))
+
+    def add_weight(t: pa.Table, *, wref) -> pa.Table:
+        langs, weights = ray.get(wref)
+        pos = pc.index_in(t.column("lang_pred"), value_set=langs)
+        return t.append_column("w", pc.take(weights, pos))
+
+    t = weighted_sample(
+        tagged.map_batches(functools.partial(add_weight, wref=wref), batch_format="pyarrow", zero_copy_batch=True),
+        "doc_id",
+        "w",
+        k=_BALANCED_K,
+        payload_cols=["lang_pred"],
+    )
+    return pa.table(
+        {"doc_id": t.column("id"), "lang_pred": t.column("lang_pred"), "pri_e9": t.column("pri_e9")}
+    )

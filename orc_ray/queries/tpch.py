@@ -1,0 +1,1054 @@
+"""TPC-H-ish relational queries: aggregates, joins, rollup, window buckets.
+
+Split from the monolithic queries.py (r3 verdict item 10); see the
+package __init__ for the registry and the original design docstring.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from ..chunk import DEFAULT_OPTIONS
+from ..pipeline.decode import decode_dataset
+from ..pipeline.encode import encode_dataset
+from ._shared import CACHE_ROOT, _decoded, _to_table, store_for
+
+
+def q_agg_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style aggregate over the decoded lineitem stream."""
+    ds = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("l_discount", "sum"), ("l_quantity", "count")]
+        )
+        return g
+
+    # partial per-batch combine, then a tiny final groupby on the driver —
+    # pre-aggregation keeps the shuffle O(groups), not O(rows)
+    partials = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = partials.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("l_quantity_sum", "sum"), ("l_extendedprice_sum", "sum"), ("l_discount_sum", "sum"), ("l_quantity_count", "sum")]
+    )
+    cnt = final.column("l_quantity_count_sum").to_numpy().astype(np.int64)
+    # integer-scaled outputs: the driver compares exact value hashes, and
+    # float sums differ by ULPs between engines depending on add order
+    out = pa.table(
+        {
+            "l_returnflag": final.column("l_returnflag"),
+            "l_linestatus": final.column("l_linestatus"),
+            "sum_qty": pa.array(np.rint(final.column("l_quantity_sum_sum").to_numpy()).astype(np.int64)),
+            "sum_base_price_cents": pa.array(
+                np.rint(final.column("l_extendedprice_sum_sum").to_numpy() * 100).astype(np.int64)
+            ),
+            "avg_disc_e6": pa.array(
+                np.rint(final.column("l_discount_sum_sum").to_numpy() / cnt * 1e6).astype(np.int64)
+            ),
+            "count_order": pa.array(cnt),
+        }
+    )
+    return out.sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def q_filter_groupby_events(sf_dir: str):
+    ds = _decoded(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("event_type").aggregate([("value", "sum"), ("value", "count")])
+
+    partials = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = partials.group_by("event_type").aggregate([("value_sum", "sum"), ("value_count", "sum")])
+    return pa.table(
+        {
+            "event_type": final.column("event_type"),
+            "total_value_cents": pa.array(
+                np.rint(final.column("value_sum_sum").to_numpy() * 100).astype(np.int64)
+            ),
+            "n_events": final.column("value_count_sum"),
+        }
+    ).sort_by("event_type")
+
+
+def q_join_orders_customer(sf_dir: str):
+    """Broadcast hash join: small side shipped once via ray.put, probed
+    inside map_batches — no all-to-all shuffle (SURVEY.md §7.3)."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup_ref = ray.put(
+        (cust.column("c_custkey").combine_chunks(), cust.column("c_mktsegment").combine_chunks())
+    )
+    ds = _decoded(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def add_segment(t: pa.Table, *, ref=lookup_ref) -> pa.Table:
+        # broadcast join probe: the small side is in the object store once
+        # (ray.put above); ray.get here is a local zero-copy fetch, and the
+        # probe is a fully vectorized hash lookup (index_in + take), not a
+        # per-row dict.get loop.  Plain-function stage -> warm task workers
+        # (no per-query actor pool spawn).
+        keys, segs = ray.get(ref)
+        idx = pc.index_in(t.column("o_custkey"), value_set=keys)
+        seg = pc.take(segs, idx)  # unmatched keys -> null segment
+        t = t.append_column("c_mktsegment", seg)
+        return t.group_by("c_mktsegment").aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+
+    partials = _to_table(
+        ds.map_batches(add_segment, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    final = partials.group_by("c_mktsegment").aggregate(
+        [("o_totalprice_sum", "sum"), ("o_totalprice_count", "sum")]
+    )
+    return pa.table(
+        {
+            "c_mktsegment": final.column("c_mktsegment"),
+            "revenue_cents": pa.array(
+                np.rint(final.column("o_totalprice_sum_sum").to_numpy() * 100).astype(np.int64)
+            ),
+            "n_orders": final.column("o_totalprice_count_sum"),
+        }
+    ).sort_by("c_mktsegment")
+
+
+def q_point_lookup_events(sf_dir: str):
+    """Point lookup by equality predicate: chunk-level manifest pruning +
+    sub-chunk stride seek (the RowIndexEntry/seekToRowGroup analog) keep
+    the decode to the few 512-row blocks that can match."""
+    return _decoded(sf_dir, "events", predicates=[("event_id", "==", 777)])
+
+
+def q_window_hourly_events(sf_dir: str):
+    """Tumbling hourly window aggregate per event_type — the windowed-
+    aggregate op over the timestamp column (exercises the ts codec path).
+    Pre-aggregated per batch; the final groupby is O(windows), not O(rows)."""
+    ds = _decoded(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us // 3_600_000_000) * 3600  # epoch seconds of hour start
+        t2 = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour_epoch": pa.array(hour),
+                "value": t.column("value"),
+            }
+        )
+        return t2.group_by(["event_type", "hour_epoch"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    partials = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = partials.group_by(["event_type", "hour_epoch"]).aggregate(
+        [("value_sum", "sum"), ("value_count", "sum")]
+    )
+    return pa.table(
+        {
+            "event_type": final.column("event_type"),
+            "hour_epoch": final.column("hour_epoch"),
+            "total_value_cents": pa.array(
+                np.rint(final.column("value_sum_sum").to_numpy() * 100).astype(np.int64)
+            ),
+            "n_events": final.column("value_count_sum"),
+        }
+    ).sort_by([("event_type", "ascending"), ("hour_epoch", "ascending")])
+
+
+def q_top_revenue_orders(sf_dir: str):
+    """Distributed top-k by sort key: per-batch local top-100, driver
+    merges k rows per batch — no global sort shuffle (ORDER BY ... LIMIT
+    analog at scale)."""
+    K = 100
+    ds = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        key = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -price))[:K]
+        return t.take(pa.array(order))
+
+    partials = _to_table(ds.map_batches(local_top, batch_format="pyarrow", zero_copy_batch=True))
+    price = partials.column("o_totalprice").to_numpy(zero_copy_only=False)
+    key = partials.column("o_orderkey").to_numpy(zero_copy_only=False)
+    order = np.lexsort((key, -price))[:K]
+    top = partials.take(pa.array(order))
+    return pa.table(
+        {
+            "o_orderkey": top.column("o_orderkey"),
+            "totalprice_cents": pa.array(
+                np.rint(top.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+            ),
+        }
+    )
+
+
+def q_distinct_users(sf_dir: str):
+    """COUNT(DISTINCT user_id) per event_type: per-batch distinct pairs
+    (the partial-dedup combiner) cut the shuffle to O(distinct pairs per
+    batch); the global pair dedup runs as a DISTRIBUTED groupby (the pair
+    domain is unbounded at scale — never driver-side), and only the tiny
+    per-type counts reach the driver."""
+    ds = _decoded(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    deduped = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    # distributed global dedup + per-type count: one shuffle on the pair;
+    # agg_by_keys (sort + Arrow-vectorized block group_by) — the pair
+    # domain is unbounded at scale, and Ray aggregate's per-group Python
+    # reduce would pay O(distinct pairs) driver-side calls
+    from ..functions.aggregates import agg_by_keys
+
+    distinct = agg_by_keys(deduped, ["event_type", "user_id"], [("user_id", "count_all", "_c")])
+
+    def count_per_type(t: pa.Table) -> pa.Table:
+        return t.group_by("event_type").aggregate([("user_id", "count")])
+
+    partials = _to_table(
+        distinct.map_batches(count_per_type, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    final = partials.group_by("event_type").aggregate([("user_id_count", "sum")])
+    return pa.table(
+        {
+            "event_type": final.column("event_type"),
+            "n_users": final.column("user_id_count_sum").cast(pa.int64()),
+        }
+    ).sort_by("event_type")
+
+
+def q_median_value(sf_dir: str):
+    """EXACT distributed per-group median (PERCENTILE_DISC(0.5)): the
+    smallest value whose within-group rank reaches ceil(n/2).  Group
+    counts are a tiny aggregate; ranks come from ONE global sort by
+    (group, value, tiebreak) + the distributed prefix scan of ones —
+    no per-group sort, no driver-side value lists.  Exact quantiles are
+    inherently rank-selection; this is the sort-once shape that scales."""
+    import ray
+
+    from ..functions.aggregates import with_prefix_sum
+
+    ds = _decoded(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    # group counts (bounded distinct types) -> per-type target global rank
+    def cnt(t: pa.Table) -> pa.Table:
+        return t.group_by("event_type").aggregate([("value", "count")])
+
+    counts = _to_table(ds.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True))
+    counts = counts.group_by("event_type").aggregate([("value_count", "sum")])
+    types = counts.column("event_type").to_pylist()
+    ns = counts.column("value_count_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    order_t = np.argsort(np.asarray(types, dtype=object))
+    types = [types[i] for i in order_t]
+    ns = ns[order_t]
+    group_start = np.zeros(len(types), dtype=np.int64)
+    np.cumsum(ns[:-1], out=group_start[1:])
+    # global rank of each group's median element ((n+1)//2 within group)
+    targets = group_start + (ns + 1) // 2
+    tref = ray.put((pa.array(types, pa.string()), targets))
+
+    ones = ds.map_batches(
+        lambda t: t.append_column("one", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    scanned = with_prefix_sum(
+        ones, ["event_type", "value", "event_id"], "one", out="rank", inclusive=True
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        # vectorized: map each row's group to its target rank (index_in +
+        # take), keep rows whose global rank equals it — no per-row Python
+        type_arr, tgt_ranks = ray.get(tref)
+        ranks = t.column("rank").to_numpy(zero_copy_only=False)
+        idx = pc.index_in(t.column("event_type"), value_set=type_arr)
+        tgt = np.r_[tgt_ranks, -1][
+            pc.fill_null(idx, len(tgt_ranks)).to_numpy(zero_copy_only=False).astype(np.int64)
+        ]
+        sub = t.filter(pa.array(ranks == tgt))
+        return pa.table(
+            {
+                "event_type": sub.column("event_type"),
+                "median_cents": pa.array(
+                    np.rint(sub.column("value").to_numpy(zero_copy_only=False) * 100).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    return _to_table(
+        scanned.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("event_type")
+
+
+def q_running_revenue(sf_dir: str):
+    """Per-customer running revenue — SUM OVER (PARTITION BY customer
+    ORDER BY date) — via the segmented distributed prefix sum
+    (functions/aggregates.with_group_prefix_sum: O(blocks) keyed carry,
+    nothing O(customers) anywhere)."""
+    from ..functions.aggregates import with_group_prefix_sum
+
+    ds = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderdate": t.column("o_orderdate").cast(pa.int64()),
+                "cents": pa.array(c),
+            }
+        )
+
+    scanned = with_group_prefix_sum(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        "cents",
+        out="running_cents",
+    )
+    return _to_table(
+        scanned.map_batches(
+            lambda t: t.select(["o_orderkey", "running_cents"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    ).sort_by("o_orderkey")
+
+
+def q_order_gaps(sf_dir: str):
+    """Days since the customer's previous order — LAG OVER (PARTITION BY
+    customer ORDER BY date, key) via the distributed window-LAG operator
+    (functions/aggregates.with_group_lag); null for first orders."""
+    from ..functions.aggregates import with_group_lag
+
+    ds = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "ts_us": t.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    lagged = with_group_lag(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"],
+        ["ts_us", "o_orderkey"],
+        "ts_us",
+        out="prev_us",
+    )
+
+    def gap(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.subtract(t.column("ts_us"), t.column("prev_us")), 86_400_000_000)
+        return pa.table({"o_orderkey": t.column("o_orderkey"), "gap_days": d})
+
+    return _to_table(
+        lagged.map_batches(gap, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("o_orderkey")
+
+
+def q_global_quantiles(sf_dir: str):
+    """Exact global quantiles (p50/p90/p99) of events.value, quantized to
+    e6 integers so the DuckDB quantile_disc oracle hash-matches without
+    float ambiguity.
+
+    Shape: per-batch np.unique combiner -> ONE sum_by_keys over the value
+    domain (the distributed value-histogram — the classic exact-quantile
+    shape at scale) -> O(distinct quantized values) driver cumsum +
+    searchsorted selection.  quantile_disc semantics: the smallest value
+    whose running count reaches ceil(q * n)."""
+    from ..functions.aggregates import sum_by_keys
+
+    ds = _decoded(sf_dir, "events", columns=["value"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        v = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 1_000_000).astype(
+            np.int64
+        )
+        d, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(d), "c": pa.array(c.astype(np.int64))})
+
+    dist = sum_by_keys(
+        ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True), ["v"], "c"
+    )
+    tbl = _to_table(dist)
+    v = tbl.column("v").to_numpy(zero_copy_only=False)
+    c = tbl.column("c").to_numpy(zero_copy_only=False)
+    order = np.argsort(v, kind="stable")
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    out_q, out_v = [], []
+    for label, q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
+        k = int(np.ceil(q * n))
+        out_q.append(label)
+        out_v.append(int(v[np.searchsorted(cum, k)]))
+    return pa.table({"q": pa.array(out_q), "val_e6": pa.array(out_v, pa.int64())})
+
+
+def q_join_lineitem_orders(sf_dir: str):
+    """Large-large distributed join: lineitem revenue per order (exact
+    integer e4 cents — no float-order ambiguity) via the distributed
+    sum_by_keys aggregate, then a HASH-SHUFFLE JOIN to orders with
+    ray.data Dataset.join (both sides co-partitioned by key — neither is
+    broadcast, unlike q_join_orders_customer's small-side ray.put path),
+    then a tiny per-priority rollup.  The two join strategies together
+    cover ORC's host-engine join surface (SURVEY.md §2.8)."""
+    li = _decoded(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev_e4": pa.array(e * (100 - d))}
+        )
+
+    from ..functions.aggregates import sum_by_keys
+
+    per_order = sum_by_keys(
+        li.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"],
+        "rev_e4",
+    )
+    orders = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = per_order.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "rev_e4_sum": pa.array([], pa.int64()),
+                    "count_all": pa.array([], pa.int64()),
+                }
+            )
+        return t.group_by(["o_orderpriority"]).aggregate(
+            [("rev_e4", "sum"), ([], "count_all")]
+        )
+
+    parts = _to_table(joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by(["o_orderpriority"]).aggregate(
+        [("rev_e4_sum", "sum"), ("count_all", "sum")]
+    )
+    return pa.table(
+        {
+            "o_orderpriority": final.column("o_orderpriority"),
+            "rev_e4": final.column("rev_e4_sum_sum"),
+            "n_orders": final.column("count_all_sum"),
+        }
+    ).sort_by("o_orderpriority")
+
+
+def q_top_segment_revenue(sf_dir: str):
+    """TPC-H Q3 analog — a THREE-table composition exercising every join
+    strategy the engine offers in one pipeline: broadcast semi-join
+    (customer segment keys via ray.put, probed with a vectorized is_in),
+    predicate-pushdown decodes on BOTH fact streams (the l_shipdate /
+    o_orderdate chunk+stride pruning is the SargsApplier analog; temporal
+    literals are epoch-us ints so one literal form drives stats pruning
+    and the row filter), distributed sum_by_keys revenue, a hash-shuffle
+    Dataset.join (neither fact side broadcast), and local top-k with an
+    O(blocks x 10) driver merge — no global sort."""
+    from ..functions.aggregates import sum_by_keys
+
+    cut_us = 883_612_800_000_000  # 1998-01-01 00:00:00 UTC in epoch-us
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = (
+        cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+        .column("c_custkey")
+        .combine_chunks()
+    )
+    keys_ref = ray.put(keys)
+
+    li = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        predicates=[("l_shipdate", ">", cut_us)],
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev_e4": pa.array(e * (100 - d))}
+        )
+
+    rev = sum_by_keys(
+        li.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"],
+        "rev_e4",
+    )
+
+    orders = _decoded(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        predicates=[("o_orderdate", "<", cut_us)],
+    )
+
+    def seg_filter(t: pa.Table, *, ref=keys_ref) -> pa.Table:
+        ks = ray.get(ref)  # local zero-copy object-store fetch
+        sub = t.filter(pc.is_in(t.column("o_custkey"), value_set=ks))
+        return sub.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    orders_f = orders.map_batches(seg_filter, batch_format="pyarrow", zero_copy_batch=True)
+    joined = rev.join(
+        orders_f,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    sort_keys = [
+        ("rev_e4", "descending"),
+        ("o_orderdate", "ascending"),
+        ("l_orderkey", "ascending"),
+    ]
+
+    def local_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({})
+        return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:10])
+
+    tops = _to_table(joined.map_batches(local_top, batch_format="pyarrow", zero_copy_batch=True))
+    out = tops.take(pc.sort_indices(tops, sort_keys=sort_keys)[:10])
+    return pa.table(
+        {
+            "o_orderkey": out.column("l_orderkey"),
+            "rev_e4": out.column("rev_e4"),
+            "o_orderdate": out.column("o_orderdate"),
+            "o_orderpriority": out.column("o_orderpriority"),
+        }
+    )
+
+
+def q_nation_revenue(sf_dir: str):
+    """TPC-H Q5 analog — the star-schema multi-join covering ALL the dim
+    tables (region ⋈ nation ⋈ supplier ⋈ customer): 1996 revenue per
+    ASIA nation where the supplier and customer share the nation.
+
+    Shape: the three dim maps (nation-region, supplier->nation,
+    customer->nation) are broadcast ONCE via ray.put and probed with
+    vectorized index_in inside map_batches; orders decodes under an
+    o_orderdate predicate pushdown and — being ~3% selective — rides the
+    BROADCAST arm of join_adaptive, so the lineitem stream never
+    shuffles at all: one pass, per-batch O(nations) partials, tiny
+    driver rollup.  Past the broadcast threshold the same call becomes a
+    hash-shuffle Dataset.join (exercised by q_join_lineitem_orders /
+    q_top_segment_revenue), where the sum_by_keys pre-aggregation
+    pattern applies."""
+    lo_us = 820_454_400_000_000  # 1996-01-01 epoch-us
+    hi_us = 852_076_800_000_000  # 1997-01-01 epoch-us
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia_rk = region.filter(pc.equal(region.column("r_name"), "ASIA")).column("r_regionkey")
+    asia = nation.filter(pc.is_in(nation.column("n_regionkey"), value_set=asia_rk.combine_chunks()))
+    asia_keys = asia.column("n_nationkey").combine_chunks()
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    dims_ref = ray.put(
+        (
+            asia_keys,
+            supp.column("s_suppkey").combine_chunks(),
+            supp.column("s_nationkey").combine_chunks(),
+            cust.column("c_custkey").combine_chunks(),
+            cust.column("c_nationkey").combine_chunks(),
+        )
+    )
+
+    li = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_stage(t: pa.Table, *, ref=dims_ref) -> pa.Table:
+        asia_k, sk, sn, _, _ = ray.get(ref)
+        s_nat = pc.take(sn, pc.index_in(t.column("l_suppkey"), value_set=sk))
+        keep = pc.is_in(s_nat, value_set=asia_k)
+        t = t.append_column("s_nat", s_nat).filter(keep)
+        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "s_nat": t.column("s_nat"),
+                "rev_e4": pa.array(e * (100 - d)),
+            }
+        )
+
+    li_rev = li.map_batches(li_stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = _decoded(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        predicates=[
+            ("and", ("o_orderdate", ">=", lo_us), ("o_orderdate", "<", hi_us))
+        ],
+    )
+
+    def ord_stage(t: pa.Table, *, ref=dims_ref) -> pa.Table:
+        asia_k, _, _, ck, cn = ray.get(ref)
+        c_nat = pc.take(cn, pc.index_in(t.column("o_custkey"), value_set=ck))
+        t = t.append_column("c_nat", c_nat)
+        t = t.filter(pc.is_in(t.column("c_nat"), value_set=asia_k))
+        return t.select(["o_orderkey", "c_nat"])
+
+    orders_f = orders.map_batches(ord_stage, batch_format="pyarrow", zero_copy_batch=True)
+    from ..functions.joins import join_adaptive
+
+    # past the broadcast threshold, RESTORE the sum_by_keys
+    # pre-aggregation before the hash-shuffle join (the at-scale path
+    # must shuffle (l_orderkey, s_nat) partials, not raw lineitem rows)
+    orders_small = orders_f.materialize()
+    if orders_small.count() > 500_000:
+        from ..functions.aggregates import sum_by_keys
+
+        li_rev = sum_by_keys(li_rev, ["l_orderkey", "s_nat"], "rev_e4")
+    joined = join_adaptive(
+        li_rev,
+        orders_small,
+        big_key="l_orderkey",
+        small_key="o_orderkey",
+        payload_cols=["c_nat"],
+    )
+
+    def nat_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"nat": pa.array([], pa.int64()), "rev_e4": pa.array([], pa.int64())}
+            )
+        t = t.filter(pc.equal(t.column("s_nat"), t.column("c_nat")))
+        g = t.group_by("s_nat").aggregate([("rev_e4", "sum")])
+        return pa.table(
+            {
+                "nat": g.column("s_nat").cast(pa.int64()),
+                "rev_e4": g.column("rev_e4_sum"),
+            }
+        )
+
+    parts = _to_table(joined.map_batches(nat_partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by("nat").aggregate([("rev_e4", "sum")])
+    name_of = dict(
+        zip(asia.column("n_nationkey").to_pylist(), asia.column("n_name").to_pylist())
+    )
+    names = [name_of[k] for k in final.column("nat").to_pylist()]
+    return pa.table(
+        {
+            "n_name": pa.array(names, pa.string()),
+            "rev_e4": final.column("rev_e4_sum"),
+        }
+    ).sort_by([("rev_e4", "descending"), ("n_name", "ascending")])
+
+
+def _month_id_from_epoch_us(us: np.ndarray) -> np.ndarray:
+    """epoch-us -> calendar month id (12*y + m-1), vectorized via
+    Hinnant's civil-from-days algorithm (shared by promo_share and
+    order_clusters)."""
+    days = us // 86_400_000_000
+    z = days + 719_468
+    era = z // 146_097
+    doe = z - era * 146_097
+    yoe = (doe - doe // 1460 + doe // 36_524 - doe // 146_096) // 365
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    m = mp + 3 - 12 * (mp // 10)
+    y = yoe + era * 400 + (mp // 10)
+    return y * 12 + (m - 1)
+
+
+def q_promo_share(sf_dir: str):
+    """TPC-H Q14 analog (covers the `part` dim): monthly revenue split by
+    whether the part is a PROMO type.  The part->is_promo bitmap is
+    broadcast once (ray.put), probed with index_in; per-batch partials
+    emit O(months) rows; the final rollup is tiny."""
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    pk = part.column("p_partkey").combine_chunks()
+    promo = pc.starts_with(part.column("p_type").combine_chunks(), "PROMO")
+    ref = ray.put((pk, promo))
+
+    ds = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table, *, ref=ref) -> pa.Table:
+        pk, promo = ray.get(ref)
+        isp = pc.take(promo, pc.index_in(t.column("l_partkey"), value_set=pk))
+        us = t.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        month_id = _month_id_from_epoch_us(us)
+        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        rev = e * (100 - d)
+        ispn = isp.to_numpy(zero_copy_only=False).astype(bool)
+        g = pa.table(
+            {
+                "month_id": pa.array(month_id),
+                "promo_rev": pa.array(np.where(ispn, rev, 0)),
+                "total_rev": pa.array(rev),
+            }
+        ).group_by("month_id").aggregate([("promo_rev", "sum"), ("total_rev", "sum")])
+        return pa.table(
+            {
+                "month_id": g.column("month_id"),
+                "promo_rev": g.column("promo_rev_sum"),
+                "total_rev": g.column("total_rev_sum"),
+            }
+        )
+
+    parts = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by("month_id").aggregate([("promo_rev", "sum"), ("total_rev", "sum")])
+    return pa.table(
+        {
+            "month_id": final.column("month_id"),
+            "promo_rev_e4": final.column("promo_rev_sum"),
+            "total_rev_e4": final.column("total_rev_sum"),
+        }
+    ).sort_by("month_id")
+
+
+_ROLLUP_ALL = "\x00ALL"  # non-null sentinel for rolled-up dims (sum_by_keys keys must be non-null)
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUPING SETS / ROLLUP aggregate: lineitem revenue at three levels
+    — (returnflag, linestatus), (returnflag), () — in ONE pass.  Each
+    batch emits partial rows for every level (the rolled-up dims carry a
+    sentinel, mapped to SQL NULL at the end), so the shuffle stays
+    O(groups x levels) and no second scan of the data is needed — the
+    classic one-pass cube shape."""
+    from ..functions.aggregates import sum_by_keys
+
+    ds = _decoded(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        base = (
+            pa.table(
+                {
+                    "f": t.column("l_returnflag"),
+                    "s": t.column("l_linestatus"),
+                    "rev": pa.array(e * (100 - d)),
+                }
+            )
+            .group_by(["f", "s"])
+            .aggregate([("rev", "sum")])
+        )
+        lvl0 = pa.table(
+            {"f": base.column("f"), "s": base.column("s"), "rev": base.column("rev_sum")}
+        )
+        up1 = lvl0.group_by("f").aggregate([("rev", "sum")])
+        lvl1 = pa.table(
+            {
+                "f": up1.column("f"),
+                "s": pa.array([_ROLLUP_ALL] * up1.num_rows, pa.string()),
+                "rev": up1.column("rev_sum"),
+            }
+        )
+        total = int(pc.sum(lvl0.column("rev")).as_py() or 0)
+        lvl2 = pa.table(
+            {
+                "f": pa.array([_ROLLUP_ALL], pa.string()),
+                "s": pa.array([_ROLLUP_ALL], pa.string()),
+                "rev": pa.array([total], pa.int64()),
+            }
+        )
+        return pa.concat_tables([lvl0, lvl1, lvl2])
+
+    agg = sum_by_keys(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["f", "s"],
+        "rev",
+        out="rev_e4",
+    )
+    tbl = _to_table(agg)
+    null_f = pc.equal(tbl.column("f"), _ROLLUP_ALL)
+    null_s = pc.equal(tbl.column("s"), _ROLLUP_ALL)
+    return pa.table(
+        {
+            "l_returnflag": pc.if_else(null_f, pa.scalar(None, pa.string()), tbl.column("f")),
+            "l_linestatus": pc.if_else(null_s, pa.scalar(None, pa.string()), tbl.column("s")),
+            "rev_e4": tbl.column("rev_e4"),
+        }
+    ).sort_by(
+        [("l_returnflag", "ascending"), ("l_linestatus", "ascending")]
+    )
+
+
+def q_group_quantiles(sf_dir: str):
+    """Exact per-group quantiles (p50/p90/p99 of events.value per
+    event_type), e6-quantized — the grouped extension of
+    q_global_quantiles' distributed value-histogram shape.
+
+    Per-batch Arrow group_by combiner over (event_type, v) -> ONE
+    sum_by_keys -> the driver sees only the distinct (group, value)
+    histogram (the documented exact-quantile ceiling), lexsorts once and
+    selects per-group with vectorized cumsums."""
+    from ..functions.aggregates import sum_by_keys
+
+    ds = _decoded(sf_dir, "events", columns=["event_type", "value"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        v = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 1_000_000).astype(
+            np.int64
+        )
+        g = (
+            pa.table({"g": t.column("event_type"), "v": pa.array(v)})
+            .group_by(["g", "v"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({"g": g.column("g"), "v": g.column("v"), "c": g.column("count_all")})
+
+    dist = sum_by_keys(
+        ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True), ["g", "v"], "c"
+    )
+    tbl = _to_table(dist)
+    gs = tbl.column("g").to_numpy(zero_copy_only=False)
+    v = tbl.column("v").to_numpy(zero_copy_only=False)
+    c = tbl.column("c").to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, gs))
+    gs, v, c = gs[order], v[order], c[order]
+    brk = np.ones(gs.size, dtype=bool)
+    brk[1:] = gs[1:] != gs[:-1]
+    starts = np.flatnonzero(brk)
+    ends = np.r_[starts[1:], gs.size]
+    out_g, out_q, out_v = [], [], []
+    for st, en in zip(starts, ends):
+        cum = np.cumsum(c[st:en])
+        n = int(cum[-1])
+        for label, q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
+            k = int(np.ceil(q * n))
+            out_g.append(gs[st])
+            out_q.append(label)
+            out_v.append(int(v[st + np.searchsorted(cum, k)]))
+    return pa.table(
+        {
+            "event_type": pa.array(out_g, pa.string()),
+            "q": pa.array(out_q, pa.string()),
+            "val_e6": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
+def q_bloom_join(sf_dir: str, stats_out: dict | None = None):
+    """Bloom-pruned semi-join: lineitem ⋈ high-value orders
+    (o_totalprice > 475000, ~5% of orders).
+
+    The build side streams through ``build_bloom_stream`` (one
+    fixed-geometry partial filter per batch, OR-merged — O(batches x KiB)
+    driver traffic), the merged filter is broadcast ONCE (``ray.put``),
+    and every lineitem batch probes it vectorized
+    (``bloom.might_contain_many``) BEFORE any join work: rows whose key
+    is definitely absent (~95% here) are dropped inside the map task, so
+    at 100 TB the join moves ~5%+fpp of the big side instead of all of
+    it.  Survivors resolve against the exact broadcast (key -> priority)
+    dict, which also eliminates bloom false positives — the result is
+    exact.  Join-pruning analog of the reference's BloomFilterUtf8 +
+    SargsApplier chunk skipping (SURVEY.md §2.5), applied to the shuffle
+    instead of the scan."""
+    THRESH = 475000.0
+    hi = _decoded(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+        predicates=[("o_totalprice", ">", THRESH)],
+    )
+    n_orders_total = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+    from ..functions.joins import build_bloom_stream
+
+    # geometry from the EXPECTED filtered cardinality (~5% + slack);
+    # sizing from a prior estimate keeps the build one-pass
+    filt = build_bloom_stream(hi, "o_orderkey", expected_items=max(1024, n_orders_total // 10), fpp=0.01)
+
+    # exact small side: (key -> priority) for false-positive elimination +
+    # payload.  Documented ceiling: one object-store copy per node; for a
+    # larger build side, hash-partition both sides (q_join_lineitem_orders).
+    hi_t = _to_table(hi)
+    keys = hi_t.column("o_orderkey").combine_chunks()
+    prio = hi_t.column("o_orderpriority").combine_chunks()
+    bref = ray.put((filt, keys, prio))
+
+    li = _decoded(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def probe(t: pa.Table, *, bref) -> pa.Table:
+        from ..codecs import bloom as _bloom
+
+        filt, keys, prio = ray.get(bref)
+        lk = t.column("l_orderkey").combine_chunks() if isinstance(t.column("l_orderkey"), pa.ChunkedArray) else t.column("l_orderkey")
+        rows_in = t.num_rows
+        keep = _bloom.might_contain_many(filt, lk)
+        rows_bloom = int(keep.sum())
+        sub = t.filter(pa.array(keep))
+        # exact resolve kills bloom false positives
+        pos = pc.index_in(sub.column("l_orderkey"), value_set=keys)
+        hit = pc.is_valid(pos)
+        sub = sub.filter(hit)
+        pos = pos.filter(hit)
+        if sub.num_rows == 0:
+            g = pa.table({"o_orderpriority": pa.array([""], pa.string()),
+                          "rev_e4": pa.array([0], pa.int64()),
+                          "n_items": pa.array([0], pa.int64())})
+        else:
+            e = np.rint(sub.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+            d = np.rint(sub.column("l_discount").to_numpy() * 100).astype(np.int64)
+            g = pa.table(
+                {"o_orderpriority": pc.take(prio, pos), "rev_e4": pa.array(e * (100 - d))}
+            ).group_by("o_orderpriority").aggregate([("rev_e4", "sum"), ([], "count_all")])
+            g = g.rename_columns(["o_orderpriority", "rev_e4", "n_items"])
+        # per-batch pruning counters ride on the first group row; summed in
+        # the final rollup, asserted (kept << in) by tests
+        bin_ = np.zeros(g.num_rows, np.int64)
+        bkept = np.zeros(g.num_rows, np.int64)
+        bin_[0], bkept[0] = rows_in, rows_bloom
+        return g.append_column("b_in", pa.array(bin_)).append_column("b_kept", pa.array(bkept))
+
+    parts = _to_table(li.map_batches(functools.partial(probe, bref=bref), batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by("o_orderpriority").aggregate(
+        [("rev_e4", "sum"), ("n_items", "sum"), ("b_in", "sum"), ("b_kept", "sum")]
+    )
+    if stats_out is not None:
+        stats_out["rows_in"] = int(pc.sum(final.column("b_in_sum")).as_py())
+        stats_out["rows_after_bloom"] = int(pc.sum(final.column("b_kept_sum")).as_py())
+    final = final.filter(pc.greater(final.column("n_items_sum"), 0))  # drop the empty-batch counter rows
+    return pa.table(
+        {
+            "o_orderpriority": final.column("o_orderpriority"),
+            "rev_e4": final.column("rev_e4_sum"),
+            "n_items": final.column("n_items_sum"),
+        }
+    ).sort_by("o_orderpriority")
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_weekday(sf_dir: str):
+    """PIVOT: weekday x event_type count matrix — the rows-to-columns
+    reshape every reporting layer runs.  Distributed shape: each batch
+    computes its own tiny pivot (one group_by + a CASE-mask sum per
+    known column — the SQL PIVOT lowering), partials sum on the driver
+    at O(7 x types).  Weekday from epoch-days (1970-01-01 was a
+    Thursday: (days + 4) % 7 gives 0=Sunday, DuckDB's dayofweek)."""
+    ds = _decoded(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wd = ((us // 86_400_000_000 + 4) % 7).astype(np.int64)
+        et = t.column("event_type").combine_chunks() if isinstance(t.column("event_type"), pa.ChunkedArray) else t.column("event_type")
+        cols = {"weekday": []}
+        mats = np.zeros((7, len(_EVENT_TYPES)), np.int64)
+        codes_arr = pc.index_in(et, value_set=pa.array(_EVENT_TYPES))
+        known = pc.is_valid(codes_arr).to_numpy(zero_copy_only=False)
+        codes = codes_arr.to_numpy(zero_copy_only=False)
+        np.add.at(mats, (wd[known], codes[known].astype(np.int64)), 1)
+        cols["weekday"] = pa.array(np.arange(7, dtype=np.int64))
+        out = {"weekday": cols["weekday"]}
+        for j, name in enumerate(_EVENT_TYPES):
+            out[f"n_{name}"] = pa.array(mats[:, j])
+        return pa.table(out)
+
+    parts = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by("weekday").aggregate([(f"n_{n}", "sum") for n in _EVENT_TYPES])
+    out = {"weekday": final.column("weekday")}
+    for n in _EVENT_TYPES:
+        out[f"n_{n}"] = final.column(f"n_{n}_sum")
+    return pa.table(out).sort_by("weekday")
+
+
+def q_revenue_quartiles(sf_dir: str):
+    """NTILE(4) revenue quartiles over orders — equal-population rank
+    bucketing via the distributed window-rank operator (with_group_ranks
+    with a constant partition key: one range sort, O(blocks) driver
+    carry, vectorized in-block ordinals), then the standard NTILE split
+    (first n%4 buckets one row larger) and O(4 x blocks) partials."""
+    from ..functions.aggregates import with_group_ranks
+
+    n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+    ds = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(t.num_rows, np.int64)),
+                "o_orderkey": t.column("o_orderkey"),
+                "cents": pa.array(cents),
+            }
+        )
+
+    ranked = with_group_ranks(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["g"],
+        ["cents", "o_orderkey"],
+    )
+    q_, r_ = divmod(n_orders, 4)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "n_orders": pa.array([], pa.int64()),
+                 "revenue_cents": pa.array([], pa.int64())}
+            )
+        rnk = t.column("rnk").to_numpy(zero_copy_only=False)  # 1-based
+        # NTILE: first r_ buckets have q_+1 rows, the rest q_
+        cut = r_ * (q_ + 1)
+        b = np.where(rnk <= cut, (rnk - 1) // max(q_ + 1, 1), r_ + (rnk - 1 - cut) // max(q_, 1))
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        out = np.zeros(4, np.int64)
+        cnt = np.zeros(4, np.int64)
+        np.add.at(out, b, cents)
+        np.add.at(cnt, b, 1)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(1, 5, dtype=np.int64)),
+                "n_orders": pa.array(cnt),
+                "revenue_cents": pa.array(out),
+            }
+        )
+
+    parts = _to_table(ranked.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by("bucket").aggregate([("n_orders", "sum"), ("revenue_cents", "sum")])
+    return pa.table(
+        {
+            "bucket": final.column("bucket"),
+            "n_orders": final.column("n_orders_sum"),
+            "revenue_cents": final.column("revenue_cents_sum"),
+        }
+    ).sort_by("bucket")
