@@ -37,6 +37,12 @@ def cmd_encode(a) -> int:
             if "=" not in kv:
                 raise SystemExit(f"--mask expects COL=MASK, got {kv!r}")
         opts.masks = dict(kv.split("=", 1) for kv in a.mask)
+    if a.encrypt:
+        for kv in a.encrypt:
+            if "=" not in kv:
+                raise SystemExit(f"--encrypt expects COL=KEYNAME, got {kv!r}")
+        opts.encrypt = dict(kv.split("=", 1) for kv in a.encrypt)
+        opts.encryption_keys = _load_keystore(a.keystore)
     rec = encode_dataset(
         a.input,
         a.store,
@@ -50,6 +56,17 @@ def cmd_encode(a) -> int:
     )
     print(json.dumps(rec["totals"]))
     return 0
+
+
+def _load_keystore(path: str | None) -> dict:
+    """JSON keystore {key name -> hex key material} — the orc-tools `key` /
+    InMemoryKeystore analog for local runs (a real deployment would resolve
+    names through a KMS instead)."""
+    if not path:
+        raise SystemExit("--encrypt/--keys requires --keystore KEYS.json")
+    with open(path) as f:
+        raw = json.load(f)
+    return {name: bytes.fromhex(hexkey) for name, hexkey in raw.items()}
 
 
 def _parse_where(expr: str | None):
@@ -69,6 +86,7 @@ def cmd_decode(a) -> int:
         a.store,
         columns=a.columns.split(",") if a.columns else None,
         predicates=_parse_where(a.where),
+        keys=_load_keystore(a.keystore) if a.keystore else None,
     )
     if a.out:
         # partitioned export: one directory per key value (hive layout) —
@@ -183,6 +201,9 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     e = sub.add_parser("encode")
+    e.add_argument("--encrypt", action="append",
+                   help="COL=KEYNAME: AES-CTR-encrypt a column under a keystore key (repeatable)")
+    e.add_argument("--keystore", help="JSON file {key name: hex AES-128/256 key}")
     e.add_argument("input")
     e.add_argument("store")
     e.add_argument("--batch-size", type=int, default=16384)
@@ -210,6 +231,8 @@ def main(argv=None) -> int:
     d.add_argument("--out")
     d.add_argument("--partition-by", help="comma-separated hive partition columns for --out")
     d.add_argument("--where", help='JSON predicates, e.g. \'[["col","<",100]]\'')
+    d.add_argument("--keystore", help="JSON keystore to decrypt encrypted columns "
+                   "(omit to read masked public variants)")
     d.set_defaults(fn=cmd_decode)
 
     i = sub.add_parser("inspect")

@@ -78,6 +78,16 @@ class EncodeOptions:
     masks: dict = field(default_factory=dict)  # name -> nullify|redact|sha256
     # write-side masking (the DataMask writer-option analog): applied to
     # each batch inside the encoder, so the store never sees raw values
+    encrypt: dict = field(default_factory=dict)  # name -> master key name
+    encryption_keys: dict = field(default_factory=dict)  # key name -> 16/32B material
+    encryption_masks: dict = field(default_factory=dict)  # name -> public-variant mask
+    encryption_nonce: str = "k1"  # key-version analog (rotates local keys)
+    # per-column AES-CTR encryption (EncryptionTreeWriter analog): each
+    # encrypted column is written TWICE — the real streams AES-CTR-encrypted
+    # under a column-local key, plus an unencrypted variant masked with
+    # encryption_masks[name] (default nullify) for readers without the key.
+    # Stats of the real data travel inside the encrypted metadata blob;
+    # the public header and manifest carry no plaintext-derived statistics.
 
 
 DEFAULT_OPTIONS = EncodeOptions()
@@ -742,21 +752,87 @@ def _varbytes_from_numpy(lens: np.ndarray, data: bytes, ty: pa.DataType) -> pa.A
 # ---------------------------------------------------------------------------
 # chunk serialize / deserialize
 
+def _frame_bufs(bufs: list[bytes], opts: EncodeOptions) -> list[bytes]:
+    return [
+        framing.compress(b, opts.compression, opts.compression_level, opts.compression_block_size)
+        if len(b) >= opts.min_compress_bytes
+        else framing.compress(b, "none")
+        for b in bufs
+    ]
+
+
+def _encode_encrypted_column(col, opts: EncodeOptions, name: str) -> tuple[dict, list[bytes]]:
+    """Dual-variant encrypted column (EncryptionTreeWriter analog): the real
+    streams AES-CTR under a derived local key, the masked public variant in
+    clear.  Stats live inside the encrypted metadata — the public header
+    exposes nothing derived from plaintext (docstring in codecs/aes.py
+    covers key derivation and the deterministic SIV-style IVs)."""
+    import hashlib
+
+    from .codecs import aes as _aes
+
+    key_name = opts.encrypt[name]
+    master = opts.encryption_keys.get(key_name)
+    if master is None:
+        raise ValueError(
+            f"column {name!r} is marked for encryption with key {key_name!r} "
+            "but EncodeOptions.encryption_keys has no such key"
+        )
+    if name in opts.bloom_columns:
+        raise ValueError(f"column {name!r} cannot be both encrypted and bloom-indexed "
+                         "(a plaintext bloom filter in the manifest would leak values)")
+    lk = _aes.derive_local_key(master, name, opts.encryption_nonce)
+
+    rmeta, rbufs = _encode_column(_arr(col), opts, name)
+    _annotate_nbuf(rmeta, rbufs)
+    enc_bufs, ivs = [], []
+    for k, fb in enumerate(_frame_bufs(rbufs, opts)):
+        iv = _aes.derive_iv(name, k, hashlib.sha256(fb).digest())
+        ivs.append(base64.b64encode(iv).decode())
+        enc_bufs.append(_aes.aes_ctr_xor(lk, iv, fb))
+    rjson = json.dumps(rmeta, separators=(",", ":")).encode()
+    meta_iv = _aes.derive_iv(name, 0x7FFFFFFF, hashlib.sha256(rjson).digest())
+
+    mask_name = opts.encryption_masks.get(name, "nullify")
+    from .functions.mask import apply_masks
+
+    marr = apply_masks(pa.table({name: _arr(col)}), {name: mask_name}).column(name)
+    mmeta, mbufs = _encode_column(_arr(marr), opts, name)
+    _annotate_nbuf(mmeta, mbufs)
+    mframed = _frame_bufs(mbufs, opts)
+
+    cmeta = {
+        "name": name,
+        "codec": "enc",
+        "n": rmeta["n"],
+        "key": key_name,
+        "nonce": opts.encryption_nonce,
+        "mask": mask_name,
+        "ivs": ivs,
+        "meta_iv": base64.b64encode(meta_iv).decode(),
+        "emeta": base64.b64encode(_aes.aes_ctr_xor(lk, meta_iv, rjson)).decode(),
+        "masked": mmeta,
+        "n_real": len(enc_bufs),
+        "buf_lens": [len(b) for b in enc_bufs] + [len(b) for b in mframed],
+    }
+    return cmeta, enc_bufs + mframed
+
+
 def encode_chunk(table: pa.Table, opts: EncodeOptions = DEFAULT_OPTIONS) -> bytes:
     """Encode a pyarrow Table into one self-describing chunk blob."""
     table = table.combine_chunks()
     cols = []
     all_bufs: list[bytes] = []
     for name in table.column_names:
+        if name in opts.encrypt:
+            cmeta, framed = _encode_encrypted_column(table.column(name), opts, name)
+            cols.append(cmeta)
+            all_bufs.extend(framed)
+            continue
         meta, bufs = _encode_column(table.column(name), opts, name)
         _annotate_nbuf(meta, bufs)
         meta["name"] = name
-        framed = [
-            framing.compress(b, opts.compression, opts.compression_level, opts.compression_block_size)
-            if len(b) >= opts.min_compress_bytes
-            else framing.compress(b, "none")
-            for b in bufs
-        ]
+        framed = _frame_bufs(bufs, opts)
         meta["buf_lens"] = [len(b) for b in framed]
         cols.append(meta)
         all_bufs.extend(framed)
@@ -809,6 +885,38 @@ def _annotate_nbuf(meta: dict, bufs: list[bytes]) -> None:
     assert meta["_nbuf"] == len(bufs), (meta, len(bufs))
 
 
+def _decode_encrypted_column(cmeta: dict, raws: list, ty: pa.DataType, row_ranges, keys: dict | None) -> pa.Array:
+    """Keyed read -> decrypt + decode the real streams; keyless read ->
+    decode the masked public variant.  Range decode falls back to
+    full-decode + row slice (an encrypted stream has no lazily-sliceable
+    framing by design)."""
+    n_real = cmeta["n_real"]
+    master = (keys or {}).get(cmeta["key"])
+    if master is not None:
+        from .codecs import aes as _aes
+
+        lk = _aes.derive_local_key(master, cmeta["name"], cmeta["nonce"])
+        rjson = _aes.aes_ctr_xor(lk, base64.b64decode(cmeta["meta_iv"]), base64.b64decode(cmeta["emeta"]))
+        try:
+            rmeta = json.loads(rjson)
+        except ValueError as e:
+            raise ValueError(
+                f"column {cmeta['name']!r}: decryption with key {cmeta['key']!r} "
+                "produced garbage — wrong key material or corrupted chunk"
+            ) from e
+        bufs = [
+            framing.decompress(_aes.aes_ctr_xor(lk, base64.b64decode(iv), raw))
+            for iv, raw in zip(cmeta["ivs"], raws[:n_real])
+        ]
+        out = _decode_column(rmeta, bufs, ty)
+    else:
+        mbufs = [framing.decompress(raw) for raw in raws[n_real:]]
+        out = _decode_column(cmeta["masked"], mbufs, ty)
+    if row_ranges is not None:
+        out = _slice_ranges(out, row_ranges)
+    return out
+
+
 def read_chunk_header(data: bytes | memoryview) -> dict:
     mv = memoryview(data)
     if bytes(mv[:5]) != MAGIC:
@@ -822,6 +930,7 @@ def decode_chunk(
     columns: list[str] | None = None,
     row_ranges: list | None = None,
     header: dict | None = None,
+    keys: dict | None = None,
 ) -> pa.Table:
     """Decode a chunk blob back to a pyarrow Table (optionally projected).
 
@@ -829,6 +938,12 @@ def decode_chunk(
     seekToRowGroup analog — produced by stride-stats pruning); None decodes
     everything.  ``header`` lets a caller that already parsed the chunk
     header (to compute row_ranges) skip the re-parse.
+
+    ``keys``: master-key material by name for encrypted columns.  A reader
+    holding the key gets the real decrypted data; without it, the column
+    decodes to its unencrypted masked variant — the reference's dual-variant
+    read behavior.  A WRONG key fails loudly (the decrypted metadata blob is
+    not JSON / the framing header is invalid), never silently wrong rows.
     """
     mv = memoryview(data)
     if header is None:
@@ -848,6 +963,15 @@ def decode_chunk(
         if columns is not None and cmeta["name"] not in columns:
             off += sum(blens)
             continue
+        ty = schema.field(cmeta["name"]).type
+        if cmeta.get("codec") == "enc":
+            raws = []
+            for bl in blens:
+                raws.append(mv[off : off + bl])
+                off += bl
+            arrays.append(_decode_encrypted_column(cmeta, raws, ty, row_ranges, keys))
+            names.append(cmeta["name"])
+            continue
         bufs = []
         defer_data = row_ranges is not None and cmeta.get("codec") in ("str", "bin")
         for k, bl in enumerate(blens):
@@ -859,7 +983,6 @@ def decode_chunk(
             else:
                 bufs.append(framing.decompress(raw))
             off += bl
-        ty = schema.field(cmeta["name"]).type
         arrays.append(_decode_column(cmeta, bufs, ty, ranges=row_ranges))
         names.append(cmeta["name"])
     return pa.table(dict(zip(names, arrays)))

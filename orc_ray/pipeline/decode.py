@@ -265,9 +265,9 @@ def _read_files(paths: list) -> list:
     return out
 
 
-def _decode_batch(batch: pa.Table, *, columns, predicates, cast_schema=None, verify_checksums=False) -> pa.Table:
+def _decode_batch(batch: pa.Table, *, columns, predicates, cast_schema=None, verify_checksums=False, keys=None) -> pa.Table:
     """Task-pool entry: decode a batch of chunk blobs."""
-    return _DecodeChunks(columns, predicates, cast_schema, verify_checksums)(batch)
+    return _DecodeChunks(columns, predicates, cast_schema, verify_checksums, keys)(batch)
 
 
 class _DecodeChunks:
@@ -277,8 +277,12 @@ class _DecodeChunks:
         predicates: list[tuple] | None,
         cast_schema=None,
         verify_checksums: bool = False,
+        keys: dict | None = None,
     ):
         pa.set_memory_pool(pa.system_memory_pool())  # glibc heap: see _mem.py
+        # master keys by name for encrypted columns (chunk.decode_chunk):
+        # present -> real decrypted data; absent -> masked public variant
+        self.keys = keys
         self.columns = columns
         self.predicates = predicates
         self.verify_checksums = verify_checksums
@@ -333,7 +337,7 @@ class _DecodeChunks:
                 if empty_schema is None:
                     empty_schema = self._projected_schema(header)
                 continue
-            t = decode_chunk(blob, columns=self.decode_cols, row_ranges=ranges, header=header)
+            t = decode_chunk(blob, columns=self.decode_cols, row_ranges=ranges, header=header, keys=self.keys)
             if self.predicates:
                 # a predicate naming a column absent from the chunk schema
                 # is almost always a typo; silently dropping it would return
@@ -430,6 +434,7 @@ def decode_dataset(
     cast_schema: dict | None = None,
     concurrency=None,
     verify_checksums: bool = False,
+    keys: dict | None = None,
 ) -> "ray.data.Dataset":
     """Lazy decode of a chunk store into a Dataset of original rows.
 
@@ -440,6 +445,10 @@ def decode_dataset(
     caps concurrent decode tasks (None = streaming executor decides).
     ``verify_checksums`` re-hashes every chunk file against its
     content-addressed name — bit-rot / tamper detection at read time.
+    ``keys``: {key name -> AES master key material} for encrypted columns;
+    omit it to read the masked public variants (predicates over an
+    encrypted column then evaluate against the MASKED values — exactly what
+    a keyless reader is allowed to see).
     """
     import functools
 
@@ -458,6 +467,7 @@ def decode_dataset(
             predicates=predicates,
             cast_schema=cast_schema,
             verify_checksums=verify_checksums,
+            keys=keys,
         ),
         batch_size=1,
         batch_format="pyarrow",

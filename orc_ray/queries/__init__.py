@@ -30,6 +30,7 @@ from .media import media_store_for  # noqa: F401
 
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
+    "encrypted_roundtrip": q_encrypted_roundtrip,
     "roundtrip_lineitem": q_roundtrip_lineitem,
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_embeddings": q_roundtrip_embeddings,
@@ -110,6 +111,13 @@ QUERIES = {
 
 ORACLE_SQL = {
     "roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    # keyed read is exact -> plaintext aggregates; keyless read is all-null
+    # masked -> public_text_vals is identically 0 by the encryption contract
+    "encrypted_roundtrip": (
+        "SELECT source, CAST(SUM(LENGTH(text)) AS BIGINT) AS len_sum, "
+        "COUNT(*) AS n, CAST(0 AS BIGINT) AS public_text_vals "
+        "FROM documents GROUP BY source ORDER BY source"
+    ),
     "roundtrip_lineitem": "SELECT * FROM lineitem",
     "roundtrip_events": "SELECT * FROM events",
     "roundtrip_embeddings": "SELECT * FROM embeddings",

@@ -39,6 +39,70 @@ def q_roundtrip_embeddings(sf_dir: str):
     return _decoded(sf_dir, "embeddings")
 
 
+def q_encrypted_roundtrip(sf_dir: str):
+    """Per-column AES-CTR encryption, dual-variant read (the reference's
+    EncryptionTreeWriter + DataMask analog, apache/orc java/core/.../impl/
+    writer/EncryptionTreeWriter.java; cipher in orc_ray/codecs/aes.py).
+
+    The documents `text` column is encrypted under a named master key and
+    encoded into its own store; the keyed read must reproduce the exact
+    plaintext (checked here through per-source COUNT + SUM(LENGTH(text)),
+    oracle-exact vs the raw parquet), while the keyless read sees only the
+    nullify-masked public variant (surfaced as public_text_vals = 0).
+    Both aggregates run distributed through agg_by_keys."""
+    from ..chunk import EncodeOptions
+    from ..functions.aggregates import agg_by_keys
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.sha256(b"orc-ray-demo-master-key").digest()  # AES-256
+    opts = EncodeOptions(encrypt={"text": "k_text"}, encryption_keys={"k_text": key})
+    out = os.path.join(
+        CACHE_ROOT,
+        f"documents-enc-{hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]}",
+    )
+    from ..state.manifest import load_committed
+
+    expected = pq.read_metadata(src).num_rows
+    if load_committed(out)["files"].get(src) != expected:
+        encode_dataset([src], out, opts, resume=True, batch_size=16384)
+
+    keyed = decode_dataset(out, columns=["source", "text"], keys={"k_text": key})
+
+    def lens(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "text_len": pc.utf8_length(t.column("text")).cast(pa.int64()),
+            }
+        )
+
+    agg = agg_by_keys(
+        keyed.map_batches(lens, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        [("text_len", "sum", "len_sum"), ("text_len", "count_all", "n")],
+    )
+
+    # keyless read: the masked public variant must expose zero text values
+    pub = decode_dataset(out, columns=["source", "text"])
+
+    def nonnull(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "vals": pc.is_valid(t.column("text")).cast(pa.int64()),
+            }
+        )
+
+    pub_agg = agg_by_keys(
+        pub.map_batches(nonnull, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        [("vals", "sum", "public_text_vals")],
+    )
+    left = _to_table(agg)
+    right = _to_table(pub_agg)
+    return left.join(right, keys=["source"]).sort_by("source")
+
+
 def q_projection_pushdown(sf_dir: str):
     return _decoded(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 

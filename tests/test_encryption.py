@@ -1,0 +1,143 @@
+"""Per-column encryption through the chunk format and the Ray pipelines —
+the EncryptionTreeWriter / dual-variant read analog (keyed reader sees real
+data, keyless reader sees the masked variant, wrong key fails loudly)."""
+
+import json
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from orc_ray.chunk import EncodeOptions, decode_chunk, encode_chunk
+
+KEY16 = bytes(range(16))
+KEY32 = bytes(range(32))
+
+
+def _table(n=2000):
+    rng = np.random.default_rng(11)
+    return pa.table(
+        {
+            "doc_id": [f"d{i:05d}" for i in range(n)],
+            "text": [f"confidential body {i} " * 2 for i in range(n)],
+            "n_tok": rng.integers(0, 1 << 40, n),
+            "score": rng.normal(size=n),
+        }
+    )
+
+
+def _opts(**kw):
+    base = dict(
+        encrypt={"text": "pii", "n_tok": "pii"},
+        encryption_keys={"pii": KEY32},
+        encryption_masks={"text": "redact"},
+    )
+    base.update(kw)
+    return EncodeOptions(**base)
+
+
+def test_keyed_roundtrip_exact():
+    t = _table()
+    blob = encode_chunk(t, _opts())
+    assert decode_chunk(blob, keys={"pii": KEY32}).equals(t)
+
+
+def test_keyless_read_gets_masked_variants():
+    t = _table()
+    blob = encode_chunk(t, _opts())
+    pub = decode_chunk(blob)
+    # redact mask: letters -> x/X, digits -> 9; no plaintext survives
+    assert pub.column("text")[0].as_py().startswith("xxxxxxxxxxxx xxxx 9")
+    # default mask is nullify
+    assert pub.column("n_tok").null_count == t.num_rows
+    # unencrypted columns unaffected
+    assert pub.column("doc_id").to_pylist() == t.column("doc_id").to_pylist()
+
+
+def test_no_plaintext_in_blob_or_header_stats():
+    t = _table()
+    blob = encode_chunk(t, _opts())
+    assert b"confidential" not in blob
+    from orc_ray.chunk import read_chunk_header
+
+    hdr = read_chunk_header(blob)
+    enc_meta = [c for c in hdr["columns"] if c["codec"] == "enc"]
+    assert len(enc_meta) == 2
+    for c in enc_meta:
+        # no stats, stride minmax, or dictionary material in the clear
+        assert set(c) <= {
+            "name", "codec", "n", "key", "nonce", "mask", "ivs",
+            "meta_iv", "emeta", "masked", "n_real", "buf_lens",
+        }
+
+
+def test_wrong_key_raises_loudly():
+    blob = encode_chunk(_table(), _opts())
+    with pytest.raises(Exception) as ei:
+        decode_chunk(blob, keys={"pii": bytes(reversed(KEY32))})
+    assert "wrong key" in str(ei.value) or "garbage" in str(ei.value)
+
+
+def test_missing_key_material_at_encode_raises():
+    with pytest.raises(ValueError):
+        encode_chunk(_table(), EncodeOptions(encrypt={"text": "pii"}))
+
+
+def test_encrypted_bloom_column_rejected():
+    with pytest.raises(ValueError):
+        encode_chunk(_table(), _opts(bloom_columns=("text",)))
+
+
+def test_projection_and_row_ranges():
+    t = _table()
+    blob = encode_chunk(t, _opts())
+    proj = decode_chunk(blob, columns=["doc_id", "text"], keys={"pii": KEY32})
+    assert proj.column_names == ["doc_id", "text"]
+    rr = decode_chunk(blob, row_ranges=[(5, 9), (100, 101)], keys={"pii": KEY32})
+    assert rr.num_rows == 5
+    assert rr.column("doc_id").to_pylist() == [f"d{i:05d}" for i in (5, 6, 7, 8, 100)]
+
+
+def test_deterministic_reencode_for_resumability():
+    # content-addressed chunks require byte-identical re-encode: the IVs
+    # are derived, not random, so the same unit commits the same chunk id
+    t = _table()
+    assert encode_chunk(t, _opts()) == encode_chunk(t, _opts())
+    # rotating the nonce (key version) changes the ciphertext
+    assert encode_chunk(t, _opts()) != encode_chunk(t, _opts(encryption_nonce="k2"))
+
+
+def test_aes128_key_material():
+    t = _table(300)
+    o = _opts(encryption_keys={"pii": KEY16})
+    blob = encode_chunk(t, o)
+    assert decode_chunk(blob, keys={"pii": KEY16}).equals(t)
+
+
+def test_pipeline_roundtrip_and_manifest_clean(ray_session, tmp_path):
+    from orc_ray.pipeline.decode import decode_dataset
+    from orc_ray.pipeline.encode import encode_dataset
+    from orc_ray.state import manifest as mstate
+
+    t = _table(6000)
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    store = str(tmp_path / "store")
+    encode_dataset([src], store, _opts(), batch_size=2048)
+
+    keyed = decode_dataset(store, keys={"pii": KEY32})
+    got = pa.concat_tables(keyed.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert got.sort_by("doc_id").equals(t.sort_by("doc_id"))
+
+    pub = decode_dataset(store, columns=["doc_id", "n_tok"])
+    pt = pa.concat_tables(pub.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert pt.column("n_tok").null_count == t.num_rows
+
+    # the manifest must carry no plaintext-derived stats for encrypted cols
+    man = mstate.read_manifest(store)
+    for s in man.column("stats").to_pylist():
+        st = json.loads(s)
+        for col in ("text", "n_tok"):
+            assert "min" not in st.get(col, {}) and "bloom" not in st.get(col, {})
