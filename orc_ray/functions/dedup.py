@@ -131,16 +131,35 @@ def simhash64(concat: np.ndarray, offsets: np.ndarray, k: int = 4) -> np.ndarray
 
 
 def jaccard_pairs(concat: np.ndarray, offsets: np.ndarray, pairs: np.ndarray, k: int = 8) -> np.ndarray:
-    """Exact k-shingle Jaccard for candidate (i, j) index pairs."""
+    """Exact k-shingle Jaccard for candidate (i, j) index pairs.
+
+    Fully vectorized: both shingle sets of every pair are gathered into one
+    flat (pair_id, shingle) array, lexsorted, and the intersection size per
+    pair falls out as the count of adjacent duplicates within a pair group
+    (each per-doc set is already deduplicated, so a shingle appears at most
+    twice per pair).  One sort over the total candidate footprint replaces
+    the former per-pair intersect1d loop."""
     h, seg_off = _shingle_keys(concat, offsets, k)
-    sets = [h[seg_off[i] : seg_off[i + 1]] for i in range(seg_off.size - 1)]  # sorted
-    out = np.empty(len(pairs), dtype=np.float64)
-    for t, (i, j) in enumerate(pairs):
-        a, b = sets[int(i)], sets[int(j)]
-        inter = np.intersect1d(a, b, assume_unique=True).size
-        union = a.size + b.size - inter
-        out[t] = inter / union if union else 1.0
-    return out
+    pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
+    if pairs.shape[0] == 0:
+        return np.empty(0, dtype=np.float64)
+    sizes = np.diff(seg_off)
+    li, lj = sizes[pairs[:, 0]], sizes[pairs[:, 1]]
+    tot = li + lj
+    starts = np.empty(2 * pairs.shape[0], dtype=np.int64)
+    lens2 = np.empty_like(starts)
+    starts[0::2], lens2[0::2] = seg_off[:-1][pairs[:, 0]], li
+    starts[1::2], lens2[1::2] = seg_off[:-1][pairs[:, 1]], lj
+    m = int(lens2.sum())
+    within = np.arange(m, dtype=np.int64) - np.repeat(np.cumsum(lens2) - lens2, lens2)
+    vals = h[np.repeat(starts, lens2) + within]
+    pid = np.repeat(np.arange(pairs.shape[0], dtype=np.int64), tot)
+    order = np.lexsort((vals, pid))
+    sv, sp = vals[order], pid[order]
+    dup = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
+    inter = np.bincount(sp[1:][dup], minlength=pairs.shape[0])
+    union = tot - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0).astype(np.float64)
 
 
 def content_hash64(concat: np.ndarray, offsets: np.ndarray, key: int = 0x3C79AC492BA7B653) -> np.ndarray:

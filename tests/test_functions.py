@@ -74,6 +74,24 @@ def test_jaccard_pairs():
     assert j[0] > 0.5 and j[1] < 0.2 and j[2] == 1.0
 
 
+def test_jaccard_pairs_matches_scalar_reference():
+    # the vectorized one-sort path must equal per-pair set intersection
+    rng = np.random.default_rng(5)
+    texts = ["".join(rng.choice(list("abcdefgh "), rng.integers(1, 60))) for _ in range(40)]
+    t = pa.table({"text": texts})
+    concat, offsets = _varbytes(t)
+    pairs = rng.integers(0, 40, size=(200, 2))
+    got = dedup.jaccard_pairs(concat, offsets, pairs)
+    h, seg = dedup._shingle_keys(concat, offsets, 8)
+    for (i, j), g in zip(pairs, got):
+        a, b = h[seg[i] : seg[i + 1]], h[seg[j] : seg[j + 1]]
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        union = a.size + b.size - inter
+        exp = inter / union if union else 1.0
+        assert abs(g - exp) < 1e-12, (i, j, g, exp)
+    assert dedup.jaccard_pairs(concat, offsets, np.empty((0, 2), dtype=np.int64)).size == 0
+
+
 def test_dedup_minhash_pipeline(ray_session):
     import ray
 
