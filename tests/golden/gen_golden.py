@@ -15,7 +15,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.join(HERE, "..", ".."))
 sys.path.insert(0, HERE)
 
-from golden_cases import CASES, canon_table  # noqa: E402
+from golden_cases import CASE_KEYS, CASES, canon_table  # noqa: E402
 
 from orc_ray.chunk import FORMAT_VERSION, decode_chunk, encode_chunk  # noqa: E402
 
@@ -26,12 +26,20 @@ def main() -> None:
     for name, (builder, opts) in CASES.items():
         table = builder()
         blob = encode_chunk(table, opts)
-        assert decode_chunk(blob).equals(table), name  # sanity round-trip
+        keys = CASE_KEYS.get(name)
+        if keys is None:
+            assert decode_chunk(blob).equals(table), name  # sanity round-trip
+            public = table
+        else:
+            assert decode_chunk(blob, keys=keys).equals(table), name  # keyed round-trip
+            public = decode_chunk(blob)  # masked view — pinned as the keyless contract
+            with open(os.path.join(HERE, "expected", f"{name}.keyed.json"), "w") as f:
+                json.dump(canon_table(table), f, sort_keys=True)
         path = os.path.join(HERE, f"{name}.oray")
         with open(path, "wb") as f:
             f.write(blob)
         with open(os.path.join(HERE, "expected", f"{name}.json"), "w") as f:
-            json.dump(canon_table(table), f, sort_keys=True)
+            json.dump(canon_table(public), f, sort_keys=True)
         manifest["cases"][name] = {
             "sha256": hashlib.sha256(blob).hexdigest(),
             "bytes": len(blob),

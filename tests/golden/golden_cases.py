@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import datetime
 import decimal
+import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -107,6 +108,24 @@ def _nested_table() -> pa.Table:
     )
 
 
+# fixed demo key: golden fixtures pin FORMAT bytes, not secrecy
+GOLDEN_MASTER_KEY = hashlib.sha256(b"orc-ray-golden-master").digest()
+
+
+def _encrypted_table() -> pa.Table:
+    rng = np.random.default_rng(41)
+    n = 1500
+    return pa.table(
+        {
+            "doc_id": pa.array([f"d{i:04d}" for i in range(n)]),
+            "secret": pa.array(
+                [None if i % 13 == 0 else f"Body {i} with PIN {i * 7 % 10000}" for i in range(n)]
+            ),
+            "balance": pa.array(rng.integers(-(1 << 40), 1 << 40, n)),
+        }
+    )
+
+
 CASES: dict[str, tuple] = {
     # name -> (table builder, EncodeOptions)
     "ints_zstd1": (_ints_table, EncodeOptions()),
@@ -115,7 +134,20 @@ CASES: dict[str, tuple] = {
     "strings_plain": (_strings_table, EncodeOptions(compression="none")),
     "temporal_decimal": (_temporal_decimal_table, EncodeOptions()),
     "nested": (_nested_table, EncodeOptions()),
+    "encrypted_dual": (
+        _encrypted_table,
+        EncodeOptions(
+            encrypt={"secret": "k", "balance": "k"},
+            encryption_keys={"k": GOLDEN_MASTER_KEY},
+            encryption_masks={"secret": "redact"},
+        ),
+    ),
 }
+
+# cases whose blobs carry encrypted columns: {case -> decode keys}.  The
+# committed NAME.json pins the KEYLESS (masked public) view; NAME.keyed.json
+# pins the exact plaintext recovered with these keys.
+CASE_KEYS: dict[str, dict] = {"encrypted_dual": {"k": GOLDEN_MASTER_KEY}}
 
 
 def canon_val(v):

@@ -22,7 +22,7 @@ import pytest
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 sys.path.insert(0, GOLDEN)
 
-from golden_cases import CASES, canon_table  # noqa: E402
+from golden_cases import CASE_KEYS, CASES, canon_table  # noqa: E402
 
 from orc_ray.chunk import FORMAT_VERSION, decode_chunk, encode_chunk  # noqa: E402
 
@@ -63,8 +63,22 @@ def test_golden_byte_stability(name):
 
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_golden_decode_fidelity(name):
-    """Committed blobs decode to the committed canonical values."""
+    """Committed blobs decode to the committed canonical values.  For
+    encrypted cases the keyless decode is the MASKED public view — that
+    masked contract is pinned too (a reader without keys must see the
+    committed redaction, never ciphertext or plaintext)."""
     with open(os.path.join(GOLDEN, "expected", f"{name}.json")) as f:
         expected = json.load(f)
     got = canon_table(decode_chunk(_blob(name)))
+    assert got == expected
+
+
+@pytest.mark.parametrize("name", sorted(CASE_KEYS))
+def test_golden_keyed_decode_fidelity(name):
+    """Encrypted blobs decode bit-exactly to the committed plaintext when
+    the right key is presented (the analog of apache/orc's encrypted
+    examples read back with the test KeyProvider)."""
+    with open(os.path.join(GOLDEN, "expected", f"{name}.keyed.json")) as f:
+        expected = json.load(f)
+    got = canon_table(decode_chunk(_blob(name), keys=CASE_KEYS[name]))
     assert got == expected
