@@ -12,18 +12,17 @@ Masks:
   redact  — lowercase -> 'x', uppercase -> 'X', digit -> '9', other
             characters kept (RedactMaskFactory's default char map),
             fully vectorized Arrow regex;
-  sha256  — hex SHA-256 of the utf-8 value (SHA256MaskFactory).  No
-            vectorized kernel exists in this environment, so it loops
-            over hashlib's C core (~1 us/value) — same trade as the md5
-            fingerprint mode, still distributed via map_batches.
+  sha256  — hex SHA-256 of the utf-8 value (SHA256MaskFactory), via the
+            block-parallel NumPy kernel (sha256vec.py) — no per-row loop;
+            bit-exact vs hashlib, null-preserving.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from .sha256vec import sha256_hex
 
 
 def _mask_nullify(col: pa.Array) -> pa.Array:
@@ -38,11 +37,10 @@ def _mask_redact(col: pa.Array) -> pa.Array:
 
 
 def _mask_sha256(col: pa.Array) -> pa.Array:
-    b = col.cast(pa.string()).cast(pa.large_binary())
-    return pa.array(
-        [None if pv is None else hashlib.sha256(pv).hexdigest() for pv in (v.as_py() for v in b)],
-        pa.string(),
-    )
+    hx = sha256_hex(col)
+    if col.null_count:
+        hx = pc.if_else(pc.is_null(col), pa.scalar(None, pa.string()), hx)
+    return hx
 
 
 _EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
