@@ -177,6 +177,49 @@ def cmd_bm25(a) -> int:
     return 0
 
 
+def cmd_import_orc(a) -> int:
+    """Encode real .orc file(s) into a chunk store (convert-tool analog,
+    ORC direction: tools/src/java/org/apache/orc/tools/convert/*)."""
+    _ray_up()
+    from .chunk import EncodeOptions
+    from .pipeline.encode import encode_dataset
+    from .pipeline.orcio import read_orc
+
+    ds = read_orc(a.input, columns=a.columns.split(",") if a.columns else None)
+    rec = encode_dataset(
+        [], a.store, EncodeOptions(), ds=ds, batch_size=a.batch_size
+    )
+    print(json.dumps(rec["totals"]))
+    return 0
+
+
+def cmd_export_orc(a) -> int:
+    """Decode a chunk store into partitioned real .orc files."""
+    _ray_up()
+    from .pipeline.decode import decode_dataset
+    from .pipeline.orcio import write_orc
+
+    man = write_orc(
+        decode_dataset(
+            a.store,
+            columns=a.columns.split(",") if a.columns else None,
+            predicates=_parse_where(a.where),
+        ),
+        a.out,
+        compression=a.compression,
+    )
+    print(
+        json.dumps(
+            {
+                "parts": man.num_rows,
+                "rows": sum(man.column("rows").to_pylist()),
+                "bytes": sum(man.column("bytes").to_pylist()),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_merge(a) -> int:
     from .state.manifest import merge_stores
 
@@ -271,6 +314,22 @@ def main(argv=None) -> int:
     bq.add_argument("terms", help="comma-separated query terms")
     bq.add_argument("-k", type=int, default=10)
     bq.set_defaults(fn=cmd_bm25)
+
+    io_ = sub.add_parser("import-orc", help="encode real .orc file(s)/dir into a chunk store")
+    io_.add_argument("input")
+    io_.add_argument("store")
+    io_.add_argument("--columns")
+    io_.add_argument("--batch-size", type=int, default=16384)
+    io_.set_defaults(fn=cmd_import_orc)
+
+    eo = sub.add_parser("export-orc", help="decode a chunk store into partitioned .orc files")
+    eo.add_argument("store")
+    eo.add_argument("out")
+    eo.add_argument("--columns")
+    eo.add_argument("--where", help='JSON predicates, e.g. \'[["col","<",100]]\'')
+    eo.add_argument("--compression", default="zstd",
+                    choices=["zstd", "zlib", "snappy", "lz4", "uncompressed"])
+    eo.set_defaults(fn=cmd_export_orc)
 
     m = sub.add_parser("merge", help="merge committed stores (orc-tools merge analog)")
     m.add_argument("out")

@@ -32,6 +32,7 @@ QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "encrypted_roundtrip": q_encrypted_roundtrip,
     "roundtrip_lineitem": q_roundtrip_lineitem,
+    "orc_file_roundtrip": q_orc_file_roundtrip,
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_embeddings": q_roundtrip_embeddings,
     "projection_pushdown": q_projection_pushdown,
@@ -119,6 +120,8 @@ ORACLE_SQL = {
         "FROM documents GROUP BY source ORDER BY source"
     ),
     "roundtrip_lineitem": "SELECT * FROM lineitem",
+    # full fidelity through REAL .orc files (engine sink -> C++ ORC -> engine source)
+    "orc_file_roundtrip": "SELECT * FROM lineitem",
     "roundtrip_events": "SELECT * FROM events",
     "roundtrip_embeddings": "SELECT * FROM embeddings",
     "projection_pushdown": "SELECT l_orderkey, l_quantity FROM lineitem",

@@ -103,6 +103,44 @@ def q_encrypted_roundtrip(sf_dir: str):
     return left.join(right, keys=["source"]).sort_by("source")
 
 
+def q_orc_file_roundtrip(sf_dir: str):
+    """Real Apache ORC file interop: lineitem streams out of the engine's
+    chunk store through the partitioned ORC sink (one content-addressed
+    .orc part per block, written by the compiled ORC C++ writer via
+    pyarrow.orc) and back in through the stripe-parallel ORC source
+    (orc_ray/pipeline/orcio.py — OrcInputFormat.getSplits /
+    RecordReaderImpl analogs).  The full table must survive the format
+    round-trip bit-exactly, so the oracle is SELECT * FROM lineitem.
+
+    ORC stores timestamps at ns precision; the read applies the engine's
+    reader-schema cast (timestamp[ns] -> timestamp[us]) — the same
+    schema-evolution layer the convert matrix tests."""
+    from ..pipeline.orcio import read_orc, write_orc
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    out = os.path.join(
+        CACHE_ROOT,
+        f"lineitem-orc-{hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]}",
+    )
+    expected = pq.read_metadata(src).num_rows
+    man_path = os.path.join(out, "_written.json")
+    import json as _json
+
+    done = False
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            done = _json.load(f).get("rows") == expected
+    if not done:
+        man = write_orc(
+            decode_dataset(store_for(sf_dir, "lineitem")), out, batch_size=8192
+        )
+        with open(man_path, "w") as f:
+            _json.dump({"rows": sum(man.column("rows").to_pylist())}, f)
+
+    ts_us = {"l_shipdate": pa.timestamp("us")}
+    return read_orc(out, cast_schema=ts_us)
+
+
 def q_projection_pushdown(sf_dir: str):
     return _decoded(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 
