@@ -354,3 +354,117 @@ def join_adaptive(
         on=(big_key,),
         right_on=(small_key,),
     )
+
+
+def join_semi_anti(
+    big_ds,
+    keys_ds,
+    big_key: str,
+    keys_key: str,
+    *,
+    anti: bool = False,
+    threshold_rows: int = 500_000,
+    num_partitions: int = 16,
+):
+    """Distributed SEMI (``anti=False``) / ANTI (``anti=True``) equi-join:
+    keep the big side's rows whose key does (not) appear in ``keys_ds``.
+    The host-engine EXISTS / NOT EXISTS rewrite around an ORC scan
+    (SURVEY.md §2.8), as a first-class operator.
+
+    Two arms, selected by the key-side's distinct count:
+    - *broadcast* (<= threshold_rows distinct keys): the deduplicated key
+      set ships to the object store ONCE (``ray.put``); each probe batch
+      filters with one vectorized ``is_in``.  The big side never moves.
+    - *partitioned* (above threshold): both sides are hash-partitioned on
+      a Fibonacci-mixed key hash and co-located with ONE
+      groupby(part).map_groups shuffle; each partition probes its local
+      key set — nothing is materialized on the driver (the dedup_ngram /
+      asof_join_partitioned shape).
+
+    Null big-side keys never match: semi drops them, anti keeps them
+    (NOT-IN SQL semantics differ — mirror with NOT EXISTS, not NOT IN).
+    Arm parity is pinned by tests (threshold_rows=0 forces the
+    partitioned arm on small fixtures).
+    """
+    import functools
+
+    import pyarrow.compute as pc
+    import ray
+
+    # distinct keys, distributed: per-batch unique -> one concat of the
+    # (much smaller) uniques stream; bounded by the true distinct count
+    def uniq(t: pa.Table) -> pa.Table:
+        return pa.table({keys_key: pc.unique(t.column(keys_key).combine_chunks())})
+
+    kparts = [
+        p
+        for p in keys_ds.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if p.num_rows
+    ]
+    kset = (
+        pc.unique(pa.concat_tables(kparts).column(keys_key).combine_chunks())
+        if kparts
+        else None
+    )
+    if kset is not None and kset.null_count:
+        kset = kset.drop_null()
+
+    if kset is None or len(kset) <= threshold_rows:
+        ref = ray.put(kset)
+
+        def probe(b: pa.Table, *, ref) -> pa.Table:
+            ks = ray.get(ref)
+            if ks is None or len(ks) == 0:
+                return b if anti else b.slice(0, 0)
+            m = pc.is_in(b.column(big_key), value_set=ks)
+            if anti:
+                m = pc.invert(m)  # is_in yields false (not null) for null probes
+            return b.filter(m)
+
+        return big_ds.map_batches(
+            functools.partial(probe, ref=ref),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    big_fields = list(big_ds.schema().base_schema)
+
+    def tag_big(t: pa.Table) -> pa.Table:
+        k = t.column(big_key).cast(pa.int64()).fill_null(-1).to_numpy(zero_copy_only=False)
+        cols = {f.name: t.column(f.name) for f in big_fields}
+        cols["_side"] = pa.array(np.ones(t.num_rows, np.int8))
+        cols["_part"] = pa.array(_hash_part(k, num_partitions))
+        return pa.table(cols)
+
+    big_key_type = next(f.type for f in big_fields if f.name == big_key)
+
+    def tag_keys(t: pa.Table) -> pa.Table:
+        kc = pc.unique(t.column(keys_key).combine_chunks()).drop_null()
+        k = kc.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cols = {f.name: pa.nulls(len(kc), f.type) for f in big_fields}
+        cols[big_key] = kc.cast(big_key_type)
+        cols["_side"] = pa.array(np.zeros(len(kc), np.int8))
+        cols["_part"] = pa.array(_hash_part(k, num_partitions))
+        return pa.table(cols)
+
+    tagged = big_ds.map_batches(
+        tag_big, batch_format="pyarrow", zero_copy_batch=True
+    ).union(keys_ds.map_batches(tag_keys, batch_format="pyarrow", zero_copy_batch=True))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if g.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in big_fields})
+        side = g.column("_side").combine_chunks()
+        ks = pc.unique(g.filter(pc.equal(side, 0)).column(big_key).combine_chunks())
+        b = g.filter(pc.equal(side, 1)).drop_columns(["_side", "_part"])
+        if len(ks) == 0:
+            return b if anti else b.slice(0, 0)
+        m = pc.is_in(b.column(big_key), value_set=ks)
+        if anti:
+            m = pc.invert(m)
+        return b.filter(m)
+
+    return tagged.groupby("_part").map_groups(per_part, batch_format="pyarrow")

@@ -350,3 +350,51 @@ def bigram_rows(batch: pa.Table, col: str = "text") -> pa.Table:
             "c": g.column("count_all").cast(pa.int64()),
         }
     )
+
+
+# Gopher / MassiveText quality-rule stop list (Rae et al. 2021, table A1:
+# "contains at least 2 of" this list).  Distinct from the lang-ID
+# _STOPWORDS sets above, which serve a different op.
+_GOPHER_STOPS = pa.array(sorted({"the", "be", "to", "of", "and", "that", "have", "with", "a", "in"}))
+
+
+def gopher_rules(batch: pa.Table, col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-document Gopher-style quality-rule metrics (Rae et al. 2021
+    "Scaling Language Models: ... Gopher", appendix A1.1 MassiveText
+    filtering) — fully vectorized, one pass:
+
+    - ``n_words``    whitespace word count (SQL string_split_regex parity);
+    - ``mwl_e6``     floor(mean word length * 1e6), mean = non-whitespace
+                     chars / max(words, 1) in IEEE doubles;
+    - ``n_sym``      symbol marks: '#' occurrences + '...' occurrences
+                     (integer count, ellipsis counted via //3);
+    - ``stop_hits``  occurrences of the 10-word Gopher stop list.
+
+    Thresholds live in the caller (they are corpus-tuned); this kernel
+    only computes the metrics, so the SQL mirror reproduces the integers
+    bit-exactly."""
+    text = _concat_np(batch.column(col))
+    off, flat_lower, nw = _ws_words(text, lower=True)
+    n = pc.utf8_length(text)
+    nonws = pc.utf8_length(pc.replace_substring_regex(text, pattern=r"\s", replacement=""))
+    n_np = n.to_numpy(zero_copy_only=False).astype(np.int64)
+    nonws_np = nonws.to_numpy(zero_copy_only=False).astype(np.int64)
+    hashes = n_np - pc.utf8_length(
+        pc.replace_substring(text, pattern="#", replacement="")
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    ell3 = n_np - pc.utf8_length(
+        pc.replace_substring(text, pattern="...", replacement="")
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_sym = hashes + ell3 // 3
+    in_stop = pc.is_in(flat_lower, value_set=_GOPHER_STOPS).to_numpy(zero_copy_only=False)
+    hits = _seg_sum(in_stop.astype(np.int64), off)
+    mwl = nonws_np / np.maximum(nw, 1)  # BIGINT/BIGINT -> DOUBLE, SQL parity
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_words": pa.array(nw.astype(np.int64)),
+            "mwl_e6": pa.array(np.floor(mwl * 1_000_000.0).astype(np.int64)),
+            "n_sym": pa.array(n_sym),
+            "stop_hits": pa.array(hits),
+        }
+    )

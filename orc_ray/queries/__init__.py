@@ -88,6 +88,12 @@ QUERIES = {
     "group_quantiles": q_group_quantiles,
     "chunk_passages": q_chunk_passages,
     "rollup_revenue": q_rollup_revenue,
+    "cube_revenue": q_cube_revenue,
+    "forecast_revenue": q_forecast_revenue,
+    "large_orders": q_large_orders,
+    "anti_join_customers": q_anti_join_customers,
+    "first_last_touch": q_first_last_touch,
+    "gopher_filter": q_gopher_filter,
     "nation_revenue": q_nation_revenue,
     "promo_share": q_promo_share,
     "bloom_join": q_bloom_join,
@@ -493,6 +499,96 @@ ORACLE_SQL = {
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag, l_linestatus
+    """,
+    "cube_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS rev_e4
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "forecast_revenue": """
+        SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100) AS BIGINT)), 0) AS BIGINT) AS rev_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.05
+          AND l_quantity < 24
+    """,
+    "large_orders": """
+        WITH big AS (
+            SELECT l_orderkey,
+                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 150
+        )
+        SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_e2,
+               CAST(sum_qty AS BIGINT) AS sum_qty
+        FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY price_e2 DESC, o_orderkey
+        LIMIT 100
+    """,
+    "anti_join_customers": """
+        SELECT c_custkey, c_name,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_e2
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+        ORDER BY c_custkey
+    """,
+    "first_last_touch": """
+        SELECT DISTINCT user_id,
+               FIRST_VALUE(event_type) OVER w AS first_type,
+               LAST_VALUE(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS last_type,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id
+    """,
+    "gopher_filter": r"""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(string_split_regex(trim(text), '\s+')) END AS n_words,
+                   LENGTH(regexp_replace(text, '\s', '', 'g')) AS nonws,
+                   (LENGTH(text) - LENGTH(REPLACE(text, '#', '')))
+                     + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS n_sym
+            FROM documents
+        ),
+        words AS (
+            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        hits AS (
+            SELECT doc_id, COUNT(*) AS stop_hits FROM words
+            WHERE w IN ('the','be','to','of','and','that','have','with','a','in')
+            GROUP BY doc_id
+        ),
+        met AS (
+            SELECT b.doc_id, b.n_words,
+                   CAST(FLOOR((b.nonws / GREATEST(b.n_words, 1)) * 1000000.0) AS BIGINT) AS mwl_e6,
+                   b.n_sym, COALESCE(h.stop_hits, 0) AS stop_hits
+            FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mwl_e6,
+               CAST(n_sym AS BIGINT) AS n_sym, CAST(stop_hits AS BIGINT) AS stop_hits
+        FROM met
+        WHERE n_words BETWEEN 30 AND 80
+          AND mwl_e6 BETWEEN 4000000 AND 5000000
+          AND CAST(n_sym AS DOUBLE) <= 0.05 * n_words
+          AND stop_hits >= 2
+        ORDER BY doc_id
     """,
     "chunk_passages": """
         WITH n AS (

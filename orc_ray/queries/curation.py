@@ -327,3 +327,40 @@ def q_balanced_sample(sf_dir: str):
     return pa.table(
         {"doc_id": t.column("id"), "lang_pred": t.column("lang_pred"), "pri_e9": t.column("pri_e9")}
     )
+
+
+def q_gopher_filter(sf_dir: str):
+    """Gopher-style quality-rule document filter (Rae et al. 2021,
+    MassiveText appendix A1.1) over the engine-decoded documents stream:
+    keep docs with 30 <= words <= 80, mean word length in [4.0, 5.0],
+    symbol marks ('#' + '...') <= 5% of words, and >= 2 hits of the
+    10-word Gopher stop list.  One vectorized metric pass
+    (functions/text.gopher_rules); thresholds applied per batch, so the
+    filter streams — the driver collects only survivors' metric rows."""
+    from ..functions.text import gopher_rules
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rules(t: pa.Table) -> pa.Table:
+        m = gopher_rules(t)
+        nw = m.column("n_words")
+        mwl = m.column("mwl_e6")
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(nw, 30), pc.less_equal(nw, 80)),
+                pc.and_(pc.greater_equal(mwl, 4_000_000), pc.less_equal(mwl, 5_000_000)),
+            ),
+            pc.and_(
+                # n_sym <= 0.05 * n_words in IEEE doubles (SQL parity)
+                pc.less_equal(
+                    m.column("n_sym").cast(pa.float64()),
+                    pc.multiply(nw.cast(pa.float64()), 0.05),
+                ),
+                pc.greater_equal(m.column("stop_hits"), 2),
+            ),
+        )
+        return m.filter(keep)
+
+    return _to_table(
+        ds.map_batches(rules, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("doc_id")

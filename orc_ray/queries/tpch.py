@@ -1052,3 +1052,213 @@ def q_revenue_quartiles(sf_dir: str):
             "revenue_cents": final.column("revenue_cents_sum"),
         }
     ).sort_by("bucket")
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 analog — the pure predicate-pushdown aggregate: a one-year
+    shipdate window (temporal epoch-us literals drive chunk + stride
+    pruning), a BETWEEN on discount and a < on quantity, then ONE exact
+    global sum of extendedprice*discount in e4 cents.  Per-batch partials
+    emit a single row each; the driver adds O(blocks) ints."""
+    lo_us = 852_076_800_000_000  # 1997-01-01 epoch-us
+    hi_us = 883_612_800_000_000  # 1998-01-01 epoch-us
+    ds = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_extendedprice", "l_discount"],
+        predicates=[
+            ("l_shipdate", ">=", lo_us),
+            ("l_shipdate", "<", hi_us),
+            ("l_discount", "between", 0.03, 0.05),
+            ("l_quantity", "<", 24.0),
+        ],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        return pa.table({"rev_e4": pa.array([int((e * d).sum())], pa.int64())})
+
+    parts = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    total = int(pc.sum(parts.column("rev_e4")).as_py() or 0)
+    return pa.table({"rev_e4": pa.array([total], pa.int64())})
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18 analog (large-volume customers): distributed HAVING —
+    sum_by_keys quantities per order, filter sum > 150 (a streamed
+    filter over the aggregate, O(qualifying orders) rows), then the
+    qualifying keys flow through the engine's join_semi_anti broadcast
+    SEMI arm into orders, a broadcast customer-name join, and a local
+    top-k by totalprice.  Nothing unbounded ever sits on the driver
+    except the qualifying-order table (aggregate output, not input)."""
+    from ..functions.aggregates import sum_by_keys
+    from ..functions.joins import join_adaptive, join_semi_anti
+
+    li = _decoded(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty(t: pa.Table) -> pa.Table:
+        q = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "qty": pa.array(q)})
+
+    sums = sum_by_keys(
+        li.map_batches(qty, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"],
+        "qty",
+        out="sum_qty",
+    )
+
+    def having(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({})
+        return t.filter(pc.greater(t.column("sum_qty"), 150))
+
+    # materialized once: the HAVING output feeds both the semi-join key
+    # side and the broadcast re-attach below (avoids recomputing the
+    # aggregate for each consumer)
+    big = sums.map_batches(having, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    orders = _decoded(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    qual = join_semi_anti(orders, big, "o_orderkey", "l_orderkey")
+    # re-attach each qualifying order's quantity sum (broadcast: the
+    # HAVING output is O(qualifying orders))
+    qual = join_adaptive(qual, big, "o_orderkey", "l_orderkey", ["sum_qty"])
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    cref = ray.put((cust.column("c_custkey").combine_chunks(), cust.column("c_name").combine_chunks()))
+
+    def with_name(t: pa.Table, *, ref=cref) -> pa.Table:
+        ck, cn = ray.get(ref)
+        pos = pc.index_in(t.column("o_custkey"), value_set=ck)
+        price_e2 = np.rint(t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "c_name": pc.take(cn, pos),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "price_e2": pa.array(price_e2),
+                "sum_qty": t.column("sum_qty"),
+            }
+        )
+
+    named = qual.map_batches(with_name, batch_format="pyarrow", zero_copy_batch=True)
+    sort_keys = [("price_e2", "descending"), ("o_orderkey", "ascending")]
+
+    def local_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({})
+        return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:100])
+
+    tops = _to_table(named.map_batches(local_top, batch_format="pyarrow", zero_copy_batch=True))
+    return tops.take(pc.sort_indices(tops, sort_keys=sort_keys)[:100])
+
+
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE(returnflag, linestatus) — all four grouping sets in
+    ONE pass (generalizes q_rollup_revenue's one-pass shape: each batch
+    emits partials for every set with sentinel dims; the shuffle stays
+    O(groups x 4))."""
+    from ..functions.aggregates import sum_by_keys
+
+    ds = _decoded(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        base = (
+            pa.table(
+                {
+                    "f": t.column("l_returnflag"),
+                    "s": t.column("l_linestatus"),
+                    "rev": pa.array(e * (100 - d)),
+                }
+            )
+            .group_by(["f", "s"])
+            .aggregate([("rev", "sum")])
+        )
+        lvl_fs = pa.table(
+            {"f": base.column("f"), "s": base.column("s"), "rev": base.column("rev_sum")}
+        )
+        up_f = lvl_fs.group_by("f").aggregate([("rev", "sum")])
+        lvl_f = pa.table(
+            {
+                "f": up_f.column("f"),
+                "s": pa.array([_ROLLUP_ALL] * up_f.num_rows, pa.string()),
+                "rev": up_f.column("rev_sum"),
+            }
+        )
+        up_s = lvl_fs.group_by("s").aggregate([("rev", "sum")])
+        lvl_s = pa.table(
+            {
+                "f": pa.array([_ROLLUP_ALL] * up_s.num_rows, pa.string()),
+                "s": up_s.column("s"),
+                "rev": up_s.column("rev_sum"),
+            }
+        )
+        total = int(pc.sum(lvl_fs.column("rev")).as_py() or 0)
+        lvl_all = pa.table(
+            {
+                "f": pa.array([_ROLLUP_ALL], pa.string()),
+                "s": pa.array([_ROLLUP_ALL], pa.string()),
+                "rev": pa.array([total], pa.int64()),
+            }
+        )
+        return pa.concat_tables([lvl_fs, lvl_f, lvl_s, lvl_all])
+
+    agg = sum_by_keys(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["f", "s"],
+        "rev",
+        out="rev_e4",
+    )
+    tbl = _to_table(agg)
+    null_f = pc.equal(tbl.column("f"), _ROLLUP_ALL)
+    null_s = pc.equal(tbl.column("s"), _ROLLUP_ALL)
+    return pa.table(
+        {
+            "l_returnflag": pc.if_else(null_f, pa.scalar(None, pa.string()), tbl.column("f")),
+            "l_linestatus": pc.if_else(null_s, pa.scalar(None, pa.string()), tbl.column("s")),
+            "rev_e4": tbl.column("rev_e4"),
+        }
+    ).sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def q_anti_join_customers(sf_dir: str):
+    """Distributed ANTI join (NOT EXISTS): customers with no order above
+    400,000 — the qualifying-order key side streams through
+    join_semi_anti's broadcast arm (distinct keys shipped once via
+    ray.put; the customer side never shuffles).  The partitioned arm of
+    the same operator is parity-tested in tests/test_join_adaptive.py."""
+    from ..functions.joins import join_semi_anti
+
+    cust = _decoded(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    big_orders = _decoded(
+        sf_dir,
+        "orders",
+        columns=["o_custkey"],
+        predicates=[("o_totalprice", ">", 400000.0)],
+    )
+    out = join_semi_anti(cust, big_orders, "c_custkey", "o_custkey", anti=True)
+
+    def cents(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({})
+        bal = np.rint(t.column("c_acctbal").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_name": t.column("c_name"),
+                "acctbal_e2": pa.array(bal),
+            }
+        )
+
+    return _to_table(
+        out.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("c_custkey")

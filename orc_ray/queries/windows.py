@@ -454,3 +454,54 @@ def q_funnel(sf_dir: str):
             "n_purchase_after": pa.array([int(pc.sum(parts.column("n_purchase_after")).as_py() or 0)]),
         }
     )
+
+
+def q_first_last_touch(sf_dir: str):
+    """First/last-touch attribution: per user, the event_type of the
+    chronologically first and last event plus the event count —
+    FIRST_VALUE / LAST_VALUE window semantics, computed distributed as
+    TWO with_group_ranks passes (ascending and descending over the same
+    (ts, event_id) total order) that each keep only rank-1 rows
+    (O(users) output per pass), joined with an agg_by_keys count.  The
+    driver sees only per-user rows, never events."""
+    from ..functions.aggregates import agg_by_keys, with_group_ranks
+
+    def pick(ds, direction_desc: bool, out_name: str):
+        ranked = with_group_ranks(
+            ds,
+            ["user_id"],
+            ["ts", "event_id"],
+            descending=[direction_desc, direction_desc],
+        )
+
+        def first_rows(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({})
+            sub = t.filter(pc.equal(t.column("rnk"), 1))
+            return pa.table(
+                {"user_id": sub.column("user_id"), out_name: sub.column("event_type")}
+            )
+
+        return _to_table(
+            ranked.map_batches(first_rows, batch_format="pyarrow", zero_copy_batch=True)
+        )
+
+    cols = ["user_id", "ts", "event_id", "event_type"]
+    first = pick(_decoded(sf_dir, "events", columns=cols), False, "first_type")
+    last = pick(_decoded(sf_dir, "events", columns=cols), True, "last_type")
+    counts = _to_table(
+        agg_by_keys(
+            _decoded(sf_dir, "events", columns=["user_id", "event_id"]),
+            ["user_id"],
+            [("event_id", "count_all", "n_events")],
+        )
+    )
+    out = first.join(last, keys=["user_id"]).join(counts, keys=["user_id"])
+    return pa.table(
+        {
+            "user_id": out.column("user_id"),
+            "first_type": out.column("first_type"),
+            "last_type": out.column("last_type"),
+            "n_events": out.column("n_events").cast(pa.int64()),
+        }
+    ).sort_by("user_id")

@@ -73,3 +73,66 @@ def test_asof_partitioned_arm_parity(ray_session):
     assert b.select(["eid", "asof"]).equals(p.select(["eid", "asof"]))
     # unmatched probes must exist in this fixture (uids 40..54) and be null
     assert p.column("asof").null_count > 0
+
+
+def _semi_anti_fixture():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    big = pa.table(
+        {
+            "k": pa.array(
+                [None if i % 29 == 0 else int(rng.integers(0, 40)) for i in range(300)],
+                pa.int64(),
+            ),
+            "v": pa.array(range(300)),
+        }
+    )
+    keys = pa.table({"fk": pa.array(list(rng.integers(0, 40, 120)) + [None], pa.int64())})
+    kset = set(x for x in keys.column("fk").to_pylist() if x is not None)
+    semi = sorted(v for k, v in zip(big.column("k").to_pylist(), big.column("v").to_pylist()) if k in kset)
+    anti = sorted(v for k, v in zip(big.column("k").to_pylist(), big.column("v").to_pylist()) if k not in kset)
+    return big, keys, semi, anti
+
+
+def _vcol(ds):
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    return sorted(t.column("v").to_pylist())
+
+
+def test_join_semi_anti_broadcast(ray_session):
+    from orc_ray.functions.joins import join_semi_anti
+
+    big, keys, semi, anti = _semi_anti_fixture()
+    bds, kds = ray.data.from_arrow(big), ray.data.from_arrow(keys)
+    assert _vcol(join_semi_anti(bds, kds, "k", "fk")) == semi
+    bds, kds = ray.data.from_arrow(big), ray.data.from_arrow(keys)
+    assert _vcol(join_semi_anti(bds, kds, "k", "fk", anti=True)) == anti
+
+
+def test_join_semi_anti_partitioned_parity(ray_session):
+    """threshold_rows=0 forces the hash-partitioned arm; results must
+    match the broadcast arm exactly (incl. null big-side keys: semi
+    drops them, anti keeps them — NOT EXISTS semantics)."""
+    from orc_ray.functions.joins import join_semi_anti
+
+    big, keys, semi, anti = _semi_anti_fixture()
+    for anti_flag, expect in [(False, semi), (True, anti)]:
+        bds, kds = ray.data.from_arrow(big), ray.data.from_arrow(keys)
+        got = _vcol(
+            join_semi_anti(
+                bds, kds, "k", "fk", anti=anti_flag, threshold_rows=0, num_partitions=4
+            )
+        )
+        assert got == expect, anti_flag
+
+
+def test_join_semi_anti_empty_key_side(ray_session):
+    from orc_ray.functions.joins import join_semi_anti
+
+    big = ray.data.from_arrow(pa.table({"k": [1, 2], "v": [1, 2]}))
+    keys = ray.data.from_arrow(pa.table({"fk": pa.array([], pa.int64())}))
+    assert join_semi_anti(big, keys, "k", "fk").count() == 0
+    big = ray.data.from_arrow(pa.table({"k": [1, 2], "v": [1, 2]}))
+    keys = ray.data.from_arrow(pa.table({"fk": pa.array([], pa.int64())}))
+    assert _vcol(join_semi_anti(big, keys, "k", "fk", anti=True)) == [1, 2]

@@ -52,6 +52,13 @@ NEW_QUERIES = [
     "hybrid_retrieval",
     "upsert_read",
     "balanced_sample",
+    "orc_file_roundtrip",
+    "cube_revenue",
+    "forecast_revenue",
+    "large_orders",
+    "anti_join_customers",
+    "first_last_touch",
+    "gopher_filter",
 ]
 
 
