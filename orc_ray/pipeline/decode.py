@@ -20,7 +20,6 @@ backpressure; nothing is materialized driver-side.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 
@@ -30,6 +29,7 @@ import ray
 
 from ..chunk import decode_chunk, read_chunk_header
 from ..state import manifest as mstate
+from ..state import storage as fstore
 
 def _pred_columns(pred) -> set:
     if isinstance(pred, (list, tuple)) and pred and pred[0] in ("and", "or", "not"):
@@ -245,7 +245,7 @@ def list_chunks(out_dir: str, predicates: list[tuple] | None = None) -> tuple[li
     """Chunk file paths (optionally stats-pruned). Returns (paths, kept, total)."""
     man = mstate.read_manifest(out_dir)
     if man.num_rows == 0:
-        paths = sorted(glob.glob(os.path.join(mstate.chunk_dir(out_dir), "*.oray")))
+        paths = fstore.glob_paths(os.path.join(mstate.chunk_dir(out_dir), "*.oray"))
         return paths, len(paths), len(paths)
     ids = man.column("chunk_id").to_pylist()
     stats = [json.loads(s) for s in man.column("stats").to_pylist()]
@@ -258,11 +258,7 @@ def list_chunks(out_dir: str, predicates: list[tuple] | None = None) -> tuple[li
 
 
 def _read_files(paths: list) -> list:
-    out = []
-    for p in paths:
-        with open(p, "rb") as f:
-            out.append(f.read())
-    return out
+    return [fstore.read_bytes(p) for p in paths]
 
 
 def _decode_batch(batch: pa.Table, *, columns, predicates, cast_schema=None, verify_checksums=False, keys=None) -> pa.Table:

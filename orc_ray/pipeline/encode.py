@@ -30,7 +30,6 @@ Scale notes (the 100 TB design points):
 
 from __future__ import annotations
 
-import glob
 import hashlib
 import json
 import os
@@ -44,6 +43,7 @@ import ray
 
 from ..chunk import DEFAULT_OPTIONS, EncodeOptions, encode_chunk, read_chunk_header
 from ..state import manifest as mstate
+from ..state import storage as fstore
 
 _PATH_COL = "__input_path"
 _SALT_COL = "__salt"
@@ -59,7 +59,7 @@ def _resolve_files(input_paths, file_format: str = "parquet") -> list[str]:
     for p in input_paths:
         p = str(p)
         if os.path.isdir(p):
-            out.extend(sorted(glob.glob(os.path.join(p, _FORMAT_EXT[file_format]))))
+            out.extend(fstore.glob_paths(os.path.join(p, _FORMAT_EXT[file_format])))
         else:
             out.append(p)
     return out
@@ -126,11 +126,7 @@ def _encode_units(units: pa.Table, *, out_dir: str, opts: EncodeOptions, columns
     man = FileEncoderActor(out_dir, opts, columns, batch_size)(units)
     uid = _unit_uid(zip(units.column("path").to_pylist(), units.column("row_groups").to_pylist()))
     dest = os.path.join(mstate.manifest_dir(out_dir), f"unit-{uid}.parquet")
-    tmp = dest + ".tmp"
-    import pyarrow.parquet as _pq
-
-    _pq.write_table(man, tmp)
-    os.replace(tmp, dest)
+    fstore.write_parquet_atomic(man, dest)
     return pa.table({"n": pa.array([int(pa.compute.sum(man.column("n_rows")).as_py() or 0)], pa.int64())})
 
 
@@ -142,7 +138,7 @@ class EncoderActor:
     def __init__(self, out_dir: str, opts: EncodeOptions):
         self.out_dir = out_dir
         self.opts = opts
-        os.makedirs(mstate.chunk_dir(out_dir), exist_ok=True)
+        fstore.makedirs(mstate.chunk_dir(out_dir))
         pa.set_memory_pool(pa.system_memory_pool())  # glibc heap: see _mem.py
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -191,11 +187,10 @@ class EncoderActor:
             t0 = time.time()
             payload = encode_chunk(sub, self.opts)
             cid = hashlib.sha256(payload).hexdigest()[:24]
-            tmp = os.path.join(mstate.chunk_dir(self.out_dir), f".{cid}.tmp")
             final = os.path.join(mstate.chunk_dir(self.out_dir), f"{cid}.oray")
-            with open(tmp, "wb") as f:
-                f.write(payload)
-            os.replace(tmp, final)  # atomic: a chunk file is whole or absent
+            # atomic locally (a chunk file is whole or absent); torn remote
+            # writes are caught by the content-address checksum on read
+            fstore.write_bytes_atomic(final, payload)
             hdr = read_chunk_header(payload)
             codecs = {c["name"]: c["codec"] for c in hdr["columns"]}
             stats = {}
@@ -300,7 +295,7 @@ def encode_dataset(
             # the call, so tasks lose nothing.
             import functools
 
-            os.makedirs(mstate.manifest_dir(out_dir), exist_ok=True)
+            fstore.makedirs(mstate.manifest_dir(out_dir))
             units = _plan_units(todo, columns, unit_rows=batch_size * 2)
             if resume:
                 # unit-granular resume: skip units whose manifest part is
@@ -314,17 +309,17 @@ def encode_dataset(
                     f"unit-{_unit_uid([(u['path'], u['row_groups'])])}.parquet" for u in units
                 }
                 todo_set = set(todo)
-                for part in glob.glob(os.path.join(mdir, "unit-*.parquet")):
+                for part in fstore.glob_paths(os.path.join(mdir, "unit-*.parquet")):
                     if os.path.basename(part) in plan_names:
                         continue
-                    pfiles = set(pq.read_table(part, columns=["input_file"]).column("input_file").to_pylist())
+                    pfiles = set(fstore.read_parquet(part, columns=["input_file"]).column("input_file").to_pylist())
                     if pfiles & todo_set:
-                        os.remove(part)
+                        fstore.remove(part)
                 mstate.vacuum_orphans(out_dir)
                 units = [
                     u
                     for u in units
-                    if not os.path.exists(
+                    if not fstore.exists(
                         os.path.join(mdir, f"unit-{_unit_uid([(u['path'], u['row_groups'])])}.parquet")
                     )
                 ]
@@ -372,7 +367,7 @@ def encode_dataset(
         # reserves the whole CPU budget up front (fixed pools deadlock when
         # two pipelines' pools both demand all cores)
         concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 1))
-    os.makedirs(mstate.manifest_dir(out_dir), exist_ok=True)
+    fstore.makedirs(mstate.manifest_dir(out_dir))
     man = dataset.map_batches(
         EncoderActor,
         fn_constructor_args=(out_dir, opts),
@@ -382,7 +377,7 @@ def encode_dataset(
         concurrency=concurrency,
         num_cpus=1,
     )
-    man.write_parquet(mstate.manifest_dir(out_dir))
+    fstore.ray_write_parquet(man, mstate.manifest_dir(out_dir))
     return mstate.commit(out_dir, expected)
 
 

@@ -22,16 +22,20 @@ Layout under an output directory:
     chunks/<chunk_id>.oray        encoded chunk blobs (content-addressed)
     manifest/*.parquet            lineage records (distributed write)
     _committed.json               committed input files + totals (driver)
+
+The output directory may be a plain local path or any fsspec URL
+(``file://``, ``s3://``, ...) — every I/O call here routes through
+state/storage.py (the Hadoop-FileSystem-abstraction analog).
 """
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 
 import pyarrow as pa
-import pyarrow.parquet as pq
+
+from . import storage as st
 
 MANIFEST_SCHEMA = pa.schema(
     [
@@ -61,17 +65,16 @@ def committed_path(out_dir: str) -> str:
 
 def load_committed(out_dir: str) -> dict:
     p = committed_path(out_dir)
-    if not os.path.exists(p):
+    if not st.exists(p):
         return {"files": {}, "totals": {}}
-    with open(p) as f:
-        return json.load(f)
+    return st.read_json(p)
 
 
 def read_manifest(out_dir: str) -> pa.Table:
-    files = sorted(glob.glob(os.path.join(manifest_dir(out_dir), "*.parquet")))
+    files = st.glob_paths(os.path.join(manifest_dir(out_dir), "*.parquet"))
     if not files:
         return MANIFEST_SCHEMA.empty_table()
-    return pa.concat_tables([pq.read_table(f) for f in files])
+    return pa.concat_tables([st.read_parquet(f) for f in files])
 
 
 def commit(out_dir: str, expected_rows: dict[str, int] | None) -> dict:
@@ -107,10 +110,7 @@ def commit(out_dir: str, expected_rows: dict[str, int] | None) -> dict:
         "raw_bytes": int(pa.compute.sum(man.column("raw_bytes")).as_py() or 0) if man.num_rows else 0,
     }
     rec = {"files": files, "totals": totals}
-    tmp = committed_path(out_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(rec, f, indent=1)
-    os.replace(tmp, committed_path(out_dir))
+    st.write_json_atomic(committed_path(out_dir), rec)
     return rec
 
 
@@ -123,13 +123,11 @@ def merge_stores(out_dir: str, inputs: list[str]) -> dict:
     chunk ids dropped.  Inputs must not contain DIFFERENT encodings of the
     same input file (that would double-count its rows).
     """
-    import shutil
-
-    os.makedirs(chunk_dir(out_dir), exist_ok=True)
-    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    st.makedirs(chunk_dir(out_dir))
+    st.makedirs(manifest_dir(out_dir))
     foreign = [
         f
-        for f in glob.glob(os.path.join(manifest_dir(out_dir), "*.parquet"))
+        for f in st.glob_paths(os.path.join(manifest_dir(out_dir), "*.parquet"))
         if os.path.basename(f) != "merged.parquet"
     ]
     if foreign:
@@ -143,11 +141,8 @@ def merge_stores(out_dir: str, inputs: list[str]) -> dict:
         for cid in man.column("chunk_id").to_pylist():
             s = os.path.join(chunk_dir(src), f"{cid}.oray")
             d = os.path.join(chunk_dir(out_dir), f"{cid}.oray")
-            if not os.path.exists(d):
-                try:
-                    os.link(s, d)
-                except OSError:
-                    shutil.copy2(s, d)
+            if not st.exists(d):
+                st.link_or_copy(s, d)
     merged = pa.concat_tables(tables)
     if merged.num_rows:
         # dedup on (chunk_id, input_file), NOT chunk_id alone: identical
@@ -162,7 +157,7 @@ def merge_stores(out_dir: str, inputs: list[str]) -> dict:
             keep.append((cid, f) not in seen)
             seen.add((cid, f))
         merged = merged.filter(pa.array(keep))
-    pq.write_table(merged, os.path.join(manifest_dir(out_dir), "merged.parquet"))
+    st.write_parquet(merged, os.path.join(manifest_dir(out_dir), "merged.parquet"))
     return commit(out_dir, None)
 
 
@@ -174,10 +169,10 @@ def vacuum_orphans(out_dir: str) -> int:
     man = read_manifest(out_dir)
     referenced = set(man.column("chunk_id").to_pylist()) if man.num_rows else set()
     removed = 0
-    for p in glob.glob(os.path.join(chunk_dir(out_dir), "*.oray")):
+    for p in st.glob_paths(os.path.join(chunk_dir(out_dir), "*.oray")):
         cid = os.path.basename(p)[: -len(".oray")]
         if cid not in referenced:
-            os.remove(p)
+            st.remove(p)
             removed += 1
     return removed
 
@@ -197,13 +192,13 @@ def clean_uncommitted(out_dir: str) -> int:
         ]
         for cid in drop_ids:
             p = os.path.join(chunk_dir(out_dir), f"{cid}.oray")
-            if os.path.exists(p):
-                os.remove(p)
+            if st.exists(p):
+                st.remove(p)
                 removed += 1
         if drop_ids:
             kept = man.filter(pa.array(keep_mask))
-            for f in glob.glob(os.path.join(manifest_dir(out_dir), "*.parquet")):
-                os.remove(f)
+            for f in st.glob_paths(os.path.join(manifest_dir(out_dir), "*.parquet")):
+                st.remove(f)
             if kept.num_rows:
-                pq.write_table(kept, os.path.join(manifest_dir(out_dir), "resume-kept.parquet"))
+                st.write_parquet(kept, os.path.join(manifest_dir(out_dir), "resume-kept.parquet"))
     return removed
