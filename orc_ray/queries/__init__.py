@@ -94,6 +94,9 @@ QUERIES = {
     "anti_join_customers": q_anti_join_customers,
     "first_last_touch": q_first_last_touch,
     "gopher_filter": q_gopher_filter,
+    "json_extract_stats": q_json_extract_stats,
+    "value_histogram": q_value_histogram,
+    "corr_moments": q_corr_moments,
     "nation_revenue": q_nation_revenue,
     "promo_share": q_promo_share,
     "bloom_join": q_bloom_join,
@@ -555,6 +558,31 @@ ORACLE_SQL = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id
+    """,
+    "json_extract_stats": """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+               CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "value_histogram": """
+        SELECT LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19) AS bucket,
+               COUNT(*) AS n
+        FROM events GROUP BY bucket ORDER BY bucket
+    """,
+    "corr_moments": """
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                    * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                    * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS syy
+        FROM lineitem
     """,
     "gopher_filter": r"""
         WITH base AS (

@@ -1262,3 +1262,98 @@ def q_anti_join_customers(sf_dir: str):
     return _to_table(
         out.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
     ).sort_by("c_custkey")
+
+
+def q_json_extract_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer field ``k`` out of the
+    events ``props`` JSON column with ONE vectorized Arrow regex per batch
+    (no per-row json.loads), then aggregate per event_type through
+    agg_by_keys.  The host-engine json_extract pushover around an ORC
+    scan — string columns stay opaque bytes in the store; extraction is a
+    read-side batch transform."""
+    from ..functions.aggregates import agg_by_keys
+
+    ds = _decoded(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props").combine_chunks(), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_type": t.column("event_type"), "k": k})
+
+    agg = agg_by_keys(
+        ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        [
+            ("k", "sum", "k_sum"),
+            ("k", "min", "k_min"),
+            ("k", "max", "k_max"),
+            ("k", "count_all", "n"),
+        ],
+    )
+    out = _to_table(agg)
+    return pa.table(
+        {
+            "event_type": out.column("event_type"),
+            "k_sum": out.column("k_sum").cast(pa.int64()),
+            "k_min": out.column("k_min").cast(pa.int64()),
+            "k_max": out.column("k_max").cast(pa.int64()),
+            "n": out.column("n").cast(pa.int64()),
+        }
+    ).sort_by("event_type")
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width histogram (bucket = min(floor(value/25), 19)) of the
+    events value column — the binning aggregate every profiler needs, as
+    per-batch vectorized bucketing + ONE sum_by_keys over 20 keys."""
+    from ..functions.aggregates import sum_by_keys
+
+    ds = _decoded(sf_dir, "events", columns=["value"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        b = np.minimum(np.floor(v / 25.0).astype(np.int64), 19)
+        out = (
+            pa.table({"bucket": pa.array(b), "one": pa.array(np.ones(len(b), np.int64))})
+            .group_by("bucket")
+            .aggregate([("one", "sum")])
+        )
+        return pa.table({"bucket": out.column("bucket"), "n": out.column("one_sum")})
+
+    agg = sum_by_keys(
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True),
+        ["bucket"],
+        "n",
+    )
+    return _to_table(agg).sort_by("bucket")
+
+
+def q_corr_moments(sf_dir: str):
+    """Exact bivariate moments for corr(l_quantity, l_extendedprice):
+    n, Σx, Σy, Σxy, Σx², Σy² as exact integers (quantity whole units,
+    price in cents) — the one-pass parallel-merge moment pattern; the
+    float correlation is a driver-side O(1) epilogue the oracle can
+    reproduce from the same integers."""
+    ds = _decoded(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+        y = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    parts = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    return pa.table(
+        {
+            c: pa.array([int(pc.sum(parts.column(c)).as_py() or 0)], pa.int64())
+            for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]
+        }
+    )

@@ -59,6 +59,9 @@ NEW_QUERIES = [
     "anti_join_customers",
     "first_last_touch",
     "gopher_filter",
+    "json_extract_stats",
+    "value_histogram",
+    "corr_moments",
 ]
 
 
