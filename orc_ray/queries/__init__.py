@@ -33,6 +33,7 @@ QUERIES = {
     "encrypted_roundtrip": q_encrypted_roundtrip,
     "roundtrip_lineitem": q_roundtrip_lineitem,
     "orc_file_roundtrip": q_orc_file_roundtrip,
+    "acid_table_read": q_acid_table_read,
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_embeddings": q_roundtrip_embeddings,
     "projection_pushdown": q_projection_pushdown,
@@ -131,6 +132,34 @@ ORACLE_SQL = {
     "roundtrip_lineitem": "SELECT * FROM lineitem",
     # full fidelity through REAL .orc files (engine sink -> C++ ORC -> engine source)
     "orc_file_roundtrip": "SELECT * FROM lineitem",
+    # versioned-table merge-on-read: SQL replays the same commit sequence
+    # (seq-ordered ROW_NUMBER = last writer wins; op 'd' rows delete)
+    "acid_table_read": """
+        WITH all_rows AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+                   0 AS seq, 'u' AS op FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice + 1000, '0-UPDATED', 1, 'u'
+            FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice + 2000, '0-UPDATED', 2, 'u'
+            FROM orders
+            WHERE o_orderkey % 97 = 0 AND o_orderkey % 2 = 1 AND o_orderkey % 193 <> 0
+            UNION ALL
+            SELECT o_orderkey, NULL, NULL, NULL, 2, 'd'
+            FROM orders WHERE o_orderkey % 193 = 0
+        ),
+        latest AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+            FROM all_rows
+        )
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_e2,
+               CAST(SUM(CASE WHEN o_orderpriority = '0-UPDATED' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+               COUNT(*) AS n
+        FROM latest WHERE rn = 1 AND op = 'u'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "roundtrip_events": "SELECT * FROM events",
     "roundtrip_embeddings": "SELECT * FROM embeddings",
     "projection_pushdown": "SELECT l_orderkey, l_quantity FROM lineitem",

@@ -147,3 +147,89 @@ def q_projection_pushdown(sf_dir: str):
 
 def q_predicate_pushdown(sf_dir: str):
     return _decoded(sf_dir, "lineitem", predicates=[("l_orderkey", "<", 100)])
+
+
+def q_acid_table_read(sf_dir: str):
+    """Versioned keyed table (the Hive-ACID-on-ORC analog,
+    orc_ray/state/table.py): orders becomes the base store, two delta
+    commits apply updates, deletes and a last-writer-wins overwrite, and
+    the merge-on-read stream is aggregated per order status.  The SQL
+    oracle replays the same commit sequence with a seq-ordered
+    ROW_NUMBER — value-exact, so upsert/delete/LWW semantics are pinned
+    to SQL, not just to unit tests.
+
+    Deltas (deterministic, from the base itself):
+      seq 1 'u': every o_orderkey % 97 == 0 -> totalprice + 1000,
+                 priority '0-UPDATED'
+      seq 2 'u': % 97 == 0 AND odd AND % 193 != 0 -> totalprice + 2000
+                 (overwrites seq 1 — last writer wins)
+      seq 2 'd': % 193 == 0 (deletes, incl. keys seq 1 updated)"""
+    from ..state.table import append_delta, create_table, load_meta, read_table
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    tdir = os.path.join(
+        CACHE_ROOT,
+        f"orders-acid-{hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]}",
+    )
+    marker = os.path.join(tdir, "_table.json")
+    if not os.path.exists(marker) or load_meta(tdir)["version"] != 2:
+        import shutil
+
+        shutil.rmtree(tdir, ignore_errors=True)
+        create_table(tdir, [src], key="o_orderkey", batch_size=16384)
+        orders = pq.read_table(src)
+        k = orders.column("o_orderkey").to_numpy(zero_copy_only=False)
+
+        def mk_delta(mask: np.ndarray, bump: float | None, op: str, prio: str | None):
+            sub = orders.filter(pa.array(mask))
+            cols = {c: sub.column(c) for c in sub.column_names}
+            if bump is not None:
+                cols["o_totalprice"] = pc.add(sub.column("o_totalprice"), bump)
+            if prio is not None:
+                cols["o_orderpriority"] = pa.array([prio] * sub.num_rows, pa.string())
+            cols["_op"] = pa.array([op] * sub.num_rows, pa.string())
+            return pa.table(cols)
+
+        append_delta(tdir, mk_delta(k % 97 == 0, 1000.0, "u", "0-UPDATED"))
+        d2u = mk_delta((k % 97 == 0) & (k % 2 == 1) & (k % 193 != 0), 2000.0, "u", "0-UPDATED")
+        d2d = mk_delta(k % 193 == 0, None, "d", None)
+        append_delta(tdir, pa.concat_tables([d2u, d2d]))
+
+    ds = read_table(tdir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        upd = pc.equal(t.column("o_orderpriority"), "0-UPDATED").combine_chunks()
+        g = (
+            pa.table(
+                {
+                    "o_orderstatus": t.column("o_orderstatus"),
+                    "price_e2": pa.array(cents),
+                    "n_updated": upd.cast(pa.int64()),
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by("o_orderstatus")
+            .aggregate([("price_e2", "sum"), ("n_updated", "sum"), ("one", "sum")])
+        )
+        return pa.table(
+            {
+                "o_orderstatus": g.column("o_orderstatus"),
+                "price_e2": g.column("price_e2_sum"),
+                "n_updated": g.column("n_updated_sum"),
+                "n": g.column("one_sum"),
+            }
+        )
+
+    parts = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by("o_orderstatus").aggregate(
+        [("price_e2", "sum"), ("n_updated", "sum"), ("n", "sum")]
+    )
+    return pa.table(
+        {
+            "o_orderstatus": final.column("o_orderstatus"),
+            "price_e2": final.column("price_e2_sum"),
+            "n_updated": final.column("n_updated_sum"),
+            "n": final.column("n_sum"),
+        }
+    ).sort_by("o_orderstatus")

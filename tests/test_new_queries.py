@@ -62,6 +62,7 @@ NEW_QUERIES = [
     "json_extract_stats",
     "value_histogram",
     "corr_moments",
+    "acid_table_read",
 ]
 
 
