@@ -220,6 +220,40 @@ def cmd_export_orc(a) -> int:
     return 0
 
 
+def cmd_table(a) -> int:
+    """Versioned keyed tables (Hive-ACID analog, state/table.py):
+    create / delta / read / compact / vacuum / history."""
+    _ray_up()
+    from .state import table as tbl
+
+    if a.op == "create":
+        meta = tbl.create_table(a.dir, [a.input], key=a.key, batch_size=a.batch_size)
+        print(json.dumps({"version": meta["version"], "key": meta["key"]}))
+    elif a.op == "delta":
+        import pyarrow.parquet as pq
+
+        meta = tbl.append_delta(a.dir, pq.read_table(a.input))
+        print(json.dumps({"version": meta["version"]}))
+    elif a.op == "read":
+        ds = tbl.read_table(a.dir, version=a.version)
+        shown = 0
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            for row in b.slice(0, max(a.limit - shown, 0)).to_pylist():
+                print(json.dumps(row, default=str))
+                shown += 1
+            if shown >= a.limit:
+                break
+    elif a.op == "compact":
+        meta = tbl.compact_table(a.dir)
+        print(json.dumps({"version": meta["version"], "base": meta["versions"][-1]["base"]}))
+    elif a.op == "vacuum":
+        removed = tbl.vacuum_table(a.dir, keep_versions=a.keep)
+        print(json.dumps({"removed": removed}))
+    elif a.op == "history":
+        print(json.dumps(tbl.load_meta(a.dir)["versions"], indent=1))
+    return 0
+
+
 def cmd_merge(a) -> int:
     from .state.manifest import merge_stores
 
@@ -314,6 +348,17 @@ def main(argv=None) -> int:
     bq.add_argument("terms", help="comma-separated query terms")
     bq.add_argument("-k", type=int, default=10)
     bq.set_defaults(fn=cmd_bm25)
+
+    tb = sub.add_parser("table", help="versioned keyed table: create|delta|read|compact|vacuum|history")
+    tb.add_argument("op", choices=["create", "delta", "read", "compact", "vacuum", "history"])
+    tb.add_argument("dir")
+    tb.add_argument("input", nargs="?", help="create: base parquet; delta: parquet with an _op column")
+    tb.add_argument("--key", help="create: the table key column")
+    tb.add_argument("--version", type=int, default=None, help="read: time-travel version")
+    tb.add_argument("--limit", type=int, default=20)
+    tb.add_argument("--keep", type=int, default=1, help="vacuum: versions to keep")
+    tb.add_argument("--batch-size", type=int, default=16384)
+    tb.set_defaults(fn=cmd_table)
 
     io_ = sub.add_parser("import-orc", help="encode real .orc file(s)/dir into a chunk store")
     io_.add_argument("input")

@@ -34,3 +34,39 @@ def test_profile_and_bm25_cli(ray_session, tmp_path, capsys):
     assert main(["bm25", idx, "w7,w13", "-k", "5"]) == 0
     out = capsys.readouterr().out
     assert "score_e6" in out and len(out.strip().splitlines()) == 6
+
+
+def test_table_cli(ray_session, tmp_path, capsys):
+    import json
+
+    base = pa.table(
+        {"k": pa.array(np.arange(40), pa.int64()), "v": pa.array(np.arange(40) * 2, pa.int64())}
+    )
+    delta = pa.table(
+        {
+            "k": pa.array([3, 60, 5], pa.int64()),
+            "v": pa.array([333, 606, None], pa.int64()),
+            "_op": pa.array(["u", "u", "d"]),
+        }
+    )
+    bsrc = str(tmp_path / "base.parquet")
+    dsrc = str(tmp_path / "delta.parquet")
+    pq.write_table(base, bsrc)
+    pq.write_table(delta, dsrc)
+    tdir = str(tmp_path / "tbl")
+
+    assert main(["table", "create", tdir, bsrc, "--key", "k"]) == 0
+    assert main(["table", "delta", tdir, dsrc]) == 0
+    capsys.readouterr()
+    assert main(["table", "read", tdir, "--limit", "100"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    d = {r["k"]: r["v"] for r in rows}
+    assert len(d) == 40 + 1 - 1 and d[3] == 333 and d[60] == 606 and 5 not in d
+    # time travel via --version
+    assert main(["table", "read", tdir, "--version", "0", "--limit", "100"]) == 0
+    rows0 = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows0) == 40 and {r["k"]: r["v"] for r in rows0}[3] == 6
+    assert main(["table", "compact", tdir]) == 0
+    assert main(["table", "vacuum", tdir]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "base-0" in out["removed"]
