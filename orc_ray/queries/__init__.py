@@ -95,6 +95,7 @@ QUERIES = {
     "anti_join_customers": q_anti_join_customers,
     "first_last_touch": q_first_last_touch,
     "gopher_filter": q_gopher_filter,
+    "returned_item_revenue": q_returned_item_revenue,
     "json_extract_stats": q_json_extract_stats,
     "value_histogram": q_value_histogram,
     "corr_moments": q_corr_moments,
@@ -587,6 +588,22 @@ ORACLE_SQL = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id
+    """,
+    "returned_item_revenue": """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_e2,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-07-01'
+        GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+        ORDER BY rev_e4 DESC, c.c_custkey
+        LIMIT 20
     """,
     "json_extract_stats": """
         SELECT event_type,

@@ -1357,3 +1357,99 @@ def q_corr_moments(sf_dir: str):
             for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]
         }
     )
+
+
+def q_returned_item_revenue(sf_dir: str):
+    """TPC-H Q10 analog — the FOUR-table pipeline: returned lineitems
+    (l_returnflag = 'R', pushed as a string equality predicate into
+    chunk pruning) pre-aggregate per order through sum_by_keys BEFORE
+    any join; a half-year orders window (temporal pushdown) maps order
+    -> customer via join_adaptive; a second sum_by_keys re-keys revenue
+    per customer; the customer+nation dimension probe is ONE broadcast
+    (ray.put) vectorized take; local top-k merges 20 rows per block on
+    the driver.  Shuffle budget: two sum_by_keys sorts + one adaptive
+    join — the facts never all-to-all against each other."""
+    from ..functions.aggregates import sum_by_keys
+    from ..functions.joins import join_adaptive
+
+    lo_us = 852_076_800_000_000  # 1997-01-01 epoch-us
+    hi_us = 867_715_200_000_000  # 1997-07-01 epoch-us
+
+    li = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        predicates=[("l_returnflag", "==", "R")],
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev_e4": pa.array(e * (100 - d))}
+        )
+
+    rev_per_order = sum_by_keys(
+        li.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"],
+        "rev_e4",
+    )
+
+    orders = _decoded(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey"],
+        predicates=[("o_orderdate", ">=", lo_us), ("o_orderdate", "<", hi_us)],
+    )
+    with_cust = join_adaptive(rev_per_order, orders, "l_orderkey", "o_orderkey", ["o_custkey"])
+    rev_per_cust = sum_by_keys(with_cust, ["o_custkey"], "rev_e4")
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nmap = pc.take(
+        nation.column("n_name").combine_chunks(),
+        pc.index_in(
+            cust.column("c_nationkey").cast(pa.int32()),
+            value_set=nation.column("n_nationkey").combine_chunks(),
+        ),
+    )
+    cref = ray.put(
+        (
+            cust.column("c_custkey").combine_chunks(),
+            cust.column("c_name").combine_chunks(),
+            cust.column("c_acctbal").combine_chunks(),
+            nmap,
+        )
+    )
+
+    def dims(t: pa.Table, *, ref=cref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({})
+        ck, cn, bal, nn = ray.get(ref)
+        pos = pc.index_in(t.column("o_custkey"), value_set=ck)
+        acct = np.rint(pc.take(bal, pos).to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "c_name": pc.take(cn, pos),
+                "n_name": pc.take(nn, pos),
+                "acctbal_e2": pa.array(acct),
+                "rev_e4": t.column("rev_e4"),
+            }
+        )
+
+    named = rev_per_cust.map_batches(dims, batch_format="pyarrow", zero_copy_batch=True)
+    sort_keys = [("rev_e4", "descending"), ("c_custkey", "ascending")]
+
+    def local_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({})
+        return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:20])
+
+    tops = _to_table(named.map_batches(local_top, batch_format="pyarrow", zero_copy_batch=True))
+    return tops.take(pc.sort_indices(tops, sort_keys=sort_keys)[:20])

@@ -63,6 +63,7 @@ NEW_QUERIES = [
     "value_histogram",
     "corr_moments",
     "acid_table_read",
+    "returned_item_revenue",
 ]
 
 
