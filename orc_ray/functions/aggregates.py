@@ -455,3 +455,139 @@ def sum_by_keys(ds, keys: list[str], val: str, out: str | None = None,
         }
     )
     return interior_ds.union(ray.data.from_arrow(healed))
+
+
+def _order_change(t: pa.Table, order_by: list[str]) -> np.ndarray:
+    """bool[n]: row i's order tuple differs from row i-1's (row 0 True)."""
+    n = t.num_rows
+    ch = np.zeros(n, dtype=bool)
+    ch[0] = True
+    for c in order_by:
+        v = t.column(c).to_numpy(zero_copy_only=False)
+        ch[1:] |= v[1:] != v[:-1]
+    return ch
+
+
+def _block_tie_edges(t: pa.Table, keys: list[str], order_by: list[str]):
+    """Carry metadata for the tie-aware rank scan over one sorted block:
+    (first key, first order tuple, last key, last order tuple,
+     rows of last key, distinct order values of last key,
+     row-offset of the last key's final tie run within that key)."""
+    if t.num_rows == 0:
+        return None
+    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
+    starts = _group_starts(cols)
+    last_start = int(starts[-1])
+    ch = _order_change(t, order_by)
+    first_key = tuple(c[0] for c in cols)
+    last_key = tuple(c[-1] for c in cols)
+    first_order = tuple(t.column(c)[0].as_py() for c in order_by)
+    last_order = tuple(t.column(c)[-1].as_py() for c in order_by)
+    tail = ch[last_start:]
+    tail_runs = int(tail.sum()) + (0 if tail[0] else 1)  # runs touching last key
+    n_last = t.num_rows - last_start
+    run_starts = np.nonzero(ch[last_start:])[0]
+    last_run_off = int(run_starts[-1]) if run_starts.size else 0
+    return first_key, first_order, last_key, last_order, n_last, tail_runs, last_run_off
+
+
+def _add_tie_ranks(
+    t: pa.Table, keys: list[str], order_by: list[str], out: str, dense: bool,
+    carry_rows: int, carry_runs: int, cont: bool, cont_rank: int,
+) -> pa.Table:
+    """Tie-aware within-key ranks for one sorted block.  ``carry_rows`` /
+    ``carry_runs`` count the first key's rows / distinct order values in
+    prior blocks; ``cont`` marks the block's first tie run as a
+    continuation whose (dense) rank is ``cont_rank``."""
+    if t.num_rows == 0:
+        return pa.table({})
+    n = t.num_rows
+    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
+    starts = _group_starts(cols)
+    seg = np.repeat(starts, np.diff(np.r_[starts, n]))  # key start per row
+    ch = _order_change(t, order_by).copy()
+    ch[starts] = True  # a new key always starts a new run
+    run_idx = np.nonzero(ch)[0]
+    run_of_row = np.cumsum(ch) - 1  # run ordinal per row (block-global)
+    run_start_row = run_idx[run_of_row]  # first row index of each row's run
+    if dense:
+        # dense rank = run ordinal within key + 1
+        runs_before_key = np.cumsum(ch) - 1
+        key_first_run = runs_before_key[starts]  # run ordinal at key start
+        rnk = (run_of_row - np.repeat(key_first_run, np.diff(np.r_[starts, n])) + 1).astype(np.int64)
+    else:
+        rnk = (run_start_row - seg + 1).astype(np.int64)
+    first_key_rows = int(starts[1]) if starts.size > 1 else n
+    add = carry_runs if dense else carry_rows
+    rnk[:first_key_rows] += add
+    if cont:
+        # rows of the first run keep the continued run's rank
+        first_run_len = int(run_idx[1]) if run_idx.size > 1 else n
+        first_run_len = min(first_run_len, first_key_rows)
+        rnk[:first_run_len] = cont_rank
+    return t.append_column(out, pa.array(rnk))
+
+
+def with_group_tie_ranks(ds, keys: list[str], order_by: list[str],
+                         descending: list[bool] | None = None,
+                         out: str = "rnk", dense: bool = False):
+    """RANK() / DENSE_RANK() OVER (PARTITION BY keys ORDER BY order_by) —
+    the tie-aware siblings of with_group_ranks, same scale shape: one
+    range sort, O(blocks) edge metadata, an O(blocks) driver carry walk
+    tracking (rows, distinct runs, open tie run + its rank) of the key
+    spanning each boundary, then vectorized per-block assignment."""
+    import ray
+
+    desc = [False] * len(keys) + (descending or [False] * len(order_by))
+    sorted_ds = ds.sort(keys + order_by, descending=desc).materialize()
+    refs = [r for b in sorted_ds.iter_internal_ref_bundles() for r in b.block_refs]
+    if not refs:
+        return sorted_ds
+    edge_task = ray.remote(num_cpus=0.5)(_block_tie_edges)
+    edges = ray.get([edge_task.remote(r, keys, order_by) for r in refs])
+    carries = []  # (carry_rows, carry_runs, cont, cont_rank)
+    prev_key = None
+    prev_order = None
+    prev_rows = 0   # rows of prev_key so far
+    prev_runs = 0   # distinct order values of prev_key so far
+    prev_last_run_rank = 0
+    for e in edges:
+        if e is None:
+            carries.append((0, 0, False, 0))
+            continue
+        first_key, first_order, last_key, last_order, n_last, tail_runs, last_run_off = e
+        if first_key == prev_key:
+            cont = first_order == prev_order
+            carry_rows, carry_runs = prev_rows, prev_runs - (1 if cont else 0)
+            cont_rank = prev_last_run_rank if cont else 0
+        else:
+            cont, carry_rows, carry_runs, cont_rank = False, 0, 0, 0
+        carries.append((carry_rows, carry_runs, cont, cont_rank))
+        # roll the running state forward for the block's LAST key
+        if first_key == last_key:
+            # the whole block is one key: fold this block's runs/rows into
+            # the carried state.  If the block's single run is itself the
+            # continuation of the previous block's open run, its rank is
+            # unchanged; otherwise the last run starts inside this block.
+            one_continued_run = cont and tail_runs == 1
+            if one_continued_run:
+                prev_last_run_rank = cont_rank
+            elif dense:
+                prev_last_run_rank = carry_runs + tail_runs
+            else:
+                prev_last_run_rank = carry_rows + last_run_off + 1
+            prev_rows = carry_rows + n_last
+            prev_runs = carry_runs + tail_runs
+        else:
+            # the last key starts inside this block: fresh state
+            prev_rows = n_last
+            prev_runs = tail_runs
+            prev_last_run_rank = tail_runs if dense else last_run_off + 1
+        prev_key = last_key
+        prev_order = last_order
+    rank_task = ray.remote(num_cpus=1)(_add_tie_ranks)
+    out_refs = [
+        rank_task.remote(r, keys, order_by, out, dense, int(cr), int(cu), bool(co), int(ck))
+        for r, (cr, cu, co, ck) in zip(refs, carries)
+    ]
+    return ray.data.from_arrow_refs(out_refs)

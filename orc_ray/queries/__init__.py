@@ -96,6 +96,7 @@ QUERIES = {
     "first_last_touch": q_first_last_touch,
     "gopher_filter": q_gopher_filter,
     "returned_item_revenue": q_returned_item_revenue,
+    "value_rank_events": q_value_rank_events,
     "json_extract_stats": q_json_extract_stats,
     "value_histogram": q_value_histogram,
     "corr_moments": q_corr_moments,
@@ -588,6 +589,14 @@ ORACLE_SQL = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id
+    """,
+    "value_rank_events": """
+        SELECT event_id,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS rnk_dense
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY CAST(FLOOR(value / 10.0) AS BIGINT))
+        ORDER BY event_id
     """,
     "returned_item_revenue": """
         SELECT c.c_custkey, c.c_name, n.n_name,

@@ -505,3 +505,48 @@ def q_first_last_touch(sf_dir: str):
             "n_events": out.column("n_events").cast(pa.int64()),
         }
     ).sort_by("user_id")
+
+
+def q_value_rank_events(sf_dir: str):
+    """RANK and DENSE_RANK with real ties: events bucketed by
+    floor(value/10) rank within their event_type — two passes of the
+    tie-aware segmented-scan operator (functions/aggregates.
+    with_group_tie_ranks: O(blocks) carry walk tracking the open tie
+    run), joined on event_id."""
+    from ..functions.aggregates import with_group_tie_ranks
+
+    def bucketed():
+        ds = _decoded(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            b = np.floor(t.column("value").to_numpy(zero_copy_only=False) / 10.0).astype(np.int64)
+            return pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "event_type": t.column("event_type"),
+                    "bucket": pa.array(b),
+                }
+            )
+
+        return ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pick(dense: bool, out: str) -> pa.Table:
+        ranked = with_group_tie_ranks(
+            bucketed(), ["event_type"], ["bucket"], dense=dense, out=out
+        )
+
+        def proj(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({})
+            return t.select(["event_id", out])
+
+        return _to_table(ranked.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True))
+
+    out = pick(False, "rnk").join(pick(True, "rnk_dense"), keys=["event_id"])
+    return pa.table(
+        {
+            "event_id": out.column("event_id"),
+            "rnk": out.column("rnk").cast(pa.int64()),
+            "rnk_dense": out.column("rnk_dense").cast(pa.int64()),
+        }
+    ).sort_by("event_id")

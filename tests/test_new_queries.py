@@ -64,6 +64,7 @@ NEW_QUERIES = [
     "corr_moments",
     "acid_table_read",
     "returned_item_revenue",
+    "value_rank_events",
 ]
 
 
