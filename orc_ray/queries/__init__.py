@@ -97,6 +97,7 @@ QUERIES = {
     "gopher_filter": q_gopher_filter,
     "returned_item_revenue": q_returned_item_revenue,
     "value_rank_events": q_value_rank_events,
+    "normalize_text": q_normalize_text,
     "json_extract_stats": q_json_extract_stats,
     "value_histogram": q_value_histogram,
     "corr_moments": q_corr_moments,
@@ -589,6 +590,11 @@ ORACLE_SQL = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id
+    """,
+    "normalize_text": r"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+        FROM documents ORDER BY doc_id
     """,
     "value_rank_events": """
         SELECT event_id,

@@ -364,3 +364,23 @@ def q_gopher_filter(sf_dir: str):
     return _to_table(
         ds.map_batches(rules, batch_format="pyarrow", zero_copy_batch=True)
     ).sort_by("doc_id")
+
+
+def q_normalize_text(sf_dir: str):
+    """Canonical text normalization — the first stage of every dedup /
+    tokenize pipeline: lowercase, collapse all whitespace runs to one
+    space, trim.  Three Arrow kernels per batch (utf8_lower,
+    replace_substring_regex, utf8_trim_whitespace), zero Python per row;
+    output is the normalized text itself so the SQL mirror pins the
+    exact bytes."""
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t.column("text"))
+        s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table({"doc_id": t.column("doc_id"), "norm_text": s})
+
+    return _to_table(
+        ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("doc_id")

@@ -65,6 +65,7 @@ NEW_QUERIES = [
     "acid_table_read",
     "returned_item_revenue",
     "value_rank_events",
+    "normalize_text",
 ]
 
 
