@@ -97,6 +97,7 @@ QUERIES = {
     "gopher_filter": q_gopher_filter,
     "returned_item_revenue": q_returned_item_revenue,
     "value_rank_events": q_value_rank_events,
+    "percentile_ranks": q_percentile_ranks,
     "normalize_text": q_normalize_text,
     "json_extract_stats": q_json_extract_stats,
     "value_histogram": q_value_histogram,
@@ -590,6 +591,14 @@ ORACLE_SQL = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id
+    """,
+    "percentile_ranks": """
+        SELECT event_id,
+               CAST(FLOOR(PERCENT_RANK() OVER w * 1000000.0) AS BIGINT) AS percent_rank_e6,
+               CAST(FLOOR(CUME_DIST() OVER w * 1000000.0) AS BIGINT) AS cume_dist_e6
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY CAST(FLOOR(value / 10.0) AS BIGINT))
+        ORDER BY event_id
     """,
     "normalize_text": r"""
         SELECT doc_id,

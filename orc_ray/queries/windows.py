@@ -550,3 +550,59 @@ def q_value_rank_events(sf_dir: str):
             "rnk_dense": out.column("rnk_dense").cast(pa.int64()),
         }
     ).sort_by("event_id")
+
+
+def q_percentile_ranks(sf_dir: str):
+    """PERCENT_RANK and CUME_DIST per event_type over the value-bucket
+    order — both derived from tie-aware rank passes (no extra shuffle
+    shape): percent_rank = (rank-1)/(n-1); cume_dist = (n - rank_desc
+    + 1)/n where rank_desc is the tie-aware rank under the REVERSED
+    order (rank_desc - 1 = rows strictly greater).  Emitted as floor-e6
+    integers so the SQL mirror is value-exact."""
+    from ..functions.aggregates import agg_by_keys, with_group_tie_ranks
+
+    def bucketed():
+        ds = _decoded(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            b = np.floor(t.column("value").to_numpy(zero_copy_only=False) / 10.0).astype(np.int64)
+            return pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "event_type": t.column("event_type"),
+                    "bucket": pa.array(b),
+                }
+            )
+
+        return ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    def rank_pass(desc: bool, out: str) -> pa.Table:
+        ranked = with_group_tie_ranks(
+            bucketed(), ["event_type"], ["bucket"], descending=[desc], out=out
+        )
+
+        def proj(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({})
+            return t.select(["event_id", "event_type", out])
+
+        return _to_table(ranked.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True))
+
+    asc = rank_pass(False, "rnk")
+    desc = rank_pass(True, "rnk_desc").select(["event_id", "rnk_desc"])
+    counts = _to_table(
+        agg_by_keys(bucketed(), ["event_type"], [("event_id", "count_all", "n")])
+    )
+    out = asc.join(desc, keys=["event_id"]).join(counts, keys=["event_type"])
+    rnk = out.column("rnk").to_numpy(zero_copy_only=False).astype(np.float64)
+    rnkd = out.column("rnk_desc").to_numpy(zero_copy_only=False).astype(np.float64)
+    n = out.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    pr = (rnk - 1.0) / np.maximum(n - 1.0, 1.0)
+    cd = (n - rnkd + 1.0) / n
+    return pa.table(
+        {
+            "event_id": out.column("event_id"),
+            "percent_rank_e6": pa.array(np.floor(pr * 1_000_000.0).astype(np.int64)),
+            "cume_dist_e6": pa.array(np.floor(cd * 1_000_000.0).astype(np.int64)),
+        }
+    ).sort_by("event_id")

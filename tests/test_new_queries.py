@@ -66,6 +66,7 @@ NEW_QUERIES = [
     "returned_item_revenue",
     "value_rank_events",
     "normalize_text",
+    "percentile_ranks",
 ]
 
 
