@@ -1,11 +1,24 @@
 """CLI — the analog of the reference's tool surface (orc-tools Driver.java:
 meta/data/scan/convert; C++ orc-metadata/orc-contents/orc-scan).
 
-    python -m orc_ray encode  IN_DIR OUT_STORE [--batch-size N] [--resume]
+    python -m orc_ray encode  IN OUT_STORE [--batch-size N] [--resume]
                               [--columns a,b] [--partition-by COL --salt-col COL]
-    python -m orc_ray decode  STORE [--columns a,b] [--limit N] [--out DIR]
-    python -m orc_ray inspect STORE [--chunks]
-    python -m orc_ray scan    STORE          (timed full decode, orc-scan analog)
+                              [--mask COL=M] [--encrypt COL=KEY --keystore F]
+                              [--format parquet|csv|json]
+    python -m orc_ray decode  STORE [--columns a,b] [--where PREDS] [--limit N]
+                              [--out DIR [--partition-by a,b]] [--keystore F]
+    python -m orc_ray inspect STORE [--chunks]     # meta/FileDump analog
+    python -m orc_ray scan    STORE [--trust-stats]  # timed decode, orc-scan analog
+    python -m orc_ray sort    STORE OUT --by a,b   # cluster for pruning
+    python -m orc_ray zorder  STORE OUT --by x,y   # multi-column clustering
+    python -m orc_ray compact STORE OUT            # small-files compaction
+    python -m orc_ray merge   OUT STORE1 STORE2…   # orc-tools merge analog
+    python -m orc_ray profile STORE --cols a,b     # one-pass numeric profile
+    python -m orc_ray text-index STORE IDX / bm25 IDX terms -k 10
+    python -m orc_ray import-orc F.orc STORE / export-orc STORE DIR
+    python -m orc_ray table   create|delta|read|compact|vacuum|history DIR …
+
+Store paths may be local or any fsspec URL (file://, s3://, …).
 """
 
 from __future__ import annotations
@@ -220,6 +233,16 @@ def cmd_export_orc(a) -> int:
     return 0
 
 
+def cmd_compact(a) -> int:
+    """Small-files compaction: re-encode a store at a fresh chunk size."""
+    _ray_up()
+    from .pipeline.encode import compact_store
+
+    rec = compact_store(a.store, a.out, batch_size=a.batch_size)
+    print(json.dumps(rec["totals"]))
+    return 0
+
+
 def cmd_table(a) -> int:
     """Versioned keyed tables (Hive-ACID analog, state/table.py):
     create / delta / read / compact / vacuum / history."""
@@ -348,6 +371,12 @@ def main(argv=None) -> int:
     bq.add_argument("terms", help="comma-separated query terms")
     bq.add_argument("-k", type=int, default=10)
     bq.set_defaults(fn=cmd_bm25)
+
+    cp = sub.add_parser("compact", help="re-encode a store at a fresh chunk size (small-files compaction)")
+    cp.add_argument("store")
+    cp.add_argument("out")
+    cp.add_argument("--batch-size", type=int, default=16384)
+    cp.set_defaults(fn=cmd_compact)
 
     tb = sub.add_parser("table", help="versioned keyed table: create|delta|read|compact|vacuum|history")
     tb.add_argument("op", choices=["create", "delta", "read", "compact", "vacuum", "history"])

@@ -411,6 +411,27 @@ def sort_store(
     return encode_dataset(None, out_dir, opts, ds=ds, batch_size=batch_size)
 
 
+def compact_store(
+    in_dir: str,
+    out_dir: str,
+    opts: EncodeOptions = DEFAULT_OPTIONS,
+    *,
+    batch_size: int = 16384,
+) -> dict:
+    """Re-encode a store at a fresh chunk size WITHOUT sorting — the
+    small-files compaction every long-lived store needs (many tiny
+    appended/merged chunks -> few full-sized ones; dictionary and FSST
+    tables rebuild over the larger chunks, usually shrinking bytes).
+    Zero shuffle: decode streams straight into encode.  Same wipe-first
+    contract as sort_store (trust-mode commit)."""
+    import shutil
+
+    from .decode import decode_dataset
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return encode_dataset(None, out_dir, opts, ds=decode_dataset(in_dir), batch_size=batch_size)
+
+
 def _rename_path_col(batch: pa.Table) -> pa.Table:
     if "path" in batch.column_names:
         names = [(_PATH_COL if n == "path" else n) for n in batch.column_names]

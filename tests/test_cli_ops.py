@@ -70,3 +70,31 @@ def test_table_cli(ray_session, tmp_path, capsys):
     assert main(["table", "vacuum", tdir]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "base-0" in out["removed"]
+
+
+def test_compact_cli(ray_session, tmp_path, capsys):
+    import json
+    import os
+
+    t = pa.table(
+        {"k": np.arange(8000, dtype=np.int64), "s": [f"val {i % 13}" for i in range(8000)]}
+    )
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    small = str(tmp_path / "small")
+    encode_dataset([src], small, batch_size=256)  # many tiny chunks
+    n_small = len(os.listdir(os.path.join(small, "chunks")))
+
+    big = str(tmp_path / "big")
+    assert main(["compact", small, big, "--batch-size", "8192"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 8000
+    n_big = len(os.listdir(os.path.join(big, "chunks")))
+    assert n_big < n_small / 4
+
+    from orc_ray.pipeline.decode import decode_dataset
+
+    back = pa.concat_tables(
+        decode_dataset(big).iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("k")
+    assert back.equals(t)
