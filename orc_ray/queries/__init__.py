@@ -121,6 +121,11 @@ QUERIES = {
     "hybrid_retrieval": q_hybrid_retrieval,
     "upsert_read": q_upsert_read,
     "balanced_sample": q_balanced_sample,
+    "order_priority_exists": q_order_priority_exists,
+    "linestatus_priority_mix": q_linestatus_priority_mix,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "customer_order_overlap": q_customer_order_overlap,
+    "argmax_events": q_argmax_events,
 }
 
 
@@ -957,6 +962,65 @@ ORACLE_SQL = {
         SELECT doc_id, text, n_chars FROM documents
         WHERE doc_id % 17 <> 0
         ORDER BY doc_id
+    """,
+    "order_priority_exists": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "linestatus_priority_mix": """
+        WITH j AS (
+          SELECT l.l_linestatus, o.o_orderpriority
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        ), u AS (
+          SELECT l_linestatus, 'high_line_count' AS kind,
+                 CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS one
+          FROM j
+          UNION ALL
+          SELECT l_linestatus, 'low_line_count',
+                 CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END
+          FROM j
+        )
+        SELECT l_linestatus, kind, CAST(SUM(one) AS BIGINT) AS n
+        FROM u GROUP BY l_linestatus, kind ORDER BY l_linestatus, kind
+    """,
+    "disjunctive_revenue": """
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS revenue_e4
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 10 AND 35)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    "customer_order_overlap": """
+        WITH per AS (
+          SELECT o_custkey,
+                 SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+                 SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT CASE WHEN n_o > 0 AND n_f > 0 THEN 'both'
+                    WHEN n_o > 0 THEN 'only_open'
+                    WHEN n_f > 0 THEN 'only_filled'
+                    ELSE 'pending_only' END AS cls,
+               COUNT(*) AS n_customers
+        FROM per GROUP BY cls ORDER BY cls
+    """,
+    "argmax_events": """
+        WITH m AS (SELECT event_type, MAX(value) AS mv FROM events GROUP BY event_type)
+        SELECT e.event_type,
+               CAST(ROUND(m.mv * 1000000) AS BIGINT) AS max_value_e6,
+               MIN(e.event_id) AS argmax_event_id
+        FROM events e JOIN m ON e.event_type = m.event_type AND e.value = m.mv
+        GROUP BY e.event_type, m.mv ORDER BY e.event_type
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

@@ -1453,3 +1453,219 @@ def q_returned_item_revenue(sf_dir: str):
 
     tops = _to_table(named.map_batches(local_top, batch_format="pyarrow", zero_copy_batch=True))
     return tops.take(pc.sort_indices(tops, sort_keys=sort_keys)[:20])
+
+
+def q_order_priority_exists(sf_dir: str):
+    """TPC-H Q4 analog — EXISTS rewritten as the distributed SEMI join
+    operator: orders that have at least one returned line (l_returnflag =
+    'R', pushed into chunk pruning on the lineitem scan), counted per
+    o_orderpriority.  The key side streams through join_semi_anti (per-
+    batch dedup before the broadcast/partitioned arm decision); the
+    orders side never shuffles; the count is one sum_by_keys over five
+    priority groups."""
+    from ..functions.aggregates import sum_by_keys
+    from ..functions.joins import join_semi_anti
+
+    orders = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    returned = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey"],
+        predicates=[("l_returnflag", "==", "R")],
+    )
+    kept = join_semi_anti(orders, returned, "o_orderkey", "l_orderkey")
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    agg = sum_by_keys(
+        kept.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderpriority"],
+        "one",
+        out="n_orders",
+    )
+    return _to_table(agg).sort_by("o_orderpriority")
+
+
+def q_linestatus_priority_mix(sf_dir: str):
+    """TPC-H Q12 analog — join + conditional (CASE WHEN) aggregation:
+    1997 shipments (temporal predicate pushed into the lineitem scan)
+    pick up o_orderpriority via the adaptive join, then per l_linestatus
+    count urgent (1-URGENT/2-HIGH) vs other-priority lines.  The CASE
+    arms are one vectorized is_in per batch; the final shuffle is
+    O(statuses)."""
+    from ..functions.aggregates import sum_by_keys
+    from ..functions.joins import join_adaptive
+
+    lo_us = 852_076_800_000_000  # 1997-01-01 epoch-us
+    hi_us = 883_612_800_000_000  # 1998-01-01 epoch-us
+    li = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        predicates=[("l_shipdate", ">=", lo_us), ("l_shipdate", "<", hi_us)],
+    )
+    orders = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = join_adaptive(li, orders, "l_orderkey", "o_orderkey", ["o_orderpriority"])
+
+    def split(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(
+            t.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_linestatus": pa.concat_arrays(
+                    [t.column("l_linestatus").combine_chunks()] * 2
+                ),
+                "kind": pa.array(
+                    ["high_line_count"] * t.num_rows + ["low_line_count"] * t.num_rows
+                ),
+                "one": pa.array(
+                    np.concatenate([hi.astype(np.int64), (~hi).astype(np.int64)])
+                ),
+            }
+        )
+
+    agg = sum_by_keys(
+        joined.map_batches(split, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_linestatus", "kind"],
+        "one",
+        out="n",
+    )
+    return _to_table(agg).sort_by(
+        [("l_linestatus", "ascending"), ("kind", "ascending")]
+    )
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 analog — OR-of-ANDs predicate over a broadcast
+    dimension join: part (p_brand, p_size) ships once via the adaptive
+    join's broadcast arm; each lineitem batch evaluates the three
+    brand/size/quantity clauses as vectorized boolean algebra and sums
+    revenue in exact e4 integers.  One scalar leaves each batch."""
+    from ..functions.joins import join_adaptive
+
+    li = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = _decoded(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    joined = join_adaptive(li, part, "l_partkey", "p_partkey", ["p_brand", "p_size"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"revenue_e4": pa.array([], pa.int64())})
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        size = t.column("p_size").to_numpy(zero_copy_only=False)
+        brand = t.column("p_brand").to_numpy(zero_copy_only=False)
+        c1 = (brand == "Brand#1") & (size >= 1) & (size <= 15) & (q >= 1) & (q <= 20)
+        c2 = (brand == "Brand#2") & (size >= 10) & (size <= 30) & (q >= 10) & (q <= 35)
+        c3 = (brand == "Brand#3") & (size >= 20) & (size <= 50) & (q >= 20) & (q <= 50)
+        keep = c1 | c2 | c3
+        e = np.rint(t.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep] * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy(zero_copy_only=False)[keep] * 100).astype(np.int64)
+        return pa.table({"revenue_e4": pa.array([int((e * (100 - d)).sum())], pa.int64())})
+
+    parts = _to_table(joined.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True))
+    return pa.table(
+        {"revenue_e4": pa.array([int(pc.sum(parts.column("revenue_e4")).as_py() or 0)], pa.int64())}
+    )
+
+
+def q_customer_order_overlap(sf_dir: str):
+    """Distributed set-op classification (INTERSECT / EXCEPT in one
+    pass): per customer, counts of open ('O') and filled ('F') orders
+    flow through ONE agg_by_keys; a vectorized CASE maps each customer
+    to both / only_open / only_filled / pending_only, and a second
+    O(4)-key sum_by_keys counts the classes.  The driver never sees the
+    customer list."""
+    from ..functions.aggregates import agg_by_keys, sum_by_keys
+
+    ds = _decoded(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        st = t.column("o_orderstatus")
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "n_o": pc.equal(st, "O").cast(pa.int64()),
+                "n_f": pc.equal(st, "F").cast(pa.int64()),
+            }
+        )
+
+    per_cust = agg_by_keys(
+        ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"],
+        [("n_o", "sum", "n_o"), ("n_f", "sum", "n_f")],
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cls": pa.array([], pa.string()), "one": pa.array([], pa.int64())})
+        o = t.column("n_o").to_numpy(zero_copy_only=False) > 0
+        f = t.column("n_f").to_numpy(zero_copy_only=False) > 0
+        cls = np.where(o & f, "both", np.where(o, "only_open", np.where(f, "only_filled", "pending_only")))
+        return pa.table({"cls": pa.array(cls), "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    agg = sum_by_keys(
+        per_cust.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True),
+        ["cls"],
+        "one",
+        out="n_customers",
+    )
+    return _to_table(agg).sort_by("cls")
+
+
+def q_argmax_events(sf_dir: str):
+    """ARG_MAX / MAX_BY per group: for each event_type, the maximum value
+    and the smallest event_id attaining it.  Per batch: Arrow group-max,
+    join back by index_in, keep only max-attaining rows and their min id
+    — O(groups) partial rows per block; the driver heals partials with
+    one lexsort.  Float max compares exact float64 (no quantization
+    before the tie test), so ties match SQL semantics bit-for-bit."""
+    ds = _decoded(sf_dir, "events", columns=["event_type", "event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "mv": pa.array([], pa.float64()),
+                    "eid": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("event_type").aggregate([("value", "max")])
+        pos = pc.index_in(t.column("event_type"), value_set=g.column("event_type").combine_chunks())
+        gmax = pc.take(g.column("value_max").combine_chunks(), pos)
+        at_max = t.filter(pc.equal(t.column("value"), gmax))
+        m = at_max.group_by("event_type").aggregate([("value", "max"), ("event_id", "min")])
+        return pa.table(
+            {
+                "event_type": m.column("event_type"),
+                "mv": m.column("value_max"),
+                "eid": m.column("event_id_min"),
+            }
+        )
+
+    parts = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    et = parts.column("event_type").to_numpy(zero_copy_only=False)
+    mv = parts.column("mv").to_numpy(zero_copy_only=False)
+    eid = parts.column("eid").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, -mv, et))  # per type: max value first, then min id
+    et, mv, eid = et[order], mv[order], eid[order]
+    first = np.ones(et.size, dtype=bool)
+    first[1:] = et[1:] != et[:-1]
+    return pa.table(
+        {
+            "event_type": pa.array(et[first], pa.string()),
+            "max_value_e6": pa.array(np.rint(mv[first] * 1_000_000).astype(np.int64)),
+            "argmax_event_id": pa.array(eid[first], pa.int64()),
+        }
+    )

@@ -67,6 +67,11 @@ NEW_QUERIES = [
     "value_rank_events",
     "normalize_text",
     "percentile_ranks",
+    "order_priority_exists",
+    "linestatus_priority_mix",
+    "disjunctive_revenue",
+    "customer_order_overlap",
+    "argmax_events",
 ]
 
 
