@@ -126,6 +126,10 @@ QUERIES = {
     "disjunctive_revenue": q_disjunctive_revenue,
     "customer_order_overlap": q_customer_order_overlap,
     "argmax_events": q_argmax_events,
+    "moving_avg_revenue": q_moving_avg_revenue,
+    "gap_fill_revenue": q_gap_fill_revenue,
+    "status_moments": q_status_moments,
+    "collect_langs": q_collect_langs,
 }
 
 
@@ -1021,6 +1025,59 @@ ORACLE_SQL = {
                MIN(e.event_id) AS argmax_event_id
         FROM events e JOIN m ON e.event_type = m.event_type AND e.value = m.mv
         GROUP BY e.event_type, m.mv ORDER BY e.event_type
+    """,
+    "moving_avg_revenue": """
+        WITH daily AS (
+          SELECT CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1
+        )
+        SELECT day,
+               CAST(SUM(cents) OVER w AS BIGINT) AS win_sum_cents,
+               CAST(COUNT(*) OVER w AS BIGINT) AS win_days
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY day
+    """,
+    "gap_fill_revenue": """
+        WITH daily AS (
+          SELECT CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1
+        ),
+        cal AS (
+          SELECT UNNEST(generate_series((SELECT MIN(day) FROM daily),
+                                        (SELECT MAX(day) FROM daily))) AS day
+        )
+        SELECT c.day,
+               CAST(COALESCE(d.cents,
+                    LAST_VALUE(d.cents IGNORE NULLS) OVER
+                      (ORDER BY c.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                    AS BIGINT) AS rev_cents,
+               d.cents IS NULL AS is_filled
+        FROM cal c LEFT JOIN daily d ON c.day = d.day
+        ORDER BY c.day
+    """,
+    "status_moments": """
+        WITH p AS (
+          SELECT o_orderstatus AS s, COUNT(*) AS n,
+                 SUM(x) AS s1, SUM(x*x) AS s2, SUM(x*x*x) AS s3, SUM(x*x*x*x) AS s4
+          FROM (SELECT o_orderstatus, CAST(ROUND(o_totalprice / 1000) AS BIGINT) AS x
+                FROM orders)
+          GROUP BY o_orderstatus
+        )
+        SELECT s AS o_orderstatus, CAST(n AS BIGINT) AS n,
+               CAST(ROUND((s3/n - 3*(s1/n)*s2/n + 2*(s1/n)^3)
+                    / ((s2/n - (s1/n)*(s1/n))^1.5) * 1000000) AS BIGINT) AS skew_e6,
+               CAST(ROUND(((s4/n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n - 3*(s1/n)^4)
+                    / ((s2/n - (s1/n)*(s1/n))^2) - 3) * 1000000) AS BIGINT) AS kurt_e6
+        FROM p ORDER BY s
+    """,
+    "collect_langs": """
+        SELECT source,
+               STRING_AGG(DISTINCT lang, ',' ORDER BY lang) AS langs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents GROUP BY source ORDER BY source
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

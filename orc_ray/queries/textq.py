@@ -528,3 +528,48 @@ def q_source_vocab_overlap(sf_dir: str):
             "uni": pa.array(out_u, pa.int64()),
         }
     )
+
+
+def q_collect_langs(sf_dir: str):
+    """Grouped collect (ARRAY_AGG/STRING_AGG DISTINCT): the sorted,
+    comma-joined set of languages seen per source.  Distinct (source,
+    lang) pairs reduce through ONE sum_by_keys (the shuffle is
+    O(sources × langs), never O(docs)); the join epilogue is O(pairs) on
+    the driver."""
+    from ..functions.aggregates import sum_by_keys
+
+    ds = _decoded(sf_dir, "documents", columns=["source", "lang"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "lang": g.column("lang"),
+                "one": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    pairs = _to_table(
+        sum_by_keys(
+            ds.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+            ["source", "lang"],
+            "one",
+            out="n_docs",
+        )
+    ).sort_by([("source", "ascending"), ("lang", "ascending")])
+    src = pairs.column("source").to_numpy(zero_copy_only=False)
+    lang = pairs.column("lang").to_numpy(zero_copy_only=False)
+    brk = np.ones(src.size, dtype=bool)
+    brk[1:] = src[1:] != src[:-1]
+    starts = np.flatnonzero(brk)
+    ends = np.r_[starts[1:], src.size]
+    return pa.table(
+        {
+            "source": pa.array(src[starts], pa.string()),
+            "langs": pa.array(
+                [",".join(lang[st:en]) for st, en in zip(starts, ends)], pa.string()
+            ),
+            "n_langs": pa.array((ends - starts).astype(np.int64)),
+        }
+    )

@@ -1669,3 +1669,64 @@ def q_argmax_events(sf_dir: str):
             "argmax_event_id": pa.array(eid[first], pa.int64()),
         }
     )
+
+
+def q_status_moments(sf_dir: str):
+    """Higher-order grouped moments — skewness and excess kurtosis of
+    o_totalprice per o_orderstatus.  Values quantize to exact kilodollar
+    integers so the four power sums (Σx..Σx⁴) stay exact int64 through
+    any merge order (x⁴ ≤ 6.25e10 × 1e7 rows < 2⁶³); the float epilogue
+    (population g1/g2 from raw moments) is O(groups) on the driver and
+    mirrored expression-for-expression in the oracle SQL."""
+    from ..functions.aggregates import sum_by_keys
+
+    ds = _decoded(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+
+    def powers(t: pa.Table) -> pa.Table:
+        x = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) / 1000.0).astype(np.int64)
+        st = t.column("o_orderstatus")
+        base = pa.table(
+            {
+                "s": pa.concat_arrays([st.combine_chunks()] * 5),
+                "k": pa.array(
+                    ["n"] * len(x) + ["s1"] * len(x) + ["s2"] * len(x) + ["s3"] * len(x) + ["s4"] * len(x)
+                ),
+                "v": pa.array(
+                    np.concatenate([np.ones(len(x), np.int64), x, x * x, x**3, x**4])
+                ),
+            }
+        )
+        g = base.group_by(["s", "k"]).aggregate([("v", "sum")])
+        return pa.table({"s": g.column("s"), "k": g.column("k"), "v": g.column("v_sum")})
+
+    agg = _to_table(
+        sum_by_keys(
+            ds.map_batches(powers, batch_format="pyarrow", zero_copy_batch=True),
+            ["s", "k"],
+            "v",
+        )
+    )
+    # pivot the (status, power) sums and compute the float epilogue
+    piv = {}
+    for s, k, v in zip(
+        agg.column("s").to_pylist(), agg.column("k").to_pylist(), agg.column("v").to_pylist()
+    ):
+        piv.setdefault(s, {})[k] = v
+    rows = []
+    for s in sorted(piv):
+        n, s1, s2, s3, s4 = (float(piv[s][k]) for k in ["n", "s1", "s2", "s3", "s4"])
+        mean = s1 / n
+        m2 = s2 / n - mean * mean
+        m3 = s3 / n - 3 * mean * s2 / n + 2 * mean**3
+        m4 = s4 / n - 4 * mean * s3 / n + 6 * mean * mean * s2 / n - 3 * mean**4
+        rows.append(
+            (s, int(n), int(np.rint(m3 / m2**1.5 * 1e6)), int(np.rint((m4 / m2**2 - 3) * 1e6)))
+        )
+    return pa.table(
+        {
+            "o_orderstatus": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "skew_e6": pa.array([r[2] for r in rows], pa.int64()),
+            "kurt_e6": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

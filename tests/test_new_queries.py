@@ -72,6 +72,10 @@ NEW_QUERIES = [
     "disjunctive_revenue",
     "customer_order_overlap",
     "argmax_events",
+    "moving_avg_revenue",
+    "gap_fill_revenue",
+    "status_moments",
+    "collect_langs",
 ]
 
 
