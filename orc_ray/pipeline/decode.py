@@ -81,6 +81,8 @@ def _mask(t: pa.Table, pred):
             return pa.scalar(v, type=c.type)
         return pa.scalar(v)
 
+    if op == "startswith":
+        return pc.starts_with(c, pattern=pred[2])
     if op == "in":
         vs = list(pred[2])
         if pa.types.is_unsigned_integer(c.type) or (
@@ -174,7 +176,32 @@ def _truth_leaf_inner(stats: dict, pred: tuple) -> int:
         if bhi < lo or blo > hi:
             return NO
         return YES if blo <= lo and hi <= bhi else MAYBE
+    if op == "startswith":
+        # LIKE 'pfx%' prunes as the half-open string interval
+        # [pfx, next(pfx)): UTF-8 byte order equals code-point order, so
+        # the truncated StringStatistics bounds stay conservative.
+        pfx = pred[2]
+        if hi < pfx:
+            return NO
+        nxt = _prefix_upper(pfx)
+        if nxt is not None and lo >= nxt:
+            return NO
+        if lo >= pfx and nxt is not None and hi < nxt:
+            return YES
+        return MAYBE
     return MAYBE
+
+
+def _prefix_upper(pfx: str) -> str | None:
+    """Smallest string greater than every string with prefix ``pfx``
+    (code-point increment with carry); None when no such bound exists."""
+    cps = list(pfx)
+    while cps:
+        o = ord(cps[-1])
+        if o < 0x10FFFF:
+            return "".join(cps[:-1]) + chr(o + 1)
+        cps.pop()
+    return None
 
 
 def _truth(stats: dict, pred) -> int:

@@ -130,6 +130,7 @@ QUERIES = {
     "gap_fill_revenue": q_gap_fill_revenue,
     "status_moments": q_status_moments,
     "collect_langs": q_collect_langs,
+    "prefix_scan_customers": q_prefix_scan_customers,
 }
 
 
@@ -1078,6 +1079,12 @@ ORACLE_SQL = {
                STRING_AGG(DISTINCT lang, ',' ORDER BY lang) AS langs,
                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
         FROM documents GROUP BY source ORDER BY source
+    """,
+    "prefix_scan_customers": """
+        SELECT c_custkey, c_name,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_e2
+        FROM customer WHERE c_name LIKE 'Customer#00000000%'
+        ORDER BY c_custkey
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

@@ -1730,3 +1730,31 @@ def q_status_moments(sf_dir: str):
             "kurt_e6": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+def q_prefix_scan_customers(sf_dir: str):
+    """LIKE 'pfx%' pushdown end-to-end: the startswith predicate prunes
+    chunks/strides via the truncated StringStatistics interval
+    [pfx, next(pfx)) (SearchArgument LIKE analog) and the residual
+    vectorized starts_with filters exactly — sequential c_name values
+    make the prune real, not just correct."""
+    ds = _decoded(
+        sf_dir,
+        "customer",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+        predicates=[("c_name", "startswith", "Customer#00000000")],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        bal = np.rint(t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_name": t.column("c_name"),
+                "acctbal_e2": pa.array(bal),
+            }
+        )
+
+    return _to_table(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("c_custkey")

@@ -76,6 +76,7 @@ NEW_QUERIES = [
     "gap_fill_revenue",
     "status_moments",
     "collect_langs",
+    "prefix_scan_customers",
 ]
 
 

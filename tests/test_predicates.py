@@ -124,3 +124,33 @@ def test_timestamp_predicate_pushdown(tmp_path, ray_session):
     # IN with epoch ints
     got_in = _run(out, [("ts", "in", [int(us[7]), int(us[1234])])])
     assert sorted(got_in.column("id").to_pylist()) == [7, 1234]
+
+
+def test_startswith_truth_values():
+    from orc_ray.pipeline.decode import _prefix_upper
+
+    st = {"s": {"min": "doc-0002", "max": "doc-0004"}}
+    assert _truth(st, ("s", "startswith", "doc-0005")) == NO
+    assert _truth(st, ("s", "startswith", "doc-0001")) == NO
+    assert _truth(st, ("s", "startswith", "doc-000")) == YES
+    assert _truth(st, ("s", "startswith", "doc-0002")) == MAYBE
+    # carry past the max code point
+    assert _prefix_upper("a" + chr(0x10FFFF)) == "b"
+    assert _prefix_upper(chr(0x10FFFF)) is None
+    # no finite upper bound for the all-max prefix -> conservative MAYBE
+    big = chr(0x10FFFF)
+    assert _truth({"s": {"min": "a", "max": big + "x"}}, ("s", "startswith", big)) == MAYBE
+
+
+def test_startswith_prunes_and_filters(store):
+    """LIKE 'pfx%' pushdown: sequential doc-%016d ids give disjoint chunk
+    ranges, so a tight prefix prunes chunks AND the exact row filter
+    matches Arrow's starts_with."""
+    out, full = store
+    pfx = full.column("doc_id")[0].as_py()[:17]  # doc-0000000000000 -> ids 0..999
+    _, kept, total = list_chunks(out, predicates=[("doc_id", "startswith", pfx)])
+    assert kept < total, (kept, total)
+    got = _run(out, [("doc_id", "startswith", pfx)])
+    exp = full.filter(pc.starts_with(full.column("doc_id"), pattern=pfx))
+    assert got.num_rows == exp.num_rows > 0
+    assert got.sort_by("doc_id").equals(exp.sort_by("doc_id").select(got.column_names))
