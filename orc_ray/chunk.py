@@ -551,7 +551,8 @@ def _select_string_codec(arr: pa.Array, concat: np.ndarray, offsets: np.ndarray,
 # ---------------------------------------------------------------------------
 # column decoders
 
-def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType, ranges=None) -> pa.Array:
+def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType, ranges=None,
+                   encoded: bool = False) -> pa.Array:
     n = meta["n"]
     i = 0
     vbits = None
@@ -693,6 +694,16 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType, ranges=None) 
         dlens = decode_ints(bufs[i + 1])
         ddata = bufs[i + 2]
         dictionary = _varbytes_from_numpy(dlens, ddata, ty)
+        if encoded:
+            # encoded-vector read (ORC EncodedStringVectorBatch /
+            # setEncodedVectorAllowed analog): hand back codes + the sorted
+            # dictionary WITHOUT expanding to flat strings — zero string
+            # materialization; downstream Arrow group_by/unique hash the
+            # int32 codes instead of the bytes.
+            out = pa.DictionaryArray.from_arrays(
+                pa.array(indices.astype(np.int32)), dictionary
+            )
+            return _apply_validity(out, vbits, n, ranges)
         out = dictionary.take(pa.array(indices))
         return _apply_validity(out, vbits, n, ranges)
 
@@ -931,6 +942,8 @@ def decode_chunk(
     row_ranges: list | None = None,
     header: dict | None = None,
     keys: dict | None = None,
+    encoded_vectors: bool = False,
+    encoded_exclude: frozenset | set = frozenset(),
 ) -> pa.Table:
     """Decode a chunk blob back to a pyarrow Table (optionally projected).
 
@@ -983,6 +996,20 @@ def decode_chunk(
             else:
                 bufs.append(framing.decompress(raw))
             off += bl
-        arrays.append(_decode_column(cmeta, bufs, ty, ranges=row_ranges))
+        # encoded-vector contract: every eligible top-level string column
+        # comes back dictionary<int32, str> regardless of the chunk's codec
+        # choice (codec selection varies per chunk; a stable reader schema
+        # requires post-encoding the str/fsst chunks too)
+        enc_col = (
+            encoded_vectors
+            and cmeta["name"] not in encoded_exclude
+            and (pa.types.is_string(ty) or pa.types.is_large_string(ty))
+        )
+        arr = _decode_column(cmeta, bufs, ty, ranges=row_ranges, encoded=enc_col)
+        if enc_col and not pa.types.is_dictionary(arr.type):
+            arr = arr.dictionary_encode()
+            if arr.type.index_type != pa.int32():
+                arr = arr.cast(pa.dictionary(pa.int32(), ty))
+        arrays.append(arr)
         names.append(cmeta["name"])
     return pa.table(dict(zip(names, arrays)))

@@ -288,9 +288,9 @@ def _read_files(paths: list) -> list:
     return [fstore.read_bytes(p) for p in paths]
 
 
-def _decode_batch(batch: pa.Table, *, columns, predicates, cast_schema=None, verify_checksums=False, keys=None) -> pa.Table:
+def _decode_batch(batch: pa.Table, *, columns, predicates, cast_schema=None, verify_checksums=False, keys=None, encoded_vectors=False) -> pa.Table:
     """Task-pool entry: decode a batch of chunk blobs."""
-    return _DecodeChunks(columns, predicates, cast_schema, verify_checksums, keys)(batch)
+    return _DecodeChunks(columns, predicates, cast_schema, verify_checksums, keys, encoded_vectors)(batch)
 
 
 class _DecodeChunks:
@@ -301,7 +301,21 @@ class _DecodeChunks:
         cast_schema=None,
         verify_checksums: bool = False,
         keys: dict | None = None,
+        encoded_vectors: bool = False,
     ):
+        # encoded-vector read (ORC setEncodedVectorAllowed analog): eligible
+        # string columns come back dictionary<int32,str>.  Predicate columns
+        # are excluded (comparison kernels want flat arrays); cast_schema is
+        # incompatible (the convert matrix is defined over flat types).
+        if encoded_vectors and cast_schema:
+            raise ValueError("encoded_vectors is incompatible with cast_schema")
+        self.encoded_vectors = encoded_vectors
+        self.encoded_exclude = frozenset()
+        if encoded_vectors and predicates:
+            ex: set = set()
+            for p in predicates:
+                ex |= _pred_columns(p)
+            self.encoded_exclude = frozenset(ex)
         pa.set_memory_pool(pa.system_memory_pool())  # glibc heap: see _mem.py
         # master keys by name for encrypted columns (chunk.decode_chunk):
         # present -> real decrypted data; absent -> masked public variant
@@ -360,7 +374,15 @@ class _DecodeChunks:
                 if empty_schema is None:
                     empty_schema = self._projected_schema(header)
                 continue
-            t = decode_chunk(blob, columns=self.decode_cols, row_ranges=ranges, header=header, keys=self.keys)
+            t = decode_chunk(
+                blob,
+                columns=self.decode_cols,
+                row_ranges=ranges,
+                header=header,
+                keys=self.keys,
+                encoded_vectors=self.encoded_vectors,
+                encoded_exclude=self.encoded_exclude,
+            )
             if self.predicates:
                 # a predicate naming a column absent from the chunk schema
                 # is almost always a typo; silently dropping it would return
@@ -403,6 +425,19 @@ class _DecodeChunks:
         schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(header["schema"])))
         if self.columns is not None:
             schema = pa.schema([schema.field(c) for c in self.columns])
+        if self.encoded_vectors:
+            encs = {c["name"] for c in header["columns"] if c.get("codec") == "enc"}
+            fields = [
+                pa.field(f.name, pa.dictionary(pa.int32(), f.type))
+                if (
+                    (pa.types.is_string(f.type) or pa.types.is_large_string(f.type))
+                    and f.name not in self.encoded_exclude
+                    and f.name not in encs
+                )
+                else f
+                for f in schema
+            ]
+            schema = pa.schema(fields)
         if self.cast_schema:
             fields = [
                 pa.field(f.name, self.cast_schema.get(f.name, f.type)) for f in schema
@@ -458,8 +493,18 @@ def decode_dataset(
     concurrency=None,
     verify_checksums: bool = False,
     keys: dict | None = None,
+    encoded_vectors: bool = False,
 ) -> "ray.data.Dataset":
     """Lazy decode of a chunk store into a Dataset of original rows.
+
+    ``encoded_vectors=True`` (ORC's setEncodedVectorAllowed /
+    EncodedStringVectorBatch analog) returns every eligible top-level
+    string column as ``dictionary<int32, str>``: dict-coded chunks hand
+    their codes + sorted dictionary over zero-expansion, other string
+    codecs are post-encoded for a stable reader schema.  Downstream
+    group_by/unique/join hash int32 codes instead of string bytes.
+    Predicate columns stay flat (excluded); incompatible with
+    ``cast_schema``.
 
     ``predicates``: list of (column, op, value) tuples — applied both as
     manifest min/max + bloom pruning (chunks skipped entirely) and exactly
@@ -475,6 +520,9 @@ def decode_dataset(
     """
     import functools
 
+    if encoded_vectors and cast_schema:
+        # fail on the driver, not inside the first decode task
+        raise ValueError("encoded_vectors is incompatible with cast_schema")
     paths, kept, total = list_chunks(out_dir, predicates)
     if not paths:
         return ray.data.from_arrow(pa.table({}))
@@ -491,6 +539,7 @@ def decode_dataset(
             cast_schema=cast_schema,
             verify_checksums=verify_checksums,
             keys=keys,
+            encoded_vectors=encoded_vectors,
         ),
         batch_size=1,
         batch_format="pyarrow",
