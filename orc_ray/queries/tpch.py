@@ -1476,10 +1476,13 @@ def q_order_priority_exists(sf_dir: str):
     kept = join_semi_anti(orders, returned, "o_orderkey", "l_orderkey")
 
     def ones(t: pa.Table) -> pa.Table:
+        # per-batch combiner: <=5 priority rows leave each block, so the
+        # sum_by_keys sort shuffles O(blocks x priorities), not O(orders)
+        g = t.group_by("o_orderpriority").aggregate([([], "count_all")])
         return pa.table(
             {
-                "o_orderpriority": t.column("o_orderpriority"),
-                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "o_orderpriority": g.column("o_orderpriority"),
+                "one": g.column("count_all").cast(pa.int64()),
             }
         )
 
@@ -1514,21 +1517,28 @@ def q_linestatus_priority_mix(sf_dir: str):
     joined = join_adaptive(li, orders, "l_orderkey", "o_orderkey", ["o_orderpriority"])
 
     def split(t: pa.Table) -> pa.Table:
+        # per-batch combiner: the CASE arms collapse to <=4 (status, kind)
+        # rows per block before the shuffle
         hi = pc.is_in(
             t.column("o_orderpriority"),
             value_set=pa.array(["1-URGENT", "2-HIGH"]),
-        ).to_numpy(zero_copy_only=False)
+        ).cast(pa.int64())
+        g = (
+            pa.table({"l_linestatus": t.column("l_linestatus"), "hi": hi})
+            .group_by("l_linestatus")
+            .aggregate([("hi", "sum"), ([], "count_all")])
+        )
+        n = g.column("count_all").cast(pa.int64())
+        h = g.column("hi_sum").cast(pa.int64())
         return pa.table(
             {
                 "l_linestatus": pa.concat_arrays(
-                    [t.column("l_linestatus").combine_chunks()] * 2
+                    [g.column("l_linestatus").combine_chunks()] * 2
                 ),
                 "kind": pa.array(
-                    ["high_line_count"] * t.num_rows + ["low_line_count"] * t.num_rows
+                    ["high_line_count"] * g.num_rows + ["low_line_count"] * g.num_rows
                 ),
-                "one": pa.array(
-                    np.concatenate([hi.astype(np.int64), (~hi).astype(np.int64)])
-                ),
+                "one": pa.concat_arrays([h.combine_chunks(), pc.subtract(n, h).combine_chunks()]),
             }
         )
 
@@ -1591,12 +1601,25 @@ def q_customer_order_overlap(sf_dir: str):
     ds = _decoded(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
 
     def flags(t: pa.Table) -> pa.Table:
+        # per-batch combiner: one row per distinct customer per block
+        # (~10x fewer rows into the agg_by_keys sort)
         st = t.column("o_orderstatus")
+        g = (
+            pa.table(
+                {
+                    "o_custkey": t.column("o_custkey"),
+                    "n_o": pc.equal(st, "O").cast(pa.int64()),
+                    "n_f": pc.equal(st, "F").cast(pa.int64()),
+                }
+            )
+            .group_by("o_custkey")
+            .aggregate([("n_o", "sum"), ("n_f", "sum")])
+        )
         return pa.table(
             {
-                "o_custkey": t.column("o_custkey"),
-                "n_o": pc.equal(st, "O").cast(pa.int64()),
-                "n_f": pc.equal(st, "F").cast(pa.int64()),
+                "o_custkey": g.column("o_custkey"),
+                "n_o": g.column("n_o_sum"),
+                "n_f": g.column("n_f_sum"),
             }
         )
 
