@@ -131,6 +131,7 @@ QUERIES = {
     "status_moments": q_status_moments,
     "collect_langs": q_collect_langs,
     "prefix_scan_customers": q_prefix_scan_customers,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
 }
 
 
@@ -1085,6 +1086,15 @@ ORACLE_SQL = {
                CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_e2
         FROM customer WHERE c_name LIKE 'Customer#00000000%'
         ORDER BY c_custkey
+    """,
+    "grouping_sets_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS rev_e4
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY l_returnflag, l_linestatus
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

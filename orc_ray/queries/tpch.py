@@ -1781,3 +1781,57 @@ def q_prefix_scan_customers(sf_dir: str):
     return _to_table(
         ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
     ).sort_by("c_custkey")
+
+
+def q_grouping_sets_revenue(sf_dir: str):
+    """Arbitrary GROUPING SETS ((l_returnflag), (l_linestatus)) — the
+    non-hierarchical case neither ROLLUP nor CUBE covers: each batch
+    emits one partial row per member of each requested set (rolled-up
+    dims carry the sentinel), ONE sum_by_keys merges all sets in a
+    single shuffle of O(groups x sets) rows."""
+    from ..functions.aggregates import sum_by_keys
+
+    ds = _decoded(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        rev = pa.array(e * (100 - d))
+        levels = []
+        for keep in ("f", "s"):  # one partial per grouping set
+            g = (
+                pa.table({keep: t.column("l_returnflag" if keep == "f" else "l_linestatus"), "rev": rev})
+                .group_by(keep)
+                .aggregate([("rev", "sum")])
+            )
+            other = pa.array([_ROLLUP_ALL] * g.num_rows, pa.string())
+            levels.append(
+                pa.table(
+                    {
+                        "f": g.column(keep) if keep == "f" else other,
+                        "s": g.column(keep) if keep == "s" else other,
+                        "rev": g.column("rev_sum"),
+                    }
+                )
+            )
+        return pa.concat_tables(levels)
+
+    tbl = _to_table(
+        sum_by_keys(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["f", "s"],
+            "rev",
+            out="rev_e4",
+        )
+    )
+    null_f = pc.equal(tbl.column("f"), _ROLLUP_ALL)
+    null_s = pc.equal(tbl.column("s"), _ROLLUP_ALL)
+    return pa.table(
+        {
+            "l_returnflag": pc.if_else(null_f, pa.scalar(None, pa.string()), tbl.column("f")),
+            "l_linestatus": pc.if_else(null_s, pa.scalar(None, pa.string()), tbl.column("s")),
+            "rev_e4": tbl.column("rev_e4"),
+        }
+    ).sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])

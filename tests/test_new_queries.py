@@ -77,6 +77,7 @@ NEW_QUERIES = [
     "status_moments",
     "collect_langs",
     "prefix_scan_customers",
+    "grouping_sets_revenue",
 ]
 
 
