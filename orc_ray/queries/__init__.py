@@ -132,6 +132,8 @@ QUERIES = {
     "collect_langs": q_collect_langs,
     "prefix_scan_customers": q_prefix_scan_customers,
     "grouping_sets_revenue": q_grouping_sets_revenue,
+    "above_avg_orders": q_above_avg_orders,
+    "having_customers": q_having_customers,
 }
 
 
@@ -1095,6 +1097,26 @@ ORACLE_SQL = {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         ORDER BY l_returnflag, l_linestatus
+    """,
+    "above_avg_orders": """
+        WITH m AS (
+          SELECT o_custkey,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_c,
+                 COUNT(*) AS n_c
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT o.o_orderkey, CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_e2
+        FROM orders o JOIN m ON o.o_custkey = m.o_custkey
+        WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * m.n_c > m.sum_c
+        ORDER BY o.o_orderkey
+    """,
+    "having_customers": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey IN (
+          SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 13
+        )
+        ORDER BY c_custkey
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

@@ -1835,3 +1835,105 @@ def q_grouping_sets_revenue(sf_dir: str):
             "rev_e4": tbl.column("rev_e4"),
         }
     ).sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def q_above_avg_orders(sf_dir: str):
+    """Correlated-subquery rewrite (orders above their own customer's
+    average): the per-customer mean is ONE agg_by_keys (exact integer
+    cents), joined back via the adaptive join (broadcast below threshold),
+    and the comparison filters inside map_batches — the decorrelation
+    every host engine applies around an ORC scan (SURVEY.md §2.8).
+    The mean is compared in exact integers (sum > avg*n ⟺ n*price > sum)
+    so no float divide enters the predicate."""
+    from ..functions.aggregates import agg_by_keys
+    from ..functions.joins import join_adaptive
+
+    ds = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "cents": pa.array(c),
+            }
+        )
+
+    cds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    per_cust = agg_by_keys(
+        cds, ["o_custkey"], [("cents", "sum", "sum_c"), ("cents", "count", "n_c")]
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and not t.column_names:
+            return pa.table({})
+        return pa.table(
+            {
+                "ck": t.column("o_custkey"),
+                "sum_c": t.column("sum_c").cast(pa.int64()),
+                "n_c": t.column("n_c").cast(pa.int64()),
+            }
+        )
+
+    joined = join_adaptive(
+        cds,
+        per_cust.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True),
+        "o_custkey",
+        "ck",
+        ["sum_c", "n_c"],
+    )
+
+    def above(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"o_orderkey": pa.array([], pa.int64()), "price_e2": pa.array([], pa.int64())}
+            )
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        s = t.column("sum_c").to_numpy(zero_copy_only=False)
+        n = t.column("n_c").to_numpy(zero_copy_only=False)
+        keep = c * n > s  # price > sum/n in exact integers
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").filter(pa.array(keep)),
+                "price_e2": pa.array(c[keep]),
+            }
+        )
+
+    return _to_table(
+        joined.map_batches(above, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("o_orderkey")
+
+
+def q_having_customers(sf_dir: str):
+    """GROUP BY ... HAVING as a streaming pre-filter + semi-join: per-
+    customer order counts reduce through sum_by_keys, the HAVING
+    predicate filters that (already tiny) stream, and the surviving keys
+    drive join_semi_anti into the customer table."""
+    from ..functions.aggregates import sum_by_keys
+    from ..functions.joins import join_semi_anti
+
+    orders = _decoded(sf_dir, "orders", columns=["o_custkey"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([([], "count_all")])
+        return pa.table(
+            {"o_custkey": g.column("o_custkey"), "one": g.column("count_all").cast(pa.int64())}
+        )
+
+    counts = sum_by_keys(
+        orders.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"],
+        "one",
+        out="n_orders",
+    )
+
+    def having(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64())})
+        return t.filter(pc.greater_equal(t.column("n_orders"), 13)).select(["o_custkey"])
+
+    keys = counts.map_batches(having, batch_format="pyarrow", zero_copy_batch=True)
+    cust = _decoded(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+    out = join_semi_anti(cust, keys, "c_custkey", "o_custkey")
+    return _to_table(out).sort_by("c_custkey")

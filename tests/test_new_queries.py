@@ -78,6 +78,8 @@ NEW_QUERIES = [
     "collect_langs",
     "prefix_scan_customers",
     "grouping_sets_revenue",
+    "above_avg_orders",
+    "having_customers",
 ]
 
 
