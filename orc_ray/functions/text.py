@@ -398,3 +398,45 @@ def gopher_rules(batch: pa.Table, col: str = "text", id_col: str = "doc_id") -> 
             "stop_hits": pa.array(hits),
         }
     )
+
+
+def levenshtein_batch(query: str, texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Edit distances (unit costs) from ``query`` to every string in
+    ``texts``, vectorized across the batch: the DP rolls |query| x
+    max_len scalar steps, each an O(batch) NumPy op — no per-string
+    Python anywhere (the byte matrix scatters straight out of the Arrow
+    data buffer).  Distances are over UTF-8 BYTES — exactly DuckDB /
+    PostgreSQL ``levenshtein`` semantics (parity-tested), identical to
+    code points on ASCII."""
+    arr = _concat_np(texts).cast(pa.large_binary())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.int64)
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], np.int64, n + 1, arr.offset * 8)
+    data = (
+        np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    )
+    lens = np.diff(off)
+    ml = int(lens.max()) if n else 0
+    q = np.frombuffer(query.encode(), np.uint8).astype(np.int16)
+    if ml == 0:
+        return np.full(n, len(q), np.int64)
+    S = np.full((n, ml), -1, np.int16)  # -1 never equals a byte
+    pos = np.arange(ml, dtype=np.int64)[None, :]
+    valid = pos < lens[:, None]
+    S[valid] = data[(off[:-1, None] + pos)[valid]]
+    prev = np.broadcast_to(np.arange(ml + 1, dtype=np.int64), (n, ml + 1)).copy()
+    for i, qc in enumerate(q):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i + 1
+        best = np.minimum(prev[:, :-1] + (S != qc), prev[:, 1:] + 1)
+        # insertion chain cur[m] = min(best[m-1], cur[m-1]+1) expands to
+        # cur[m] = min(cur[0]+m, min_{k<m}(best[k] + (m-1-k))) — one
+        # cumulative min over (best[k]-k) prefixed by cur[0]+1, plus (m-1):
+        # no sequential loop over columns
+        e = np.concatenate([cur[:, :1] + 1, best - np.arange(ml)[None, :]], axis=1)
+        c = np.minimum.accumulate(e, axis=1)
+        cur[:, 1:] = c[:, 1:] + np.arange(ml)[None, :]
+        prev = cur
+    return prev[np.arange(n), lens]

@@ -134,6 +134,7 @@ QUERIES = {
     "grouping_sets_revenue": q_grouping_sets_revenue,
     "above_avg_orders": q_above_avg_orders,
     "having_customers": q_having_customers,
+    "fuzzy_part_match": q_fuzzy_part_match,
 }
 
 
@@ -1117,6 +1118,19 @@ ORACLE_SQL = {
           SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 13
         )
         ORDER BY c_custkey
+    """,
+    "fuzzy_part_match": """
+        WITH q(query) AS (VALUES ('red widgt'), ('blu bolt'), ('smal gear'), ('hoot gizmo')),
+        d AS (
+          SELECT q.query, p.p_name, levenshtein(q.query, p.p_name) AS dist
+          FROM q CROSS JOIN part p
+        ),
+        r AS (
+          SELECT query, p_name, CAST(dist AS BIGINT) AS dist,
+                 ROW_NUMBER() OVER (PARTITION BY query ORDER BY dist, p_name) AS rn
+          FROM d
+        )
+        SELECT query, p_name, dist FROM r WHERE rn = 1 ORDER BY query
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

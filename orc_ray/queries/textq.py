@@ -573,3 +573,63 @@ def q_collect_langs(sf_dir: str):
             "n_langs": pa.array((ends - starts).astype(np.int64)),
         }
     )
+
+
+_FUZZY_QUERIES = ["red widgt", "blu bolt", "smal gear", "hoot gizmo"]
+
+
+def q_fuzzy_part_match(sf_dir: str):
+    """Fuzzy string matching — nearest part name per misspelled query by
+    Levenshtein distance (byte-exact DuckDB semantics).  The vectorized
+    DP (functions/text.levenshtein_batch: |q| x max_len NumPy steps, each
+    O(batch)) scores every (query, name) pair inside map_batches; each
+    block emits ONE best row per query (min dist, then min name), and the
+    driver merges O(queries x blocks) candidates with a lexsort."""
+    from ..functions.text import levenshtein_batch
+
+    ds = _decoded(sf_dir, "part", columns=["p_name"])
+
+    def best_per_query(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "query": pa.array([], pa.string()),
+                    "p_name": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        names = t.column("p_name")
+        nm = names.to_numpy(zero_copy_only=False)
+        qs, bn, bd = [], [], []
+        for q in _FUZZY_QUERIES:  # O(queries), not O(rows)
+            d = levenshtein_batch(q, names)
+            m = d.min()
+            at = nm[d == m]
+            qs.append(q)
+            bn.append(min(at))
+            bd.append(int(m))
+        return pa.table(
+            {
+                "query": pa.array(qs, pa.string()),
+                "p_name": pa.array(bn, pa.string()),
+                "dist": pa.array(bd, pa.int64()),
+            }
+        )
+
+    cands = _to_table(
+        ds.map_batches(best_per_query, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    q = cands.column("query").to_numpy(zero_copy_only=False)
+    nmc = cands.column("p_name").to_numpy(zero_copy_only=False)
+    d = cands.column("dist").to_numpy(zero_copy_only=False)
+    order = np.lexsort((nmc, d, q))
+    q, nmc, d = q[order], nmc[order], d[order]
+    first = np.ones(q.size, dtype=bool)
+    first[1:] = q[1:] != q[:-1]
+    return pa.table(
+        {
+            "query": pa.array(q[first], pa.string()),
+            "p_name": pa.array(nmc[first], pa.string()),
+            "dist": pa.array(d[first], pa.int64()),
+        }
+    )

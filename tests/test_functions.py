@@ -536,3 +536,37 @@ def test_cosine_pairs_empty_dataset(ray_session):
     )
     out = cosine_pairs(ray.data.from_arrow(empty), threshold=0.5)
     assert out.num_rows == 0
+
+
+def test_levenshtein_batch_matrix():
+    """Vectorized byte-level edit distance vs a scalar reference DP,
+    incl. empties, non-ASCII multibyte and long strings."""
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_ray.functions.text import levenshtein_batch
+
+    def ref(a, b):
+        a, b = a.encode(), b.encode()
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            ndp = [i + 1]
+            for j, cb in enumerate(b):
+                ndp.append(min(dp[j + 1] + 1, ndp[j] + 1, dp[j] + (ca != cb)))
+            dp = ndp
+        return dp[-1]
+
+    import random
+
+    random.seed(9)
+    words = ["", "a", "kitten", "sitting", "naïve café", "x" * 40] + [
+        "".join(random.choice("abcdé ") for _ in range(random.randint(0, 30)))
+        for _ in range(150)
+    ]
+    for q in ["kitten", "", "éé", "abcde fgh"]:
+        got = levenshtein_batch(q, pa.array(words))
+        exp = np.array([ref(q, w) for w in words])
+        assert (got == exp).all()
+    # nulls behave as empty strings (insert-all distance)
+    got = levenshtein_batch("ab", pa.array(["ab", None, "b"]))
+    assert got.tolist() == [0, 2, 1]

@@ -80,6 +80,7 @@ NEW_QUERIES = [
     "grouping_sets_revenue",
     "above_avg_orders",
     "having_customers",
+    "fuzzy_part_match",
 ]
 
 
