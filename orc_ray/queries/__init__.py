@@ -135,6 +135,7 @@ QUERIES = {
     "above_avg_orders": q_above_avg_orders,
     "having_customers": q_having_customers,
     "fuzzy_part_match": q_fuzzy_part_match,
+    "skyline_parts": q_skyline_parts,
 }
 
 
@@ -1131,6 +1132,21 @@ ORACLE_SQL = {
           FROM d
         )
         SELECT query, p_name, dist FROM r WHERE rn = 1 ORDER BY query
+    """,
+    "skyline_parts": """
+        WITH pts AS (
+          SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+                 CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_e2
+          FROM part
+        )
+        SELECT p.p_partkey, p.p_size, p.price_e2
+        FROM pts p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts q
+          WHERE q.p_size <= p.p_size AND q.price_e2 <= p.price_e2
+            AND (q.p_size < p.p_size OR q.price_e2 < p.price_e2)
+        )
+        ORDER BY p.p_partkey
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

@@ -1937,3 +1937,68 @@ def q_having_customers(sf_dir: str):
     cust = _decoded(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
     out = join_semi_anti(cust, keys, "c_custkey", "o_custkey")
     return _to_table(out).sort_by("c_custkey")
+
+
+def _skyline_min2(size: np.ndarray, price: np.ndarray):
+    """2-D skyline (minimize both): survivor mask.  A point survives iff
+    its price equals its size-group minimum AND that minimum is strictly
+    below the running minimum over all smaller sizes (ties on both dims
+    survive together — domination needs one strict dimension).  One
+    lexsort + one cummin: O(n log n), no pairwise work."""
+    order = np.lexsort((price, size))
+    s, p = size[order], price[order]
+    first = np.ones(s.size, dtype=bool)
+    first[1:] = s[1:] != s[:-1]
+    gidx = np.cumsum(first) - 1  # group index per row
+    gmin = p[first]  # sorted by price within size -> first is the min
+    runmin_prev = np.empty_like(gmin)
+    runmin_prev[0] = np.iinfo(np.int64).max
+    np.minimum.accumulate(gmin[:-1], out=runmin_prev[1:])
+    ok_group = gmin < runmin_prev
+    keep_sorted = ok_group[gidx] & (p == gmin[gidx])
+    keep = np.zeros(s.size, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def q_skyline_parts(sf_dir: str):
+    """Distributed 2-D skyline (Pareto frontier, minimize p_size and
+    p_retailprice): every batch computes its LOCAL skyline with one
+    lexsort + cummin (survivors only leave the block — the skyline
+    operator's classic local-prune property), and the driver re-runs the
+    same kernel over the O(sum of local skylines) candidates.  Dominance
+    needs one strict dimension, so dim-tied points survive together —
+    mirrored exactly by the NOT EXISTS oracle."""
+    ds = _decoded(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "p_partkey": pa.array([], pa.int64()),
+                    "p_size": pa.array([], pa.int64()),
+                    "price_e2": pa.array([], pa.int64()),
+                }
+            )
+        size = t.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        price = np.rint(t.column("p_retailprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        keep = _skyline_min2(size, price)
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey").to_numpy(zero_copy_only=False)[keep],
+                "p_size": pa.array(size[keep]),
+                "price_e2": pa.array(price[keep]),
+            }
+        )
+
+    cand = _to_table(ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True))
+    size = cand.column("p_size").to_numpy(zero_copy_only=False)
+    price = cand.column("price_e2").to_numpy(zero_copy_only=False)
+    keep = _skyline_min2(size, price)
+    return pa.table(
+        {
+            "p_partkey": pa.array(cand.column("p_partkey").to_numpy(zero_copy_only=False)[keep]),
+            "p_size": pa.array(size[keep]),
+            "price_e2": pa.array(price[keep]),
+        }
+    ).sort_by("p_partkey")

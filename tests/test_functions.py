@@ -570,3 +570,25 @@ def test_levenshtein_batch_matrix():
     # nulls behave as empty strings (insert-all distance)
     got = levenshtein_batch("ab", pa.array(["ab", None, "b"]))
     assert got.tolist() == [0, 2, 1]
+
+
+def test_skyline_kernel_vs_bruteforce():
+    """2-D min-skyline survivor mask vs the O(n^2) dominance definition,
+    incl. duplicate points and dim ties (one strict dim required)."""
+    import numpy as np
+
+    from orc_ray.queries.tpch import _skyline_min2
+
+    rng = np.random.default_rng(13)
+    for _ in range(20):
+        n = int(rng.integers(1, 60))
+        s = rng.integers(0, 6, n).astype(np.int64)
+        p = rng.integers(0, 6, n).astype(np.int64)
+        got = _skyline_min2(s, p)
+        dom = np.zeros(n, dtype=bool)
+        for i in range(n):
+            for j in range(n):
+                if s[j] <= s[i] and p[j] <= p[i] and (s[j] < s[i] or p[j] < p[i]):
+                    dom[i] = True
+                    break
+        assert (got == ~dom).all()

@@ -81,6 +81,7 @@ NEW_QUERIES = [
     "above_avg_orders",
     "having_customers",
     "fuzzy_part_match",
+    "skyline_parts",
 ]
 
 
