@@ -300,6 +300,7 @@ def join_adaptive(
     payload_cols: list[str],
     threshold_rows: int = 500_000,
     num_partitions: int = 8,
+    how: str = "inner",
 ):
     """Inner equi-join with runtime strategy selection — the optimizer
     move every host engine applies around ORC scans (SURVEY.md §2.8).
@@ -313,6 +314,9 @@ def join_adaptive(
     one (key + payload) copy per node, NOT per batch.
 
     Returns a Dataset with the big side's columns plus ``payload_cols``.
+    ``how="left"`` keeps unmatched big-side rows with null payload (LEFT
+    OUTER): on the broadcast arm the index_in take yields nulls for
+    misses naturally; the shuffle arm maps to Dataset.join left_outer.
     Duplicate keys on the small side are NOT supported on the broadcast
     path (index_in resolves one match) — callers pre-aggregate, as every
     pipeline here already does.
@@ -322,34 +326,51 @@ def join_adaptive(
     import pyarrow.compute as pc
     import ray
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     small = small_ds.materialize()
     if small.count() <= threshold_rows:
         t = pa.concat_tables(
             small.iter_batches(batch_format="pyarrow", batch_size=None)
         ).combine_chunks() if small.count() else None
         if t is None:
+            if how == "left":
+                sch = small.schema().base_schema
+                types = {f.name: f.type for f in sch}
+
+                def all_null(b: pa.Table, *, types, payload_cols) -> pa.Table:
+                    for c in payload_cols:
+                        b = b.append_column(c, pa.nulls(b.num_rows, types[c]))
+                    return b
+
+                return big_ds.map_batches(
+                    functools.partial(all_null, types=types, payload_cols=payload_cols),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
             return big_ds.filter(lambda _: False)
         ref = ray.put((t.column(small_key).combine_chunks(),
                        {c: t.column(c).combine_chunks() for c in payload_cols}))
 
-        def probe(b: pa.Table, *, ref, big_key, payload_cols) -> pa.Table:
+        def probe(b: pa.Table, *, ref, big_key, payload_cols, how) -> pa.Table:
             keys, payload = ray.get(ref)
             pos = pc.index_in(b.column(big_key), value_set=keys)
-            hit = pc.is_valid(pos)
-            b = b.filter(hit)
-            pos = pos.filter(hit)
+            if how == "inner":
+                hit = pc.is_valid(pos)
+                b = b.filter(hit)
+                pos = pos.filter(hit)
             for c in payload_cols:
                 b = b.append_column(c, pc.take(payload[c], pos))
             return b
 
         return big_ds.map_batches(
-            functools.partial(probe, ref=ref, big_key=big_key, payload_cols=payload_cols),
+            functools.partial(probe, ref=ref, big_key=big_key, payload_cols=payload_cols, how=how),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
     return big_ds.join(
         small,
-        join_type="inner",
+        join_type="left_outer" if how == "left" else "inner",
         num_partitions=num_partitions,
         on=(big_key,),
         right_on=(small_key,),

@@ -136,6 +136,7 @@ QUERIES = {
     "having_customers": q_having_customers,
     "fuzzy_part_match": q_fuzzy_part_match,
     "skyline_parts": q_skyline_parts,
+    "left_join_returns": q_left_join_returns,
 }
 
 
@@ -1147,6 +1148,15 @@ ORACLE_SQL = {
             AND (q.p_size < p.p_size OR q.price_e2 < p.price_e2)
         )
         ORDER BY p.p_partkey
+    """,
+    "left_join_returns": """
+        WITH c AS (
+          SELECT l_orderkey, COUNT(*) AS n_returned
+          FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+        )
+        SELECT o.o_orderkey, CAST(COALESCE(c.n_returned, 0) AS BIGINT) AS n_returned
+        FROM orders o LEFT JOIN c ON o.o_orderkey = c.l_orderkey
+        ORDER BY o.o_orderkey
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

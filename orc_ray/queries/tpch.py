@@ -2002,3 +2002,47 @@ def q_skyline_parts(sf_dir: str):
             "price_e2": pa.array(price[keep]),
         }
     ).sort_by("p_partkey")
+
+
+def q_left_join_returns(sf_dir: str):
+    """LEFT OUTER join: every order keeps its row; the per-order count of
+    returned lines (pre-aggregated through sum_by_keys BEFORE the join —
+    the build side is O(orders-with-returns), not O(lineitems)) arrives
+    via join_adaptive's how='left' broadcast arm, nulls coalesced to 0."""
+    from ..functions.aggregates import sum_by_keys
+    from ..functions.joins import join_adaptive
+
+    orders = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    returned = _decoded(
+        sf_dir, "lineitem", columns=["l_orderkey"], predicates=[("l_returnflag", "==", "R")]
+    )
+
+    def ones(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([([], "count_all")])
+        return pa.table(
+            {"l_orderkey": g.column("l_orderkey"), "one": g.column("count_all").cast(pa.int64())}
+        )
+
+    counts = sum_by_keys(
+        returned.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"],
+        "one",
+        out="n_returned",
+    )
+    joined = join_adaptive(orders, counts, "o_orderkey", "l_orderkey", ["n_returned"], how="left")
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"o_orderkey": pa.array([], pa.int64()), "n_returned": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "n_returned": pc.fill_null(t.column("n_returned").cast(pa.int64()), 0),
+            }
+        )
+
+    return _to_table(
+        joined.map_batches(coalesce, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("o_orderkey")

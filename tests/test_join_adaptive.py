@@ -136,3 +136,36 @@ def test_join_semi_anti_empty_key_side(ray_session):
     big = ray.data.from_arrow(pa.table({"k": [1, 2], "v": [1, 2]}))
     keys = ray.data.from_arrow(pa.table({"fk": pa.array([], pa.int64())}))
     assert _vcol(join_semi_anti(big, keys, "k", "fk", anti=True)) == [1, 2]
+
+
+def test_left_join_arms_agree(ray_session):
+    """how='left': unmatched big rows survive with null payload on BOTH
+    arms (broadcast index_in take nulls; shuffle left_outer)."""
+    from orc_ray.functions.joins import join_adaptive
+
+    def got(threshold, parts=2):
+        big, small = _mk(ray_session)
+        ds = join_adaptive(big, small, "k", "sk", ["p"], threshold_rows=threshold,
+                           num_partitions=parts, how="left")
+        t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+        return sorted(
+            zip(t.column("k").to_pylist(), t.column("v").to_pylist(), t.column("p").to_pylist()),
+            key=lambda r: (r[0], r[1]),
+        )
+
+    expect = [
+        (1, 10, None), (2, 20, "b"), (2, 21, "b"), (3, 30, "c"), (3, 31, "c"),
+        (4, 40, None), (5, 50, None), (6, 60, None),
+    ]
+    assert got(100) == expect  # broadcast arm
+    assert got(0) == expect  # shuffle arm
+
+
+def test_left_join_empty_small_side(ray_session):
+    from orc_ray.functions.joins import join_adaptive
+
+    big = ray.data.from_arrow(pa.table({"k": [1, 2], "v": [1, 2]}))
+    small = ray.data.from_arrow(pa.table({"sk": pa.array([], pa.int64()), "p": pa.array([], pa.string())}))
+    out = join_adaptive(big, small, "k", "sk", ["p"], threshold_rows=100, how="left")
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert t.num_rows == 2 and t.column("p").null_count == 2

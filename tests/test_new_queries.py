@@ -82,6 +82,7 @@ NEW_QUERIES = [
     "having_customers",
     "fuzzy_part_match",
     "skyline_parts",
+    "left_join_returns",
 ]
 
 
