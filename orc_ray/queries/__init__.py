@@ -137,6 +137,7 @@ QUERIES = {
     "fuzzy_part_match": q_fuzzy_part_match,
     "skyline_parts": q_skyline_parts,
     "left_join_returns": q_left_join_returns,
+    "percentile_cont": q_percentile_cont,
 }
 
 
@@ -1157,6 +1158,18 @@ ORACLE_SQL = {
         SELECT o.o_orderkey, CAST(COALESCE(c.n_returned, 0) AS BIGINT) AS n_returned
         FROM orders o LEFT JOIN c ON o.o_orderkey = c.l_orderkey
         ORDER BY o.o_orderkey
+    """,
+    "percentile_cont": """
+        WITH v AS (
+          SELECT CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DOUBLE) AS ve
+          FROM lineitem
+        )
+        SELECT 25 AS q_pct, CAST(FLOOR(quantile_cont(ve, 0.25)) AS BIGINT) AS val_e2_floor FROM v
+        UNION ALL SELECT 50, CAST(FLOOR(quantile_cont(ve, 0.5)) AS BIGINT) FROM v
+        UNION ALL SELECT 75, CAST(FLOOR(quantile_cont(ve, 0.75)) AS BIGINT) FROM v
+        UNION ALL SELECT 90, CAST(FLOOR(quantile_cont(ve, 0.9)) AS BIGINT) FROM v
+        UNION ALL SELECT 99, CAST(FLOOR(quantile_cont(ve, 0.99)) AS BIGINT) FROM v
+        ORDER BY q_pct
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

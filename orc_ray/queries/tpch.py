@@ -2046,3 +2046,45 @@ def q_left_join_returns(sf_dir: str):
     return _to_table(
         joined.map_batches(coalesce, batch_format="pyarrow", zero_copy_batch=True)
     ).sort_by("o_orderkey")
+
+
+def q_percentile_cont(sf_dir: str):
+    """Interpolated quantiles (SQL PERCENTILE_CONT / DuckDB quantile_cont
+    semantics: h = (n-1)q, linear between the two neighbouring order
+    statistics) of l_extendedprice — the continuous complement of the
+    exact nearest-rank q_global_quantiles.  Same distributed shape: the
+    (value_e2, count) histogram reduces through ONE sum_by_keys; the
+    driver holds only the distinct-value histogram and interpolates with
+    doubles whose inputs are exact ints, floored at e2 so both sides
+    quantize identically."""
+    from ..functions.aggregates import sum_by_keys
+
+    ds = _decoded(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = np.rint(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        g = (
+            pa.table({"v": pa.array(v), "one": pa.array(np.ones(v.size, np.int64))})
+            .group_by("v")
+            .aggregate([("one", "sum")])
+        )
+        return pa.table({"v": g.column("v"), "c": g.column("one_sum")})
+
+    tbl = _to_table(
+        sum_by_keys(ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True), ["v"], "c")
+    ).sort_by("v")
+    v = tbl.column("v").to_numpy(zero_copy_only=False)
+    c = tbl.column("c").to_numpy(zero_copy_only=False)
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    out_q, out_v = [], []
+    for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+        h = (n - 1) * q
+        lo_rank, frac = int(np.floor(h)), h - np.floor(h)
+        lo = float(v[np.searchsorted(cum, lo_rank + 1)])
+        hi = float(v[np.searchsorted(cum, min(lo_rank + 1, n - 1) + 1)])
+        out_q.append(int(q * 100))
+        out_v.append(int(np.floor(lo + (hi - lo) * frac)))
+    return pa.table(
+        {"q_pct": pa.array(out_q, pa.int64()), "val_e2_floor": pa.array(out_v, pa.int64())}
+    )

@@ -83,6 +83,7 @@ NEW_QUERIES = [
     "fuzzy_part_match",
     "skyline_parts",
     "left_join_returns",
+    "percentile_cont",
 ]
 
 
