@@ -17,6 +17,7 @@ meta/data/scan/convert; C++ orc-metadata/orc-contents/orc-scan).
     python -m orc_ray text-index STORE IDX / bm25 IDX terms -k 10
     python -m orc_ray import-orc F.orc STORE / export-orc STORE DIR
     python -m orc_ray table   create|delta|read|compact|vacuum|history DIR …
+    python -m orc_ray query   NAME [--sf-dir D] [--limit N]   # run a library pipeline
 
 Store paths may be local or any fsspec URL (file://, s3://, …).
 """
@@ -296,6 +297,35 @@ def cmd_scan(a) -> int:
     return 0
 
 
+def cmd_query(a) -> int:
+    """Run a registered analytics pipeline from the query library over a
+    testdata-shaped table directory (orc-tools `data` analog for the
+    query surface).  `--list` prints every registered name."""
+    from .queries import QUERIES
+
+    if a.name == "--list" or a.name == "list":
+        for n in sorted(QUERIES):
+            print(n)
+        return 0
+    if a.name not in QUERIES:
+        import difflib
+
+        near = difflib.get_close_matches(a.name, QUERIES, n=3)
+        raise SystemExit(f"unknown query {a.name!r}; close: {near} (use 'list')")
+    _ray_up()
+    import pyarrow as _pa
+
+    res = QUERIES[a.name](a.sf_dir)
+    if not isinstance(res, _pa.Table):
+        res = _pa.concat_tables(
+            list(res.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+    for row in res.slice(0, a.limit).to_pylist():
+        print(json.dumps(row, default=str))
+    print(json.dumps({"rows": res.num_rows, "columns": res.column_names}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="orc_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -371,6 +401,12 @@ def main(argv=None) -> int:
     bq.add_argument("terms", help="comma-separated query terms")
     bq.add_argument("-k", type=int, default=10)
     bq.set_defaults(fn=cmd_bm25)
+
+    qy = sub.add_parser("query", help="run a registered analytics pipeline (or 'list')")
+    qy.add_argument("name")
+    qy.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    qy.add_argument("--limit", type=int, default=20)
+    qy.set_defaults(fn=cmd_query)
 
     cp = sub.add_parser("compact", help="re-encode a store at a fresh chunk size (small-files compaction)")
     cp.add_argument("store")

@@ -98,3 +98,23 @@ def test_compact_cli(ray_session, tmp_path, capsys):
         decode_dataset(big).iter_batches(batch_format="pyarrow", batch_size=None)
     ).sort_by("k")
     assert back.equals(t)
+
+
+def test_query_cli(ray_session, capsys):
+    import json
+
+    from orc_ray.__main__ import main
+
+    assert main(["query", "list"]) == 0
+    names = capsys.readouterr().out.strip().splitlines()
+    assert "nation_revenue" in names and len(names) > 100
+
+    assert main(["query", "value_histogram", "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    tail = json.loads(lines[-1])
+    assert tail["columns"] == ["bucket", "n"] and tail["rows"] > 0
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="close:"):
+        main(["query", "nation_revnue"])
