@@ -18,6 +18,9 @@ meta/data/scan/convert; C++ orc-metadata/orc-contents/orc-scan).
     python -m orc_ray import-orc F.orc STORE / export-orc STORE DIR
     python -m orc_ray table   create|delta|read|compact|vacuum|history DIR …
     python -m orc_ray query   NAME [--sf-dir D] [--limit N]   # run a library pipeline
+    python -m orc_ray stats   STORE        # per-column file stats rollup (orc-statistics)
+    python -m orc_ray json-schema F.jsonl  # infer schema (JsonSchemaFinder analog)
+    python -m orc_ray version
 
 Store paths may be local or any fsspec URL (file://, s3://, …).
 """
@@ -135,6 +138,47 @@ def cmd_inspect(a) -> int:
     if a.chunks and man.num_rows:
         for row in man.to_pylist():
             print(json.dumps(row, default=str))
+    return 0
+
+
+def cmd_stats(a) -> int:
+    """File-level ColumnStatistics rollup (orc-statistics / FileStatistics.cc
+    analog): per-column min-of-mins / max-of-maxes / null and row counts
+    aggregated over the chunk manifest — zero chunk I/O."""
+    from .state import manifest as mstate
+
+    man = mstate.read_manifest(a.store)
+    out: dict = {}
+    n_rows = 0
+    for srow, nrow in zip(man.column("stats").to_pylist(), man.column("n_rows").to_pylist()):
+        n_rows += nrow
+        for col, st in json.loads(srow).items():
+            agg = out.setdefault(col, {})
+            if "min" in st:
+                agg["min"] = st["min"] if "min" not in agg else min(agg["min"], st["min"])
+                agg["max"] = st["max"] if "max" not in agg else max(agg["max"], st["max"])
+            if "nulls" in st:
+                agg["nulls"] = agg.get("nulls", 0) + st["nulls"]
+            if "bloom" in st:
+                agg["has_bloom"] = True
+    print(json.dumps({"rows": n_rows, "chunks": man.num_rows, "columns": out}, indent=1, default=str))
+    return 0
+
+
+def cmd_json_schema(a) -> int:
+    """Schema inference from JSON-lines input (orc-tools JsonSchemaFinder
+    analog) — pyarrow's JSON reader infers; printed as name -> type."""
+    import pyarrow.json as pj
+
+    t = pj.read_json(a.input)
+    print(json.dumps({f.name: str(f.type) for f in t.schema}, indent=1))
+    return 0
+
+
+def cmd_version(a) -> int:
+    from .chunk import FORMAT_VERSION
+
+    print(json.dumps({"format_version": FORMAT_VERSION}))
     return 0
 
 
@@ -401,6 +445,17 @@ def main(argv=None) -> int:
     bq.add_argument("terms", help="comma-separated query terms")
     bq.add_argument("-k", type=int, default=10)
     bq.set_defaults(fn=cmd_bm25)
+
+    st = sub.add_parser("stats", help="file-level per-column stats rollup from the manifest (orc-statistics analog)")
+    st.add_argument("store")
+    st.set_defaults(fn=cmd_stats)
+
+    js = sub.add_parser("json-schema", help="infer a schema from JSON-lines input (JsonSchemaFinder analog)")
+    js.add_argument("input")
+    js.set_defaults(fn=cmd_json_schema)
+
+    vs = sub.add_parser("version")
+    vs.set_defaults(fn=cmd_version)
 
     qy = sub.add_parser("query", help="run a registered analytics pipeline (or 'list')")
     qy.add_argument("name")

@@ -118,3 +118,28 @@ def test_query_cli(ray_session, capsys):
 
     with pytest.raises(SystemExit, match="close:"):
         main(["query", "nation_revnue"])
+
+
+def test_stats_jsonschema_version_cli(ray_session, tmp_path, capsys):
+    import json
+
+    t = pa.table({"k": np.arange(5000, dtype=np.int64), "s": [f"v{i%7}" for i in range(5000)]})
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    store = str(tmp_path / "st")
+    encode_dataset([src], store, batch_size=2048)
+
+    assert main(["stats", store]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["rows"] == 5000
+    assert out["columns"]["k"]["min"] == 0 and out["columns"]["k"]["max"] == 4999
+    assert out["columns"]["s"]["nulls"] == 0
+
+    jf = str(tmp_path / "rows.jsonl")
+    open(jf, "w").write('{"x": 1, "y": "a"}\n{"x": 2, "y": "b"}\n')
+    assert main(["json-schema", jf]) == 0
+    sch = json.loads(capsys.readouterr().out)
+    assert sch == {"x": "int64", "y": "string"}
+
+    assert main(["version"]) == 0
+    assert "format_version" in json.loads(capsys.readouterr().out)
