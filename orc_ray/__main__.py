@@ -12,6 +12,7 @@ meta/data/scan/convert; C++ orc-metadata/orc-contents/orc-scan).
     python -m orc_ray sort    STORE OUT --by a,b   # cluster for pruning
     python -m orc_ray zorder  STORE OUT --by x,y   # multi-column clustering
     python -m orc_ray compact STORE OUT            # small-files compaction
+    python -m orc_ray shuffle STORE OUT --key id --seed 7   # deterministic global shuffle
     python -m orc_ray merge   OUT STORE1 STORE2…   # orc-tools merge analog
     python -m orc_ray profile STORE --cols a,b     # one-pass numeric profile
     python -m orc_ray text-index STORE IDX / bm25 IDX terms -k 10
@@ -278,6 +279,16 @@ def cmd_export_orc(a) -> int:
     return 0
 
 
+def cmd_shuffle(a) -> int:
+    """Deterministic pre-training shuffle: splitmix64(key ^ seed) order."""
+    _ray_up()
+    from .pipeline.encode import shuffle_store
+
+    rec = shuffle_store(a.store, a.out, a.key, seed=a.seed, batch_size=a.batch_size)
+    print(json.dumps(rec["totals"]))
+    return 0
+
+
 def cmd_compact(a) -> int:
     """Small-files compaction: re-encode a store at a fresh chunk size."""
     _ray_up()
@@ -445,6 +456,14 @@ def main(argv=None) -> int:
     bq.add_argument("terms", help="comma-separated query terms")
     bq.add_argument("-k", type=int, default=10)
     bq.set_defaults(fn=cmd_bm25)
+
+    sh = sub.add_parser("shuffle", help="deterministic global shuffle (pre-training order), splitmix64(key ^ seed)")
+    sh.add_argument("store")
+    sh.add_argument("out")
+    sh.add_argument("--key", required=True)
+    sh.add_argument("--seed", type=int, default=0)
+    sh.add_argument("--batch-size", type=int, default=16384)
+    sh.set_defaults(fn=cmd_shuffle)
 
     st = sub.add_parser("stats", help="file-level per-column stats rollup from the manifest (orc-statistics analog)")
     st.add_argument("store")

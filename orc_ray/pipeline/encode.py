@@ -552,3 +552,48 @@ def zorder_store(
         lambda t: t.drop_columns(["_zkey"]), batch_format="pyarrow", zero_copy_batch=True
     )
     return encode_dataset(None, out_dir, opts, ds=ds, batch_size=batch_size)
+
+def shuffle_store(
+    in_dir: str,
+    out_dir: str,
+    key_col: str,
+    opts: EncodeOptions = DEFAULT_OPTIONS,
+    *,
+    seed: int = 0,
+    batch_size: int = 16384,
+) -> dict:
+    """Re-encode a store in a DETERMINISTIC pseudo-random global order —
+    the pre-training shuffle every LLM data pipeline runs before sequence
+    packing.  Each row's position comes from splitmix64(key ^ seed)
+    (ties broken by the key itself), so the same (store, key, seed)
+    always yields byte-identical output across runs, task retries and
+    cluster sizes — unlike ``Dataset.random_shuffle`` whose layout
+    depends on the block topology.  One all-to-all exchange (range sort
+    on the derived key), then the normal streaming encode.  Wipe-first /
+    trust-mode commit like sort_store."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from ..codecs.hashmix import splitmix64_mix
+    from .decode import decode_dataset
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = splitmix64_mix(k.view(np.uint64) ^ np.uint64(seed))
+        return t.append_column("_shuf", pa.array(h.view(np.int64)))
+
+    ds = (
+        decode_dataset(in_dir)
+        .map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["_shuf", key_col])
+        .map_batches(
+            lambda t: t.drop_columns(["_shuf"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    return encode_dataset(None, out_dir, opts, ds=ds, batch_size=batch_size)

@@ -138,6 +138,7 @@ QUERIES = {
     "skyline_parts": q_skyline_parts,
     "left_join_returns": q_left_join_returns,
     "percentile_cont": q_percentile_cont,
+    "shuffled_documents": q_shuffled_documents,
 }
 
 
@@ -1171,6 +1172,7 @@ ORACLE_SQL = {
         UNION ALL SELECT 99, CAST(FLOOR(quantile_cont(ve, 0.99)) AS BIGINT) FROM v
         ORDER BY q_pct
     """,
+    "shuffled_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

@@ -233,3 +233,23 @@ def q_acid_table_read(sf_dir: str):
             "n": final.column("n_sum"),
         }
     ).sort_by("o_orderstatus")
+
+
+def q_shuffled_documents(sf_dir: str):
+    """Deterministic global shuffle (pipeline/encode.shuffle_store) then
+    full decode: content must be byte-identical to the source (the
+    driver compare is order-insensitive), while the on-disk order is the
+    splitmix64(doc_id ^ seed) pre-training permutation."""
+    import os
+
+    from ..pipeline.decode import decode_dataset
+    from ..pipeline.encode import shuffle_store
+
+    src_store = store_for(sf_dir, "documents")
+    out = os.path.join(CACHE_ROOT, f"shuffled-{os.path.basename(src_store)}")
+    from ..state.manifest import load_committed
+
+    rows = load_committed(src_store)["totals"].get("rows", 0)
+    if load_committed(out)["totals"].get("rows") != rows:
+        shuffle_store(src_store, out, "doc_id", seed=42)
+    return _to_table(decode_dataset(out))

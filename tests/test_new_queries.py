@@ -84,6 +84,7 @@ NEW_QUERIES = [
     "skyline_parts",
     "left_join_returns",
     "percentile_cont",
+    "shuffled_documents",
 ]
 
 
