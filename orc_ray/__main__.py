@@ -13,6 +13,7 @@ meta/data/scan/convert; C++ orc-metadata/orc-contents/orc-scan).
     python -m orc_ray zorder  STORE OUT --by x,y   # multi-column clustering
     python -m orc_ray compact STORE OUT            # small-files compaction
     python -m orc_ray shuffle STORE OUT --key id --seed 7   # deterministic global shuffle
+    python -m orc_ray sample  STORE OUT --key id --pct 10    # deterministic hash sample
     python -m orc_ray merge   OUT STORE1 STORE2…   # orc-tools merge analog
     python -m orc_ray profile STORE --cols a,b     # one-pass numeric profile
     python -m orc_ray text-index STORE IDX / bm25 IDX terms -k 10
@@ -289,6 +290,16 @@ def cmd_shuffle(a) -> int:
     return 0
 
 
+def cmd_sample(a) -> int:
+    """Deterministic hash-fraction sample of a store (md5 bucket rule)."""
+    _ray_up()
+    from .pipeline.encode import sample_store
+
+    rec = sample_store(a.store, a.out, a.key, a.pct, batch_size=a.batch_size)
+    print(json.dumps(rec["totals"]))
+    return 0
+
+
 def cmd_compact(a) -> int:
     """Small-files compaction: re-encode a store at a fresh chunk size."""
     _ray_up()
@@ -456,6 +467,14 @@ def main(argv=None) -> int:
     bq.add_argument("terms", help="comma-separated query terms")
     bq.add_argument("-k", type=int, default=10)
     bq.set_defaults(fn=cmd_bm25)
+
+    sa = sub.add_parser("sample", help="deterministic pct%% sample: md5(key) mod 100 < pct")
+    sa.add_argument("store")
+    sa.add_argument("out")
+    sa.add_argument("--key", required=True)
+    sa.add_argument("--pct", type=int, required=True)
+    sa.add_argument("--batch-size", type=int, default=16384)
+    sa.set_defaults(fn=cmd_sample)
 
     sh = sub.add_parser("shuffle", help="deterministic global shuffle (pre-training order), splitmix64(key ^ seed)")
     sh.add_argument("store")

@@ -597,3 +597,36 @@ def shuffle_store(
         )
     )
     return encode_dataset(None, out_dir, opts, ds=ds, batch_size=batch_size)
+
+def sample_store(
+    in_dir: str,
+    out_dir: str,
+    key_col: str,
+    pct: int,
+    opts: EncodeOptions = DEFAULT_OPTIONS,
+    *,
+    batch_size: int = 16384,
+) -> dict:
+    """Deterministic ``pct``-percent store sample: keep rows where
+    md5(key) mod 100 < pct (the q_hash_split bucket rule — SQL-mirrorable
+    bit-for-bit, shard- and retry-stable, and CONSISTENT across tables
+    sharing the key).  Zero shuffle: the filter runs inside the decode
+    stream and feeds straight into encode."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from ..functions.md5vec import md5_hex15_int
+    from .decode import decode_dataset
+
+    if not 0 <= pct <= 100:
+        raise ValueError(f"pct must be 0..100, got {pct}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(key_col), pa.string())
+        m = md5_hex15_int(ids) % 100 < pct
+        return t.filter(pa.array(m))
+
+    ds = decode_dataset(in_dir).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return encode_dataset(None, out_dir, opts, ds=ds, batch_size=batch_size)

@@ -180,3 +180,41 @@ def test_shuffle_cli_deterministic(ray_session, tmp_path, capsys):
     ks = back.column("k").to_numpy(zero_copy_only=False)
     assert not (ks[:-1] <= ks[1:]).all()  # genuinely permuted, not still sorted
     assert back.sort_by("k").equals(t)  # same content
+
+
+def test_sample_cli_deterministic(ray_session, tmp_path, capsys):
+    import hashlib
+    import json
+    import os
+
+    t = pa.table({"k": np.arange(8000, dtype=np.int64), "v": np.arange(8000) * 2})
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    store = str(tmp_path / "st")
+    encode_dataset([src], store, batch_size=4096)
+
+    assert main(["sample", store, str(tmp_path / "s1"), "--key", "k", "--pct", "10"]) == 0
+    n1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"]
+    assert 600 < n1 < 1000  # ~10% +- sampling noise
+    assert main(["sample", store, str(tmp_path / "s2"), "--key", "k", "--pct", "10"]) == 0
+    capsys.readouterr()
+
+    def digest(d):
+        h = hashlib.sha256()
+        for f in sorted(os.listdir(os.path.join(d, "chunks"))):
+            h.update(open(os.path.join(d, "chunks", f), "rb").read())
+        return h.hexdigest()
+
+    assert digest(str(tmp_path / "s1")) == digest(str(tmp_path / "s2"))
+
+    # the md5 bucket rule matches SQL exactly (same rule as q_hash_split)
+    import hashlib as hl
+
+    from orc_ray.pipeline.decode import decode_dataset
+
+    back = pa.concat_tables(
+        decode_dataset(str(tmp_path / "s1")).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    ks = back.column("k").to_pylist()
+    expect = [k for k in range(8000) if int(hl.md5(str(k).encode()).hexdigest()[:15], 16) % 100 < 10]
+    assert sorted(ks) == expect
