@@ -139,6 +139,7 @@ QUERIES = {
     "left_join_returns": q_left_join_returns,
     "percentile_cont": q_percentile_cont,
     "shuffled_documents": q_shuffled_documents,
+    "distinct_users_by_type": q_distinct_users_by_type,
 }
 
 
@@ -1173,6 +1174,10 @@ ORACLE_SQL = {
         ORDER BY q_pct
     """,
     "shuffled_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "distinct_users_by_type": """
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),
     "quality_scores": _quality_oracle_sql(),

@@ -2088,3 +2088,48 @@ def q_percentile_cont(sf_dir: str):
     return pa.table(
         {"q_pct": pa.array(out_q, pa.int64()), "val_e2_floor": pa.array(out_v, pa.int64())}
     )
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    """Grouped exact COUNT(DISTINCT): distinct (event_type, user_id)
+    pairs reduce through ONE sum_by_keys (per-batch pair dedup first, so
+    the sort input is bounded by distinct pairs per block), then a tiny
+    per-type count — the two-level distinct aggregation, never O(rows)
+    at any single point."""
+    from ..functions.aggregates import sum_by_keys
+
+    ds = _decoded(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "user_id"]).aggregate([])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "user_id": g.column("user_id"),
+                "one": pa.array(np.ones(g.num_rows, np.int64)),
+            }
+        )
+
+    dpairs = sum_by_keys(
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "user_id"],
+        "one",
+    )
+
+    def count_types(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        g = t.group_by("event_type").aggregate([([], "count_all")])
+        return pa.table(
+            {"event_type": g.column("event_type"), "n": g.column("count_all").cast(pa.int64())}
+        )
+
+    agg = sum_by_keys(
+        dpairs.map_batches(count_types, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        "n",
+        out="n_users",
+    )
+    return _to_table(agg).sort_by("event_type")

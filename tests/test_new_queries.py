@@ -85,6 +85,7 @@ NEW_QUERIES = [
     "left_join_returns",
     "percentile_cont",
     "shuffled_documents",
+    "distinct_users_by_type",
 ]
 
 
