@@ -140,6 +140,7 @@ QUERIES = {
     "percentile_cont": q_percentile_cont,
     "shuffled_documents": q_shuffled_documents,
     "distinct_users_by_type": q_distinct_users_by_type,
+    "order_next_gap": q_order_next_gap,
 }
 
 
@@ -1177,6 +1178,13 @@ ORACLE_SQL = {
     "distinct_users_by_type": """
         SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "order_next_gap": """
+        SELECT o_orderkey,
+               CAST(epoch(LEAD(o_orderdate) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                    - o_orderdate) / 86400 AS BIGINT) AS next_gap_days
+        FROM orders ORDER BY o_orderkey
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

@@ -693,3 +693,42 @@ def q_gap_fill_revenue(sf_dir: str):
             "is_filled": pa.array(is_filled),
         }
     )
+
+
+def q_order_next_gap(sf_dir: str):
+    """LEAD OVER (PARTITION BY customer ORDER BY date, key) — days until
+    the customer's NEXT order, null for last orders.  LEAD is LAG over
+    the reversed order: the segmented distributed lag operator runs with
+    negated sort keys, so the same O(blocks) carry machinery serves both
+    directions."""
+    from ..functions.aggregates import with_group_lag
+
+    ds = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t.column("o_orderdate").cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "ts_us": us,
+                "neg_ts": pc.negate(us),
+                "neg_key": pc.negate(t.column("o_orderkey")),
+            }
+        )
+
+    lagged = with_group_lag(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"],
+        ["neg_ts", "neg_key"],
+        "ts_us",
+        out="next_us",
+    )
+
+    def gap(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.subtract(t.column("next_us"), t.column("ts_us")), 86_400_000_000)
+        return pa.table({"o_orderkey": t.column("o_orderkey"), "next_gap_days": d})
+
+    return _to_table(
+        lagged.map_batches(gap, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("o_orderkey")

@@ -86,6 +86,7 @@ NEW_QUERIES = [
     "percentile_cont",
     "shuffled_documents",
     "distinct_users_by_type",
+    "order_next_gap",
 ]
 
 
