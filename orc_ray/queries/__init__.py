@@ -141,6 +141,7 @@ QUERIES = {
     "shuffled_documents": q_shuffled_documents,
     "distinct_users_by_type": q_distinct_users_by_type,
     "order_next_gap": q_order_next_gap,
+    "mode_priority": q_mode_priority,
 }
 
 
@@ -1185,6 +1186,20 @@ ORACLE_SQL = {
                      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
                     - o_orderdate) / 86400 AS BIGINT) AS next_gap_days
         FROM orders ORDER BY o_orderkey
+    """,
+    "mode_priority": """
+        WITH c AS (
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ),
+        r AS (
+          SELECT o_orderstatus, o_orderpriority, n,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY n DESC, o_orderpriority) AS rn
+          FROM c
+        )
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+        FROM r WHERE rn = 1 ORDER BY o_orderstatus
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

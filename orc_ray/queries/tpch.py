@@ -2133,3 +2133,46 @@ def q_distinct_users_by_type(sf_dir: str):
         out="n_users",
     )
     return _to_table(agg).sort_by("event_type")
+
+
+def q_mode_priority(sf_dir: str):
+    """Grouped MODE (most frequent value, ties -> smallest value): the
+    (status, priority) count table reduces through ONE sum_by_keys with
+    per-batch combiners; the per-group argmax is the q_argmax_events
+    lexsort epilogue over O(groups x values) rows."""
+    from ..functions.aggregates import sum_by_keys
+
+    ds = _decoded(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "s": g.column("o_orderstatus"),
+                "p": g.column("o_orderpriority"),
+                "one": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    counts = _to_table(
+        sum_by_keys(
+            ds.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+            ["s", "p"],
+            "one",
+            out="n",
+        )
+    )
+    s = counts.column("s").to_numpy(zero_copy_only=False)
+    p = counts.column("p").to_numpy(zero_copy_only=False)
+    n = counts.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((p, -n, s))  # per status: max count first, then min priority
+    s, p, n = s[order], p[order], n[order]
+    first = np.ones(s.size, dtype=bool)
+    first[1:] = s[1:] != s[:-1]
+    return pa.table(
+        {
+            "o_orderstatus": pa.array(s[first], pa.string()),
+            "mode_priority": pa.array(p[first], pa.string()),
+            "n": pa.array(n[first], pa.int64()),
+        }
+    )

@@ -87,6 +87,7 @@ NEW_QUERIES = [
     "shuffled_documents",
     "distinct_users_by_type",
     "order_next_gap",
+    "mode_priority",
 ]
 
 
