@@ -142,6 +142,8 @@ QUERIES = {
     "distinct_users_by_type": q_distinct_users_by_type,
     "order_next_gap": q_order_next_gap,
     "mode_priority": q_mode_priority,
+    "same_day_order_pairs": q_same_day_order_pairs,
+    "source_lang_entropy": q_source_lang_entropy,
 }
 
 
@@ -1200,6 +1202,27 @@ ORACLE_SQL = {
         )
         SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
         FROM r WHERE rn = 1 ORDER BY o_orderstatus
+    """,
+    "same_day_order_pairs": """
+        WITH g AS (
+          SELECT o_custkey, CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+                 COUNT(*) AS n
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_pairs FROM g
+    """,
+    "source_lang_entropy": """
+        WITH c AS (
+          SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS n
+          FROM documents GROUP BY source, lang
+        ),
+        t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY source)
+        SELECT c.source,
+               CAST(FLOOR(SUM(-(c.n / t.tot) * LN(c.n / t.tot)) * 1000000) AS BIGINT)
+                 AS entropy_e6,
+               CAST(t.tot AS BIGINT) AS n_docs
+        FROM c JOIN t ON c.source = t.source
+        GROUP BY c.source, t.tot ORDER BY c.source
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

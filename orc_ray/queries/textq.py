@@ -633,3 +633,54 @@ def q_fuzzy_part_match(sf_dir: str):
             "dist": pa.array(d[first], pa.int64()),
         }
     )
+
+
+def q_source_lang_entropy(sf_dir: str):
+    """Shannon entropy of the language mix per source (the corpus-balance
+    diagnostic a multilingual sampler needs): (source, lang) counts flow
+    through ONE sum_by_keys; H = -Σ p·ln(p) is an O(pairs) float epilogue
+    computed from exact integer counts, floored at e6 with the identical
+    expression in SQL."""
+    from ..functions.aggregates import sum_by_keys
+
+    ds = _decoded(sf_dir, "documents", columns=["source", "lang"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "lang": g.column("lang"),
+                "one": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    pairs = _to_table(
+        sum_by_keys(
+            ds.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+            ["source", "lang"],
+            "one",
+            out="n",
+        )
+    ).sort_by([("source", "ascending"), ("lang", "ascending")])
+    src = pairs.column("source").to_numpy(zero_copy_only=False)
+    n = pairs.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    brk = np.ones(src.size, dtype=bool)
+    brk[1:] = src[1:] != src[:-1]
+    starts = np.flatnonzero(brk)
+    ends = np.r_[starts[1:], src.size]
+    out_s, out_h, out_n = [], [], []
+    for st, en in zip(starts, ends):
+        tot = n[st:en].sum()
+        p = n[st:en] / tot
+        h = float(-(p * np.log(p)).sum())
+        out_s.append(src[st])
+        out_h.append(int(np.floor(h * 1_000_000)))
+        out_n.append(int(tot))
+    return pa.table(
+        {
+            "source": pa.array(out_s, pa.string()),
+            "entropy_e6": pa.array(out_h, pa.int64()),
+            "n_docs": pa.array(out_n, pa.int64()),
+        }
+    )

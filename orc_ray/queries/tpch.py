@@ -2176,3 +2176,39 @@ def q_mode_priority(sf_dir: str):
             "n": pa.array(n[first], pa.int64()),
         }
     )
+
+
+def q_same_day_order_pairs(sf_dir: str):
+    """Self-join COUNT without the join: pairs of orders by the same
+    customer on the same day = Σ n·(n-1)/2 over (customer, day) group
+    sizes — the classic rewrite that turns an O(rows²) self-join into
+    ONE distributed count + a vectorized epilogue."""
+    from ..functions.aggregates import sum_by_keys
+
+    ds = _decoded(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        day = pc.floor(pc.divide(t.column("o_orderdate").cast(pa.int64()), 86_400_000_000))
+        g = (
+            pa.table({"c": t.column("o_custkey"), "d": day.cast(pa.int64())})
+            .group_by(["c", "d"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"c": g.column("c"), "d": g.column("d"), "one": g.column("count_all").cast(pa.int64())}
+        )
+
+    counts = sum_by_keys(
+        ds.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True), ["c", "d"], "one"
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_pairs": pa.array([], pa.int64())})
+        n = t.column("one").to_numpy(zero_copy_only=False)
+        return pa.table({"n_pairs": pa.array([int((n * (n - 1) // 2).sum())], pa.int64())})
+
+    parts = _to_table(counts.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True))
+    return pa.table(
+        {"n_pairs": pa.array([int(pc.sum(parts.column("n_pairs")).as_py() or 0)], pa.int64())}
+    )

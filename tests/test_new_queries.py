@@ -88,6 +88,8 @@ NEW_QUERIES = [
     "distinct_users_by_type",
     "order_next_gap",
     "mode_priority",
+    "same_day_order_pairs",
+    "source_lang_entropy",
 ]
 
 
