@@ -72,6 +72,8 @@ class EncodeOptions:
     fsst_min_avg_len: float = 4.0        # don't FSST tiny strings
     fsst_sample_bytes: int = 1 << 16
     min_compress_bytes: int = 64         # don't frame-compress tiny buffers
+    stride_rows: int = STRIDE_ROWS       # RowIndexEntry stride (rowIndexStride
+    # analog, probe [P1]): per-stride min/max granularity for seek pruning
     column_codecs: dict = field(default_factory=dict)  # name -> forced codec
     bloom_columns: tuple = ()            # per-chunk bloom filters -> manifest
     bloom_fpp: float = 0.05              # reference default (probe [P1])
@@ -164,24 +166,24 @@ def _s_hi(s: str) -> str | None:
     return None
 
 
-def _stride_minmax_int(logical: np.ndarray) -> dict:
+def _stride_minmax_int(logical: np.ndarray, rows: int = STRIDE_ROWS) -> dict:
     n = logical.size
     smins, smaxs = [], []
-    for s0 in range(0, n, STRIDE_ROWS):
-        seg = logical[s0 : s0 + STRIDE_ROWS]
+    for s0 in range(0, n, rows):
+        seg = logical[s0 : s0 + rows]
         smins.append(int(seg.min()))
         smaxs.append(int(seg.max()))
-    return {"rows": STRIDE_ROWS, "mins": smins, "maxs": smaxs}
+    return {"rows": rows, "mins": smins, "maxs": smaxs}
 
 
-def _stride_minmax_float(v: np.ndarray) -> dict:
+def _stride_minmax_float(v: np.ndarray, rows: int = STRIDE_ROWS) -> dict:
     n = v.size
     smins, smaxs = [], []
-    for s0 in range(0, n, STRIDE_ROWS):
-        seg = v[s0 : s0 + STRIDE_ROWS]
+    for s0 in range(0, n, rows):
+        seg = v[s0 : s0 + rows]
         smins.append(float(seg.min()))
         smaxs.append(float(seg.max()))
-    return {"rows": STRIDE_ROWS, "mins": smins, "maxs": smaxs}
+    return {"rows": rows, "mins": smins, "maxs": smaxs}
 
 
 _POW10 = 10 ** np.arange(10, dtype=np.int64)
@@ -350,8 +352,8 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
             if v.size:
                 meta["min"] = int(v.min())
                 meta["max"] = int(v.max())
-                if n > STRIDE_ROWS and "." not in name:
-                    meta["stride"] = _stride_minmax_int(v)
+                if n > opts.stride_rows and "." not in name:
+                    meta["stride"] = _stride_minmax_int(v, opts.stride_rows)
             bufs.append(encode_ints(secs, strategy=opts.strategy))
             bufs.append(encode_ints(_pack_subsecond(subs), strategy=opts.strategy))
             return meta, bufs
@@ -364,12 +366,12 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
             logical = v.view(np.uint64) if ty.equals(pa.uint64()) else v
             meta["min"] = int(logical.min())
             meta["max"] = int(logical.max())
-            if n > STRIDE_ROWS and "." not in name:
+            if n > opts.stride_rows and "." not in name:
                 # RowIndexEntry analog: per-stride min/max lets decode skip
                 # whole strides inside a matching chunk (seekToRowGroup).
                 # Top-level columns only: nested children (list items etc.)
                 # don't align to row strides and would bloat the header.
-                meta["stride"] = _stride_minmax_int(logical)
+                meta["stride"] = _stride_minmax_int(logical, opts.stride_rows)
         bufs.append(encode_ints(v, strategy=opts.strategy))
         return meta, bufs
 
@@ -410,8 +412,8 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
             if n and not np.isnan(v).any():
                 meta["min"] = float(v.min())
                 meta["max"] = float(v.max())
-                if n > STRIDE_ROWS and "." not in name:
-                    meta["stride"] = _stride_minmax_float(v)
+                if n > opts.stride_rows and "." not in name:
+                    meta["stride"] = _stride_minmax_float(v, opts.stride_rows)
             # pseudo-decimal fast path (ALP-family idea, Afroozeh &
             # Boncz 2023): floats that are exactly scaled decimals
             # (prices, ratios) become integers through the int codec.
@@ -442,16 +444,16 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
             if lo is not None and hi_t is not None:
                 meta["min"] = _s_lo(lo)
                 meta["max"] = hi_t
-                if n > STRIDE_ROWS and "." not in name:
+                if n > opts.stride_rows and "." not in name:
                     smins, smaxs = [], []
-                    for s0 in range(0, n, STRIDE_ROWS):
-                        m2 = pa.compute.min_max(arr.slice(s0, STRIDE_ROWS))
+                    for s0 in range(0, n, opts.stride_rows):
+                        m2 = pa.compute.min_max(arr.slice(s0, opts.stride_rows))
                         l2, h2 = m2["min"].as_py(), m2["max"].as_py()
                         h2t = _s_hi(h2) if h2 is not None else None
                         ok2 = l2 is not None and h2t is not None
                         smins.append(_s_lo(l2) if ok2 else None)
                         smaxs.append(h2t if ok2 else None)
-                    meta["stride"] = {"rows": STRIDE_ROWS, "mins": smins, "maxs": smaxs}
+                    meta["stride"] = {"rows": opts.stride_rows, "mins": smins, "maxs": smaxs}
         if arr.null_count:
             arr = arr.fill_null("" if is_str else b"")
         concat, offsets = _varbytes_to_numpy(arr)

@@ -211,3 +211,41 @@ def test_str_range_decode_skips_framing_blocks():
     part2 = decode_chunk(blob2, row_ranges=r2)
     exp2 = pa.concat_tables([t2.slice(10, 2090), t2.slice(4096, 1904)])
     assert part2.column("text").combine_chunks().equals(exp2.column("text").combine_chunks())
+
+
+def test_stride_rows_option(ray_session, tmp_path):
+    """rowIndexStride analog: a finer stride_rows yields more stride
+    entries per chunk and at least as tight pruning."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orc_ray.chunk import EncodeOptions, read_chunk_header
+    from orc_ray.pipeline.decode import decode_dataset
+    from orc_ray.pipeline.encode import encode_dataset
+
+    t = pa.table({"k": np.arange(8192, dtype=np.int64), "v": np.arange(8192) % 7})
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+
+    import os
+
+    stores = {}
+    for rows in (2048, 256):
+        out = str(tmp_path / f"s{rows}")
+        encode_dataset([src], out, EncodeOptions(stride_rows=rows), batch_size=8192)
+        cf = sorted(os.listdir(os.path.join(out, "chunks")))[0]
+        hdr = read_chunk_header(open(os.path.join(out, "chunks", cf), "rb").read())
+        kcol = next(c for c in hdr["columns"] if c["name"] == "k")
+        assert kcol["stride"]["rows"] == rows
+        assert len(kcol["stride"]["mins"]) == 8192 // rows
+        stores[rows] = out
+
+    # both decode the point lookup correctly; the finer stride decodes too
+    for rows, out in stores.items():
+        got = pa.concat_tables(
+            decode_dataset(out, predicates=[("k", "==", 5000)]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+        assert got.num_rows == 1 and got.column("k")[0].as_py() == 5000
