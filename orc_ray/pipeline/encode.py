@@ -581,7 +581,15 @@ def shuffle_store(
     shutil.rmtree(out_dir, ignore_errors=True)
 
     def add_key(t: pa.Table) -> pa.Table:
-        k = t.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        col = t.column(key_col)
+        if pa.types.is_integer(col.type) or pa.types.is_temporal(col.type):
+            k = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            # string/binary keys: md5-derived int64 (same deterministic
+            # contract; md5vec is the vectorized oracle-parity kernel)
+            from ..functions.md5vec import md5_hex15_int
+
+            k = md5_hex15_int(pc.cast(col, pa.string()))
         with np.errstate(over="ignore"):
             h = splitmix64_mix(k.view(np.uint64) ^ np.uint64(seed))
         return t.append_column("_shuf", pa.array(h.view(np.int64)))
