@@ -144,6 +144,9 @@ QUERIES = {
     "mode_priority": q_mode_priority,
     "same_day_order_pairs": q_same_day_order_pairs,
     "source_lang_entropy": q_source_lang_entropy,
+    "sampled_documents": q_sampled_documents,
+    "zorder_lookup": q_zorder_lookup,
+    "encoded_groupby": q_encoded_groupby,
 }
 
 
@@ -1223,6 +1226,21 @@ ORACLE_SQL = {
                CAST(t.tot AS BIGINT) AS n_docs
         FROM c JOIN t ON c.source = t.source
         GROUP BY c.source, t.tot ORDER BY c.source
+    """,
+    "sampled_documents": """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 20
+        ORDER BY doc_id
+    """,
+    "zorder_lookup": """
+        SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS value_e2
+        FROM events
+        WHERE user_id BETWEEN 3 AND 8 AND value BETWEEN 50.0 AND 100.0
+        ORDER BY event_id
+    """,
+    "encoded_groupby": """
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY source ORDER BY source
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

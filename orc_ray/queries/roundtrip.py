@@ -253,3 +253,114 @@ def q_shuffled_documents(sf_dir: str):
     if load_committed(out)["totals"].get("rows") != rows:
         shuffle_store(src_store, out, "doc_id", seed=42)
     return _to_table(decode_dataset(out))
+
+
+def q_sampled_documents(sf_dir: str):
+    """Deterministic 20% corpus sample through sample_store (md5 bucket
+    rule) then full decode — the oracle mirrors the EXACT same md5
+    arithmetic in SQL, so this pins the store-level sampler end-to-end,
+    not just the kernel."""
+    import os
+
+    from ..pipeline.decode import decode_dataset
+    from ..pipeline.encode import sample_store
+    from ..state.manifest import load_committed
+
+    src_store = store_for(sf_dir, "documents")
+    out = os.path.join(CACHE_ROOT, f"sample20-{os.path.basename(src_store)}")
+    if load_committed(out)["totals"].get("rows") is None:
+        sample_store(src_store, out, "doc_id", 20)
+    return _to_table(decode_dataset(out))
+
+
+def q_zorder_lookup(sf_dir: str):
+    """Z-order clustering end-to-end: the events store re-clusters on the
+    Morton curve over (user_id, value), and a two-column box query
+    decodes only the chunks whose min/max intersect the box — BOTH curve
+    columns prune (the lakehouse OPTIMIZE ZORDER property); the exact
+    residual filter keeps correctness."""
+    import os
+
+    from ..pipeline.decode import decode_dataset
+    from ..pipeline.encode import zorder_store
+    from ..state.manifest import load_committed
+
+    src_store = store_for(sf_dir, "events")
+    out = os.path.join(CACHE_ROOT, f"zorder-{os.path.basename(src_store)}")
+    if load_committed(out)["totals"].get("rows") is None:
+        zorder_store(src_store, out, ["user_id", "value"], batch_size=2048)
+    ds = decode_dataset(
+        out,
+        columns=["event_id", "user_id", "value"],
+        predicates=[
+            ("user_id", "between", 3, 8),
+            ("value", "between", 50.0, 100.0),
+        ],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "value_e2": pa.array([], pa.int64()),
+                }
+            )
+        v = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "value_e2": pa.array(v),
+            }
+        )
+
+    return _to_table(ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)).sort_by(
+        "event_id"
+    )
+
+
+def q_encoded_groupby(sf_dir: str):
+    """Encoded-vector read through the driver gate: documents decode with
+    encoded_vectors=True (dict codes + dictionary, no flat strings), and
+    the per-source doc count/char sum aggregates over the int32 CODES
+    inside each batch (np.bincount) — the EncodedStringVectorBatch
+    consumer pattern, oracle-checked against a plain GROUP BY."""
+    from ..pipeline.decode import decode_dataset
+
+    ds = decode_dataset(store_for(sf_dir, "documents"), columns=["source", "n_chars"], encoded_vectors=True)
+
+    def agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "chars": pa.array([], pa.int64()),
+                }
+            )
+        d = t.column("source").combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = d.dictionary
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(labels))
+        tot = np.bincount(codes, weights=nch, minlength=len(labels)).astype(np.int64)
+        used = cnt > 0
+        return pa.table(
+            {
+                "source": labels.take(pa.array(np.flatnonzero(used))),
+                "n_docs": pa.array(cnt[used].astype(np.int64)),
+                "chars": pa.array(tot[used]),
+            }
+        )
+
+    parts = _to_table(ds.map_batches(agg, batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by("source").aggregate([("n_docs", "sum"), ("chars", "sum")])
+    return pa.table(
+        {
+            "source": final.column("source"),
+            "n_docs": final.column("n_docs_sum").cast(pa.int64()),
+            "chars": final.column("chars_sum").cast(pa.int64()),
+        }
+    ).sort_by("source")

@@ -90,6 +90,9 @@ NEW_QUERIES = [
     "mode_priority",
     "same_day_order_pairs",
     "source_lang_entropy",
+    "sampled_documents",
+    "zorder_lookup",
+    "encoded_groupby",
 ]
 
 
