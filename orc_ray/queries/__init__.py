@@ -147,6 +147,7 @@ QUERIES = {
     "sampled_documents": q_sampled_documents,
     "zorder_lookup": q_zorder_lookup,
     "encoded_groupby": q_encoded_groupby,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 
@@ -1241,6 +1242,21 @@ ORACLE_SQL = {
     "encoded_groupby": """
         SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
         FROM documents GROUP BY source ORDER BY source
+    """,
+    "unigram_logprob": """
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+          FROM documents WHERE trim(text) <> ''
+        ),
+        cnt AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS n FROM words GROUP BY w),
+        tot AS (SELECT SUM(n) AS t FROM cnt),
+        lp AS (SELECT w, LN(n / t) AS l FROM cnt, tot)
+        SELECT w2.doc_id,
+               CAST(FLOOR(AVG(lp.l) * 1000000) AS BIGINT) AS avg_lp_e6,
+               COUNT(*) AS n_words
+        FROM words w2 JOIN lp ON w2.w = lp.w
+        GROUP BY w2.doc_id ORDER BY w2.doc_id
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

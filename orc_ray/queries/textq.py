@@ -684,3 +684,63 @@ def q_source_lang_entropy(sf_dir: str):
             "n_docs": pa.array(out_n, pa.int64()),
         }
     )
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Unigram-LM perplexity proxy — per document, the average
+    log-probability of its (lowercased, whitespace) tokens under the
+    corpus's own unigram distribution.  Two passes, both distributed:
+    (1) global token counts via ONE sum_by_keys (per-batch combiners, so
+    the shuffle is O(vocab), not O(tokens)); (2) the (token -> ln p)
+    table broadcasts once via ray.put and every batch scores its docs
+    with index_in + a segmented sum — no Python in either pass.  At 100
+    TB the vocab table is top-K + an OOV floor (documented); here the
+    full vocab keeps the SQL mirror exact.  Scores floor at e6 from
+    identical double math on exact integer counts."""
+    import ray as _ray
+
+    from ..functions.aggregates import sum_by_keys
+    from ..functions.text import _concat_np, _ws_words
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok_counts(t: pa.Table, *, _ws_words=_ws_words, _concat_np=_concat_np) -> pa.Table:
+        _, flat, _ = _ws_words(_concat_np(t.column("text")), lower=True)
+        g = pa.table({"w": flat}).group_by("w").aggregate([([], "count_all")])
+        return pa.table({"w": g.column("w"), "one": g.column("count_all").cast(pa.int64())})
+
+    vocab = _to_table(
+        sum_by_keys(
+            ds.map_batches(tok_counts, batch_format="pyarrow", zero_copy_batch=True),
+            ["w"],
+            "one",
+            out="n",
+        )
+    )
+    n = vocab.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    total = float(n.sum())
+    lp = np.log(n / total)
+    ref = _ray.put((vocab.column("w").combine_chunks(), lp))
+
+    def score(t: pa.Table, *, ref=ref, _ws_words=_ws_words, _concat_np=_concat_np) -> pa.Table:
+        words, logp = _ray.get(ref)
+        text = _concat_np(t.column("text"))
+        off, flat, n_words = _ws_words(text, lower=True)
+        pos = pc.index_in(flat, value_set=words).to_numpy(zero_copy_only=False).astype(np.int64)
+        per_tok = logp[pos]  # full vocab -> every token hits
+        c = np.zeros(per_tok.size + 1)
+        np.cumsum(per_tok, out=c[1:])
+        sums = c[off[1:]] - c[off[:-1]]
+        keep = n_words > 0  # empty docs have no distribution (SQL drops them)
+        avg = sums[keep] / n_words[keep]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").filter(pa.array(keep)),
+                "avg_lp_e6": pa.array(np.floor(avg * 1_000_000).astype(np.int64)),
+                "n_words": pa.array(n_words[keep].astype(np.int64)),
+            }
+        )
+
+    return _to_table(
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("doc_id")

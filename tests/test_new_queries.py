@@ -93,6 +93,7 @@ NEW_QUERIES = [
     "sampled_documents",
     "zorder_lookup",
     "encoded_groupby",
+    "unigram_logprob",
 ]
 
 
