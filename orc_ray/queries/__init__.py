@@ -148,6 +148,7 @@ QUERIES = {
     "zorder_lookup": q_zorder_lookup,
     "encoded_groupby": q_encoded_groupby,
     "unigram_logprob": q_unigram_logprob,
+    "revenue_trend_slope": q_revenue_trend_slope,
 }
 
 
@@ -1257,6 +1258,24 @@ ORACLE_SQL = {
                COUNT(*) AS n_words
         FROM words w2 JOIN lp ON w2.w = lp.w
         GROUP BY w2.doc_id ORDER BY w2.doc_id
+    """,
+    "revenue_trend_slope": """
+        WITH b AS (
+          SELECT o_orderstatus AS s,
+                 CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) - 9131 AS x,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+          FROM orders
+        ),
+        p AS (
+          SELECT s, CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx
+          FROM b GROUP BY s
+        )
+        SELECT s AS o_orderstatus, CAST(n AS BIGINT) AS n,
+               CAST(FLOOR((n*sxy - sx*sy) / (n*sxx - sx*sx) * 1000000) AS BIGINT)
+                 AS slope_e6
+        FROM p ORDER BY s
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

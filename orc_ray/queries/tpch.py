@@ -2212,3 +2212,51 @@ def q_same_day_order_pairs(sf_dir: str):
     return pa.table(
         {"n_pairs": pa.array([int(pc.sum(parts.column("n_pairs")).as_py() or 0)], pa.int64())}
     )
+
+
+def q_revenue_trend_slope(sf_dir: str):
+    """Grouped least-squares trend — the OLS slope of daily revenue over
+    time per order status.  The five sufficient statistics (n, Σx, Σy,
+    Σxy, Σx²) are exact int64 sums (x = day index, y = cents) through
+    ONE sum_by_keys over (status, stat-kind); the slope epilogue is
+    O(groups) float math mirrored expression-for-expression in SQL —
+    regression at any scale without ever moving a row twice."""
+    from ..functions.aggregates import sum_by_keys
+
+    ds = _decoded(sf_dir, "orders", columns=["o_orderstatus", "o_orderdate", "o_totalprice"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        day = (t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        x = day - 9131  # 1995-01-01 epoch-days; keeps x*y products well inside int64
+        y = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        st = t.column("o_orderstatus")
+        base = pa.table(
+            {
+                "s": pa.concat_arrays([st.combine_chunks()] * 5),
+                "k": pa.array(["n"] * len(x) + ["sx"] * len(x) + ["sy"] * len(x)
+                              + ["sxy"] * len(x) + ["sxx"] * len(x)),
+                "v": pa.array(np.concatenate([np.ones(len(x), np.int64), x, y, x * y, x * x])),
+            }
+        )
+        g = base.group_by(["s", "k"]).aggregate([("v", "sum")])
+        return pa.table({"s": g.column("s"), "k": g.column("k"), "v": g.column("v_sum")})
+
+    agg = _to_table(
+        sum_by_keys(ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True), ["s", "k"], "v")
+    )
+    piv: dict = {}
+    for s, k, v in zip(agg.column("s").to_pylist(), agg.column("k").to_pylist(), agg.column("v").to_pylist()):
+        piv.setdefault(s, {})[k] = float(v)
+    rows = []
+    for s in sorted(piv):
+        n, sx, sy, sxy, sxx = (piv[s][k] for k in ["n", "sx", "sy", "sxy", "sxx"])
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)  # cents per day
+        rows.append((s, int(n), int(np.floor(slope * 1_000_000))))
+    return pa.table(
+        {
+            "o_orderstatus": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "slope_e6": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

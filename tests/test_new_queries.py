@@ -94,6 +94,7 @@ NEW_QUERIES = [
     "zorder_lookup",
     "encoded_groupby",
     "unigram_logprob",
+    "revenue_trend_slope",
 ]
 
 
