@@ -23,6 +23,7 @@ meta/data/scan/convert; C++ orc-metadata/orc-contents/orc-scan).
     python -m orc_ray stats   STORE        # per-column file stats rollup (orc-statistics)
     python -m orc_ray json-schema F.jsonl  # infer schema (JsonSchemaFinder analog)
     python -m orc_ray version
+    python -m orc_ray key gen k1 --keystore /path/keys.json  # local KMS stand-in
 
 Store paths may be local or any fsspec URL (file://, s3://, …).
 """
@@ -363,6 +364,34 @@ def cmd_scan(a) -> int:
     return 0
 
 
+def cmd_key(a) -> int:
+    """Local keystore management (orc-tools `key` analog; a deployment
+    would use a KMS).  gen: add a fresh random key under NAME; list:
+    print key names (never material)."""
+    import os
+
+    ks = {}
+    if os.path.exists(a.keystore):
+        with open(a.keystore) as f:
+            ks = json.load(f)
+    if a.op == "list":
+        print(json.dumps(sorted(ks)))
+        return 0
+    if a.op == "gen":
+        if not a.name:
+            raise SystemExit("key gen requires NAME")
+        if a.name in ks:
+            raise SystemExit(f"key {a.name!r} already exists (refusing to rotate implicitly)")
+        ks[a.name] = os.urandom(32 if a.bits == 256 else 16).hex()
+        tmp = a.keystore + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ks, f, indent=1)
+        os.replace(tmp, a.keystore)
+        print(json.dumps({"added": a.name, "bits": a.bits, "keystore": a.keystore}))
+        return 0
+    raise SystemExit(f"unknown key op {a.op!r}")
+
+
 def cmd_query(a) -> int:
     """Run a registered analytics pipeline from the query library over a
     testdata-shaped table directory (orc-tools `data` analog for the
@@ -494,6 +523,13 @@ def main(argv=None) -> int:
 
     vs = sub.add_parser("version")
     vs.set_defaults(fn=cmd_version)
+
+    ky = sub.add_parser("key", help="keystore management: gen NAME | list (orc-tools key analog)")
+    ky.add_argument("op", choices=["gen", "list"])
+    ky.add_argument("name", nargs="?")
+    ky.add_argument("--keystore", required=True)
+    ky.add_argument("--bits", type=int, default=256, choices=[128, 256])
+    ky.set_defaults(fn=cmd_key)
 
     qy = sub.add_parser("query", help="run a registered analytics pipeline (or 'list')")
     qy.add_argument("name")

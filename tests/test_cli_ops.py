@@ -218,3 +218,21 @@ def test_sample_cli_deterministic(ray_session, tmp_path, capsys):
     ks = back.column("k").to_pylist()
     expect = [k for k in range(8000) if int(hl.md5(str(k).encode()).hexdigest()[:15], 16) % 100 < 10]
     assert sorted(ks) == expect
+
+
+def test_key_cli(ray_session, tmp_path, capsys):
+    import json
+
+    ks = str(tmp_path / "keys.json")
+    assert main(["key", "gen", "k1", "--keystore", ks]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["added"] == "k1" and out["bits"] == 256
+    assert main(["key", "list", "--keystore", ks]) == 0
+    assert json.loads(capsys.readouterr().out) == ["k1"]
+    mat = json.load(open(ks))["k1"]
+    assert len(bytes.fromhex(mat)) == 32
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="already exists"):
+        main(["key", "gen", "k1", "--keystore", ks])
