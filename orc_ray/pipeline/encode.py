@@ -381,6 +381,21 @@ def encode_dataset(
     return mstate.commit(out_dir, expected)
 
 
+def _wipe_target(in_dir: str, out_dir: str) -> None:
+    """Wipe-first contract shared by the re-encode ops (sort/zorder/
+    compact/shuffle/sample): refuse in-place targets — the wipe would
+    destroy the input before the decode stream ever reads it."""
+    import os
+    import shutil
+
+    if os.path.abspath(str(in_dir)) == os.path.abspath(str(out_dir)):
+        raise ValueError(
+            f"out_dir equals the input store ({out_dir!r}): in-place "
+            "re-encode would wipe the data first — write to a new path"
+        )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def sort_store(
     in_dir: str,
     out_dir: str,
@@ -400,11 +415,9 @@ def sort_store(
     so parts left by an interrupted earlier run would otherwise sum into
     the new manifest and double-count rows.
     """
-    import shutil
-
     from .decode import decode_dataset
 
-    shutil.rmtree(out_dir, ignore_errors=True)
+    _wipe_target(in_dir, out_dir)
 
     ds = decode_dataset(in_dir)
     ds = ds.sort(by, descending=descending)
@@ -424,11 +437,9 @@ def compact_store(
     tables rebuild over the larger chunks, usually shrinking bytes).
     Zero shuffle: decode streams straight into encode.  Same wipe-first
     contract as sort_store (trust-mode commit)."""
-    import shutil
-
     from .decode import decode_dataset
 
-    shutil.rmtree(out_dir, ignore_errors=True)
+    _wipe_target(in_dir, out_dir)
     return encode_dataset(None, out_dir, opts, ds=decode_dataset(in_dir), batch_size=batch_size)
 
 
@@ -494,7 +505,6 @@ def zorder_store(
     """
     import functools
     import json as _json
-    import shutil
 
     from ..state import manifest as mstate
     from .decode import decode_dataset
@@ -541,7 +551,7 @@ def zorder_store(
                 z |= ((cell >> np.uint64(j)) & np.uint64(1)) << np.uint64(j * k + i)
         return t.append_column("_zkey", pa.array(z.view(np.int64)))
 
-    shutil.rmtree(out_dir, ignore_errors=True)
+    _wipe_target(in_dir, out_dir)
     ds = decode_dataset(in_dir)
     ds = ds.map_batches(
         functools.partial(zkey, cols=cols, lo=lo, hi=hi, b=b),
@@ -571,14 +581,13 @@ def shuffle_store(
     depends on the block topology.  One all-to-all exchange (range sort
     on the derived key), then the normal streaming encode.  Wipe-first /
     trust-mode commit like sort_store."""
-    import shutil
 
     import pyarrow.compute as pc
 
     from ..codecs.hashmix import splitmix64_mix
     from .decode import decode_dataset
 
-    shutil.rmtree(out_dir, ignore_errors=True)
+    _wipe_target(in_dir, out_dir)
 
     def add_key(t: pa.Table) -> pa.Table:
         col = t.column(key_col)
@@ -620,7 +629,6 @@ def sample_store(
     bit-for-bit, shard- and retry-stable, and CONSISTENT across tables
     sharing the key).  Zero shuffle: the filter runs inside the decode
     stream and feeds straight into encode."""
-    import shutil
 
     import pyarrow.compute as pc
 
@@ -629,7 +637,7 @@ def sample_store(
 
     if not 0 <= pct <= 100:
         raise ValueError(f"pct must be 0..100, got {pct}")
-    shutil.rmtree(out_dir, ignore_errors=True)
+    _wipe_target(in_dir, out_dir)
 
     def keep(t: pa.Table) -> pa.Table:
         ids = pc.cast(t.column(key_col), pa.string())

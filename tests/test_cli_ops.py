@@ -236,3 +236,21 @@ def test_key_cli(ray_session, tmp_path, capsys):
 
     with pytest.raises(SystemExit, match="already exists"):
         main(["key", "gen", "k1", "--keystore", ks])
+
+
+def test_reencode_refuses_in_place(ray_session, tmp_path):
+    import pytest
+
+    from orc_ray.pipeline.encode import compact_store, sort_store
+
+    t = pa.table({"k": np.arange(100, dtype=np.int64)})
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    store = str(tmp_path / "st")
+    encode_dataset([src], store, batch_size=50)
+    for fn in (lambda: compact_store(store, store), lambda: sort_store(store, store, "k")):
+        with pytest.raises(ValueError, match="in-place"):
+            fn()
+    import os
+
+    assert os.path.exists(os.path.join(store, "chunks"))  # input untouched
