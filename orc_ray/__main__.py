@@ -384,7 +384,9 @@ def cmd_key(a) -> int:
             raise SystemExit(f"key {a.name!r} already exists (refusing to rotate implicitly)")
         ks[a.name] = os.urandom(32 if a.bits == 256 else 16).hex()
         tmp = a.keystore + ".tmp"
-        with open(tmp, "w") as f:
+        # key material must never be world-readable (0600 from creation)
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+        with os.fdopen(fd, "w") as f:
             json.dump(ks, f, indent=1)
         os.replace(tmp, a.keystore)
         print(json.dumps({"added": a.name, "bits": a.bits, "keystore": a.keystore}))
@@ -395,10 +397,10 @@ def cmd_key(a) -> int:
 def cmd_query(a) -> int:
     """Run a registered analytics pipeline from the query library over a
     testdata-shaped table directory (orc-tools `data` analog for the
-    query surface).  `--list` prints every registered name."""
+    query surface).  `query list` prints every registered name."""
     from .queries import QUERIES
 
-    if a.name == "--list" or a.name == "list":
+    if a.name == "list":
         for n in sorted(QUERIES):
             print(n)
         return 0
@@ -412,9 +414,8 @@ def cmd_query(a) -> int:
 
     res = QUERIES[a.name](a.sf_dir)
     if not isinstance(res, _pa.Table):
-        res = _pa.concat_tables(
-            list(res.iter_batches(batch_format="pyarrow", batch_size=None))
-        )
+        parts = list(res.iter_batches(batch_format="pyarrow", batch_size=None))
+        res = _pa.concat_tables(parts) if parts else _pa.table({})
     for row in res.slice(0, a.limit).to_pylist():
         print(json.dumps(row, default=str))
     print(json.dumps({"rows": res.num_rows, "columns": res.column_names}))

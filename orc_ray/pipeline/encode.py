@@ -388,10 +388,15 @@ def _wipe_target(in_dir: str, out_dir: str) -> None:
     import os
     import shutil
 
-    if os.path.abspath(str(in_dir)) == os.path.abspath(str(out_dir)):
+    src = os.path.realpath(str(in_dir))
+    dst = os.path.realpath(str(out_dir))
+    # containment both ways: wiping a parent destroys the input; writing
+    # INTO the input store corrupts it.  realpath also defeats symlink
+    # aliases of the same directory.
+    if src == dst or src.startswith(dst + os.sep) or dst.startswith(src + os.sep):
         raise ValueError(
-            f"out_dir equals the input store ({out_dir!r}): in-place "
-            "re-encode would wipe the data first — write to a new path"
+            f"out_dir {out_dir!r} overlaps the input store {in_dir!r}: in-place "
+            "re-encode would wipe or corrupt the data — write to a disjoint path"
         )
     shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -591,14 +596,20 @@ def shuffle_store(
 
     def add_key(t: pa.Table) -> pa.Table:
         col = t.column(key_col)
-        if pa.types.is_integer(col.type) or pa.types.is_temporal(col.type):
+        int_like = (
+            (pa.types.is_integer(col.type) and not pa.types.is_uint64(col.type))
+            or pa.types.is_temporal(col.type)
+        )
+        if int_like and col.null_count == 0:
             k = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
         else:
-            # string/binary keys: md5-derived int64 (same deterministic
-            # contract; md5vec is the vectorized oracle-parity kernel)
+            # string/uint64/nullable keys: md5-derived int64 over the string
+            # form (nulls -> "", one shared position — same deterministic
+            # contract; an int64 cast would NaN-garble nulls and overflow
+            # uint64 >= 2^63)
             from ..functions.md5vec import md5_hex15_int
 
-            k = md5_hex15_int(pc.cast(col, pa.string()))
+            k = md5_hex15_int(pc.fill_null(pc.cast(col, pa.string()), ""))
         with np.errstate(over="ignore"):
             h = splitmix64_mix(k.view(np.uint64) ^ np.uint64(seed))
         return t.append_column("_shuf", pa.array(h.view(np.int64)))

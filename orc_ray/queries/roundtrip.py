@@ -267,7 +267,11 @@ def q_sampled_documents(sf_dir: str):
     from ..state.manifest import load_committed
 
     src_store = store_for(sf_dir, "documents")
-    out = os.path.join(CACHE_ROOT, f"sample20-{os.path.basename(src_store)}")
+    # cache key carries the SOURCE row count: a regenerated corpus with a
+    # different size invalidates the derived store (a bare existence check
+    # would silently serve stale samples)
+    src_rows = load_committed(src_store)["totals"].get("rows", 0)
+    out = os.path.join(CACHE_ROOT, f"sample20-{os.path.basename(src_store)}-{src_rows}")
     if load_committed(out)["totals"].get("rows") is None:
         sample_store(src_store, out, "doc_id", 20)
     return _to_table(decode_dataset(out))
@@ -286,8 +290,9 @@ def q_zorder_lookup(sf_dir: str):
     from ..state.manifest import load_committed
 
     src_store = store_for(sf_dir, "events")
+    src_rows = load_committed(src_store)["totals"].get("rows", 0)
     out = os.path.join(CACHE_ROOT, f"zorder-{os.path.basename(src_store)}")
-    if load_committed(out)["totals"].get("rows") is None:
+    if load_committed(out)["totals"].get("rows") != src_rows:
         zorder_store(src_store, out, ["user_id", "value"], batch_size=2048)
     ds = decode_dataset(
         out,

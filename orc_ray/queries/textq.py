@@ -530,12 +530,10 @@ def q_source_vocab_overlap(sf_dir: str):
     )
 
 
-def q_collect_langs(sf_dir: str):
-    """Grouped collect (ARRAY_AGG/STRING_AGG DISTINCT): the sorted,
-    comma-joined set of languages seen per source.  Distinct (source,
-    lang) pairs reduce through ONE sum_by_keys (the shuffle is
-    O(sources × langs), never O(docs)); the join epilogue is O(pairs) on
-    the driver."""
+def _source_lang_counts(sf_dir: str) -> pa.Table:
+    """Distinct (source, lang) pair counts through ONE sum_by_keys —
+    shared by the grouped-collect and entropy queries; the shuffle is
+    O(sources x langs), never O(docs)."""
     from ..functions.aggregates import sum_by_keys
 
     ds = _decoded(sf_dir, "documents", columns=["source", "lang"])
@@ -550,14 +548,23 @@ def q_collect_langs(sf_dir: str):
             }
         )
 
-    pairs = _to_table(
+    return _to_table(
         sum_by_keys(
             ds.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
             ["source", "lang"],
             "one",
-            out="n_docs",
+            out="n",
         )
     ).sort_by([("source", "ascending"), ("lang", "ascending")])
+
+
+def q_collect_langs(sf_dir: str):
+    """Grouped collect (ARRAY_AGG/STRING_AGG DISTINCT): the sorted,
+    comma-joined set of languages seen per source.  Distinct (source,
+    lang) pairs reduce through ONE sum_by_keys (the shuffle is
+    O(sources × langs), never O(docs)); the join epilogue is O(pairs) on
+    the driver."""
+    pairs = _source_lang_counts(sf_dir)
     src = pairs.column("source").to_numpy(zero_copy_only=False)
     lang = pairs.column("lang").to_numpy(zero_copy_only=False)
     brk = np.ones(src.size, dtype=bool)
@@ -641,28 +648,7 @@ def q_source_lang_entropy(sf_dir: str):
     through ONE sum_by_keys; H = -Σ p·ln(p) is an O(pairs) float epilogue
     computed from exact integer counts, floored at e6 with the identical
     expression in SQL."""
-    from ..functions.aggregates import sum_by_keys
-
-    ds = _decoded(sf_dir, "documents", columns=["source", "lang"])
-
-    def ones(t: pa.Table) -> pa.Table:
-        g = t.group_by(["source", "lang"]).aggregate([([], "count_all")])
-        return pa.table(
-            {
-                "source": g.column("source"),
-                "lang": g.column("lang"),
-                "one": g.column("count_all").cast(pa.int64()),
-            }
-        )
-
-    pairs = _to_table(
-        sum_by_keys(
-            ds.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
-            ["source", "lang"],
-            "one",
-            out="n",
-        )
-    ).sort_by([("source", "ascending"), ("lang", "ascending")])
+    pairs = _source_lang_counts(sf_dir)
     src = pairs.column("source").to_numpy(zero_copy_only=False)
     n = pairs.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
     brk = np.ones(src.size, dtype=bool)

@@ -1519,6 +1519,14 @@ def q_linestatus_priority_mix(sf_dir: str):
     def split(t: pa.Table) -> pa.Table:
         # per-batch combiner: the CASE arms collapse to <=4 (status, kind)
         # rows per block before the shuffle
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "l_linestatus": pa.array([], pa.string()),
+                    "kind": pa.array([], pa.string()),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
         hi = pc.is_in(
             t.column("o_orderpriority"),
             value_set=pa.array(["1-URGENT", "2-HIGH"]),
@@ -1706,21 +1714,41 @@ def q_status_moments(sf_dir: str):
     ds = _decoded(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
 
     def powers(t: pa.Table) -> pa.Table:
-        x = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) / 1000.0).astype(np.int64)
-        st = t.column("o_orderstatus")
-        base = pa.table(
+        if t.num_rows == 0:
+            return pa.table(
+                {"s": pa.array([], pa.string()), "k": pa.array([], pa.string()),
+                 "v": pa.array([], pa.int64())}
+            )
+        # floor(v/1000 + 0.5) = SQL ROUND half-away-from-zero for positive
+        # prices (np.rint rounds half-to-even and diverges on exact X500.00)
+        x = np.floor(t.column("o_totalprice").to_numpy(zero_copy_only=False) / 1000.0 + 0.5).astype(np.int64)
+        # one group_by over five derived columns (no 5x row explosion);
+        # melt to the (s, k, v) long form at O(groups) for sum_by_keys
+        g = (
+            pa.table(
+                {
+                    "s": t.column("o_orderstatus"),
+                    "n": pa.array(np.ones(len(x), np.int64)),
+                    "s1": pa.array(x),
+                    "s2": pa.array(x * x),
+                    "s3": pa.array(x**3),
+                    "s4": pa.array(x**4),
+                }
+            )
+            .group_by("s")
+            .aggregate([("n", "sum"), ("s1", "sum"), ("s2", "sum"), ("s3", "sum"), ("s4", "sum")])
+        )
+        ng = g.num_rows
+        return pa.table(
             {
-                "s": pa.concat_arrays([st.combine_chunks()] * 5),
-                "k": pa.array(
-                    ["n"] * len(x) + ["s1"] * len(x) + ["s2"] * len(x) + ["s3"] * len(x) + ["s4"] * len(x)
-                ),
-                "v": pa.array(
-                    np.concatenate([np.ones(len(x), np.int64), x, x * x, x**3, x**4])
+                "s": pa.concat_arrays([g.column("s").combine_chunks()] * 5),
+                "k": pa.array(["n"] * ng + ["s1"] * ng + ["s2"] * ng + ["s3"] * ng + ["s4"] * ng),
+                "v": pa.concat_arrays(
+                    [g.column(f"{c}_sum").cast(pa.int64()).combine_chunks()
+                     for c in ["n", "s1", "s2", "s3", "s4"]]
                 ),
             }
         )
-        g = base.group_by(["s", "k"]).aggregate([("v", "sum")])
-        return pa.table({"s": g.column("s"), "k": g.column("k"), "v": g.column("v_sum")})
 
     agg = _to_table(
         sum_by_keys(
@@ -2226,21 +2254,40 @@ def q_revenue_trend_slope(sf_dir: str):
     ds = _decoded(sf_dir, "orders", columns=["o_orderstatus", "o_orderdate", "o_totalprice"])
 
     def stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"s": pa.array([], pa.string()), "k": pa.array([], pa.string()),
+                 "v": pa.array([], pa.int64())}
+            )
         day = (t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
                // 86_400_000_000)
         x = day - 9131  # 1995-01-01 epoch-days; keeps x*y products well inside int64
         y = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        st = t.column("o_orderstatus")
-        base = pa.table(
+        g = (
+            pa.table(
+                {
+                    "s": t.column("o_orderstatus"),
+                    "n": pa.array(np.ones(len(x), np.int64)),
+                    "sx": pa.array(x),
+                    "sy": pa.array(y),
+                    "sxy": pa.array(x * y),
+                    "sxx": pa.array(x * x),
+                }
+            )
+            .group_by("s")
+            .aggregate([("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum"), ("sxx", "sum")])
+        )
+        ng = g.num_rows
+        return pa.table(
             {
-                "s": pa.concat_arrays([st.combine_chunks()] * 5),
-                "k": pa.array(["n"] * len(x) + ["sx"] * len(x) + ["sy"] * len(x)
-                              + ["sxy"] * len(x) + ["sxx"] * len(x)),
-                "v": pa.array(np.concatenate([np.ones(len(x), np.int64), x, y, x * y, x * x])),
+                "s": pa.concat_arrays([g.column("s").combine_chunks()] * 5),
+                "k": pa.array(["n"] * ng + ["sx"] * ng + ["sy"] * ng + ["sxy"] * ng + ["sxx"] * ng),
+                "v": pa.concat_arrays(
+                    [g.column(f"{c}_sum").cast(pa.int64()).combine_chunks()
+                     for c in ["n", "sx", "sy", "sxy", "sxx"]]
+                ),
             }
         )
-        g = base.group_by(["s", "k"]).aggregate([("v", "sum")])
-        return pa.table({"s": g.column("s"), "k": g.column("k"), "v": g.column("v_sum")})
 
     agg = _to_table(
         sum_by_keys(ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True), ["s", "k"], "v")

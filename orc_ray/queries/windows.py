@@ -608,13 +608,10 @@ def q_percentile_ranks(sf_dir: str):
     ).sort_by("event_id")
 
 
-def q_moving_avg_revenue(sf_dir: str):
-    """Frame-based window aggregate — SUM/COUNT OVER (ORDER BY day ROWS
-    BETWEEN 6 PRECEDING AND CURRENT ROW) on the daily revenue series.
-    The O(rows) work (day bucketing + revenue partial sums) is ONE
-    distributed sum_by_keys; the frame scan runs on the driver over the
-    O(days) series (bounded by the calendar, not the data: ~2.4k rows
-    here, 36.5k for a century) as two vectorized cumsum diffs."""
+def _daily_revenue(sf_dir: str) -> pa.Table:
+    """Shared daily-revenue series: O(rows) day bucketing + exact cents
+    partial sums through ONE distributed sum_by_keys; returns the sorted
+    O(days) table both frame-window queries consume."""
     from ..functions.aggregates import sum_by_keys
 
     ds = _decoded(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
@@ -629,13 +626,22 @@ def q_moving_avg_revenue(sf_dir: str):
         )
         return pa.table({"day": g.column("day"), "cents": g.column("cents_sum")})
 
-    daily = _to_table(
+    return _to_table(
         sum_by_keys(
             ds.map_batches(per_day, batch_format="pyarrow", zero_copy_batch=True),
             ["day"],
             "cents",
         )
     ).sort_by("day")
+
+
+def q_moving_avg_revenue(sf_dir: str):
+    """Frame-based window aggregate — SUM/COUNT OVER (ORDER BY day ROWS
+    BETWEEN 6 PRECEDING AND CURRENT ROW) on the daily revenue series
+    (_daily_revenue: one distributed sum_by_keys).  The frame scan runs
+    on the driver over the O(days) series (bounded by the calendar, not
+    the data) as two vectorized cumsum diffs."""
+    daily = _daily_revenue(sf_dir)
     day = daily.column("day").to_numpy(zero_copy_only=False)
     rev = daily.column("cents").to_numpy(zero_copy_only=False)
     cum = np.concatenate([[0], np.cumsum(rev)])
@@ -655,30 +661,10 @@ def q_gap_fill_revenue(sf_dir: str):
     """Calendar gap-fill with LOCF (last observation carried forward):
     days absent from the daily revenue series get the previous day's
     value and an is_filled flag — the time-series regularization step
-    before any resample/forecast.  Distribution identical to
-    q_moving_avg_revenue: O(rows) in sum_by_keys, O(calendar-days)
-    epilogue (one searchsorted) on the driver."""
-    from ..functions.aggregates import sum_by_keys
-
-    ds = _decoded(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
-
-    def per_day(t: pa.Table) -> pa.Table:
-        day = pc.floor(pc.divide(t.column("o_orderdate").cast(pa.int64()), 86_400_000_000))
-        cents = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        g = (
-            pa.table({"day": day.cast(pa.int64()), "cents": pa.array(cents)})
-            .group_by("day")
-            .aggregate([("cents", "sum")])
-        )
-        return pa.table({"day": g.column("day"), "cents": g.column("cents_sum")})
-
-    daily = _to_table(
-        sum_by_keys(
-            ds.map_batches(per_day, batch_format="pyarrow", zero_copy_batch=True),
-            ["day"],
-            "cents",
-        )
-    ).sort_by("day")
+    before any resample/forecast.  Same distribution as
+    q_moving_avg_revenue (shared _daily_revenue); the epilogue is one
+    searchsorted over O(calendar-days)."""
+    daily = _daily_revenue(sf_dir)
     day = daily.column("day").to_numpy(zero_copy_only=False)
     rev = daily.column("cents").to_numpy(zero_copy_only=False)
     cal = np.arange(day[0], day[-1] + 1, dtype=np.int64)
