@@ -149,6 +149,7 @@ QUERIES = {
     "encoded_groupby": q_encoded_groupby,
     "unigram_logprob": q_unigram_logprob,
     "revenue_trend_slope": q_revenue_trend_slope,
+    "group_percentile_cont": q_group_percentile_cont,
 }
 
 
@@ -1276,6 +1277,20 @@ ORACLE_SQL = {
                CAST(FLOOR((n*sxy - sx*sy) / (n*sxx - sx*sx) * 1000000) AS BIGINT)
                  AS slope_e6
         FROM p ORDER BY s
+    """,
+    "group_percentile_cont": """
+        WITH v AS (
+          SELECT event_type,
+                 CAST(CAST(ROUND(value * 1000000) AS BIGINT) AS DOUBLE) AS ve
+          FROM events
+        )
+        SELECT event_type, 50 AS q_pct,
+               CAST(FLOOR(quantile_cont(ve, 0.5)) AS BIGINT) AS val_e6_floor
+        FROM v GROUP BY event_type
+        UNION ALL
+        SELECT event_type, 90, CAST(FLOOR(quantile_cont(ve, 0.9)) AS BIGINT)
+        FROM v GROUP BY event_type
+        ORDER BY event_type, q_pct
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

@@ -2307,3 +2307,61 @@ def q_revenue_trend_slope(sf_dir: str):
             "slope_e6": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+def q_group_percentile_cont(sf_dir: str):
+    """Per-group interpolated quantiles — PERCENTILE_CONT(0.5 / 0.9)
+    WITHIN each event_type.  The grouped value histogram reduces through
+    ONE sum_by_keys over (group, value_e6); per-group interpolation
+    (h = (n-1)q between neighbouring order statistics) is a vectorized
+    O(distinct-values) driver epilogue — the grouped extension of
+    q_percentile_cont under the same exact-histogram ceiling."""
+    from ..functions.aggregates import sum_by_keys
+
+    ds = _decoded(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"g": pa.array([], pa.string()), "v": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        v = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 1_000_000).astype(np.int64)
+        g = (
+            pa.table({"g": t.column("event_type"), "v": pa.array(v)})
+            .group_by(["g", "v"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({"g": g.column("g"), "v": g.column("v"), "c": g.column("count_all").cast(pa.int64())})
+
+    tbl = _to_table(
+        sum_by_keys(ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True), ["g", "v"], "c")
+    )
+    gs = tbl.column("g").to_numpy(zero_copy_only=False)
+    v = tbl.column("v").to_numpy(zero_copy_only=False)
+    c = tbl.column("c").to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, gs))
+    gs, v, c = gs[order], v[order], c[order]
+    brk = np.ones(gs.size, dtype=bool)
+    brk[1:] = gs[1:] != gs[:-1]
+    starts = np.flatnonzero(brk)
+    ends = np.r_[starts[1:], gs.size]
+    out_g, out_q, out_v = [], [], []
+    for st, en in zip(starts, ends):
+        cum = np.cumsum(c[st:en])
+        n = int(cum[-1])
+        for pct, q in [(50, 0.5), (90, 0.9)]:
+            h = (n - 1) * q
+            lo_rank, frac = int(np.floor(h)), h - np.floor(h)
+            lo = float(v[st + np.searchsorted(cum, lo_rank + 1)])
+            hi = float(v[st + np.searchsorted(cum, min(lo_rank + 1, n - 1) + 1)])
+            out_g.append(gs[st])
+            out_q.append(pct)
+            out_v.append(int(np.floor(lo + (hi - lo) * frac)))
+    return pa.table(
+        {
+            "event_type": pa.array(out_g, pa.string()),
+            "q_pct": pa.array(out_q, pa.int64()),
+            "val_e6_floor": pa.array(out_v, pa.int64()),
+        }
+    )

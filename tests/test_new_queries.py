@@ -95,6 +95,7 @@ NEW_QUERIES = [
     "encoded_groupby",
     "unigram_logprob",
     "revenue_trend_slope",
+    "group_percentile_cont",
 ]
 
 
