@@ -150,6 +150,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "revenue_trend_slope": q_revenue_trend_slope,
     "group_percentile_cont": q_group_percentile_cont,
+    "winsorized_stats": q_winsorized_stats,
 }
 
 
@@ -1291,6 +1292,22 @@ ORACLE_SQL = {
         SELECT event_type, 90, CAST(FLOOR(quantile_cont(ve, 0.9)) AS BIGINT)
         FROM v GROUP BY event_type
         ORDER BY event_type, q_pct
+    """,
+    "winsorized_stats": """
+        WITH v AS (
+          SELECT event_type, CAST(ROUND(value * 1000000) AS BIGINT) AS ve FROM events
+        ),
+        b AS (
+          SELECT event_type,
+                 quantile_disc(ve, 0.05) AS lo, quantile_disc(ve, 0.95) AS hi,
+                 COUNT(*) AS n
+          FROM v GROUP BY event_type
+        )
+        SELECT v.event_type, CAST(b.lo AS BIGINT) AS lo_e6, CAST(b.hi AS BIGINT) AS hi_e6,
+               CAST(SUM(LEAST(GREATEST(v.ve, b.lo), b.hi)) AS BIGINT) AS winsorized_sum_e6,
+               CAST(b.n AS BIGINT) AS n
+        FROM v JOIN b ON v.event_type = b.event_type
+        GROUP BY v.event_type, b.lo, b.hi, b.n ORDER BY v.event_type
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

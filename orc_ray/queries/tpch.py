@@ -2365,3 +2365,60 @@ def q_group_percentile_cont(sf_dir: str):
             "val_e6_floor": pa.array(out_v, pa.int64()),
         }
     )
+
+
+def q_winsorized_stats(sf_dir: str):
+    """Robust statistics — per-group winsorization: values clipped to the
+    exact [p5, p95] order statistics (inverse-CDF rank rule, matching
+    SQL quantile_disc) and summed.  ONE grouped value-histogram
+    sum_by_keys serves both the bounds and the clipped sum: with the
+    histogram in hand the clipped total is Σ min(max(v,lo),hi)·count —
+    a second data pass is never needed.  Every output is an exact
+    integer."""
+    from ..functions.aggregates import sum_by_keys
+
+    ds = _decoded(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"g": pa.array([], pa.string()), "v": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        v = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 1_000_000).astype(np.int64)
+        g = (
+            pa.table({"g": t.column("event_type"), "v": pa.array(v)})
+            .group_by(["g", "v"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({"g": g.column("g"), "v": g.column("v"), "c": g.column("count_all").cast(pa.int64())})
+
+    tbl = _to_table(
+        sum_by_keys(ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True), ["g", "v"], "c")
+    )
+    gs = tbl.column("g").to_numpy(zero_copy_only=False)
+    v = tbl.column("v").to_numpy(zero_copy_only=False)
+    c = tbl.column("c").to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, gs))
+    gs, v, c = gs[order], v[order], c[order]
+    brk = np.ones(gs.size, dtype=bool)
+    brk[1:] = gs[1:] != gs[:-1]
+    starts = np.flatnonzero(brk)
+    ends = np.r_[starts[1:], gs.size]
+    rows = []
+    for st, en in zip(starts, ends):
+        cum = np.cumsum(c[st:en])
+        n = int(cum[-1])
+        lo = int(v[st + np.searchsorted(cum, int(np.ceil(0.05 * n)))])
+        hi = int(v[st + np.searchsorted(cum, int(np.ceil(0.95 * n)))])
+        clipped = np.clip(v[st:en], lo, hi)
+        rows.append((gs[st], lo, hi, int((clipped * c[st:en]).sum()), n))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "lo_e6": pa.array([r[1] for r in rows], pa.int64()),
+            "hi_e6": pa.array([r[2] for r in rows], pa.int64()),
+            "winsorized_sum_e6": pa.array([r[3] for r in rows], pa.int64()),
+            "n": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )

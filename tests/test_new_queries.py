@@ -96,6 +96,7 @@ NEW_QUERIES = [
     "unigram_logprob",
     "revenue_trend_slope",
     "group_percentile_cont",
+    "winsorized_stats",
 ]
 
 
