@@ -151,6 +151,7 @@ QUERIES = {
     "revenue_trend_slope": q_revenue_trend_slope,
     "group_percentile_cont": q_group_percentile_cont,
     "winsorized_stats": q_winsorized_stats,
+    "pythagorean_means": q_pythagorean_means,
 }
 
 
@@ -1308,6 +1309,17 @@ ORACLE_SQL = {
                CAST(b.n AS BIGINT) AS n
         FROM v JOIN b ON v.event_type = b.event_type
         GROUP BY v.event_type, b.lo, b.hi, b.n ORDER BY v.event_type
+    """,
+    "pythagorean_means": """
+        WITH p AS (
+          SELECT o_orderstatus AS s, CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(LN(o_totalprice)) AS lnx, SUM(1.0 / o_totalprice) AS inv
+          FROM orders GROUP BY o_orderstatus
+        )
+        SELECT s AS o_orderstatus, CAST(n AS BIGINT) AS n,
+               CAST(FLOOR(EXP(lnx / n) * 100) AS BIGINT) AS geo_mean_e2,
+               CAST(FLOOR(n / inv * 100) AS BIGINT) AS harm_mean_e2
+        FROM p ORDER BY s
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

@@ -2422,3 +2422,66 @@ def q_winsorized_stats(sf_dir: str):
             "n": pa.array([r[4] for r in rows], pa.int64()),
         }
     )
+
+
+def q_pythagorean_means(sf_dir: str):
+    """Grouped geometric and harmonic means of o_totalprice per status —
+    the multiplicative/rate complements of the arithmetic mean.  Per
+    batch, ONE group_by over three derived columns (Σ ln x, Σ 1/x, n —
+    no row explosion) feeds sum_by_keys; the O(groups) float epilogue
+    (exp(Σln/n), n/Σinv) floors at e2 with the identical expression in
+    SQL."""
+    from ..functions.aggregates import sum_by_keys
+
+    ds = _decoded(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"s": pa.array([], pa.string()), "k": pa.array([], pa.string()),
+                 "v": pa.array([], pa.float64())}
+            )
+        x = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "s": t.column("o_orderstatus"),
+                    "n": pa.array(np.ones(x.size)),
+                    "lnx": pa.array(np.log(x)),
+                    "inv": pa.array(1.0 / x),
+                }
+            )
+            .group_by("s")
+            .aggregate([("n", "sum"), ("lnx", "sum"), ("inv", "sum")])
+        )
+        ng = g.num_rows
+        return pa.table(
+            {
+                "s": pa.concat_arrays([g.column("s").combine_chunks()] * 3),
+                "k": pa.array(["n"] * ng + ["lnx"] * ng + ["inv"] * ng),
+                "v": pa.concat_arrays(
+                    [g.column(f"{c}_sum").combine_chunks() for c in ["n", "lnx", "inv"]]
+                ),
+            }
+        )
+
+    # float partials: sum_by_keys is int64-only, so aggregate the (s, k)
+    # float sums with Arrow's group_by on the driver — O(groups x kinds x
+    # blocks) tiny rows, no row-level data
+    parts_tbl = _to_table(ds.map_batches(parts, batch_format="pyarrow", zero_copy_batch=True))
+    agg = parts_tbl.group_by(["s", "k"]).aggregate([("v", "sum")])
+    piv: dict = {}
+    for s, k, v in zip(agg.column("s").to_pylist(), agg.column("k").to_pylist(), agg.column("v_sum").to_pylist()):
+        piv.setdefault(s, {})[k] = float(v)
+    rows = []
+    for s in sorted(piv):
+        n, lnx, inv = piv[s]["n"], piv[s]["lnx"], piv[s]["inv"]
+        rows.append((s, int(n), int(np.floor(np.exp(lnx / n) * 100)), int(np.floor(n / inv * 100))))
+    return pa.table(
+        {
+            "o_orderstatus": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "geo_mean_e2": pa.array([r[2] for r in rows], pa.int64()),
+            "harm_mean_e2": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

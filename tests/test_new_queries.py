@@ -97,6 +97,7 @@ NEW_QUERIES = [
     "revenue_trend_slope",
     "group_percentile_cont",
     "winsorized_stats",
+    "pythagorean_means",
 ]
 
 
