@@ -859,42 +859,42 @@ def encode_chunk(table: pa.Table, opts: EncodeOptions = DEFAULT_OPTIONS) -> byte
     return b"".join([MAGIC, _struct.pack("<I", len(hj)), hj] + all_bufs)
 
 
+def _count_bufs(m: dict) -> int:
+    """Buffer count of a column subtree from its metadata alone (the flat
+    buffer list is depth-first); annotates ``_nbuf`` on every node."""
+    c = 1 if m.get("valid") else 0
+    codec = m.get("codec")
+    if codec == "list":
+        c += 1 + _count_bufs(m["child"])
+    elif codec == "map":
+        c += 1 + _count_bufs(m["key"]) + _count_bufs(m["value"])
+    elif codec == "struct":
+        c += sum(_count_bufs(ch) for ch in m["children"])
+    elif codec == "union":
+        c += (2 if m["mode"] == "dense" else 1) + sum(_count_bufs(ch) for ch in m["children"])
+    elif codec == "int":
+        c += 1
+    elif codec in ("raw", "fdec", "dec64"):
+        c += 1
+    elif codec in ("str", "bin", "ts", "dec128"):
+        c += 2
+    elif codec == "dict":
+        c += 3
+    elif codec == "fsst":
+        c += 4
+    else:
+        from .codecs import registry as _registry
+
+        plug = _registry.get(codec)
+        if plug is not None:
+            c += plug.n_buffers
+    m["_nbuf"] = c
+    return c
+
+
 def _annotate_nbuf(meta: dict, bufs: list[bytes]) -> None:
     """Record total buffer counts per subtree so decode can slice."""
-    # count buffers belonging to this subtree — by construction the flat
-    # buffer list is depth-first, so the total is just len(bufs) at the top;
-    # children need their own counts for struct/list slicing
-    def count(m: dict) -> int:
-        c = 1 if m.get("valid") else 0
-        codec = m.get("codec")
-        if codec == "list":
-            c += 1 + count(m["child"])
-        elif codec == "map":
-            c += 1 + count(m["key"]) + count(m["value"])
-        elif codec == "struct":
-            c += sum(count(ch) for ch in m["children"])
-        elif codec == "union":
-            c += (2 if m["mode"] == "dense" else 1) + sum(count(ch) for ch in m["children"])
-        elif codec == "int":
-            c += 1
-        elif codec in ("raw", "fdec", "dec64"):
-            c += 1
-        elif codec in ("str", "bin", "ts", "dec128"):
-            c += 2
-        elif codec == "dict":
-            c += 3
-        elif codec == "fsst":
-            c += 4
-        else:
-            from .codecs import registry as _registry
-
-            plug = _registry.get(codec)
-            if plug is not None:
-                c += plug.n_buffers
-        m["_nbuf"] = c
-        return c
-
-    count(meta)
+    _count_bufs(meta)
     assert meta["_nbuf"] == len(bufs), (meta, len(bufs))
 
 
@@ -959,6 +959,12 @@ def decode_chunk(
     decodes to its unencrypted masked variant — the reference's dual-variant
     read behavior.  A WRONG key fails loudly (the decrypted metadata blob is
     not JSON / the framing header is invalid), never silently wrong rows.
+
+    ``columns`` entries may name struct SUBTREES with dots ("s.a") — the
+    RowReaderOptions nested-include analog: only the named children's
+    buffers are decompressed and decoded; the output struct contains only
+    those fields.  Requesting the bare struct name too ("s") wins and
+    decodes the whole subtree.
     """
     mv = memoryview(data)
     if header is None:
@@ -971,14 +977,62 @@ def decode_chunk(
     (hlen,) = _struct.unpack_from("<I", mv, 5)
     off = 9 + hlen
     schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(header["schema"])))
+    # dotted projection: "s.a" selects the child subtree of struct "s"
+    top_cols = None
+    sub_select: dict = {}
+    if columns is not None:
+        top_cols = set()
+        for cname in columns:
+            top, _, child = cname.partition(".")
+            top_cols.add(top)
+            if child:
+                if sub_select.get(top, set()) is not None:
+                    sub_select.setdefault(top, set()).add(child)
+            else:
+                sub_select[top] = None  # whole column requested -> wins
     arrays = []
     names = []
     for cmeta in header["columns"]:
         blens = cmeta["buf_lens"]
-        if columns is not None and cmeta["name"] not in columns:
+        if top_cols is not None and cmeta["name"] not in top_cols:
             off += sum(blens)
             continue
         ty = schema.field(cmeta["name"]).type
+        sel = sub_select.get(cmeta["name"])
+        if sel and cmeta.get("codec") == "struct":
+            # nested include: decompress/decode ONLY the selected children
+            # (child buffer spans are depth-first and sized by _count_bufs)
+            cbufs: list = []
+            bi = 0
+            if cmeta.get("valid"):
+                cbufs.append(framing.decompress(mv[off : off + blens[0]]))
+                off += blens[0]
+                bi = 1
+            kept_children = []
+            kept_fields = []
+            for k, ch in enumerate(cmeta["children"]):
+                cn = _count_bufs(ch)
+                span = blens[bi : bi + cn]
+                if ty.field(k).name in sel:
+                    for bl in span:
+                        cbufs.append(framing.decompress(mv[off : off + bl]))
+                        off += bl
+                    kept_children.append(ch)
+                    kept_fields.append(ty.field(k))
+                else:
+                    off += sum(span)
+                bi += cn
+            missing = sel - {f.name for f in kept_fields}
+            if missing:
+                raise KeyError(
+                    f"struct {cmeta['name']!r} has no child(ren) {sorted(missing)}"
+                )
+            fmeta = dict(cmeta)
+            fmeta["children"] = kept_children
+            fty = pa.struct(kept_fields)
+            arrays.append(_decode_column(fmeta, cbufs, fty, ranges=row_ranges))
+            names.append(cmeta["name"])
+            continue
         if cmeta.get("codec") == "enc":
             raws = []
             for bl in blens:

@@ -331,11 +331,20 @@ class _DecodeChunks:
         # decode must include predicate columns even when projected away
         if columns is None:
             self.decode_cols = None
+            self.out_cols = None
         else:
             pcols: set = set()
             for p in predicates or []:
                 pcols |= _pred_columns(p)
             self.decode_cols = list(columns) + sorted(pcols - set(columns))
+            # dotted subtree selections ("s.a") surface as their struct's
+            # top-level name in the decoded table
+            seen: list = []
+            for c in columns:
+                top = c.partition(".")[0]
+                if top not in seen:
+                    seen.append(top)
+            self.out_cols = seen
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -403,8 +412,8 @@ class _DecodeChunks:
                     mask = m if mask is None else pc.and_(mask, m)
                 if mask is not None:
                     t = t.filter(mask)
-            if self.columns is not None and t.column_names != self.columns:
-                t = t.select(self.columns)
+            if self.out_cols is not None and t.column_names != self.out_cols:
+                t = t.select(self.out_cols)
             if self.cast_schema:
                 from ..convert import convert_table
 
@@ -424,7 +433,21 @@ class _DecodeChunks:
 
         schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(header["schema"])))
         if self.columns is not None:
-            schema = pa.schema([schema.field(c) for c in self.columns])
+            subsel: dict = {}
+            for c in self.columns:
+                top, _, child = c.partition(".")
+                if child and subsel.get(top, set()) is not None:
+                    subsel.setdefault(top, set()).add(child)
+                elif not child:
+                    subsel[top] = None
+            fields = []
+            for top in self.out_cols:
+                f = schema.field(top)
+                sel = subsel.get(top)
+                if sel and pa.types.is_struct(f.type):
+                    f = pa.field(top, pa.struct([sf for sf in f.type if sf.name in sel]))
+                fields.append(f)
+            schema = pa.schema(fields)
         if self.encoded_vectors:
             encs = {c["name"] for c in header["columns"] if c.get("codec") == "enc"}
             fields = [
