@@ -152,6 +152,7 @@ QUERIES = {
     "group_percentile_cont": q_group_percentile_cont,
     "winsorized_stats": q_winsorized_stats,
     "pythagorean_means": q_pythagorean_means,
+    "range_frame_revenue": q_range_frame_revenue,
 }
 
 
@@ -1320,6 +1321,19 @@ ORACLE_SQL = {
                CAST(FLOOR(EXP(lnx / n) * 100) AS BIGINT) AS geo_mean_e2,
                CAST(FLOOR(n / inv * 100) AS BIGINT) AS harm_mean_e2
         FROM p ORDER BY s
+    """,
+    "range_frame_revenue": """
+        WITH daily AS (
+          SELECT CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1
+        )
+        SELECT day,
+               CAST(SUM(cents) OVER w AS BIGINT) AS range_sum_cents,
+               CAST(COUNT(*) OVER w AS BIGINT) AS range_days
+        FROM daily
+        WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY day
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

@@ -718,3 +718,25 @@ def q_order_next_gap(sf_dir: str):
     return _to_table(
         lagged.map_batches(gap, batch_format="pyarrow", zero_copy_batch=True)
     ).sort_by("o_orderkey")
+
+
+def q_range_frame_revenue(sf_dir: str):
+    """RANGE-frame window — SUM OVER (ORDER BY day RANGE BETWEEN 6
+    PRECEDING AND CURRENT ROW) on the daily series.  Unlike the ROWS
+    frame (q_moving_avg_revenue), the window covers CALENDAR days: gaps
+    in the series shrink the covered row set.  Same distributed shape
+    (shared _daily_revenue sum_by_keys); the frame is two searchsorteds
+    over the O(days) series."""
+    daily = _daily_revenue(sf_dir)
+    day = daily.column("day").to_numpy(zero_copy_only=False)
+    rev = daily.column("cents").to_numpy(zero_copy_only=False)
+    cum = np.concatenate([[0], np.cumsum(rev)])
+    lo = np.searchsorted(day, day - 6, side="left")
+    hi = np.arange(day.size) + 1
+    return pa.table(
+        {
+            "day": pa.array(day, pa.int64()),
+            "range_sum_cents": pa.array(cum[hi] - cum[lo]),
+            "range_days": pa.array((hi - lo).astype(np.int64)),
+        }
+    )

@@ -98,6 +98,7 @@ NEW_QUERIES = [
     "group_percentile_cont",
     "winsorized_stats",
     "pythagorean_means",
+    "range_frame_revenue",
 ]
 
 
