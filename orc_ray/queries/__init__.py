@@ -153,6 +153,7 @@ QUERIES = {
     "winsorized_stats": q_winsorized_stats,
     "pythagorean_means": q_pythagorean_means,
     "range_frame_revenue": q_range_frame_revenue,
+    "status_transitions": q_status_transitions,
 }
 
 
@@ -1334,6 +1335,17 @@ ORACLE_SQL = {
         FROM daily
         WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         ORDER BY day
+    """,
+    "status_transitions": """
+        WITH s AS (
+          SELECT o_orderstatus,
+                 LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS prev
+          FROM orders
+        )
+        SELECT prev AS from_status, o_orderstatus AS to_status, COUNT(*) AS n
+        FROM s WHERE prev IS NOT NULL
+        GROUP BY prev, o_orderstatus ORDER BY from_status, to_status
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

@@ -740,3 +740,68 @@ def q_range_frame_revenue(sf_dir: str):
             "range_days": pa.array((hi - lo).astype(np.int64)),
         }
     )
+
+
+def q_status_transitions(sf_dir: str):
+    """Markov transition counts — per customer, consecutive order-status
+    pairs (LAG over a categorical value).  Statuses map to a fixed int
+    code domain so the distributed window-lag operator runs on int64
+    (one range sort, O(blocks) carries); the (from, to) pair counts
+    reduce through one sum_by_keys over at most 9 keys."""
+    from ..functions.aggregates import sum_by_keys, with_group_lag
+
+    STATUSES = pa.array(["F", "O", "P"])
+    ds = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"])
+
+    def code(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "ts_us": t.column("o_orderdate").cast(pa.int64()),
+                "code": pc.index_in(t.column("o_orderstatus"), value_set=STATUSES).cast(pa.int64()),
+            }
+        )
+
+    lagged = with_group_lag(
+        ds.map_batches(code, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"],
+        ["ts_us", "o_orderkey"],
+        "code",
+        out="prev_code",
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"f": pa.array([], pa.int64()), "t": pa.array([], pa.int64()),
+                 "one": pa.array([], pa.int64())}
+            )
+        sub = t.filter(pc.is_valid(t.column("prev_code")))
+        g = (
+            pa.table({"f": sub.column("prev_code").cast(pa.int64()), "t": sub.column("code")})
+            .group_by(["f", "t"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"f": g.column("f"), "t": g.column("t"), "one": g.column("count_all").cast(pa.int64())}
+        )
+
+    agg = _to_table(
+        sum_by_keys(
+            lagged.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+            ["f", "t"],
+            "one",
+            out="n",
+        )
+    )
+    names = np.array(["F", "O", "P"])
+    f = agg.column("f").to_numpy(zero_copy_only=False).astype(np.int64)
+    tt = agg.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "from_status": pa.array(names[f], pa.string()),
+            "to_status": pa.array(names[tt], pa.string()),
+            "n": agg.column("n"),
+        }
+    ).sort_by([("from_status", "ascending"), ("to_status", "ascending")])

@@ -99,6 +99,7 @@ NEW_QUERIES = [
     "winsorized_stats",
     "pythagorean_means",
     "range_frame_revenue",
+    "status_transitions",
 ]
 
 
