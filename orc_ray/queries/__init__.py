@@ -154,6 +154,7 @@ QUERIES = {
     "pythagorean_means": q_pythagorean_means,
     "range_frame_revenue": q_range_frame_revenue,
     "status_transitions": q_status_transitions,
+    "union_tagged_values": q_union_tagged_values,
 }
 
 
@@ -1346,6 +1347,14 @@ ORACLE_SQL = {
         SELECT prev AS from_status, o_orderstatus AS to_status, COUNT(*) AS n
         FROM s WHERE prev IS NOT NULL
         GROUP BY prev, o_orderstatus ORDER BY from_status, to_status
+    """,
+    "union_tagged_values": """
+        SELECT CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+               CAST(SUM(CASE WHEN event_id % 2 = 0
+                             THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS sum_cents,
+               CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_str
+        FROM events
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

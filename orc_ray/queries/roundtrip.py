@@ -369,3 +369,74 @@ def q_encoded_groupby(sf_dir: str):
             "chars": final.column("chars_sum").cast(pa.int64()),
         }
     ).sort_by("source")
+
+
+def q_union_tagged_values(sf_dir: str):
+    """Union column through the driver gate (the UnionColumnWriter/Reader
+    analog is otherwise unit-test-only — unions are unreachable from
+    parquet).  Each event's value becomes a dense union: even event_ids
+    carry int cents, odd ones carry the event_type string.  The union
+    round-trips through the chunk store (ds= encode path), and the
+    decoded branches aggregate to exact integers the oracle reproduces
+    with CASE arms over the source table."""
+    import ray as _ray
+
+    from ..pipeline.decode import decode_dataset
+    from ..pipeline.encode import encode_dataset
+    from ..state.manifest import load_committed
+
+    src_store = store_for(sf_dir, "events")
+    out = os.path.join(CACHE_ROOT, f"union-{os.path.basename(src_store)}")
+    src_rows = load_committed(src_store)["totals"].get("rows", 0)
+    if load_committed(out)["totals"].get("rows") != src_rows:
+
+        def to_union(t: pa.Table) -> pa.Table:
+            eid = t.column("event_id").to_numpy(zero_copy_only=False)
+            cents = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+            et = t.column("event_type").combine_chunks()
+            codes = (eid % 2 != 0).astype(np.int8)  # 0 = int branch, 1 = string
+            n0 = int((codes == 0).sum())
+            offs = np.zeros(eid.size, np.int32)
+            offs[codes == 0] = np.arange(n0, dtype=np.int32)
+            offs[codes == 1] = np.arange(eid.size - n0, dtype=np.int32)
+            ints = pa.array(cents[codes == 0])
+            strs = et.filter(pa.array(codes == 1))
+            u = pa.UnionArray.from_dense(
+                pa.array(codes, pa.int8()), pa.array(offs, pa.int32()),
+                [ints, strs], ["cents", "etype"], [0, 1],
+            )
+            return pa.table({"event_id": t.column("event_id"), "v": u})
+
+        ds = decode_dataset(src_store, columns=["event_id", "event_type", "value"]).map_batches(
+            to_union, batch_format="pyarrow", zero_copy_batch=True
+        )
+        encode_dataset(None, out, ds=ds, batch_size=4096)
+
+    def agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"n_int": pa.array([], pa.int64()), "sum_cents": pa.array([], pa.int64()),
+                 "n_str": pa.array([], pa.int64())}
+            )
+        u = t.column("v").combine_chunks()
+        codes = np.asarray(u.type_codes)
+        offs = np.asarray(u.offsets)
+        ints = u.child(0).to_numpy(zero_copy_only=False)
+        i_sel = offs[codes == 0]
+        return pa.table(
+            {
+                "n_int": pa.array([int((codes == 0).sum())], pa.int64()),
+                "sum_cents": pa.array([int(ints[i_sel].sum())], pa.int64()),
+                "n_str": pa.array([int((codes == 1).sum())], pa.int64()),
+            }
+        )
+
+    parts = _to_table(
+        decode_dataset(out).map_batches(agg, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return pa.table(
+        {
+            c: pa.array([int(pc.sum(parts.column(c)).as_py() or 0)], pa.int64())
+            for c in ["n_int", "sum_cents", "n_str"]
+        }
+    )

@@ -100,6 +100,7 @@ NEW_QUERIES = [
     "pythagorean_means",
     "range_frame_revenue",
     "status_transitions",
+    "union_tagged_values",
 ]
 
 
