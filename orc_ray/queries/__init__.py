@@ -155,6 +155,7 @@ QUERIES = {
     "range_frame_revenue": q_range_frame_revenue,
     "status_transitions": q_status_transitions,
     "union_tagged_values": q_union_tagged_values,
+    "map_tagged_values": q_map_tagged_values,
 }
 
 
@@ -1355,6 +1356,18 @@ ORACLE_SQL = {
                  AS sum_cents,
                CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_str
         FROM events
+    """,
+    "map_tagged_values": """
+        WITH base AS (
+          SELECT event_id, user_id,
+                 CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+          FROM events
+        )
+        SELECT 'k' AS key, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_v FROM base
+        UNION ALL
+        SELECT 'u', COUNT(*), CAST(SUM(user_id) AS BIGINT)
+        FROM base WHERE event_id % 2 = 1
+        ORDER BY key
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

@@ -440,3 +440,82 @@ def q_union_tagged_values(sf_dir: str):
             for c in ["n_int", "sum_cents", "n_str"]
         }
     )
+
+
+def q_map_tagged_values(sf_dir: str):
+    """Map column through the driver gate (MapColumnWriter/Reader analog
+    — maps are otherwise unit-test-only here).  Each event becomes a
+    map<string,int64> with a VARIABLE entry count ({"k": props.k} plus
+    {"u": user_id} for odd event_ids — exercising the LENGTH stream),
+    round-trips through the chunk store, and the decoded flattened
+    entries aggregate per key to exact integers the oracle reproduces
+    from the source columns."""
+    from ..pipeline.decode import decode_dataset
+    from ..pipeline.encode import encode_dataset
+    from ..state.manifest import load_committed
+
+    src_store = store_for(sf_dir, "events")
+    out = os.path.join(CACHE_ROOT, f"mapcol-{os.path.basename(src_store)}")
+    src_rows = load_committed(src_store)["totals"].get("rows", 0)
+    if load_committed(out)["totals"].get("rows") != src_rows:
+
+        def to_map(t: pa.Table) -> pa.Table:
+            eid = t.column("event_id").to_numpy(zero_copy_only=False)
+            uid = t.column("user_id").to_numpy(zero_copy_only=False)
+            m = pc.extract_regex(t.column("props").combine_chunks(), r'"k":\s*(?P<k>-?\d+)')
+            k = pc.struct_field(m, "k").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            odd = eid % 2 == 1
+            cnt = 1 + odd.astype(np.int64)
+            off = np.zeros(eid.size + 1, np.int64)
+            np.cumsum(cnt, out=off[1:])
+            total = int(off[-1])
+            keys = np.empty(total, object)
+            vals = np.empty(total, np.int64)
+            keys[off[:-1]] = "k"
+            vals[off[:-1]] = k
+            extra = off[:-1][odd] + 1
+            keys[extra] = "u"
+            vals[extra] = uid[odd]
+            ma = pa.MapArray.from_arrays(
+                pa.array(off.astype(np.int32), pa.int32()),
+                pa.array(keys.tolist(), pa.string()),
+                pa.array(vals),
+            )
+            return pa.table({"event_id": t.column("event_id"), "m": ma})
+
+        ds = decode_dataset(src_store, columns=["event_id", "user_id", "props"]).map_batches(
+            to_map, batch_format="pyarrow", zero_copy_batch=True
+        )
+        encode_dataset(None, out, ds=ds, batch_size=4096)
+
+    def agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"key": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+                 "sum_v": pa.array([], pa.int64())}
+            )
+        ma = t.column("m").combine_chunks()
+        g = (
+            pa.table({"key": ma.keys, "v": ma.items})
+            .group_by("key")
+            .aggregate([([], "count_all"), ("v", "sum")])
+        )
+        return pa.table(
+            {
+                "key": g.column("key"),
+                "n": g.column("count_all").cast(pa.int64()),
+                "sum_v": g.column("v_sum").cast(pa.int64()),
+            }
+        )
+
+    parts = _to_table(
+        decode_dataset(out).map_batches(agg, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    final = parts.group_by("key").aggregate([("n", "sum"), ("sum_v", "sum")])
+    return pa.table(
+        {
+            "key": final.column("key"),
+            "n": final.column("n_sum").cast(pa.int64()),
+            "sum_v": final.column("sum_v_sum").cast(pa.int64()),
+        }
+    ).sort_by("key")

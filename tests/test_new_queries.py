@@ -101,6 +101,7 @@ NEW_QUERIES = [
     "range_frame_revenue",
     "status_transitions",
     "union_tagged_values",
+    "map_tagged_values",
 ]
 
 
