@@ -156,6 +156,7 @@ QUERIES = {
     "status_transitions": q_status_transitions,
     "union_tagged_values": q_union_tagged_values,
     "map_tagged_values": q_map_tagged_values,
+    "struct_pruned_read": q_struct_pruned_read,
 }
 
 
@@ -1368,6 +1369,12 @@ ORACLE_SQL = {
         SELECT 'u', COUNT(*), CAST(SUM(user_id) AS BIGINT)
         FROM base WHERE event_id % 2 = 1
         ORDER BY key
+    """,
+    "struct_pruned_read": """
+        SELECT COUNT(*) AS n,
+               CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

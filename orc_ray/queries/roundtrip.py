@@ -519,3 +519,63 @@ def q_map_tagged_values(sf_dir: str):
             "sum_v": final.column("sum_v_sum").cast(pa.int64()),
         }
     ).sort_by("key")
+
+
+def q_struct_pruned_read(sf_dir: str):
+    """Struct codec + NESTED-INCLUDE projection through the driver gate:
+    events pack into struct{uid, etype, cents}, round-trip through the
+    chunk store, and the read projects ONLY s.uid and s.cents
+    (columns=["s.uid","s.cents"] — the RowReaderOptions subtree include;
+    the etype child's buffers are never decompressed).  Exact integer
+    aggregates mirror trivially in SQL."""
+    from ..pipeline.decode import decode_dataset
+    from ..pipeline.encode import encode_dataset
+    from ..state.manifest import load_committed
+
+    src_store = store_for(sf_dir, "events")
+    out = os.path.join(CACHE_ROOT, f"structcol-{os.path.basename(src_store)}")
+    src_rows = load_committed(src_store)["totals"].get("rows", 0)
+    if load_committed(out)["totals"].get("rows") != src_rows:
+
+        def to_struct(t: pa.Table) -> pa.Table:
+            cents = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+            s = pa.StructArray.from_arrays(
+                [t.column("user_id").combine_chunks(),
+                 t.column("event_type").combine_chunks(),
+                 pa.array(cents)],
+                names=["uid", "etype", "cents"],
+            )
+            return pa.table({"event_id": t.column("event_id"), "s": s})
+
+        ds = decode_dataset(src_store, columns=["event_id", "user_id", "event_type", "value"]).map_batches(
+            to_struct, batch_format="pyarrow", zero_copy_batch=True
+        )
+        encode_dataset(None, out, ds=ds, batch_size=4096)
+
+    def agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"n": pa.array([], pa.int64()), "sum_uid": pa.array([], pa.int64()),
+                 "sum_cents": pa.array([], pa.int64())}
+            )
+        s = t.column("s").combine_chunks()
+        assert [f.name for f in s.type] == ["uid", "cents"], s.type  # etype pruned
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "sum_uid": pa.array([int(s.field("uid").to_numpy(zero_copy_only=False).sum())], pa.int64()),
+                "sum_cents": pa.array([int(s.field("cents").to_numpy(zero_copy_only=False).sum())], pa.int64()),
+            }
+        )
+
+    parts = _to_table(
+        decode_dataset(out, columns=["s.uid", "s.cents"]).map_batches(
+            agg, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    return pa.table(
+        {
+            c: pa.array([int(pc.sum(parts.column(c)).as_py() or 0)], pa.int64())
+            for c in ["n", "sum_uid", "sum_cents"]
+        }
+    )

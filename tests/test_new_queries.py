@@ -102,6 +102,7 @@ NEW_QUERIES = [
     "status_transitions",
     "union_tagged_values",
     "map_tagged_values",
+    "struct_pruned_read",
 ]
 
 
