@@ -157,6 +157,7 @@ QUERIES = {
     "union_tagged_values": q_union_tagged_values,
     "map_tagged_values": q_map_tagged_values,
     "struct_pruned_read": q_struct_pruned_read,
+    "time_weighted_value": q_time_weighted_value,
 }
 
 
@@ -1375,6 +1376,19 @@ ORACLE_SQL = {
                CAST(SUM(user_id) AS BIGINT) AS sum_uid,
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         FROM events
+    """,
+    "time_weighted_value": """
+        WITH s AS (
+          SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                 epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          - ts) AS held
+          FROM events
+        )
+        SELECT user_id,
+               CAST(SUM(cents * held) AS BIGINT) AS weighted_cents_sum,
+               CAST(SUM(held) AS BIGINT) AS held_us
+        FROM s WHERE held IS NOT NULL
+        GROUP BY user_id HAVING SUM(held) > 0 ORDER BY user_id
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

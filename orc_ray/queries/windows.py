@@ -805,3 +805,99 @@ def q_status_transitions(sf_dir: str):
             "n": agg.column("n"),
         }
     ).sort_by([("from_status", "ascending"), ("to_status", "ascending")])
+
+
+def q_time_weighted_value(sf_dir: str):
+    """Time-weighted average (TWAP) of the events value per user — each
+    observation weighted by its holding time (until the user's next
+    event; the last observation carries zero weight).  LEAD arrives via
+    the reversed-order distributed lag; the weighted sums reduce through
+    ONE sum_by_keys; exact integers end-to-end (cents x seconds)."""
+    from ..functions.aggregates import sum_by_keys, with_group_lag
+
+    ds = _decoded(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": us,
+                "neg_ts": pc.negate(us),
+                "neg_key": pc.negate(t.column("event_id")),
+                "cents": pa.array(
+                    np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+                ),
+            }
+        )
+
+    lagged = with_group_lag(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        ["neg_ts", "neg_key"],
+        "ts_us",
+        out="next_us",
+    )
+
+    def weighted(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "k": pa.array([], pa.string()),
+                 "v": pa.array([], pa.int64())}
+            )
+        nxt = t.column("next_us").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        # exact microseconds (epoch_us parity): timestamps are us-precision
+        # ints, so the difference is exact — no sub-second truncation rule
+        # to mirror.  cents x us stays under int64 through ~10^6 events per
+        # user at this value range (use seconds at larger scales).
+        held = np.where(np.isnan(nxt), 0, np.nan_to_num(nxt) - ts).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "wv": pa.array(c * held),
+                    "w": pa.array(held),
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("wv", "sum"), ("w", "sum")])
+        )
+        ng = g.num_rows
+        return pa.table(
+            {
+                "user_id": pa.concat_arrays([g.column("user_id").combine_chunks()] * 2),
+                "k": pa.array(["wv"] * ng + ["w"] * ng),
+                "v": pa.concat_arrays(
+                    [g.column("wv_sum").cast(pa.int64()).combine_chunks(),
+                     g.column("w_sum").cast(pa.int64()).combine_chunks()]
+                ),
+            }
+        )
+
+    agg = _to_table(
+        sum_by_keys(
+            lagged.map_batches(weighted, batch_format="pyarrow", zero_copy_batch=True),
+            ["user_id", "k"],
+            "v",
+        )
+    )
+    uid = agg.column("user_id").to_numpy(zero_copy_only=False)
+    kk = agg.column("k").to_numpy(zero_copy_only=False)
+    vv = agg.column("v").to_numpy(zero_copy_only=False)
+    order = np.lexsort((kk, uid))
+    uid, kk, vv = uid[order], kk[order], vv[order]
+    # rows alternate (w, wv) per user after the lexsort
+    w = vv[kk == "w"]
+    wv = vv[kk == "wv"]
+    users = uid[kk == "w"]
+    keep = w > 0  # single-event users have no held time
+    return pa.table(
+        {
+            "user_id": pa.array(users[keep], pa.int64()),
+            "weighted_cents_sum": pa.array(wv[keep], pa.int64()),
+            "held_us": pa.array(w[keep], pa.int64()),
+        }
+    ).sort_by("user_id")

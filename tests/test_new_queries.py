@@ -103,6 +103,7 @@ NEW_QUERIES = [
     "union_tagged_values",
     "map_tagged_values",
     "struct_pruned_read",
+    "time_weighted_value",
 ]
 
 
