@@ -158,6 +158,7 @@ QUERIES = {
     "map_tagged_values": q_map_tagged_values,
     "struct_pruned_read": q_struct_pruned_read,
     "time_weighted_value": q_time_weighted_value,
+    "gini_user_activity": q_gini_user_activity,
 }
 
 
@@ -1389,6 +1390,22 @@ ORACLE_SQL = {
                CAST(SUM(held) AS BIGINT) AS held_us
         FROM s WHERE held IS NOT NULL
         GROUP BY user_id HAVING SUM(held) > 0 ORDER BY user_id
+    """,
+    "gini_user_activity": """
+        WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+        r AS (
+          SELECT n_events,
+                 ROW_NUMBER() OVER (ORDER BY n_events, user_id) AS i
+          FROM c
+        ),
+        t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(SUM(n_events) AS DOUBLE) AS tot,
+                     CAST(SUM(i * n_events) AS DOUBLE) AS num
+              FROM r)
+        SELECT CAST(n AS BIGINT) AS n_users, CAST(tot AS BIGINT) AS n_events,
+               CAST(FLOOR((2.0 * num / (n * tot) - (n + 1) / n) * 1000000) AS BIGINT)
+                 AS gini_e6
+        FROM t
     """,
     "lang_id": _lang_id_oracle_sql(),
     "balanced_sample": _balanced_sample_oracle_sql(),

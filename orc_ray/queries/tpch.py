@@ -2485,3 +2485,44 @@ def q_pythagorean_means(sf_dir: str):
             "harm_mean_e2": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+def q_gini_user_activity(sf_dir: str):
+    """Gini coefficient of per-user event counts — the skew diagnostic
+    behind every salting/partitioning decision here.  Per-user counts
+    reduce through ONE sum_by_keys (O(users) result); the Gini needs the
+    full sorted count vector, so the epilogue sorts the O(users) series
+    on the driver (documented ceiling — users are the partition domain,
+    orders of magnitude below rows) and evaluates
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over exact integers, floored at e6
+    with the identical expression in SQL."""
+    from ..functions.aggregates import sum_by_keys
+
+    ds = _decoded(sf_dir, "events", columns=["user_id"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([([], "count_all")])
+        return pa.table(
+            {"user_id": g.column("user_id"), "one": g.column("count_all").cast(pa.int64())}
+        )
+
+    counts = _to_table(
+        sum_by_keys(
+            ds.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+            ["user_id"],
+            "one",
+            out="n_events",
+        )
+    )
+    x = np.sort(counts.column("n_events").to_numpy(zero_copy_only=False))
+    n = x.size
+    num = float((np.arange(1, n + 1, dtype=np.int64) * x).sum())  # exact int -> float once
+    tot = float(x.sum())
+    gini = 2.0 * num / (n * tot) - (n + 1) / n
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "n_events": pa.array([int(tot)], pa.int64()),
+            "gini_e6": pa.array([int(np.floor(gini * 1_000_000))], pa.int64()),
+        }
+    )

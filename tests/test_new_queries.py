@@ -104,6 +104,7 @@ NEW_QUERIES = [
     "map_tagged_values",
     "struct_pruned_read",
     "time_weighted_value",
+    "gini_user_activity",
 ]
 
 
