@@ -52,7 +52,9 @@ MAGIC = b"ORAY1"
 # bump when the buffer encoding changes incompatibly (v2: int32 codec lane +
 # layout-tagged RLE sub-streams).  Decode refuses other versions loudly
 # instead of mis-parsing; cache keys include it so stale stores rebuild.
-FORMAT_VERSION = 3  # v3: int-codec per-block metadata as zigzag varints
+FORMAT_VERSION = 4  # v4: encrypted-stream IVs are keyed HMACs (header carries
+# no unkeyed plaintext digest); decode is value-compatible but v3 encrypted
+# bytes differ, so resume across the bump must re-encode rather than mix
 STRIDE_ROWS = 2048  # row-index stride analog (per-stride stats + seek)
 
 
@@ -800,11 +802,11 @@ def _encode_encrypted_column(col, opts: EncodeOptions, name: str) -> tuple[dict,
     _annotate_nbuf(rmeta, rbufs)
     enc_bufs, ivs = [], []
     for k, fb in enumerate(_frame_bufs(rbufs, opts)):
-        iv = _aes.derive_iv(name, k, hashlib.sha256(fb).digest())
+        iv = _aes.derive_iv(lk, name, k, hashlib.sha256(fb).digest())
         ivs.append(base64.b64encode(iv).decode())
         enc_bufs.append(_aes.aes_ctr_xor(lk, iv, fb))
     rjson = json.dumps(rmeta, separators=(",", ":")).encode()
-    meta_iv = _aes.derive_iv(name, 0x7FFFFFFF, hashlib.sha256(rjson).digest())
+    meta_iv = _aes.derive_iv(lk, name, 0x7FFFFFFF, hashlib.sha256(rjson).digest())
 
     mask_name = opts.encryption_masks.get(name, "nullify")
     from .functions.mask import apply_masks

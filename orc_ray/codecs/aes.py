@@ -20,13 +20,16 @@ codecs it composes with, and embarrassingly parallel across chunks.
 
 CTR gives confidentiality, not integrity — same as the reference; the
 store's content-addressed chunk ids (sha256 of ciphertext) detect
-tampering at the transport layer, and a wrong key surfaces as a framing/
-codec parse error or checksum mismatch, never as silently wrong rows.
+tampering, and keyed reads verify them by DEFAULT (decode_dataset flips
+verify_checksums on whenever keys are supplied — CTR is malleable, so a
+ciphertext bit-flip would otherwise decode to silently wrong rows).  A
+wrong key surfaces as a framing/codec parse error or checksum mismatch.
 """
 
 from __future__ import annotations
 
 import hashlib
+import hmac
 
 import numpy as np
 
@@ -169,8 +172,8 @@ def derive_local_key(master: bytes, column: str, nonce: str) -> bytes:
     return hashlib.sha256(b"orc-ray-lk\x00" + master + b"\x00" + column.encode() + b"\x00" + nonce.encode()).digest()[: len(master)]
 
 
-def derive_iv(column: str, stream_index: int, plaintext_digest: bytes) -> bytes:
-    """Deterministic synthetic IV per encrypted stream.
+def derive_iv(key: bytes, column: str, stream_index: int, plaintext_digest: bytes) -> bytes:
+    """Deterministic synthetic IV per encrypted stream, keyed.
 
     The reference builds the IV from (column, stream kind, stripe id);
     a content-addressed store has no stable stripe counter across
@@ -178,8 +181,17 @@ def derive_iv(column: str, stream_index: int, plaintext_digest: bytes) -> bytes:
     plaintext stream) — SIV-style deterministic encryption.  Identical
     plaintexts yield identical ciphertexts, which the content-addressed
     chunk ids expose anyway (dedup requires it); distinct streams never
-    share an (IV, key) pair because the digest differs."""
-    h = hashlib.sha256(b"orc-ray-iv\x00" + column.encode() + stream_index.to_bytes(4, "little") + plaintext_digest)
+    share an (IV, key) pair because the digest differs.
+
+    The derivation is a keyed PRF (HMAC-SHA256 under the column's local
+    key), as in real SIV: the IV is persisted in the public chunk header,
+    and an UNKEYED digest there would let a keyless reader confirm a
+    guessed plaintext offline by recomputing it — a practical oracle for
+    low-cardinality or sorted encrypted columns.  With the keyed MAC the
+    header value is indistinguishable from random without the key, while
+    decode (which reads the stored IV) and the resume contract (same
+    key + plaintext → same bytes) are unchanged."""
+    h = hmac.new(key, b"orc-ray-iv\x00" + column.encode() + b"\x00" + stream_index.to_bytes(4, "little") + plaintext_digest, hashlib.sha256)
     return h.digest()[:16]
 
 

@@ -288,7 +288,7 @@ def _read_files(paths: list) -> list:
     return [fstore.read_bytes(p) for p in paths]
 
 
-def _decode_batch(batch: pa.Table, *, columns, predicates, cast_schema=None, verify_checksums=False, keys=None, encoded_vectors=False) -> pa.Table:
+def _decode_batch(batch: pa.Table, *, columns, predicates, cast_schema=None, verify_checksums=None, keys=None, encoded_vectors=False) -> pa.Table:
     """Task-pool entry: decode a batch of chunk blobs."""
     return _DecodeChunks(columns, predicates, cast_schema, verify_checksums, keys, encoded_vectors)(batch)
 
@@ -299,10 +299,15 @@ class _DecodeChunks:
         columns: list[str] | None,
         predicates: list[tuple] | None,
         cast_schema=None,
-        verify_checksums: bool = False,
+        verify_checksums: bool | None = None,
         keys: dict | None = None,
         encoded_vectors: bool = False,
     ):
+        # AES-CTR is malleable (a ciphertext bit-flip decodes to silently
+        # wrong plaintext), so integrity MUST come from the content-addressed
+        # chunk checksum: default verification ON whenever keys are supplied.
+        if verify_checksums is None:
+            verify_checksums = keys is not None
         # encoded-vector read (ORC setEncodedVectorAllowed analog): eligible
         # string columns come back dictionary<int32,str>.  Predicate columns
         # are excluded (comparison kernels want flat arrays); cast_schema is
@@ -514,7 +519,7 @@ def decode_dataset(
     predicates: list[tuple] | None = None,
     cast_schema: dict | None = None,
     concurrency=None,
-    verify_checksums: bool = False,
+    verify_checksums: bool | None = None,
     keys: dict | None = None,
     encoded_vectors: bool = False,
 ) -> "ray.data.Dataset":
@@ -536,6 +541,10 @@ def decode_dataset(
     caps concurrent decode tasks (None = streaming executor decides).
     ``verify_checksums`` re-hashes every chunk file against its
     content-addressed name — bit-rot / tamper detection at read time.
+    Default (None) = auto: ON whenever ``keys`` are supplied, because
+    AES-CTR is malleable and the checksum is what detects a tampered
+    ciphertext; OFF for plain reads (corruption there surfaces as codec
+    parse / stats errors, and the caller can still opt in).
     ``keys``: {key name -> AES master key material} for encrypted columns;
     omit it to read the masked public variants (predicates over an
     encrypted column then evaluate against the MASKED values — exactly what

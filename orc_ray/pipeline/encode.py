@@ -386,19 +386,26 @@ def _wipe_target(in_dir: str, out_dir: str) -> None:
     compact/shuffle/sample): refuse in-place targets — the wipe would
     destroy the input before the decode stream ever reads it."""
     import os
-    import shutil
 
-    src = os.path.realpath(str(in_dir))
-    dst = os.path.realpath(str(out_dir))
-    # containment both ways: wiping a parent destroys the input; writing
-    # INTO the input store corrupts it.  realpath also defeats symlink
-    # aliases of the same directory.
-    if src == dst or src.startswith(dst + os.sep) or dst.startswith(src + os.sep):
+    from ..state import storage as fstore
+
+    # canonical() sees through URL/path aliases of the same store
+    # (file:///x vs /x, symlinks, s3://b//k), so the containment check
+    # can't be defeated by spelling the same location two ways.
+    skind, src = fstore.canonical(str(in_dir))
+    dkind, dst = fstore.canonical(str(out_dir))
+    sep = os.sep if skind == "local" else "/"
+    if skind == dkind and (
+        src == dst or src.startswith(dst + sep) or dst.startswith(src + sep)
+    ):
         raise ValueError(
             f"out_dir {out_dir!r} overlaps the input store {in_dir!r}: in-place "
             "re-encode would wipe or corrupt the data — write to a disjoint path"
         )
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # the wipe must actually happen on URL targets too — a silent no-op
+    # would leave stale unit-*.parquet manifest parts that double-count
+    # rows at commit (exactly the hazard the wipe exists to prevent)
+    fstore.rmtree(str(out_dir))
 
 
 def sort_store(

@@ -73,15 +73,54 @@ def remove(path: str) -> None:
 
 
 def replace(tmp: str, dest: str) -> None:
-    """Atomic rename locally; mv (copy+delete on object stores) via fsspec."""
+    """Atomic rename locally; copy-then-delete via fsspec.
+
+    Order matters on object stores: the destination is OVERWRITTEN by the
+    copy (puts are atomic per key), never deleted first — a crash between
+    steps leaves either the old file or the new file at ``dest``, so a
+    previously committed ``_committed.json`` can never revert a store to
+    uncommitted (last-file-wins commit contract).  A crash after the copy
+    only leaks the ``.tmp`` source, which the next writer overwrites."""
     if not is_url(tmp):
         os.replace(tmp, dest)
         return
     fs, t = _fs(tmp)
     _, d = _fs(dest)
-    if fs.exists(d):
-        fs.rm_file(d)
-    fs.mv(t, d)
+    fs.copy(t, d)
+    fs.rm_file(t)
+
+
+def canonical(path: str) -> tuple[str, str]:
+    """(store kind, normalized inner path) — the identity of a store
+    location, for overlap/containment checks across path/URL aliases.
+
+    ``file:///x`` and ``/x`` are the SAME store: both canonicalize to
+    ("local", realpath).  Other schemes normalize the inner path via the
+    filesystem's own strip (collapsing ``s3://b//k`` style aliases)."""
+    if not is_url(path):
+        return ("local", os.path.realpath(str(path)))
+    from fsspec.implementations.local import LocalFileSystem
+
+    fs, p = _fs(path)
+    proto = fs.protocol if isinstance(fs.protocol, str) else fs.protocol[0]
+    if isinstance(fs, LocalFileSystem):
+        return ("local", os.path.realpath(p))
+    import posixpath
+
+    return (proto, posixpath.normpath("/" + p.strip("/")))
+
+
+def rmtree(path: str) -> None:
+    """Recursive delete, missing-ok — works for plain paths and URLs."""
+    if not is_url(path):
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    fs, p = _fs(path)
+    try:
+        if fs.exists(p):
+            fs.rm(p, recursive=True)
+    except FileNotFoundError:
+        pass
 
 
 def glob_paths(pattern: str) -> list[str]:

@@ -106,10 +106,14 @@ def test_derivations_deterministic_and_distinct():
     assert k1 != derive_local_key(master, "text", "k2")  # rotation changes key
     assert k1 != derive_local_key(master, "title", "k1")  # per-column keys
     assert len(k1) == 32 and len(derive_local_key(bytes(16), "c", "k1")) == 16
-    iv = derive_iv("text", 0, b"digest")
+    iv = derive_iv(k1, "text", 0, b"digest")
     assert len(iv) == 16
-    assert iv != derive_iv("text", 1, b"digest")
-    assert iv != derive_iv("text", 0, b"other")
+    assert iv != derive_iv(k1, "text", 1, b"digest")
+    assert iv != derive_iv(k1, "text", 0, b"other")
+    # keyed PRF: without the local key the IV is unpredictable, so the
+    # public header gives no offline plaintext-confirmation oracle
+    k2 = derive_local_key(master, "text", "k2")
+    assert iv != derive_iv(k2, "text", 0, b"digest")
 
 
 def test_local_key_provider():

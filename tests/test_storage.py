@@ -130,3 +130,45 @@ def test_file_url_store_end_to_end(ray_session, tmp_path):
         decode_dataset(merged).iter_batches(batch_format="pyarrow", batch_size=None)
     ).sort_by("k")
     assert back.equals(t)
+
+
+def test_canonical_sees_through_url_aliases(tmp_path):
+    d = tmp_path / "store"
+    d.mkdir()
+    assert st.canonical(str(d)) == st.canonical("file://" + str(d))
+    # symlink alias of the same directory
+    link = tmp_path / "alias"
+    os.symlink(d, link)
+    assert st.canonical(str(link)) == st.canonical(str(d))
+    # memory:// double-slash alias normalizes
+    k1, p1 = st.canonical("memory://x//y/")
+    k2, p2 = st.canonical("memory://x/y")
+    assert (k1, p1) == (k2, p2) and k1 == "memory"
+
+
+def test_wipe_target_guards_and_wipes_urls(mem_root, tmp_path):
+    from orc_ray.pipeline.encode import _wipe_target
+
+    d = tmp_path / "store"
+    d.mkdir()
+    # file:// alias of the same local dir must be caught as overlap
+    with pytest.raises(ValueError, match="overlaps"):
+        _wipe_target(str(d), "file://" + str(d))
+    with pytest.raises(ValueError, match="overlaps"):
+        _wipe_target("file://" + str(d), str(d / "sub"))
+    # URL target actually gets wiped (stale parts would double-count rows)
+    stale = mem_root + "/out/unit-000.parquet"
+    st.makedirs(mem_root + "/out")
+    st.write_bytes_atomic(stale, b"stale")
+    _wipe_target(str(d), mem_root + "/out")
+    assert not st.exists(stale)
+
+
+def test_replace_never_deletes_dest_first(mem_root):
+    # copy-then-delete: destination is overwritten, never left missing
+    st.makedirs(mem_root)
+    st.write_bytes_atomic(mem_root + "/_committed.json", b'{"v":1}')
+    st.write_bytes_atomic(mem_root + "/_committed.json", b'{"v":2}')
+    assert st.read_bytes(mem_root + "/_committed.json") == b'{"v":2}'
+    # the tmp source is consumed
+    assert st.glob_paths(mem_root + "/*.tmp") == []
