@@ -2,7 +2,8 @@
 pipeline against its oracle_sql() DuckDB equivalent at a given scale and
 report rows/schema/value-hash matches.
 
-    python BENCH/oracle_sweep.py [sf_dir]     # default /root/testdata/sf0.01
+    python BENCH/oracle_sweep.py [sf_dir] [name1,name2,...]
+(defaults: /root/testdata/sf0.01, all queries)
 """
 import hashlib
 import sys
@@ -39,6 +40,9 @@ def main() -> int:
     import __ray_entry__ as E
 
     queries, oracles = E.queries(), E.oracle_sql()
+    if len(sys.argv) > 2:
+        keep = set(sys.argv[2].split(","))
+        queries = {k: v for k, v in queries.items() if k in keep}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")

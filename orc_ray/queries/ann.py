@@ -24,6 +24,20 @@ from ..pipeline.encode import encode_dataset
 from ._shared import CACHE_ROOT, _decoded, _to_table, store_for
 
 
+def _query_vec(sf_dir: str, vec_id: int = 0, dtype=np.float64) -> np.ndarray:
+    """Fetch ONE query embedding with a column-projected + row-filtered
+    parquet read: only the matching row group's two columns leave storage,
+    never the whole table (RowReaderOptions.include + sargs analog,
+    SURVEY.md §2.5).  Shared by every ANN query so no unpruned driver-side
+    read can creep back in."""
+    emb = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", vec_id)],
+    )
+    return np.array(emb.column("embedding")[0].as_py(), dtype)
+
+
 def q_ann_topk(sf_dir: str):
     """Exact cosine top-10 around the vec_id=0 embedding, through the
     engine-decoded embeddings stream; float64 math to match the oracle.
@@ -32,12 +46,9 @@ def q_ann_topk(sf_dir: str):
     rounded value: numpy's blocked matmul and the oracle's sequential
     dot product can differ in the last ulp, which at e6 precision landed
     on a .5 rounding knife-edge (seen at sf0.001)."""
-    import pyarrow.parquet as _pq
-
     from ..functions.similarity import topk_cosine
 
-    emb = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    q = np.array(emb.filter(pc.equal(emb.column("vec_id"), 0)).column("embedding")[0].as_py(), np.float64)
+    q = _query_vec(sf_dir, 0, np.float64)
     ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     t = topk_cosine(ds, q, k=32, dtype=np.float64)  # headroom for e4 ties
     sim_e4 = np.rint(t.column("sim").to_numpy() * 1e4).astype(np.int64)
@@ -87,12 +98,9 @@ def ivf_store_for(sf_dir: str, n_clusters: int = 8) -> str:
 def q_ann_ivf(sf_dir: str):
     """IVF approximate top-10 through the partition-pruned chunk store
     (no oracle: approximate)."""
-    import pyarrow.parquet as _pq
-
     from ..functions.similarity import topk_cosine_ivf_store
 
-    emb = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    q = np.array(emb.filter(pc.equal(emb.column("vec_id"), 0)).column("embedding")[0].as_py(), np.float32)
+    q = _query_vec(sf_dir, 0, np.float32)
     store = ivf_store_for(sf_dir, n_clusters=8)
     t, kept, total = topk_cosine_ivf_store(store, q, k=10, nprobe=4)
     assert kept < total or total <= 4, (kept, total)  # pruning must bite
@@ -130,12 +138,9 @@ def lsh_store_for(sf_dir: str, n_bits: int = 6) -> str:
 def q_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate top-10 through the bucket-pruned chunk
     store (no oracle: approximate; recall is unit-tested)."""
-    import pyarrow.parquet as _pq
-
     from ..functions.similarity import topk_cosine_lsh_store
 
-    emb = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    q = np.array(emb.filter(pc.equal(emb.column("vec_id"), 0)).column("embedding")[0].as_py(), np.float32)
+    q = _query_vec(sf_dir, 0, np.float32)
     store = lsh_store_for(sf_dir, n_bits=6)
     t, kept, total = topk_cosine_lsh_store(store, q, k=10, nprobe=8)
     assert kept < total or total <= 4, (kept, total)  # pruning must bite
@@ -382,14 +387,7 @@ def q_hybrid_retrieval(sf_dir: str):
     bm = bm25_search(_bm25_index(sf_dir), ["window", "merge", "scan"], k=K_LIST)
     bm_ids = bm.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
 
-    # column-projected + row-filtered read: only the vec_id=0 row's
-    # row group leaves storage, never the whole table (r3 verdict item 2)
-    emb = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "==", 0)],
-    )
-    q = np.array(emb.column("embedding")[0].as_py(), np.float64)
+    q = _query_vec(sf_dir, 0, np.float64)
     ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     # 3x headroom before the quantized re-rank (the q_ann_topk ratio):
     # e4 ties spanning the raw-sim cutoff must all be available so the

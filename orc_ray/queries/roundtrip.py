@@ -177,7 +177,18 @@ def q_acid_table_read(sf_dir: str):
 
         shutil.rmtree(tdir, ignore_errors=True)
         create_table(tdir, [src], key="o_orderkey", batch_size=16384)
-        orders = pq.read_table(src)
+        # delta rows are ~2% of the base (keys % 97 or % 193): stream the
+        # scan with the selection pushed into the reader so only matching
+        # rows ever materialize on the driver, never the whole table
+        import pyarrow.dataset as pads
+
+        picked = []
+        for rb in pads.dataset(src).to_batches(batch_size=65536):
+            kk = rb.column(rb.schema.get_field_index("o_orderkey")).to_numpy(zero_copy_only=False)
+            m = (kk % 97 == 0) | (kk % 193 == 0)
+            if m.any():
+                picked.append(pa.Table.from_batches([rb]).filter(pa.array(m)))
+        orders = pa.concat_tables(picked)
         k = orders.column("o_orderkey").to_numpy(zero_copy_only=False)
 
         def mk_delta(mask: np.ndarray, bump: float | None, op: str, prio: str | None):
