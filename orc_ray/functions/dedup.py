@@ -804,8 +804,18 @@ def dedup_minhash(
     bands=32,
     k=8,
     verify_threshold: float | None = 0.5,
+    stats_out: dict | None = None,
 ):
     """Near-dup clustering: returns an arrow Table (doc_id, cluster_rep).
+
+    ``stats_out`` receives the driver-footprint counters (the bm25/ngram
+    ceiling-assert pattern): ``driver_edge_rows`` (edge + boundary records
+    collected — bounded by actual duplicate edges plus 2 per block, never
+    O(corpus)), ``candidate_pairs`` / ``verified_pairs`` (before/after the
+    exact-Jaccard verify), ``fetched_docs`` / ``fetched_bytes`` (the
+    bounded candidate-text fetch), and ``min_edge_jaccard`` (the exact
+    Jaccard of the weakest retained edge — >= verify_threshold by
+    construction, asserted by callers so precision can't silently drift).
 
     Shuffle cost: one sort over (id, bkey) pairs — the only all-to-all.
     Pair emission is fully vectorized per sorted block (Arrow group_by +
@@ -841,6 +851,8 @@ def dedup_minhash(
     # are healed by anchoring every rep of a bkey to the group's min rep
     # (index_in + take — linking to the anchor connects all reps).
     parts = [t for t in edges_ds.iter_batches(batch_format="pyarrow", batch_size=None) if t.num_rows]
+    if stats_out is not None:
+        stats_out["driver_edge_rows"] = sum(t.num_rows for t in parts)
     cand: set = set()
     if parts:
         all_e = pa.concat_tables(parts).combine_chunks()
@@ -861,6 +873,11 @@ def dedup_minhash(
             edges = pa.concat_tables([edges, bedges])
         cand = set(zip(edges.column("a").to_pylist(), edges.column("b").to_pylist()))
 
+    if stats_out is not None:
+        stats_out["candidate_pairs"] = len(cand)
+        stats_out.setdefault("fetched_docs", 0)
+        stats_out.setdefault("fetched_bytes", 0)
+        stats_out["min_edge_jaccard"] = None
     if verify_threshold is not None and cand:
         # fetch the candidate docs' texts (bounded set) and verify each
         # pair with exact k-shingle Jaccard
@@ -885,6 +902,13 @@ def dedup_minhash(
         idx_pairs = np.array([(pos[a], pos[b]) for a, b in plist], np.int64)
         jac = jaccard_pairs(concat, offsets, idx_pairs, k)
         cand = {p for p, j in zip(plist, jac) if j >= verify_threshold}
+        if stats_out is not None:
+            stats_out["fetched_docs"] = docs.num_rows
+            stats_out["fetched_bytes"] = int(concat.nbytes)
+            kept_j = [j for j in jac if j >= verify_threshold]
+            stats_out["min_edge_jaccard"] = min(kept_j) if kept_j else None
+    if stats_out is not None:
+        stats_out["verified_pairs"] = len(cand)
 
     uf = _UnionFind()
     for a, b in sorted(cand):

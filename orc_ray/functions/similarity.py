@@ -259,6 +259,10 @@ def cosine_pairs(ds, threshold: float, id_col: str = "vec_id", vec_col: str = "e
     if stats_out is not None:
         stats_out["block_pairs_total"] = B * (B + 1) // 2
         stats_out["block_pairs_pruned"] = int((~live).sum())
+        # driver footprint of the slice-stats gather: O(blocks x dim)
+        # floats, never O(rows) — pinned by tests/test_driver_ceilings.py
+        stats_out["driver_slice_rows"] = B
+        stats_out["driver_stats_bytes"] = int(C.nbytes + A.nbytes)
     parts = [t for t in ray.get(out_refs) if t.num_rows]
     if not parts:
         return pa.table(_EMPTY_PAIRS)
@@ -486,10 +490,19 @@ def topk_cosine_lsh_store(
         margins = q[qi] @ planes  # signed distances to each hyperplane
         base_bits = margins > 0
         base = int(base_bits @ weights)
-        probe.add(base)
+        # true multi-probe (Lv et al. 2007): candidate buckets are ranked
+        # by the SUM of |margin| over flipped bits, enumerated over subsets
+        # of the m least-confident bits — single-bit flips alone saturate
+        # at b+1 buckets and cap recall regardless of nprobe.  m is sized
+        # so 2^m covers nprobe with headroom while staying O(nprobe).
         order = np.argsort(np.abs(margins))  # least-confident bits first
-        for j in range(min(nprobe - 1, b)):
-            probe.add(base ^ int(weights[order[j]]))
+        m = min(b, max(1, int(np.ceil(np.log2(max(nprobe, 2)))) + 2))
+        subs = np.arange(1 << m, dtype=np.int64)  # flip subsets over order[:m]
+        bitmat = (subs[:, None] >> np.arange(m)) & 1  # (2^m, m)
+        cost = bitmat @ np.abs(margins[order[:m]])  # flip penalty per subset
+        flips = bitmat @ weights[order[:m]]  # xor mask per subset
+        for s in np.argsort(cost, kind="stable")[:nprobe]:
+            probe.add(base ^ int(flips[s]))
     preds = [("lsh_bucket", "in", sorted(probe))]
     _, kept, total = list_chunks(store_dir, preds)
     ds = decode_dataset(store_dir, columns=[id_col, vec_col], predicates=preds)

@@ -95,16 +95,36 @@ def ivf_store_for(sf_dir: str, n_clusters: int = 8) -> str:
     return out
 
 
+def _assert_recall(approx: pa.Table, sf_dir: str, q: np.ndarray, k: int, floor: float) -> None:
+    """In-query recall self-assert for the approximate ANN paths: compare
+    against the exact brute-force top-k over the same decoded stream (the
+    already-proved topk_cosine operator — one broadcast-matmul pass, no
+    driver materialization) and fail loudly below ``floor``.  The check is
+    what keeps the rows-only driver gate honest: a store-layout or probe
+    regression can't silently return plausible-but-wrong neighbours."""
+    from ..functions.similarity import topk_cosine
+
+    ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact = topk_cosine(ds, q.astype(np.float64), k=k, dtype=np.float64)
+    exact_ids = set(exact.column("vec_id").to_pylist())
+    got = set(approx.column("vec_id").to_pylist())
+    recall = len(got & exact_ids) / k
+    assert recall >= floor, (recall, floor, sorted(got), sorted(exact_ids))
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF approximate top-10 through the partition-pruned chunk store
-    (no oracle: approximate)."""
+    (no oracle: approximate; recall vs the exact top-k is asserted
+    in-query)."""
     from ..functions.similarity import topk_cosine_ivf_store
 
     q = _query_vec(sf_dir, 0, np.float32)
     store = ivf_store_for(sf_dir, n_clusters=8)
     t, kept, total = topk_cosine_ivf_store(store, q, k=10, nprobe=4)
     assert kept < total or total <= 4, (kept, total)  # pruning must bite
-    return t.select(["vec_id", "sim"])
+    out = t.select(["vec_id", "sim"])
+    _assert_recall(out, sf_dir, q, k=10, floor=0.7)
+    return out
 
 
 def lsh_store_for(sf_dir: str, n_bits: int = 6) -> str:
@@ -137,14 +157,17 @@ def lsh_store_for(sf_dir: str, n_bits: int = 6) -> str:
 
 def q_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate top-10 through the bucket-pruned chunk
-    store (no oracle: approximate; recall is unit-tested)."""
+    store (no oracle: approximate; recall vs the exact top-k is asserted
+    in-query, and unit-tested with planted neighbours)."""
     from ..functions.similarity import topk_cosine_lsh_store
 
     q = _query_vec(sf_dir, 0, np.float32)
     store = lsh_store_for(sf_dir, n_bits=6)
-    t, kept, total = topk_cosine_lsh_store(store, q, k=10, nprobe=8)
+    t, kept, total = topk_cosine_lsh_store(store, q, k=10, nprobe=32)
     assert kept < total or total <= 4, (kept, total)  # pruning must bite
-    return t.select(["vec_id", "sim"])
+    out = t.select(["vec_id", "sim"])
+    _assert_recall(out, sf_dir, q, k=10, floor=0.5)
+    return out
 
 
 def q_label_centroids(sf_dir: str):
@@ -361,6 +384,11 @@ def q_kmeans_embeddings(sf_dir: str):
     cents, _ = kmeans(ds, "embedding", k=8, id_col="vec_id")
     import numpy as np
 
+    # self-assert: all k clusters materialized with finite, non-degenerate
+    # centroids (a seeding or partial-merge regression collapses clusters
+    # to zeros/NaNs long before the rows-only gate would notice)
+    assert cents.shape[0] == 8 and np.isfinite(cents).all(), cents.shape
+    assert (np.linalg.norm(cents, axis=1) > 0).all()
     norms = np.floor(np.linalg.norm(cents, axis=1) * 1e6).astype(np.int64)
     return pa.table(
         {

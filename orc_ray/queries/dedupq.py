@@ -38,11 +38,23 @@ def q_dedup_exact(sf_dir: str):
 
 def q_dedup_minhash(sf_dir: str):
     """Near-dup clusters over documents (MinHash+LSH; approximate — no SQL
-    oracle, driver records rows-only)."""
+    oracle, driver records rows-only).  The in-query self-asserts pin what
+    CAN be pinned: every retained cluster edge passed the exact k-shingle
+    Jaccard verify (edge precision 1.0 by construction — asserted so the
+    verify pass can't be silently bypassed), and the driver-side
+    collections (edge records, candidate-text fetch) stay bounded by the
+    candidate set, never O(corpus)."""
     from ..functions.dedup import dedup_minhash
 
     ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup_minhash(ds, id_col="doc_id", text_col="text")
+    stats: dict = {}
+    out = dedup_minhash(ds, id_col="doc_id", text_col="text", stats_out=stats)
+    if stats["min_edge_jaccard"] is not None:
+        assert stats["min_edge_jaccard"] >= 0.5, stats
+    assert stats["verified_pairs"] <= stats["candidate_pairs"], stats
+    # candidate-text fetch is bounded by the pair set (<= 2 docs/pair)
+    assert stats["fetched_docs"] <= 2 * max(stats["candidate_pairs"], 1), stats
+    return out
 
 
 def q_dedup_ngram(sf_dir: str):
@@ -61,6 +73,14 @@ def q_dedup_ngram(sf_dir: str):
 
 
 def q_simhash(sf_dir: str):
+    """Per-document 64-bit SimHash fingerprints (rows-only: hash values
+    are estimator-specific).  In-query self-assert: hamming distance must
+    be MONOTONE in text similarity — for a bounded sample of real corpus
+    texts, a lightly-perturbed copy (one appended word, Jaccard ~1) must
+    sit strictly closer in hamming space than an unrelated document, on
+    average.  That is the property SimHash exists to provide (Charikar
+    2002); a kernel regression (bit order, token window, sign flip) breaks
+    it loudly instead of producing plausible garbage fingerprints."""
     from ..functions.dedup import _varbytes, simhash64
 
     ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
@@ -70,7 +90,23 @@ def q_simhash(sf_dir: str):
         h = simhash64(concat, offsets)
         return pa.table({"doc_id": t.column("doc_id"), "simhash": pa.array(h.view(np.int64))})
 
-    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    # --- monotonicity self-assert over a bounded driver-side sample
+    sample = pa.table(ds.limit(64).take_batch(64, batch_format="pyarrow"))
+    texts = [t for t in sample.column("text").to_pylist() if t]
+    if len(texts) >= 8:
+        near = [t + " extra" for t in texts]  # J(text, near) ~ 1
+        far = texts[1:] + texts[:1]  # unrelated documents
+        def hashes(ts):
+            concat, offsets = _varbytes(pa.array(ts))
+            return simhash64(concat, offsets)
+        h0, hn, hf = hashes(texts), hashes(near), hashes(far)
+        d_near = np.mean(np.unpackbits((h0 ^ hn).view(np.uint8)).reshape(len(texts), -1).sum(1))
+        d_far = np.mean(np.unpackbits((h0 ^ hf).view(np.uint8)).reshape(len(texts), -1).sum(1))
+        assert d_near < d_far, (d_near, d_far)
+
+    return out
 
 
 def q_dedup_embedding(sf_dir: str):

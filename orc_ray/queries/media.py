@@ -54,7 +54,21 @@ def q_multimodal_features(sf_dir: str):
 
     ds = decode_dataset(media_store_for(128))
     out = extract_features(ds, batch_size=16)
-    return _to_table(out).sort_by("media_id")
+    t = _to_table(out).sort_by("media_id")
+    # self-assert: the corpus is deterministic (seeded synth_media_table),
+    # so the e6-quantized feature vector over real decoded pixels/samples
+    # has ONE correct value — pinned here so a decoder/feature regression
+    # fails loudly instead of producing plausible wrong features (the
+    # rows-only driver gate can't see values; this checksum can).
+    feat = t.column("features").to_pylist()
+    q = np.floor(np.array([v for row in feat for v in row], np.float64) * 1e6).astype(np.int64)
+    h = hashlib.sha256(
+        t.column("media_id").to_numpy(zero_copy_only=False).astype(np.int64).tobytes()
+        + t.column("payload_bytes").to_numpy(zero_copy_only=False).astype(np.int64).tobytes()
+        + q.tobytes()
+    ).hexdigest()[:16]
+    assert h == "ca06856c91fbc802" and q.size == 8192, (h, q.size)
+    return t
 
 
 def q_media_pipeline(sf_dir: str):
@@ -78,7 +92,7 @@ def q_media_pipeline(sf_dir: str):
         zero_copy_batch=True,
     )
     feats = _to_table(extract_features(stills, batch_size=16))
-    return pa.table(
+    out = pa.table(
         {
             "media_id": pa.concat_arrays(
                 [
@@ -101,3 +115,13 @@ def q_media_pipeline(sf_dir: str):
             ),
         }
     ).sort_by([("media_id", "ascending"), ("kind", "ascending"), ("item_idx", "ascending")])
+    # self-assert: deterministic corpus -> one correct composed-pipeline
+    # output; checksum pins resize dims, frame demux, and byte counts
+    h = hashlib.sha256(
+        out.column("media_id").to_numpy(zero_copy_only=False).astype(np.int64).tobytes()
+        + "".join(out.column("kind").to_pylist()).encode()
+        + out.column("item_idx").to_numpy(zero_copy_only=False).astype(np.int64).tobytes()
+        + out.column("n_bytes").to_numpy(zero_copy_only=False).astype(np.int64).tobytes()
+    ).hexdigest()[:16]
+    assert h == "26a93f9454eaa399", h
+    return out

@@ -27,12 +27,27 @@ def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT user_id) per event_type
     (functions/sketch.py): per-batch register partials, O(groups x 4 KiB)
     driver merge — the sketch alternative to q_distinct_users' exact
-    shuffle (no oracle: estimator-specific values; accuracy bounds are
-    unit-tested instead)."""
+    shuffle (no oracle: estimator-specific values; the in-query
+    self-assert below pins every estimate to the exact distributed
+    distinct within the HLL error bound, so drift fails loudly instead
+    of silently)."""
     from ..functions.sketch import approx_distinct
 
     ds = _decoded(sf_dir, "events", columns=["event_type", "user_id"])
-    return approx_distinct(ds, "user_id", group_col="event_type")
+    est = approx_distinct(ds, "user_id", group_col="event_type")
+    # self-assert (the t-digest precedent, q_approx_quantiles below): the
+    # exact grouped distinct is itself distributed (q_distinct_users'
+    # pair-dedup pipeline), so the check adds one bounded pass, nothing
+    # driver-heavy.  HLL p=12 -> sigma = 1.04/sqrt(4096) ~ 1.63%; allow
+    # 5 sigma plus a +-2 absolute floor for tiny groups.
+    from .tpch import q_distinct_users
+
+    ex = q_distinct_users(sf_dir)
+    exact = dict(zip(ex.column("event_type").to_pylist(), ex.column("n_users").to_pylist()))
+    for g, e in zip(est.column("group").to_pylist(), est.column("approx_distinct").to_pylist()):
+        x = exact[g]
+        assert abs(e - x) <= max(2.0, 5 * 0.01625 * x), (g, e, x)
+    return est
 
 
 def q_heavy_users(sf_dir: str):
