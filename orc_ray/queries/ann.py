@@ -435,3 +435,142 @@ def q_hybrid_retrieval(sf_dir: str):
     rrf = np.floor(np.array([scores[int(d)] for d in docs]) * 1e9).astype(np.int64)
     order = np.lexsort((docs, -rrf))[:K_OUT]
     return pa.table({"doc_id": pa.array(docs[order]), "rrf_e9": pa.array(rrf[order])})
+
+
+# --- DuckDB oracle SQL for this domain's queries; assembled into the
+# driver-contract registry by queries/__init__ (zero behavior change —
+# the SQL lives beside the pipeline it mirrors).
+ORACLE_SQL = {
+    "ann_topk": """
+        SELECT e.vec_id,
+               CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+                    * 10000) AS BIGINT) AS sim_e4
+        FROM embeddings e
+        ORDER BY sim_e4 DESC, e.vec_id LIMIT 10
+    """,
+    "label_centroids": """
+        SELECT label, CAST(dim AS INTEGER) AS dim,
+               CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+                    AS BIGINT) AS sum_e6,
+               COUNT(*) AS n
+        FROM (SELECT label, UNNEST(embedding) AS e,
+                     UNNEST(range(len(embedding))) AS dim FROM embeddings)
+        GROUP BY label, dim ORDER BY label, dim
+    """,
+    "order_clusters": """
+        SELECT o_orderkey,
+               MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS cluster_rep
+        FROM orders ORDER BY o_orderkey
+    """,
+    "bm25_search": r"""
+        WITH dl AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE array_length(string_split_regex(trim(text), '\s+')) END AS dl
+          FROM documents
+        ),
+        st AS (SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+        tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents WHERE trim(text) <> ''
+          ) WHERE tok IN ('window', 'merge', 'scan') GROUP BY doc_id, tok
+        ),
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        sc AS (
+          SELECT tf.doc_id,
+                 SUM( LN(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                      * tf.tf * 2.2
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+          FROM tf CROSS JOIN st
+               JOIN df ON tf.tok = df.tok
+               JOIN dl ON tf.doc_id = dl.doc_id
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, CAST(FLOOR(s * 1000000 + 0.5) AS BIGINT) AS score_e6
+        FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 10
+    """,
+    "embedding_moments": """
+        SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+               CAST(SUM(q) AS BIGINT) AS sum_q,
+               CAST(SUM(q * q) AS BIGINT) AS sumsq_q
+        FROM (SELECT CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS q, dim
+              FROM (SELECT UNNEST(embedding) AS e,
+                           UNNEST(range(len(embedding))) AS dim FROM embeddings))
+        GROUP BY dim ORDER BY dim
+    """,
+    "kmeans_step": """
+        WITH q AS (
+            SELECT vec_id, CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS qv, dim
+            FROM (SELECT vec_id, UNNEST(embedding) AS e,
+                         UNNEST(range(len(embedding))) AS dim FROM embeddings)
+        ),
+        seed_ids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+        seeds AS (SELECT q.* FROM q JOIN seed_ids USING (vec_id)),
+        d AS (
+            SELECT q.vec_id, s.vec_id AS cid,
+                   SUM((q.qv - s.qv) * (q.qv - s.qv)) AS d2
+            FROM q JOIN seeds s ON q.dim = s.dim
+            GROUP BY q.vec_id, s.vec_id
+        ),
+        a AS (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d
+        ),
+        rs AS (SELECT vec_id, CAST(SUM(qv) AS BIGINT) AS qsum FROM q GROUP BY vec_id)
+        SELECT a.cid AS cluster, COUNT(*) AS n_members,
+               CAST(SUM(rs.qsum) AS BIGINT) AS coord_sum
+        FROM a JOIN rs USING (vec_id)
+        WHERE rn = 1
+        GROUP BY a.cid ORDER BY a.cid
+    """,
+    "hybrid_retrieval": r"""
+        WITH dl AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE array_length(string_split_regex(trim(text), '\s+')) END AS dl
+          FROM documents
+        ),
+        st AS (SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+        tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents WHERE trim(text) <> ''
+          ) WHERE tok IN ('window', 'merge', 'scan') GROUP BY doc_id, tok
+        ),
+        dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        sc AS (
+          SELECT tf.doc_id,
+                 SUM( LN(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                      * tf.tf * 2.2
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS s
+          FROM tf CROSS JOIN st
+               JOIN dfq ON tf.tok = dfq.tok
+               JOIN dl ON tf.doc_id = dl.doc_id
+          GROUP BY tf.doc_id
+        ),
+        bm AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS r
+          FROM (SELECT doc_id, CAST(FLOOR(s * 1000000 + 0.5) AS BIGINT) AS score_e6
+                FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 50)
+        ),
+        ann AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim_e4 DESC, doc_id) AS r
+          FROM (SELECT e.vec_id AS doc_id,
+                       CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+                            * 10000) AS BIGINT) AS sim_e4
+                FROM embeddings e
+                ORDER BY sim_e4 DESC, doc_id LIMIT 50)
+        ),
+        fused AS (
+          SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+                 COALESCE(1.0 / (60 + bm.r), 0) + COALESCE(1.0 / (60 + ann.r), 0) AS s
+          FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
+        )
+        SELECT doc_id, CAST(FLOOR(s * 1000000000) AS BIGINT) AS rrf_e9
+        FROM fused ORDER BY rrf_e9 DESC, doc_id LIMIT 10
+    """,
+}

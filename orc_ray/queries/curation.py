@@ -384,3 +384,95 @@ def q_normalize_text(sf_dir: str):
     return _to_table(
         ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
     ).sort_by("doc_id")
+
+
+# --- DuckDB oracle SQL for this domain's queries; assembled into the
+# driver-contract registry by queries/__init__ (zero behavior change —
+# the SQL lives beside the pipeline it mirrors).
+ORACLE_SQL = {
+    "pack_sequences": "WITH " + _pack_oracle_ctes("documents"),
+    "source_cap": """
+        SELECT source, doc_id, n_chars, rnk FROM (
+            SELECT source, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rnk
+            FROM documents
+        ) WHERE rnk <= 20 ORDER BY source, rnk
+    """,
+    "hash_split": """
+        SELECT doc_id, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        ORDER BY doc_id
+    """,
+    "stratified_sample": r"""
+        SELECT doc_id, source FROM documents
+        WHERE CASE CAST(regexp_extract(source, 'src(\d+)', 1) AS INTEGER) % 4
+              WHEN 0 THEN TRUE
+              WHEN 1 THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                          IN ('0','1','2','3','4','5','6','7')
+              WHEN 2 THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                          IN ('0','1','2','3')
+              ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') END
+        ORDER BY doc_id
+    """,
+    "normalize_text": r"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+        FROM documents ORDER BY doc_id
+    """,
+    "gopher_filter": r"""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(string_split_regex(trim(text), '\s+')) END AS n_words,
+                   LENGTH(regexp_replace(text, '\s', '', 'g')) AS nonws,
+                   (LENGTH(text) - LENGTH(REPLACE(text, '#', '')))
+                     + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS n_sym
+            FROM documents
+        ),
+        words AS (
+            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        hits AS (
+            SELECT doc_id, COUNT(*) AS stop_hits FROM words
+            WHERE w IN ('the','be','to','of','and','that','have','with','a','in')
+            GROUP BY doc_id
+        ),
+        met AS (
+            SELECT b.doc_id, b.n_words,
+                   CAST(FLOOR((b.nonws / GREATEST(b.n_words, 1)) * 1000000.0) AS BIGINT) AS mwl_e6,
+                   b.n_sym, COALESCE(h.stop_hits, 0) AS stop_hits
+            FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mwl_e6,
+               CAST(n_sym AS BIGINT) AS n_sym, CAST(stop_hits AS BIGINT) AS stop_hits
+        FROM met
+        WHERE n_words BETWEEN 30 AND 80
+          AND mwl_e6 BETWEEN 4000000 AND 5000000
+          AND CAST(n_sym AS DOUBLE) <= 0.05 * n_words
+          AND stop_hits >= 2
+        ORDER BY doc_id
+    """,
+    "weighted_sample": """
+        SELECT doc_id,
+               CAST(FLOOR(LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
+                             / 1152921504606846977.0)
+                          / n_chars * 1000000000) AS BIGINT) AS pri_e9
+        FROM documents
+        ORDER BY pri_e9 DESC, doc_id LIMIT 100
+    """,
+    "upsert_read": """
+        WITH delta AS (
+          SELECT doc_id, UPPER(text) AS text, n_chars
+          FROM documents WHERE doc_id % 17 = 0
+        )
+        SELECT doc_id, text, n_chars FROM delta
+        UNION ALL
+        SELECT doc_id, text, n_chars FROM documents
+        WHERE doc_id % 17 <> 0
+        ORDER BY doc_id
+    """,
+    "balanced_sample": _balanced_sample_oracle_sql(),
+    "curation_pipeline": _curation_oracle_sql(),
+}

@@ -118,3 +118,48 @@ def q_dedup_embedding(sf_dir: str):
 
     ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return cosine_pairs(ds, threshold=0.4)
+
+
+# --- DuckDB oracle SQL for this domain's queries; assembled into the
+# driver-contract registry by queries/__init__ (zero behavior change —
+# the SQL lives beside the pipeline it mirrors).
+ORACLE_SQL = {
+    "dedup_exact": """
+        SELECT text, MIN(doc_id) AS doc_id FROM documents
+        GROUP BY text ORDER BY doc_id
+    """,
+    "dedup_embedding": """
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS sim_e6
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) > 0.4
+        ORDER BY vec_id_a, vec_id_b
+    """,
+    "dedup_ngram": """
+        WITH sh AS (
+            -- char substrings == byte windows on this ASCII corpus
+            SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), 8) AS s
+            FROM (
+                SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS u
+                FROM documents WHERE length(text) >= 8
+            )
+        ),
+        keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 16),
+        shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+        p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b, p.inter, (sa.n + sb.n - p.inter) AS un
+        FROM p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE 2 * p.inter >= (sa.n + sb.n - p.inter)
+        ORDER BY p.doc_a, p.doc_b
+    """,
+}

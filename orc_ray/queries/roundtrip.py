@@ -590,3 +590,95 @@ def q_struct_pruned_read(sf_dir: str):
             for c in ["n", "sum_uid", "sum_cents"]
         }
     )
+
+
+# --- DuckDB oracle SQL for this domain's queries; assembled into the
+# driver-contract registry by queries/__init__ (zero behavior change —
+# the SQL lives beside the pipeline it mirrors).
+ORACLE_SQL = {
+    "roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    # keyed read is exact -> plaintext aggregates; keyless read is all-null
+    # masked -> public_text_vals is identically 0 by the encryption contract
+    "encrypted_roundtrip": (
+        "SELECT source, CAST(SUM(LENGTH(text)) AS BIGINT) AS len_sum, "
+        "COUNT(*) AS n, CAST(0 AS BIGINT) AS public_text_vals "
+        "FROM documents GROUP BY source ORDER BY source"
+    ),
+    "roundtrip_lineitem": "SELECT * FROM lineitem",
+    # full fidelity through REAL .orc files (engine sink -> C++ ORC -> engine source)
+    "orc_file_roundtrip": "SELECT * FROM lineitem",
+    # versioned-table merge-on-read: SQL replays the same commit sequence
+    # (seq-ordered ROW_NUMBER = last writer wins; op 'd' rows delete)
+    "acid_table_read": """
+        WITH all_rows AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+                   0 AS seq, 'u' AS op FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice + 1000, '0-UPDATED', 1, 'u'
+            FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice + 2000, '0-UPDATED', 2, 'u'
+            FROM orders
+            WHERE o_orderkey % 97 = 0 AND o_orderkey % 2 = 1 AND o_orderkey % 193 <> 0
+            UNION ALL
+            SELECT o_orderkey, NULL, NULL, NULL, 2, 'd'
+            FROM orders WHERE o_orderkey % 193 = 0
+        ),
+        latest AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+            FROM all_rows
+        )
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_e2,
+               CAST(SUM(CASE WHEN o_orderpriority = '0-UPDATED' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+               COUNT(*) AS n
+        FROM latest WHERE rn = 1 AND op = 'u'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "roundtrip_events": "SELECT * FROM events",
+    "roundtrip_embeddings": "SELECT * FROM embeddings",
+    "projection_pushdown": "SELECT l_orderkey, l_quantity FROM lineitem",
+    "predicate_pushdown": "SELECT * FROM lineitem WHERE l_orderkey < 100",
+    "shuffled_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "sampled_documents": """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 20
+        ORDER BY doc_id
+    """,
+    "zorder_lookup": """
+        SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS value_e2
+        FROM events
+        WHERE user_id BETWEEN 3 AND 8 AND value BETWEEN 50.0 AND 100.0
+        ORDER BY event_id
+    """,
+    "encoded_groupby": """
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "union_tagged_values": """
+        SELECT CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+               CAST(SUM(CASE WHEN event_id % 2 = 0
+                             THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS sum_cents,
+               CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_str
+        FROM events
+    """,
+    "map_tagged_values": """
+        WITH base AS (
+          SELECT event_id, user_id,
+                 CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+          FROM events
+        )
+        SELECT 'k' AS key, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_v FROM base
+        UNION ALL
+        SELECT 'u', COUNT(*), CAST(SUM(user_id) AS BIGINT)
+        FROM base WHERE event_id % 2 = 1
+        ORDER BY key
+    """,
+    "struct_pruned_read": """
+        SELECT COUNT(*) AS n,
+               CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events
+    """,
+}

@@ -206,3 +206,45 @@ def q_approx_quantiles(sf_dir: str):
             "value_e2": pa.array(np.rint(t.column("value_est").to_numpy() * 100).astype(np.int64)),
         }
     )
+
+
+# --- DuckDB oracle SQL for this domain's queries; assembled into the
+# driver-contract registry by queries/__init__ (zero behavior change —
+# the SQL lives beside the pipeline it mirrors).
+ORACLE_SQL = {
+    "heavy_users": """
+        SELECT user_id, COUNT(*) AS cnt FROM events
+        GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 20
+    """,
+    "profile_lineitem": """
+        SELECT * FROM (SELECT 'l_orderkey' AS col, COUNT(l_orderkey) AS n, COUNT(*)-COUNT(l_orderkey) AS nulls,
+            CAST(ROUND(MIN(l_orderkey)*1000000) AS BIGINT) AS min_e6,
+            CAST(ROUND(MAX(l_orderkey)*1000000) AS BIGINT) AS max_e6,
+            CAST(ROUND(SUM(CAST(ROUND(l_orderkey*100) AS BIGINT)) * 10000.0 / COUNT(l_orderkey)) AS BIGINT) AS mean_e6
+            FROM lineitem UNION ALL SELECT 'l_partkey' AS col, COUNT(l_partkey) AS n, COUNT(*)-COUNT(l_partkey) AS nulls,
+            CAST(ROUND(MIN(l_partkey)*1000000) AS BIGINT) AS min_e6,
+            CAST(ROUND(MAX(l_partkey)*1000000) AS BIGINT) AS max_e6,
+            CAST(ROUND(SUM(CAST(ROUND(l_partkey*100) AS BIGINT)) * 10000.0 / COUNT(l_partkey)) AS BIGINT) AS mean_e6
+            FROM lineitem UNION ALL SELECT 'l_suppkey' AS col, COUNT(l_suppkey) AS n, COUNT(*)-COUNT(l_suppkey) AS nulls,
+            CAST(ROUND(MIN(l_suppkey)*1000000) AS BIGINT) AS min_e6,
+            CAST(ROUND(MAX(l_suppkey)*1000000) AS BIGINT) AS max_e6,
+            CAST(ROUND(SUM(CAST(ROUND(l_suppkey*100) AS BIGINT)) * 10000.0 / COUNT(l_suppkey)) AS BIGINT) AS mean_e6
+            FROM lineitem UNION ALL SELECT 'l_quantity' AS col, COUNT(l_quantity) AS n, COUNT(*)-COUNT(l_quantity) AS nulls,
+            CAST(ROUND(MIN(l_quantity)*1000000) AS BIGINT) AS min_e6,
+            CAST(ROUND(MAX(l_quantity)*1000000) AS BIGINT) AS max_e6,
+            CAST(ROUND(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) * 10000.0 / COUNT(l_quantity)) AS BIGINT) AS mean_e6
+            FROM lineitem UNION ALL SELECT 'l_extendedprice' AS col, COUNT(l_extendedprice) AS n, COUNT(*)-COUNT(l_extendedprice) AS nulls,
+            CAST(ROUND(MIN(l_extendedprice)*1000000) AS BIGINT) AS min_e6,
+            CAST(ROUND(MAX(l_extendedprice)*1000000) AS BIGINT) AS max_e6,
+            CAST(ROUND(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) * 10000.0 / COUNT(l_extendedprice)) AS BIGINT) AS mean_e6
+            FROM lineitem UNION ALL SELECT 'l_discount' AS col, COUNT(l_discount) AS n, COUNT(*)-COUNT(l_discount) AS nulls,
+            CAST(ROUND(MIN(l_discount)*1000000) AS BIGINT) AS min_e6,
+            CAST(ROUND(MAX(l_discount)*1000000) AS BIGINT) AS max_e6,
+            CAST(ROUND(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) * 10000.0 / COUNT(l_discount)) AS BIGINT) AS mean_e6
+            FROM lineitem UNION ALL SELECT 'l_tax' AS col, COUNT(l_tax) AS n, COUNT(*)-COUNT(l_tax) AS nulls,
+            CAST(ROUND(MIN(l_tax)*1000000) AS BIGINT) AS min_e6,
+            CAST(ROUND(MAX(l_tax)*1000000) AS BIGINT) AS max_e6,
+            CAST(ROUND(SUM(CAST(ROUND(l_tax*100) AS BIGINT)) * 10000.0 / COUNT(l_tax)) AS BIGINT) AS mean_e6
+            FROM lineitem) ORDER BY col
+    """,
+}

@@ -730,3 +730,186 @@ def q_unigram_logprob(sf_dir: str):
     return _to_table(
         ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     ).sort_by("doc_id")
+
+
+# --- DuckDB oracle SQL for this domain's queries; assembled into the
+# driver-contract registry by queries/__init__ (zero behavior change —
+# the SQL lives beside the pipeline it mirrors).
+ORACLE_SQL = {
+    "text_stats": """
+        SELECT doc_id, LENGTH(text) AS n_chars_calc,
+               LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
+        FROM documents
+    """,
+    "token_counts": """
+        SELECT doc_id,
+               CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE array_length(string_split_regex(TRIM(text), '\\s+')) END AS n_ws_tokens
+        FROM documents
+    """,
+    "token_histogram": r"""
+        SELECT token, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents WHERE trim(text) <> ''
+        ) GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+    """,
+    "fingerprints": """
+        SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id
+    """,
+    "masked_export": """
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[a-z]', 'x', 'g'), '[A-Z]', 'X', 'g'), '[0-9]', '9', 'g')
+                   AS text,
+               CAST(NULL AS VARCHAR) AS lang,
+               sha256(source) AS source
+        FROM documents ORDER BY doc_id
+    """,
+    "decontaminate": r"""
+        WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                   FROM documents WHERE trim(text) <> ''),
+        g AS (SELECT doc_id,
+                     array_to_string(ws[CAST(u AS INTEGER):CAST(u AS INTEGER)+3], ' ') AS gram
+              FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 2)) AS u
+                    FROM w WHERE len(ws) >= 4)),
+        bench AS (SELECT DISTINCT gram FROM g
+                  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+        contaminated AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram))
+        SELECT d.doc_id FROM documents d
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <> '0'
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ORDER BY d.doc_id
+    """,
+    "repetition_stats": r"""
+        WITH w AS (SELECT doc_id,
+                          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                               ELSE string_split_regex(trim(text), '\s+') END AS ws
+                   FROM documents),
+        tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        wc AS (SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY doc_id, word),
+        top AS (SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS nw FROM wc GROUP BY doc_id),
+        g AS (SELECT doc_id,
+                     ws[CAST(u AS INTEGER)] || ' ' || ws[CAST(u AS INTEGER) + 1] AS gram
+              FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS u
+                    FROM w WHERE len(ws) >= 2)),
+        gc AS (SELECT doc_id, COUNT(*) AS n_g, COUNT(DISTINCT gram) AS n_d
+               FROM g GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(top.nw, 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(top.top_cnt, 0) * 1000000
+                    // GREATEST(COALESCE(top.nw, 0), 1) AS BIGINT)
+                   AS top_word_frac_e6,
+               CAST(COALESCE(gc.n_g - gc.n_d, 0) * 1000000
+                    // GREATEST(COALESCE(gc.n_g, 0), 1) AS BIGINT)
+                   AS dup_2gram_frac_e6
+        FROM documents d LEFT JOIN top USING (doc_id) LEFT JOIN gc USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    "salient_terms": """
+        WITH words AS (
+            SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+        ), df AS (
+            SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w
+        ), tot AS (SELECT COUNT(*) n FROM documents),
+        tf AS (
+            SELECT source, w, COUNT(*) AS tf FROM words GROUP BY source, w
+        ), kept AS (
+            SELECT tf.* FROM tf JOIN df USING (w), tot
+            WHERE df.df * 100 <= tot.n * 79
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY tf DESC, w) AS rnk
+            FROM kept
+        )
+        SELECT source, w, tf, rnk FROM ranked WHERE rnk <= 10
+        ORDER BY source, rnk
+    """,
+    "word_bigrams": """
+        WITH s AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        p AS (SELECT ws, UNNEST(generate_series(1, len(ws) - 1)) AS i FROM s)
+        SELECT ws[i] AS w1, ws[i + 1] AS w2, COUNT(*) AS cnt
+        FROM p GROUP BY 1, 2
+        ORDER BY cnt DESC, w1, w2 LIMIT 50
+    """,
+    "source_vocab_overlap": """
+        WITH sw AS (
+            SELECT DISTINCT source, w FROM (
+                SELECT source, UNNEST(string_split(text, ' ')) AS w
+                FROM documents)
+        ),
+        sz AS (SELECT source, COUNT(*) AS n FROM sw GROUP BY source),
+        ix AS (
+            SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+            FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT src_a, src_b, inter, sa.n + sb.n - inter AS uni
+        FROM ix
+        JOIN sz sa ON sa.source = src_a
+        JOIN sz sb ON sb.source = src_b
+        ORDER BY src_a, src_b
+    """,
+    "chunk_passages": """
+        WITH n AS (
+            SELECT doc_id, text,
+                   CAST(CEIL(GREATEST(length(text) - 200, 0) / 150.0)
+                        AS BIGINT) + 1 AS n_chunks
+            FROM documents
+        )
+        SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+               substr(text, CAST(k * 150 + 1 AS INTEGER), 200) AS chunk
+        FROM (SELECT doc_id, text, UNNEST(range(n_chunks)) AS k FROM n)
+        ORDER BY doc_id, chunk_id
+    """,
+    "collect_langs": """
+        SELECT source,
+               STRING_AGG(DISTINCT lang, ',' ORDER BY lang) AS langs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "fuzzy_part_match": """
+        WITH q(query) AS (VALUES ('red widgt'), ('blu bolt'), ('smal gear'), ('hoot gizmo')),
+        d AS (
+          SELECT q.query, p.p_name, levenshtein(q.query, p.p_name) AS dist
+          FROM q CROSS JOIN part p
+        ),
+        r AS (
+          SELECT query, p_name, CAST(dist AS BIGINT) AS dist,
+                 ROW_NUMBER() OVER (PARTITION BY query ORDER BY dist, p_name) AS rn
+          FROM d
+        )
+        SELECT query, p_name, dist FROM r WHERE rn = 1 ORDER BY query
+    """,
+    "source_lang_entropy": """
+        WITH c AS (
+          SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS n
+          FROM documents GROUP BY source, lang
+        ),
+        t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY source)
+        SELECT c.source,
+               CAST(FLOOR(SUM(-(c.n / t.tot) * LN(c.n / t.tot)) * 1000000) AS BIGINT)
+                 AS entropy_e6,
+               CAST(t.tot AS BIGINT) AS n_docs
+        FROM c JOIN t ON c.source = t.source
+        GROUP BY c.source, t.tot ORDER BY c.source
+    """,
+    "unigram_logprob": """
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+          FROM documents WHERE trim(text) <> ''
+        ),
+        cnt AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS n FROM words GROUP BY w),
+        tot AS (SELECT SUM(n) AS t FROM cnt),
+        lp AS (SELECT w, LN(n / t) AS l FROM cnt, tot)
+        SELECT w2.doc_id,
+               CAST(FLOOR(AVG(lp.l) * 1000000) AS BIGINT) AS avg_lp_e6,
+               COUNT(*) AS n_words
+        FROM words w2 JOIN lp ON w2.w = lp.w
+        GROUP BY w2.doc_id ORDER BY w2.doc_id
+    """,
+    "lang_id": _lang_id_oracle_sql(),
+    "quality_scores": _quality_oracle_sql(),
+    "scrub_pii": _scrub_pii_oracle_sql(),
+}

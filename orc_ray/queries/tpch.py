@@ -2526,3 +2526,515 @@ def q_gini_user_activity(sf_dir: str):
             "gini_e6": pa.array([int(np.floor(gini * 1_000_000))], pa.int64()),
         }
     )
+
+
+# --- DuckDB oracle SQL for this domain's queries; assembled into the
+# driver-contract registry by queries/__init__ (zero behavior change —
+# the SQL lives beside the pipeline it mirrors).
+ORACLE_SQL = {
+    "agg_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+               CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_cents,
+               CAST(ROUND(SUM(l_discount) / COUNT(*) * 1000000) AS BIGINT) AS avg_disc_e6,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "filter_groupby_events": """
+        SELECT event_type,
+               CAST(ROUND(SUM(value) * 100) AS BIGINT) AS total_value_cents,
+               COUNT(value) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "join_orders_customer": """
+        SELECT c.c_mktsegment,
+               CAST(ROUND(SUM(o.o_totalprice) * 100) AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    "point_lookup_events": "SELECT * FROM events WHERE event_id = 777",
+    "window_hourly_events": """
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               CAST(ROUND(SUM(value) * 100) AS BIGINT) AS total_value_cents,
+               COUNT(value) AS n_events
+        FROM events GROUP BY event_type, hour_epoch
+        ORDER BY event_type, hour_epoch
+    """,
+    "top_revenue_orders": """
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "distinct_users": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "median_value": """
+        SELECT event_type,
+               CAST(ROUND(quantile_disc(value, 0.5) * 100) AS BIGINT)
+                   AS median_cents
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "running_revenue": """
+        SELECT o_orderkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+        FROM orders ORDER BY o_orderkey
+    """,
+    "order_gaps": """
+        SELECT o_orderkey,
+               (epoch_us(o_orderdate) - LAG(epoch_us(o_orderdate)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+                   // 86400000000 AS gap_days
+        FROM orders ORDER BY o_orderkey
+    """,
+    "join_lineitem_orders": """
+        WITH l AS (
+            SELECT l_orderkey,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_e4
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT o_orderpriority, CAST(SUM(rev_e4) AS BIGINT) AS rev_e4,
+               COUNT(*) AS n_orders
+        FROM l JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "global_quantiles": """
+        WITH v AS (SELECT CAST(ROUND(value * 1000000) AS BIGINT) v FROM events)
+        SELECT 'p50' AS q, quantile_disc(v, 0.5) AS val_e6 FROM v
+        UNION ALL SELECT 'p90', quantile_disc(v, 0.9) FROM v
+        UNION ALL SELECT 'p99', quantile_disc(v, 0.99) FROM v
+        ORDER BY q
+    """,
+    "top_segment_revenue": """
+        WITH rev AS (
+            SELECT l_orderkey,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_e4
+            FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey
+        )
+        SELECT o_orderkey, CAST(rev.rev_e4 AS BIGINT) AS rev_e4,
+               o_orderdate, o_orderpriority
+        FROM rev
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        ORDER BY rev_e4 DESC, o_orderdate, o_orderkey LIMIT 10
+    """,
+    "promo_share": """
+        SELECT (CAST(YEAR(l_shipdate) AS BIGINT) * 12
+                + CAST(MONTH(l_shipdate) AS BIGINT) - 1) AS month_id,
+               CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                    ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS total_rev_e4
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY month_id ORDER BY month_id
+    """,
+    "nation_revenue": """
+        SELECT n_name,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS rev_e4
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY rev_e4 DESC, n_name
+    """,
+    "rollup_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS rev_e4
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "cube_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS rev_e4
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "forecast_revenue": """
+        SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100) AS BIGINT)), 0) AS BIGINT) AS rev_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.05
+          AND l_quantity < 24
+    """,
+    "large_orders": """
+        WITH big AS (
+            SELECT l_orderkey,
+                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 150
+        )
+        SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_e2,
+               CAST(sum_qty AS BIGINT) AS sum_qty
+        FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY price_e2 DESC, o_orderkey
+        LIMIT 100
+    """,
+    "anti_join_customers": """
+        SELECT c_custkey, c_name,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_e2
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+        ORDER BY c_custkey
+    """,
+    "returned_item_revenue": """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_e2,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-07-01'
+        GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+        ORDER BY rev_e4 DESC, c.c_custkey
+        LIMIT 20
+    """,
+    "json_extract_stats": """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+               CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "value_histogram": """
+        SELECT LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19) AS bucket,
+               COUNT(*) AS n
+        FROM events GROUP BY bucket ORDER BY bucket
+    """,
+    "corr_moments": """
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                    * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                    * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS syy
+        FROM lineitem
+    """,
+    "group_quantiles": """
+        WITH qv AS (
+            SELECT event_type, CAST(ROUND(value * 1000000) AS BIGINT) AS v
+            FROM events
+        )
+        SELECT event_type, 'p50' AS q, quantile_disc(v, 0.5) AS val_e6
+        FROM qv GROUP BY event_type
+        UNION ALL
+        SELECT event_type, 'p90' AS q, quantile_disc(v, 0.9) AS val_e6
+        FROM qv GROUP BY event_type
+        UNION ALL
+        SELECT event_type, 'p99' AS q, quantile_disc(v, 0.99) AS val_e6
+        FROM qv GROUP BY event_type
+        ORDER BY event_type, q
+    """,
+    "bloom_join": """
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 475000
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "pivot_weekday": """
+        SELECT CAST(dayofweek(ts) AS BIGINT) AS weekday,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events GROUP BY weekday ORDER BY weekday
+    """,
+    "revenue_quartiles": """
+        SELECT bucket, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM (SELECT CAST(NTILE(4) OVER (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                                         o_orderkey) AS BIGINT) AS bucket,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders)
+        GROUP BY bucket ORDER BY bucket
+    """,
+    "order_priority_exists": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "linestatus_priority_mix": """
+        WITH j AS (
+          SELECT l.l_linestatus, o.o_orderpriority
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        ), u AS (
+          SELECT l_linestatus, 'high_line_count' AS kind,
+                 CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS one
+          FROM j
+          UNION ALL
+          SELECT l_linestatus, 'low_line_count',
+                 CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END
+          FROM j
+        )
+        SELECT l_linestatus, kind, CAST(SUM(one) AS BIGINT) AS n
+        FROM u GROUP BY l_linestatus, kind ORDER BY l_linestatus, kind
+    """,
+    "disjunctive_revenue": """
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS revenue_e4
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 10 AND 35)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    "customer_order_overlap": """
+        WITH per AS (
+          SELECT o_custkey,
+                 SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+                 SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT CASE WHEN n_o > 0 AND n_f > 0 THEN 'both'
+                    WHEN n_o > 0 THEN 'only_open'
+                    WHEN n_f > 0 THEN 'only_filled'
+                    ELSE 'pending_only' END AS cls,
+               COUNT(*) AS n_customers
+        FROM per GROUP BY cls ORDER BY cls
+    """,
+    "argmax_events": """
+        WITH m AS (SELECT event_type, MAX(value) AS mv FROM events GROUP BY event_type)
+        SELECT e.event_type,
+               CAST(ROUND(m.mv * 1000000) AS BIGINT) AS max_value_e6,
+               MIN(e.event_id) AS argmax_event_id
+        FROM events e JOIN m ON e.event_type = m.event_type AND e.value = m.mv
+        GROUP BY e.event_type, m.mv ORDER BY e.event_type
+    """,
+    "status_moments": """
+        WITH p AS (
+          SELECT o_orderstatus AS s, COUNT(*) AS n,
+                 SUM(x) AS s1, SUM(x*x) AS s2, SUM(x*x*x) AS s3, SUM(x*x*x*x) AS s4
+          FROM (SELECT o_orderstatus, CAST(ROUND(o_totalprice / 1000) AS BIGINT) AS x
+                FROM orders)
+          GROUP BY o_orderstatus
+        )
+        SELECT s AS o_orderstatus, CAST(n AS BIGINT) AS n,
+               CAST(ROUND((s3/n - 3*(s1/n)*s2/n + 2*(s1/n)^3)
+                    / ((s2/n - (s1/n)*(s1/n))^1.5) * 1000000) AS BIGINT) AS skew_e6,
+               CAST(ROUND(((s4/n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n - 3*(s1/n)^4)
+                    / ((s2/n - (s1/n)*(s1/n))^2) - 3) * 1000000) AS BIGINT) AS kurt_e6
+        FROM p ORDER BY s
+    """,
+    "prefix_scan_customers": """
+        SELECT c_custkey, c_name,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_e2
+        FROM customer WHERE c_name LIKE 'Customer#00000000%'
+        ORDER BY c_custkey
+    """,
+    "grouping_sets_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS rev_e4
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "above_avg_orders": """
+        WITH m AS (
+          SELECT o_custkey,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_c,
+                 COUNT(*) AS n_c
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT o.o_orderkey, CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_e2
+        FROM orders o JOIN m ON o.o_custkey = m.o_custkey
+        WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * m.n_c > m.sum_c
+        ORDER BY o.o_orderkey
+    """,
+    "having_customers": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey IN (
+          SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 13
+        )
+        ORDER BY c_custkey
+    """,
+    "skyline_parts": """
+        WITH pts AS (
+          SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+                 CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_e2
+          FROM part
+        )
+        SELECT p.p_partkey, p.p_size, p.price_e2
+        FROM pts p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts q
+          WHERE q.p_size <= p.p_size AND q.price_e2 <= p.price_e2
+            AND (q.p_size < p.p_size OR q.price_e2 < p.price_e2)
+        )
+        ORDER BY p.p_partkey
+    """,
+    "left_join_returns": """
+        WITH c AS (
+          SELECT l_orderkey, COUNT(*) AS n_returned
+          FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+        )
+        SELECT o.o_orderkey, CAST(COALESCE(c.n_returned, 0) AS BIGINT) AS n_returned
+        FROM orders o LEFT JOIN c ON o.o_orderkey = c.l_orderkey
+        ORDER BY o.o_orderkey
+    """,
+    "percentile_cont": """
+        WITH v AS (
+          SELECT CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DOUBLE) AS ve
+          FROM lineitem
+        )
+        SELECT 25 AS q_pct, CAST(FLOOR(quantile_cont(ve, 0.25)) AS BIGINT) AS val_e2_floor FROM v
+        UNION ALL SELECT 50, CAST(FLOOR(quantile_cont(ve, 0.5)) AS BIGINT) FROM v
+        UNION ALL SELECT 75, CAST(FLOOR(quantile_cont(ve, 0.75)) AS BIGINT) FROM v
+        UNION ALL SELECT 90, CAST(FLOOR(quantile_cont(ve, 0.9)) AS BIGINT) FROM v
+        UNION ALL SELECT 99, CAST(FLOOR(quantile_cont(ve, 0.99)) AS BIGINT) FROM v
+        ORDER BY q_pct
+    """,
+    "distinct_users_by_type": """
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "mode_priority": """
+        WITH c AS (
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ),
+        r AS (
+          SELECT o_orderstatus, o_orderpriority, n,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY n DESC, o_orderpriority) AS rn
+          FROM c
+        )
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+        FROM r WHERE rn = 1 ORDER BY o_orderstatus
+    """,
+    "same_day_order_pairs": """
+        WITH g AS (
+          SELECT o_custkey, CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+                 COUNT(*) AS n
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_pairs FROM g
+    """,
+    "revenue_trend_slope": """
+        WITH b AS (
+          SELECT o_orderstatus AS s,
+                 CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) - 9131 AS x,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+          FROM orders
+        ),
+        p AS (
+          SELECT s, CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx
+          FROM b GROUP BY s
+        )
+        SELECT s AS o_orderstatus, CAST(n AS BIGINT) AS n,
+               CAST(FLOOR((n*sxy - sx*sy) / (n*sxx - sx*sx) * 1000000) AS BIGINT)
+                 AS slope_e6
+        FROM p ORDER BY s
+    """,
+    "group_percentile_cont": """
+        WITH v AS (
+          SELECT event_type,
+                 CAST(CAST(ROUND(value * 1000000) AS BIGINT) AS DOUBLE) AS ve
+          FROM events
+        )
+        SELECT event_type, 50 AS q_pct,
+               CAST(FLOOR(quantile_cont(ve, 0.5)) AS BIGINT) AS val_e6_floor
+        FROM v GROUP BY event_type
+        UNION ALL
+        SELECT event_type, 90, CAST(FLOOR(quantile_cont(ve, 0.9)) AS BIGINT)
+        FROM v GROUP BY event_type
+        ORDER BY event_type, q_pct
+    """,
+    "winsorized_stats": """
+        WITH v AS (
+          SELECT event_type, CAST(ROUND(value * 1000000) AS BIGINT) AS ve FROM events
+        ),
+        b AS (
+          SELECT event_type,
+                 quantile_disc(ve, 0.05) AS lo, quantile_disc(ve, 0.95) AS hi,
+                 COUNT(*) AS n
+          FROM v GROUP BY event_type
+        )
+        SELECT v.event_type, CAST(b.lo AS BIGINT) AS lo_e6, CAST(b.hi AS BIGINT) AS hi_e6,
+               CAST(SUM(LEAST(GREATEST(v.ve, b.lo), b.hi)) AS BIGINT) AS winsorized_sum_e6,
+               CAST(b.n AS BIGINT) AS n
+        FROM v JOIN b ON v.event_type = b.event_type
+        GROUP BY v.event_type, b.lo, b.hi, b.n ORDER BY v.event_type
+    """,
+    "pythagorean_means": """
+        WITH p AS (
+          SELECT o_orderstatus AS s, CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(LN(o_totalprice)) AS lnx, SUM(1.0 / o_totalprice) AS inv
+          FROM orders GROUP BY o_orderstatus
+        )
+        SELECT s AS o_orderstatus, CAST(n AS BIGINT) AS n,
+               CAST(FLOOR(EXP(lnx / n) * 100) AS BIGINT) AS geo_mean_e2,
+               CAST(FLOOR(n / inv * 100) AS BIGINT) AS harm_mean_e2
+        FROM p ORDER BY s
+    """,
+    "gini_user_activity": """
+        WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+        r AS (
+          SELECT n_events,
+                 ROW_NUMBER() OVER (ORDER BY n_events, user_id) AS i
+          FROM c
+        ),
+        t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(SUM(n_events) AS DOUBLE) AS tot,
+                     CAST(SUM(i * n_events) AS DOUBLE) AS num
+              FROM r)
+        SELECT CAST(n AS BIGINT) AS n_users, CAST(tot AS BIGINT) AS n_events,
+               CAST(FLOOR((2.0 * num / (n * tot) - (n + 1) / n) * 1000000) AS BIGINT)
+                 AS gini_e6
+        FROM t
+    """,
+}

@@ -901,3 +901,203 @@ def q_time_weighted_value(sf_dir: str):
             "held_us": pa.array(w[keep], pa.int64()),
         }
     ).sort_by("user_id")
+
+
+# --- DuckDB oracle SQL for this domain's queries; assembled into the
+# driver-contract registry by queries/__init__ (zero behavior change —
+# the SQL lives beside the pipeline it mirrors).
+ORACLE_SQL = {
+    "asof_join_events_orders": """
+        SELECT e.event_id,
+               CAST(epoch(o.o_orderdate) AS BIGINT) AS asof_order_epoch
+        FROM events e ASOF LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        ORDER BY e.event_id
+    """,
+    "range_join_events_orders": """
+        SELECT e.event_id, COUNT(o.o_orderdate) AS n_orders_7d
+        FROM events e LEFT JOIN orders o
+          ON e.user_id = o.o_custkey
+         AND o.o_orderdate BETWEEN e.ts - INTERVAL 7 DAY AND e.ts
+        GROUP BY e.event_id ORDER BY e.event_id
+    """,
+    "session_windows": """
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30*60*1000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts,
+                   CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM gaps
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+               CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us
+        FROM sess GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    "sliding_window_events": """
+        SELECT e.event_type,
+               (epoch(date_trunc('hour', e.ts))::BIGINT - k.off * 3600)
+                   AS win_start_epoch,
+               CAST(ROUND(SUM(e.value) * 100) AS BIGINT) AS total_value_cents,
+               COUNT(e.value) AS n_events
+        FROM events e CROSS JOIN (VALUES (0), (1), (2)) AS k(off)
+        GROUP BY e.event_type, win_start_epoch
+        ORDER BY e.event_type, win_start_epoch
+    """,
+    "first_last_touch": """
+        SELECT DISTINCT user_id,
+               FIRST_VALUE(event_type) OVER w AS first_type,
+               LAST_VALUE(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS last_type,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id
+    """,
+    "percentile_ranks": """
+        SELECT event_id,
+               CAST(FLOOR(PERCENT_RANK() OVER w * 1000000.0) AS BIGINT) AS percent_rank_e6,
+               CAST(FLOOR(CUME_DIST() OVER w * 1000000.0) AS BIGINT) AS cume_dist_e6
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY CAST(FLOOR(value / 10.0) AS BIGINT))
+        ORDER BY event_id
+    """,
+    "value_rank_events": """
+        SELECT event_id,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS rnk_dense
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY CAST(FLOOR(value / 10.0) AS BIGINT))
+        ORDER BY event_id
+    """,
+    "weekly_retention": """
+        WITH uw AS (
+            SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+            FROM events
+        ),
+        act AS (SELECT wk, COUNT(*) AS active FROM uw GROUP BY wk),
+        ret AS (
+            SELECT a.wk, COUNT(*) AS retained
+            FROM uw a JOIN uw b ON a.user_id = b.user_id AND b.wk = a.wk + 1
+            GROUP BY a.wk
+        )
+        SELECT act.wk, act.active, COALESCE(ret.retained, 0) AS retained
+        FROM act LEFT JOIN ret ON act.wk = ret.wk
+        ORDER BY act.wk
+    """,
+    "funnel": """
+        WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                    WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+               JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+                    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+               JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+                    AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+               (SELECT COUNT(*) FROM s2) AS n_click_after,
+               (SELECT COUNT(*) FROM s3) AS n_purchase_after
+    """,
+    "watermark_windows": """
+        WITH w AS (
+          SELECT ts,
+                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+                 MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id
+                           ORDER BY md5(CAST(event_id AS VARCHAR))
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_s
+          FROM events
+        )
+        SELECT (ts_s // 3600) * 3600 AS hour_epoch,
+               CAST(SUM(CASE WHEN prev_s IS NULL OR ts_s >= prev_s - 600
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+               CAST(SUM(CASE WHEN prev_s IS NOT NULL AND ts_s < prev_s - 600
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        FROM w GROUP BY hour_epoch ORDER BY hour_epoch
+    """,
+    "moving_avg_revenue": """
+        WITH daily AS (
+          SELECT CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1
+        )
+        SELECT day,
+               CAST(SUM(cents) OVER w AS BIGINT) AS win_sum_cents,
+               CAST(COUNT(*) OVER w AS BIGINT) AS win_days
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY day
+    """,
+    "gap_fill_revenue": """
+        WITH daily AS (
+          SELECT CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1
+        ),
+        cal AS (
+          SELECT UNNEST(generate_series((SELECT MIN(day) FROM daily),
+                                        (SELECT MAX(day) FROM daily))) AS day
+        )
+        SELECT c.day,
+               CAST(COALESCE(d.cents,
+                    LAST_VALUE(d.cents IGNORE NULLS) OVER
+                      (ORDER BY c.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                    AS BIGINT) AS rev_cents,
+               d.cents IS NULL AS is_filled
+        FROM cal c LEFT JOIN daily d ON c.day = d.day
+        ORDER BY c.day
+    """,
+    "order_next_gap": """
+        SELECT o_orderkey,
+               CAST(epoch(LEAD(o_orderdate) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                    - o_orderdate) / 86400 AS BIGINT) AS next_gap_days
+        FROM orders ORDER BY o_orderkey
+    """,
+    "range_frame_revenue": """
+        WITH daily AS (
+          SELECT CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1
+        )
+        SELECT day,
+               CAST(SUM(cents) OVER w AS BIGINT) AS range_sum_cents,
+               CAST(COUNT(*) OVER w AS BIGINT) AS range_days
+        FROM daily
+        WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY day
+    """,
+    "status_transitions": """
+        WITH s AS (
+          SELECT o_orderstatus,
+                 LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS prev
+          FROM orders
+        )
+        SELECT prev AS from_status, o_orderstatus AS to_status, COUNT(*) AS n
+        FROM s WHERE prev IS NOT NULL
+        GROUP BY prev, o_orderstatus ORDER BY from_status, to_status
+    """,
+    "time_weighted_value": """
+        WITH s AS (
+          SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                 epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          - ts) AS held
+          FROM events
+        )
+        SELECT user_id,
+               CAST(SUM(cents * held) AS BIGINT) AS weighted_cents_sum,
+               CAST(SUM(held) AS BIGINT) AS held_us
+        FROM s WHERE held IS NOT NULL
+        GROUP BY user_id HAVING SUM(held) > 0 ORDER BY user_id
+    """,
+}
