@@ -85,10 +85,19 @@ def convert_column(arr: pa.Array | pa.ChunkedArray, target) -> pa.Array | pa.Chu
         return _char_convert(arr, m.group(1), int(m.group(2)))
     if arr.type.equals(target):
         return arr
-    try:
-        return arr.cast(target)
-    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-        pass
+    # naive <-> tz-aware timestamps need the wall-clock semantics BELOW,
+    # not Arrow's default cast (which silently relabels naive as UTC) —
+    # skip the generic safe-cast shortcut for that pair
+    _tz_pair = (
+        pa.types.is_timestamp(arr.type)
+        and pa.types.is_timestamp(target)
+        and (arr.type.tz is None) != (target.tz is None)
+    )
+    if not _tz_pair:
+        try:
+            return arr.cast(target)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            pass
 
     src = arr.type
 
@@ -142,8 +151,28 @@ def convert_column(arr: pa.Array | pa.ChunkedArray, target) -> pa.Array | pa.Chu
         opts = pc.CastOptions(target_type=target, allow_decimal_truncate=True)
         return pc.cast(arr, options=opts)
 
-    # timestamp precision narrowing (ns -> s etc.): truncate
+    # timestamp <-> timestamp: timezone semantics first (the reference's
+    # Timezone layer, apache/orc c++/src/Timezone.cc — a TIMESTAMP is a
+    # WALL CLOCK, a TIMESTAMP_INSTANT (tz-aware) is an absolute instant),
+    # then precision narrowing (ns -> s etc.: truncate).
     if pa.types.is_timestamp(src) and pa.types.is_timestamp(target):
+        if src.tz is None and target.tz is not None:
+            # naive wall clock localized IN THE TARGET tz (the writer-tz
+            # interpretation a reader applies to ORC TIMESTAMP values) —
+            # a bare cast would mislabel the wall clock as UTC.  Ambiguous
+            # / nonexistent wall clocks at DST transitions resolve
+            # "earliest" — the reference's getVariant lower-bound pick.
+            local = pc.assume_timezone(
+                arr, target.tz, ambiguous="earliest", nonexistent="earliest"
+            )
+            return pc.cast(local, target, safe=False)
+        if src.tz is not None and target.tz is None:
+            # instant -> the SOURCE zone's wall clock (what a reader in
+            # that zone sees), then drop the zone
+            wall = pc.local_timestamp(arr)
+            return pc.cast(wall, target, safe=False)
+        # tz -> tz (or same-kind): the instant is preserved; only the
+        # display zone / unit changes
         return pc.cast(arr, target, safe=False)
 
     # boolean <- numeric: ORC nonzero -> true
