@@ -63,6 +63,11 @@ def cmd_encode(a) -> int:
                 raise SystemExit(f"--encrypt expects COL=KEYNAME, got {kv!r}")
         opts.encrypt = dict(kv.split("=", 1) for kv in a.encrypt)
         opts.encryption_keys = _load_keystore(a.keystore)
+    if a.char:
+        for kv in a.char:
+            if "=" not in kv:
+                raise SystemExit(f"--char expects COL=char(n)|varchar(n), got {kv!r}")
+        opts.char_specs = dict(kv.split("=", 1) for kv in a.char)
     rec = encode_dataset(
         a.input,
         a.store,
@@ -447,6 +452,14 @@ def main(argv=None) -> int:
         default=[],
         metavar="COL=MASK",
         help="write-side column mask (nullify|redact|sha256|scrub_pii), repeatable",
+    )
+    e.add_argument(
+        "--char",
+        action="append",
+        default=[],
+        metavar="COL=SPEC",
+        help="write-side CHAR/VARCHAR enforcement, e.g. name=char(10) or "
+        "name=varchar(10) (truncate to n; char space-pads), repeatable",
     )
     e.set_defaults(fn=cmd_encode)
 

@@ -82,6 +82,12 @@ class EncodeOptions:
     masks: dict = field(default_factory=dict)  # name -> nullify|redact|sha256
     # write-side masking (the DataMask writer-option analog): applied to
     # each batch inside the encoder, so the store never sees raw values
+    char_specs: dict = field(default_factory=dict)  # name -> "char(n)"|"varchar(n)"
+    # write-side CHAR/VARCHAR enforcement (apache/orc c++/src/
+    # ColumnWriter.cc ≈1700 Char/VarcharColumnWriter): the stored values
+    # are truncated to n code points (CHAR additionally space-padded to
+    # exactly n) — same kernels as the read-time conversion in convert.py,
+    # applied in encode_chunk so every writer path enforces the spec
     encrypt: dict = field(default_factory=dict)  # name -> master key name
     encryption_keys: dict = field(default_factory=dict)  # key name -> 16/32B material
     encryption_masks: dict = field(default_factory=dict)  # name -> public-variant mask
@@ -836,6 +842,14 @@ def _encode_encrypted_column(col, opts: EncodeOptions, name: str) -> tuple[dict,
 def encode_chunk(table: pa.Table, opts: EncodeOptions = DEFAULT_OPTIONS) -> bytes:
     """Encode a pyarrow Table into one self-describing chunk blob."""
     table = table.combine_chunks()
+    if opts.char_specs:
+        from .convert import convert_column
+
+        for cname, spec in opts.char_specs.items():
+            # a spec naming an absent column raises (same philosophy as
+            # masks: a typo must not silently write unenforced values)
+            i = table.column_names.index(cname)
+            table = table.set_column(i, cname, convert_column(table.column(cname), spec))
     cols = []
     all_bufs: list[bytes] = []
     for name in table.column_names:

@@ -169,3 +169,28 @@ def test_char_varchar_reader_semantics():
     # non-string input converts through its string form
     num = convert_column(pa.array([123456, 7]), "varchar(3)")
     assert num.to_pylist() == ["123", "7"]
+
+
+def test_char_varchar_write_side_enforcement():
+    """Write-side CHAR/VARCHAR (EncodeOptions.char_specs — the reference
+    enforces at write, ColumnWriter.cc ≈1700): the STORED values already
+    carry the pad/truncate semantics, so a plain decode equals what the
+    read-time conversion produces."""
+    import pyarrow as pa
+
+    from orc_ray.chunk import EncodeOptions, decode_chunk, encode_chunk
+    from orc_ray.convert import convert_column
+
+    arr = pa.array(["abcdef", "ab", "", None, "exact"] * 20)
+    t = pa.table({"c": arr, "v": arr, "plain": arr})
+    opts = EncodeOptions(char_specs={"c": "char(4)", "v": "varchar(4)"})
+    back = decode_chunk(encode_chunk(t, opts))
+    assert back.column("c").to_pylist() == convert_column(arr, "char(4)").to_pylist()
+    assert back.column("v").to_pylist() == convert_column(arr, "varchar(4)").to_pylist()
+    assert back.column("plain").to_pylist() == arr.to_pylist()  # untouched
+
+    # a spec naming an absent column must raise, not silently no-op
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_chunk(t, EncodeOptions(char_specs={"typo": "char(4)"}))
