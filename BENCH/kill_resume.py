@@ -8,10 +8,15 @@ import os, sys, time, signal, subprocess, json, shutil
 sys.path.insert(0, "/root/repo"); os.chdir("/root/repo")
 
 ENCRYPTED = "--encrypted" in sys.argv
+URL = "--url" in sys.argv  # run the whole protocol over file:// URLs
+# (every store byte through state/storage's fsspec dispatch, the
+# non-os.path namespace an object store would use)
 src = "/tmp/orc_ray_bench/f1-8000000-32"
-tag = "_enc" if ENCRYPTED else ""
-out = f"/tmp/kill_resume_store{tag}"
-ref = f"/tmp/kill_resume_ref{tag}"
+tag = ("_enc" if ENCRYPTED else "") + ("_url" if URL else "")
+out_dir = f"/tmp/kill_resume_store{tag}"
+ref_dir = f"/tmp/kill_resume_ref{tag}"
+out = ("file://" + out_dir) if URL else out_dir
+ref = ("file://" + ref_dir) if URL else ref_dir
 
 opts_code = (
     '''
@@ -38,7 +43,7 @@ encode_dataset("{src}", "{out}", opts, batch_size=16384, resume=True)
 ray.shutdown()
 '''
 
-shutil.rmtree(out, ignore_errors=True)
+shutil.rmtree(out_dir, ignore_errors=True)
 # 1. start encode, SIGKILL the whole process group mid-run
 p = subprocess.Popen([sys.executable, "-c", child_code], start_new_session=True)
 time.sleep(10)  # partway through (full run ~20-30 s at 16 cpus cold)
@@ -47,7 +52,7 @@ p.wait()
 time.sleep(2)
 from orc_ray.state import manifest as mstate
 committed_mid = mstate.load_committed(out)
-n_chunks_mid = len(os.listdir(mstate.chunk_dir(out))) if os.path.exists(mstate.chunk_dir(out)) else 0
+n_chunks_mid = len(os.listdir(mstate.chunk_dir(out_dir))) if os.path.exists(mstate.chunk_dir(out_dir)) else 0
 print(f"after kill: committed_files={len(committed_mid['files'])} chunks_on_disk={n_chunks_mid}", flush=True)
 
 # 2. resume to completion
@@ -58,11 +63,11 @@ print("after resume:", json.dumps(rec["totals"]), flush=True)
 assert rec["totals"]["rows"] == 8_000_000, rec["totals"]
 
 # 3. compare chunk set against an uninterrupted run
-shutil.rmtree(ref, ignore_errors=True)
+shutil.rmtree(ref_dir, ignore_errors=True)
 child_ref = child_code.replace(f'"{out}"', f'"{ref}"')
 subprocess.run([sys.executable, "-c", child_ref], check=True)
-a = sorted(os.listdir(mstate.chunk_dir(out)))
-b = sorted(os.listdir(mstate.chunk_dir(ref)))
+a = sorted(os.listdir(mstate.chunk_dir(out_dir)))
+b = sorted(os.listdir(mstate.chunk_dir(ref_dir)))
 print(f"chunk sets: resumed={len(a)} uninterrupted={len(b)} identical={a == b}", flush=True)
 
 if ENCRYPTED:

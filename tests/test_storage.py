@@ -172,3 +172,46 @@ def test_replace_never_deletes_dest_first(mem_root):
     assert st.read_bytes(mem_root + "/_committed.json") == b'{"v":2}'
     # the tmp source is consumed
     assert st.glob_paths(mem_root + "/*.tmp") == []
+
+
+def test_url_store_kill_resume_equivalence(ray_session, tmp_path):
+    """The F6 resume contract over a NON-os.path store (file:// URL, every
+    byte through state/storage): an interrupted run (partial commit, plus
+    a stale in-flight .tmp left by the 'crash') resumes to a store
+    byte-identical to an uninterrupted URL run, with committed chunks
+    untouched and concurrent Ray workers writing durable parts to the
+    URL namespace."""
+    from orc_ray.fixtures import write_f1_parquet
+    from orc_ray.pipeline.decode import decode_dataset
+    from orc_ray.pipeline.encode import encode_dataset
+    from orc_ray.state import manifest as mstate
+
+    d = tmp_path / "f1in"
+    paths = write_f1_parquet(str(d), 8000, n_files=4)
+    store = "file://" + str(tmp_path / "url_resume_store")
+
+    # interrupted run: 2 of 4 inputs committed, plus torn-write residue
+    encode_dataset(paths[:2], store, batch_size=1000)
+    first_chunks = set(os.listdir(str(tmp_path / "url_resume_store" / "chunks")))
+    assert len(mstate.load_committed(store)["files"]) == 2
+    st.write_bytes_atomic(store + "/chunks/torn.oray.tmp-residue", b"torn")
+
+    # resume over the full list, through the URL path
+    rec = encode_dataset(paths, store, batch_size=1000, resume=True)
+    assert rec["totals"]["committed_files"] == 4 and rec["totals"]["rows"] == 8000
+    after = set(os.listdir(str(tmp_path / "url_resume_store" / "chunks")))
+    assert first_chunks <= after  # committed chunks untouched (same ids)
+
+    # uninterrupted URL run -> identical chunk set (deterministic encode)
+    ref = "file://" + str(tmp_path / "url_ref_store")
+    encode_dataset(paths, ref, batch_size=1000)
+    ref_chunks = set(os.listdir(str(tmp_path / "url_ref_store" / "chunks")))
+    assert {c for c in after if c.endswith(".oray")} == ref_chunks
+
+    got = pa.concat_tables(
+        decode_dataset(store).iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("doc_id")
+    exp = pa.concat_tables(
+        decode_dataset(ref).iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("doc_id")
+    assert got.equals(exp)
