@@ -49,7 +49,7 @@ def cmd_encode(a) -> int:
     from .chunk import EncodeOptions
     from .pipeline.encode import encode_dataset
 
-    opts = EncodeOptions(strategy=a.strategy)
+    opts = EncodeOptions(strategy=a.strategy, file_version=a.file_version)
     if a.zstd_level is not None:
         opts.compression_level = a.zstd_level
     if a.mask:
@@ -445,6 +445,9 @@ def main(argv=None) -> int:
     e.add_argument("--zstd-level", type=int, default=None,
                    help="default: EncodeOptions.compression_level (6)")
     e.add_argument("--strategy", default="speed", choices=["speed", "compression"])
+    e.add_argument("--file-version", default="0.12", choices=["0.11", "0.12"],
+                   help="0.11 writes integer streams in the RLEv1-analog "
+                        "run/literal+varint layout (readers need no knob)")
     e.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
     e.add_argument(
         "--mask",

@@ -70,6 +70,10 @@ class EncodeOptions:
     # ~1% better ratio for ratio-critical stores (BENCH/BASELINE.md)
     compression_block_size: int = framing.DEFAULT_BLOCK_SIZE
     strategy: str = "speed"              # int width alignment: speed|compression
+    file_version: str = "0.12"           # "0.11" writes integer streams with
+    # the RLEv1-analog layout (run/literal + varint values, c++/src/RLEv1.cc
+    # probe [P9]) — the old-file-version write path; readers dispatch on the
+    # stream's layout byte, so stores mixing versions decode transparently
     dictionary_key_size_threshold: float = 0.5   # dict iff distinct/rows <= t
     fsst_min_avg_len: float = 4.0        # don't FSST tiny strings
     fsst_sample_bytes: int = 1 << 16
@@ -297,7 +301,7 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
             child = pa.compute.list_flatten(arr)  # respects offsets & nulls
         cmeta, cbufs = _encode_column(child, opts, f"{name}.item")
         meta.update(codec="list", child=cmeta)
-        bufs.append(encode_ints(lens, strategy=opts.strategy))
+        bufs.append(encode_ints(lens, strategy=opts.strategy, version=opts.file_version))
         bufs.extend(cbufs)
         return meta, bufs
 
@@ -310,7 +314,7 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
         kmeta, kbufs = _encode_column(arr.keys.slice(lo, hi - lo), opts, f"{name}.key")
         imeta, ibufs = _encode_column(arr.items.slice(lo, hi - lo), opts, f"{name}.value")
         meta.update(codec="map", key=kmeta, value=imeta)
-        bufs.append(encode_ints(lens, strategy=opts.strategy))
+        bufs.append(encode_ints(lens, strategy=opts.strategy, version=opts.file_version))
         bufs.extend(kbufs)
         bufs.extend(ibufs)
         return meta, bufs
@@ -332,10 +336,10 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
         codes = np.frombuffer(arr.buffers()[1], np.int8, n, arr.offset)
         dense = ty.mode == "dense"
         meta.update(codec="union", mode=ty.mode)
-        bufs.append(encode_ints(codes.astype(np.int32), strategy=opts.strategy))
+        bufs.append(encode_ints(codes.astype(np.int32), strategy=opts.strategy, version=opts.file_version))
         if dense:
             offs = np.frombuffer(arr.buffers()[2], np.int32, n, arr.offset * 4)
-            bufs.append(encode_ints(offs.copy(), strategy=opts.strategy))
+            bufs.append(encode_ints(offs.copy(), strategy=opts.strategy, version=opts.file_version))
         children = []
         for i, f in enumerate(ty):
             cmeta, cbufs = _encode_column(arr.field(i), opts, f"{name}.{f.name}")
@@ -362,8 +366,8 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
                 meta["max"] = int(v.max())
                 if n > opts.stride_rows and "." not in name:
                     meta["stride"] = _stride_minmax_int(v, opts.stride_rows)
-            bufs.append(encode_ints(secs, strategy=opts.strategy))
-            bufs.append(encode_ints(_pack_subsecond(subs), strategy=opts.strategy))
+            bufs.append(encode_ints(secs, strategy=opts.strategy, version=opts.file_version))
+            bufs.append(encode_ints(_pack_subsecond(subs), strategy=opts.strategy, version=opts.file_version))
             return meta, bufs
         meta.update(codec="int")
         if v.size:
@@ -380,7 +384,7 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
                 # Top-level columns only: nested children (list items etc.)
                 # don't align to row strides and would bloat the header.
                 meta["stride"] = _stride_minmax_int(logical, opts.stride_rows)
-        bufs.append(encode_ints(v, strategy=opts.strategy))
+        bufs.append(encode_ints(v, strategy=opts.strategy, version=opts.file_version))
         return meta, bufs
 
     if pa.types.is_floating(ty) or pa.types.is_decimal(ty):
@@ -399,7 +403,7 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
                 # comparing the two would silently mis-prune (the same
                 # failure class as the r1 uint64 stats bug)
                 meta.update(codec="dec64")
-                bufs.append(encode_ints(np.ascontiguousarray(lo), strategy=opts.strategy))
+                bufs.append(encode_ints(np.ascontiguousarray(lo), strategy=opts.strategy, version=opts.file_version))
                 return meta, bufs
             # Wide decimal128 (r2 verdict missing #4): hi/lo word pair
             # through the int codec instead of raw 16-byte LE.  The hi
@@ -408,8 +412,8 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
             # reference encodes all decimals as varint+scale
             # (apache/orc c++/src/ColumnWriter.cc Decimal128ColumnWriter).
             meta.update(codec="dec128")
-            bufs.append(encode_ints(np.ascontiguousarray(lo), strategy=opts.strategy))
-            bufs.append(encode_ints(np.ascontiguousarray(hi), strategy=opts.strategy))
+            bufs.append(encode_ints(np.ascontiguousarray(lo), strategy=opts.strategy, version=opts.file_version))
+            bufs.append(encode_ints(np.ascontiguousarray(hi), strategy=opts.strategy, version=opts.file_version))
             return meta, bufs
         else:
             v = arr.to_numpy(zero_copy_only=False)
@@ -431,7 +435,7 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
             if k is not None:
                 ints = np.rint(v.astype(np.float64) * (10.0**k)).astype(np.int64)
                 meta.update(codec="fdec", scale=k)
-                bufs.append(encode_ints(ints, strategy=opts.strategy))
+                bufs.append(encode_ints(ints, strategy=opts.strategy, version=opts.file_version))
                 return meta, bufs
             raw = v.tobytes()
         meta.update(codec="raw")
@@ -483,19 +487,19 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
             sorted_dict = dictionary.take(pa.array(order))
             dconcat, doffsets = _varbytes_to_numpy(sorted_dict)
             meta["dict_size"] = int(order.size)
-            bufs.append(encode_ints(remap[indices], strategy=opts.strategy))
-            bufs.append(encode_ints(np.diff(doffsets).astype(np.int32), strategy=opts.strategy))
+            bufs.append(encode_ints(remap[indices], strategy=opts.strategy, version=opts.file_version))
+            bufs.append(encode_ints(np.diff(doffsets).astype(np.int32), strategy=opts.strategy, version=opts.file_version))
             bufs.append(dconcat.tobytes())
         elif codec == "fsst":
             table = fsst.train(concat, offsets, opts.fsst_sample_bytes)
             codes, literals = fsst.encode(concat, offsets, table)
             meta["n_codes"] = int(codes.size)
             bufs.append(fsst.serialize_table(table))
-            bufs.append(encode_ints(lens, strategy=opts.strategy))
+            bufs.append(encode_ints(lens, strategy=opts.strategy, version=opts.file_version))
             bufs.append(codes.tobytes())
             bufs.append(literals.tobytes())
         else:  # direct
-            bufs.append(encode_ints(lens, strategy=opts.strategy))
+            bufs.append(encode_ints(lens, strategy=opts.strategy, version=opts.file_version))
             bufs.append(concat.tobytes())
         return meta, bufs
 

@@ -58,6 +58,8 @@ T_CONST, T_DIRECT, T_DELTA, T_PATCHED = 0, 1, 2, 3
 INT_BLOCKS = 0  # layout ids (first byte of the stream)
 INT_RLE = 1
 INT_BLOCKS32 = 2
+INT_V1 = 3  # RLEv1-analog layout (EncodeOptions file_version "0.11")
+INT_V1_32 = 4
 
 _MAX_PATCHES = 48  # per block; above this PATCHED stops paying off
 
@@ -493,7 +495,146 @@ def _run_lengths(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return v[starts], lengths
 
 
-def encode_ints(values: np.ndarray, *, min_run_ratio: float = 2.5, strategy: str = "speed") -> bytes:
+# ---------------------------------------------------------------------------
+# RLEv1-analog layout — the file_version "0.11" write path
+# (apache/orc c++/src/RLEv1.cc, probe [P9]).
+#
+# RLEv1's decomposition is reproduced exactly: maximal fixed-delta runs of
+# 3..130 values with delta in [-128, 127] (header MINIMUM_REPEAT=3, count
+# byte 0..127 meaning count+3, signed delta byte), interleaved with literal
+# spans of up to 128 base-128-varint values.  The byte layout is stream-
+# grouped rather than interleaved — record kinds/lengths, then deltas, run
+# bases and literals as separate streams — the same array-at-a-time
+# restructuring this module applies to RLEv2 (module docstring): identical
+# algorithmic content and size characteristics, decodable with bulk numpy
+# ops instead of a per-record loop.  Selected per stream via
+# encode_ints(version="0.11"); readers dispatch on the layout byte, so no
+# reader knob exists (ORC reader semantics).
+
+_V1_MIN_RUN, _V1_MAX_RUN, _V1_MAX_LIT = 3, 130, 128
+
+
+def _encode_v1(v: np.ndarray, dt: _Dt) -> bytes:
+    n = v.size
+    rec_kind: list[bool] = []
+    rec_len: list[int] = []
+    run_delta: list[int] = []
+    run_base_idx: list[int] = []
+    lit_spans: list[tuple[int, int]] = []
+
+    def emit_lit(s: int, e: int) -> None:
+        while s < e:
+            L = min(_V1_MAX_LIT, e - s)
+            rec_kind.append(False)
+            rec_len.append(L)
+            lit_spans.append((s, s + L))
+            s += L
+
+    def emit_run(s: int, e: int, delta: int) -> None:
+        while e - s >= _V1_MIN_RUN:
+            L = min(_V1_MAX_RUN, e - s)
+            rec_kind.append(True)
+            rec_len.append(L)
+            run_delta.append(delta)
+            run_base_idx.append(s)
+            s += L
+        if s < e:
+            emit_lit(s, e)
+
+    if n >= 2:
+        a, b = v[:-1], v[1:]
+        with np.errstate(over="ignore"):
+            d = b - a
+        # exact delta-in-range check: subtraction r = b - a overflows iff
+        # the operands differ in sign AND the result differs from b's sign
+        ovf = ((a ^ b) < 0) & ((b ^ d) < 0)
+        elig = (~ovf) & (d >= -128) & (d <= 127)
+        change = np.ones(n - 1, dtype=bool)
+        change[1:] = (d[1:] != d[:-1]) | (elig[1:] != elig[:-1])
+        seg_starts = np.flatnonzero(change)
+        seg_lens = np.diff(np.append(seg_starts, n - 1))
+        keep = elig[seg_starts] & (seg_lens >= _V1_MIN_RUN - 1)
+        # greedy left-to-right over qualifying segments only (each covers
+        # >= 3 values, so this loop is <= n/3 and typically far smaller);
+        # adjacent segments share a boundary value — the earlier run wins,
+        # exactly the reference's sequential scanner behavior
+        next_free = 0
+        for si in np.flatnonzero(keep):
+            s = int(seg_starts[si])
+            hi = s + int(seg_lens[si])  # last value index covered
+            lo = max(s, next_free)
+            if hi - lo + 1 >= _V1_MIN_RUN:
+                if lo > next_free:
+                    emit_lit(next_free, lo)
+                emit_run(lo, hi + 1, int(d[s]))
+                next_free = hi + 1
+        if next_free < n:
+            emit_lit(next_free, n)
+    elif n:
+        emit_lit(0, n)
+
+    kinds = np.array(rec_kind, dtype=bool)
+    head = encode_varints(np.array([n, kinds.size, len(run_delta)], np.uint64))
+    bits = np.packbits(kinds).tobytes() if kinds.size else b""
+    lens_b = encode_varints(np.array(rec_len, np.uint64))
+    deltas_b = np.array(run_delta, np.int8).tobytes()
+    bases = v[np.array(run_base_idx, np.int64)] if run_base_idx else np.empty(0, dt.idt)
+    bases_b = encode_svarints(bases.astype(np.int64, copy=False))
+    if lit_spans:
+        lit_idx = np.concatenate([np.arange(s, e, dtype=np.int64) for s, e in lit_spans])
+        lits_b = encode_svarints(v[lit_idx].astype(np.int64, copy=False))
+    else:
+        lits_b = b""
+    return b"".join(
+        [head, struct.pack("<I", len(lens_b)), bits, lens_b, deltas_b, bases_b, lits_b]
+    )
+
+
+def _decode_v1(data: memoryview, dt: _Dt) -> np.ndarray:
+    hdr, used = decode_varints(data, 3)
+    n, n_rec, n_run = (int(x) for x in hdr)
+    (lens_nbytes,) = struct.unpack_from("<I", data, used)
+    pos = used + 4
+    nbits = -(-n_rec // 8)
+    kinds = np.unpackbits(np.frombuffer(data, np.uint8, nbits, pos))[:n_rec].astype(bool)
+    pos += nbits
+    lens_u, _ = decode_varints(data, n_rec, pos)
+    lens = lens_u.astype(np.int64)
+    pos += lens_nbytes
+    deltas = np.frombuffer(data, np.int8, n_run, pos).astype(dt.idt)
+    pos += n_run
+    bases64, used_b = decode_svarints(data, n_run, pos)
+    pos += used_b
+    n_lit = int(lens[~kinds].sum()) if n_rec else 0
+    lits64, _ = decode_svarints(data, n_lit, pos)
+    out = np.empty(n, dtype=dt.idt)
+    offs = np.zeros(n_rec + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    if n_run:
+        rl = lens[kinds]
+        starts = offs[:-1][kinds]
+        idx = np.repeat(starts, rl) + _intra(rl)
+        with np.errstate(over="ignore"):
+            out[idx] = np.repeat(bases64.astype(dt.idt), rl) + np.repeat(deltas, rl) * _intra(rl).astype(dt.idt)
+    if n_lit:
+        ll = lens[~kinds]
+        starts = offs[:-1][~kinds]
+        idx = np.repeat(starts, ll) + _intra(ll)
+        out[idx] = lits64.astype(dt.idt)
+    return out
+
+
+def _intra(lens: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated — vectorized within-record index."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    starts = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+
+def encode_ints(values: np.ndarray, *, min_run_ratio: float = 2.5, strategy: str = "speed", version: str = "0.12") -> bytes:
     """Encode an int32 or int64 array; auto-selects RLE vs block layout by
     run structure, and the 32-bit lane when the source dtype is 4-byte.
 
@@ -510,6 +651,9 @@ def encode_ints(values: np.ndarray, *, min_run_ratio: float = 2.5, strategy: str
         dt, layout = _DT64, INT_BLOCKS
         values = np.ascontiguousarray(values, dtype=np.int64)
     v = np.ascontiguousarray(values, dtype=dt.idt)
+    if version == "0.11":
+        lane = INT_V1_32 if dt is _DT32 else INT_V1
+        return bytes([lane]) + _encode_v1(v, dt)
     if v.size >= 8:
         # sample-based run probe first: full run detection costs extra passes
         # and loses on run-free data (the common token case)
@@ -540,6 +684,10 @@ def decode_ints(data: bytes | memoryview, block_sel: np.ndarray | None = None) -
         run_vals = decode_ints(data[5 : 5 + alen])
         run_lens = decode_ints(data[5 + alen :])
         return np.repeat(run_vals, run_lens)
+    if layout == INT_V1:
+        return _decode_v1(data[1:], _DT64)
+    if layout == INT_V1_32:
+        return _decode_v1(data[1:], _DT32)
     raise ValueError(f"unknown int layout {layout}")
 
 
@@ -572,7 +720,7 @@ def decode_ints_ranges(data: bytes | memoryview, ranges: list) -> np.ndarray:
     data = memoryview(data)
     layout = data[0]
     ranges = [(a, b) for a, b in ranges if b > a]  # drop degenerate [a, a)
-    if layout == INT_RLE or not ranges:
+    if layout in (INT_RLE, INT_V1, INT_V1_32) or not ranges:
         v = decode_ints(data)
         if not ranges:
             return v[:0]
