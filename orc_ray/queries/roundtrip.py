@@ -39,6 +39,32 @@ def q_roundtrip_embeddings(sf_dir: str):
     return _decoded(sf_dir, "embeddings")
 
 
+def q_roundtrip_v011(sf_dir: str):
+    """Old-file-version write path (EncodeOptions.file_version="0.11"):
+    every integer stream — keys, timestamps, dictionary indices, string
+    lengths — is written in the RLEv1-analog run/literal+varint layout
+    (apache/orc c++/src/RLEv1.cc, probe [P9]) instead of the modern
+    block layout.  Readers dispatch on the stream's layout byte with no
+    knob (ORC reader semantics for old file versions), so the decode
+    path here is the SAME code every other roundtrip uses; the oracle
+    is full-table identity over events (timestamps + ints + floats +
+    strings all routed through v1 integer streams)."""
+    from ..chunk import EncodeOptions
+    from ..state.manifest import load_committed
+
+    src = os.path.join(sf_dir, "events.parquet")
+    out = os.path.join(
+        CACHE_ROOT,
+        f"events-v011-{hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]}",
+    )
+    expected = pq.read_metadata(src).num_rows
+    if load_committed(out)["files"].get(src) != expected:
+        encode_dataset(
+            [src], out, EncodeOptions(file_version="0.11"), resume=True, batch_size=16384
+        )
+    return decode_dataset(out)
+
+
 def q_encrypted_roundtrip(sf_dir: str):
     """Per-column AES-CTR encryption, dual-variant read (the reference's
     EncryptionTreeWriter + DataMask analog, apache/orc java/core/.../impl/
@@ -636,6 +662,7 @@ ORACLE_SQL = {
         GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "roundtrip_events": "SELECT * FROM events",
+    "roundtrip_v011": "SELECT * FROM events",
     "roundtrip_embeddings": "SELECT * FROM embeddings",
     "projection_pushdown": "SELECT l_orderkey, l_quantity FROM lineitem",
     "predicate_pushdown": "SELECT * FROM lineitem WHERE l_orderkey < 100",

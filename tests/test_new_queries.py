@@ -13,6 +13,7 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 NEW_QUERIES = [
+    "roundtrip_v011",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
