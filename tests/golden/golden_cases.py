@@ -134,6 +134,9 @@ CASES: dict[str, tuple] = {
     "strings_plain": (_strings_table, EncodeOptions(compression="none")),
     "temporal_decimal": (_temporal_decimal_table, EncodeOptions()),
     "nested": (_nested_table, EncodeOptions()),
+    # v0.11 (RLEv1-analog) integer streams: pins the old-file-version
+    # layout bytes so the v1 run/literal decomposition can't drift
+    "ints_v011": (_ints_table, EncodeOptions(file_version="0.11")),
     "encrypted_dual": (
         _encrypted_table,
         EncodeOptions(
