@@ -14,8 +14,8 @@ from orc_ray.pipeline.decode import decode_dataset
 from orc_ray.pipeline.encode import encode_dataset
 
 
-@pytest.fixture(scope="module")
-def fuzz_store(tmp_path_factory, ray_session):
+@pytest.fixture(scope="module", params=["0.12", "0.11"])
+def fuzz_store(request, tmp_path_factory, ray_session):
     rng = np.random.default_rng(77)
     n = 6000
     t = pa.table(
@@ -34,7 +34,14 @@ def fuzz_store(tmp_path_factory, ray_session):
     src = str(tmp_path_factory.mktemp("fzsrc") / "in.parquet")
     pq.write_table(t, src)
     out = str(tmp_path_factory.mktemp("fzstore"))
-    encode_dataset([src], out, batch_size=1500)
+    # both file versions run the whole matrix: v0.11 integer streams
+    # (RLEv1-analog layout) must survive every projection x predicate x
+    # encoded-vector combination through the same reader dispatch
+    from orc_ray.chunk import EncodeOptions
+
+    encode_dataset(
+        [src], out, EncodeOptions(file_version=request.param), batch_size=1500
+    )
     return out, t
 
 
