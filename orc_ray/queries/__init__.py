@@ -104,6 +104,10 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "corr_moments": q_corr_moments,
     "nation_revenue": q_nation_revenue,
+    "volume_shipping": q_volume_shipping,
+    "custdist": q_custdist,
+    "top_supplier": q_top_supplier,
+    "market_share": q_market_share,
     "promo_share": q_promo_share,
     "bloom_join": q_bloom_join,
     "order_clusters": q_order_clusters,

@@ -2528,6 +2528,338 @@ def q_gini_user_activity(sf_dir: str):
     )
 
 
+def q_volume_shipping(sf_dir: str):
+    """TPC-H Q7 analog — bidirectional nation-pair trade volume by ship
+    year.  Both dim maps (supplier->nation, customer->nation) broadcast
+    once; lineitem decodes under a shipdate-range pushdown and drops to
+    the two supplier nations per batch BEFORE the join; orders drops to
+    the two customer nations likewise, so join_adaptive's small side is
+    ~8% of orders.  The pair filter ((3,7) or (7,3)) and the
+    (supp, cust, year) rollup are per-batch O(pairs x years) partials."""
+    from ..functions.joins import join_adaptive
+
+    lo_us = 820_454_400_000_000  # 1996-01-01 epoch-us
+    hi_us = 883_612_800_000_000  # 1998-01-01 epoch-us
+    NAT_A, NAT_B = 3, 7
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    dims_ref = ray.put(
+        (
+            supp.column("s_suppkey").combine_chunks(),
+            supp.column("s_nationkey").combine_chunks(),
+            cust.column("c_custkey").combine_chunks(),
+            cust.column("c_nationkey").combine_chunks(),
+        )
+    )
+
+    li = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        predicates=[("and", ("l_shipdate", ">=", lo_us), ("l_shipdate", "<", hi_us))],
+    )
+
+    def li_stage(t: pa.Table, *, ref=dims_ref) -> pa.Table:
+        sk, sn, _, _ = ray.get(ref)
+        s_nat = pc.take(sn, pc.index_in(t.column("l_suppkey"), value_set=sk))
+        t = t.append_column("s_nat", s_nat).filter(
+            pc.is_in(s_nat, value_set=pa.array([NAT_A, NAT_B]))
+        )
+        us = t.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        year = _month_id_from_epoch_us(us) // 12
+        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "s_nat": t.column("s_nat"),
+                "l_year": pa.array(year.astype(np.int64)),
+                "rev_e4": pa.array(e * (100 - d)),
+            }
+        )
+
+    li_rev = li.map_batches(li_stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def ord_stage(t: pa.Table, *, ref=dims_ref) -> pa.Table:
+        _, _, ck, cn = ray.get(ref)
+        c_nat = pc.take(cn, pc.index_in(t.column("o_custkey"), value_set=ck))
+        t = t.append_column("c_nat", c_nat)
+        t = t.filter(pc.is_in(t.column("c_nat"), value_set=pa.array([NAT_A, NAT_B])))
+        return t.select(["o_orderkey", "c_nat"])
+
+    orders_f = orders.map_batches(ord_stage, batch_format="pyarrow", zero_copy_batch=True)
+    joined = join_adaptive(li_rev, orders_f, "l_orderkey", "o_orderkey", ["c_nat"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "s_nat": pa.array([], pa.int64()),
+                "c_nat": pa.array([], pa.int64()),
+                "l_year": pa.array([], pa.int64()),
+                "rev_e4": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        keep = pc.or_(
+            pc.and_(pc.equal(t.column("s_nat"), NAT_A), pc.equal(t.column("c_nat"), NAT_B)),
+            pc.and_(pc.equal(t.column("s_nat"), NAT_B), pc.equal(t.column("c_nat"), NAT_A)),
+        )
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["s_nat", "c_nat", "l_year"]).aggregate([("rev_e4", "sum")])
+        return pa.table(
+            {
+                "s_nat": g.column("s_nat").cast(pa.int64()),
+                "c_nat": g.column("c_nat").cast(pa.int64()),
+                "l_year": g.column("l_year"),
+                "rev_e4": g.column("rev_e4_sum"),
+            }
+        )
+
+    parts = _to_table(joined.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by(["s_nat", "c_nat", "l_year"]).aggregate([("rev_e4", "sum")])
+    return pa.table(
+        {
+            "supp_nation": pa.array([f"NATION_{k}" for k in final.column("s_nat").to_pylist()]),
+            "cust_nation": pa.array([f"NATION_{k}" for k in final.column("c_nat").to_pylist()]),
+            "l_year": final.column("l_year"),
+            "rev_e4": final.column("rev_e4_sum"),
+        }
+    ).sort_by([("supp_nation", "ascending"), ("cust_nation", "ascending"), ("l_year", "ascending")])
+
+
+def q_custdist(sf_dir: str):
+    """TPC-H Q13 analog — distribution of per-customer order counts,
+    INCLUDING zero-order customers (the LEFT join that a plain groupby
+    over orders cannot express).  Per-customer counts reduce through one
+    sum_by_keys (shuffles O(customers) partials, never raw orders); the
+    customer stream LEFT-joins those counts via join_adaptive (nulls ->
+    0); the final histogram is a second sum_by_keys over the count value
+    itself — O(distinct counts) rows, tiny everywhere."""
+    from ..functions.aggregates import sum_by_keys
+    from ..functions.joins import join_adaptive
+
+    orders = _decoded(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("o_orderpriority"), "1-URGENT"))
+        g = t.group_by("o_custkey").aggregate([([], "count_all")])
+        return pa.table(
+            {"o_custkey": g.column("o_custkey"), "one": g.column("count_all").cast(pa.int64())}
+        )
+
+    counts = sum_by_keys(
+        orders.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"],
+        "one",
+        out="c_count",
+    )
+    cust = _decoded(sf_dir, "customer", columns=["c_custkey"])
+    joined = join_adaptive(cust, counts, "c_custkey", "o_custkey", ["c_count"], how="left")
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"c_count": pa.array([], pa.int64()), "one": pa.array([], pa.int64())}
+            )
+        cc = pc.fill_null(t.column("c_count").cast(pa.int64()), 0)
+        g = pa.table({"c_count": cc}).group_by("c_count").aggregate([([], "count_all")])
+        return pa.table(
+            {"c_count": g.column("c_count"), "one": g.column("count_all").cast(pa.int64())}
+        )
+
+    hist = _to_table(
+        sum_by_keys(
+            joined.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["c_count"],
+            "one",
+            out="custdist",
+        )
+    )
+    return hist.sort_by([("custdist", "descending"), ("c_count", "descending")])
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 analog — supplier(s) with the maximum quarterly revenue.
+    Revenue per supplier reduces through one sum_by_keys under a
+    shipdate pushdown; the global max comes from per-block O(1) partial
+    maxima (never a driver sort of the supplier table); the winners are
+    re-filtered distributed and only the (tiny) maximal set reaches the
+    driver, where names attach from a column-pruned supplier read."""
+    from ..functions.aggregates import sum_by_keys
+
+    lo_us = 820_454_400_000_000  # 1996-01-01
+    hi_us = 828_316_800_000_000  # 1996-04-01
+    li = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        predicates=[("and", ("l_shipdate", ">=", lo_us), ("l_shipdate", "<", hi_us))],
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        return pa.table({"l_suppkey": t.column("l_suppkey"), "rev_e4": pa.array(e * (100 - d))})
+
+    revenue = sum_by_keys(
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_suppkey"],
+        "rev_e4",
+        out="total_rev_e4",
+    ).materialize()  # two passes (max, winners) over O(suppliers) partials
+
+    def block_max(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table({"m": pa.array([pc.max(t.column("total_rev_e4")).as_py()], pa.int64())})
+
+    maxima = _to_table(revenue.map_batches(block_max, batch_format="pyarrow", zero_copy_batch=True))
+    best = max(maxima.column("m").to_pylist())
+
+    def winners(t: pa.Table, *, best=best) -> pa.Table:
+        return t.filter(pc.equal(t.column("total_rev_e4"), best))
+
+    top = _to_table(revenue.map_batches(winners, batch_format="pyarrow", zero_copy_batch=True))
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    name_of = dict(zip(supp.column("s_suppkey").to_pylist(), supp.column("s_name").to_pylist()))
+    keys = top.column("l_suppkey").to_pylist()
+    return pa.table(
+        {
+            "s_suppkey": pa.array(keys, pa.int64()),
+            "s_name": pa.array([name_of[k] for k in keys], pa.string()),
+            "total_rev_e4": top.column("total_rev_e4"),
+        }
+    ).sort_by("s_suppkey")
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 analog — NATION_7's share of ASIA-customer PROMO-part
+    revenue by order year, surfaced as exact integer numerator +
+    denominator (the ratio is the caller's division — float shares
+    don't hash-compare).  Three broadcast dims (promo-part key set,
+    supplier->nation, ASIA customer key set); lineitem thins to promo
+    parts per batch; orders thins to ASIA customers under an orderdate
+    pushdown; join_adaptive carries only (o_orderkey, o_year)."""
+    from ..functions.joins import join_adaptive
+
+    lo_us = 820_454_400_000_000  # 1996-01-01
+    hi_us = 883_612_800_000_000  # 1998-01-01
+    NUM_NAT = 7  # NATION_7 (regionkey 2 = ASIA)
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"])
+    promo_keys = part.filter(pc.equal(part.column("p_type"), "PROMO")).column("p_partkey")
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia_rk = region.filter(pc.equal(region.column("r_name"), "ASIA")).column("r_regionkey")
+    asia_keys = nation.filter(
+        pc.is_in(nation.column("n_regionkey"), value_set=asia_rk.combine_chunks())
+    ).column("n_nationkey")
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    asia_cust = cust.filter(
+        pc.is_in(cust.column("c_nationkey"), value_set=asia_keys.combine_chunks())
+    ).column("c_custkey")
+    dims_ref = ray.put(
+        (
+            promo_keys.combine_chunks(),
+            supp.column("s_suppkey").combine_chunks(),
+            supp.column("s_nationkey").combine_chunks(),
+            asia_cust.combine_chunks(),
+        )
+    )
+
+    li = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_stage(t: pa.Table, *, ref=dims_ref) -> pa.Table:
+        pk, sk, sn, _ = ray.get(ref)
+        t = t.filter(pc.is_in(t.column("l_partkey"), value_set=pk))
+        s_nat = pc.take(sn, pc.index_in(t.column("l_suppkey"), value_set=sk))
+        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "s_nat": s_nat,
+                "rev_e4": pa.array(e * (100 - d)),
+            }
+        )
+
+    li_f = li.map_batches(li_stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = _decoded(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        predicates=[("and", ("o_orderdate", ">=", lo_us), ("o_orderdate", "<", hi_us))],
+    )
+
+    def ord_stage(t: pa.Table, *, ref=dims_ref) -> pa.Table:
+        _, _, _, ac = ray.get(ref)
+        t = t.filter(pc.is_in(t.column("o_custkey"), value_set=ac))
+        us = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        year = _month_id_from_epoch_us(us) // 12
+        return pa.table(
+            {"o_orderkey": t.column("o_orderkey"), "o_year": pa.array(year.astype(np.int64))}
+        )
+
+    orders_f = orders.map_batches(ord_stage, batch_format="pyarrow", zero_copy_batch=True)
+    joined = join_adaptive(li_f, orders_f, "l_orderkey", "o_orderkey", ["o_year"])
+
+    def year_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_year": pa.array([], pa.int64()),
+                    "num_e4": pa.array([], pa.int64()),
+                    "den_e4": pa.array([], pa.int64()),
+                }
+            )
+        is_num = pc.equal(t.column("s_nat"), NUM_NAT).cast(pa.int64())
+        num = pc.multiply(t.column("rev_e4"), is_num)
+        g = (
+            pa.table({"o_year": t.column("o_year"), "num": num, "den": t.column("rev_e4")})
+            .group_by("o_year")
+            .aggregate([("num", "sum"), ("den", "sum")])
+        )
+        return pa.table(
+            {
+                "o_year": g.column("o_year"),
+                "num_e4": g.column("num_sum"),
+                "den_e4": g.column("den_sum"),
+            }
+        )
+
+    parts = _to_table(joined.map_batches(year_partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by("o_year").aggregate([("num_e4", "sum"), ("den_e4", "sum")])
+    return pa.table(
+        {
+            "o_year": final.column("o_year"),
+            "mkt_num_e4": final.column("num_e4_sum"),
+            "mkt_den_e4": final.column("den_e4_sum"),
+        }
+    ).sort_by("o_year")
+
+
 # --- DuckDB oracle SQL for this domain's queries; assembled into the
 # driver-contract registry by queries/__init__ (zero behavior change —
 # the SQL lives beside the pipeline it mirrors).
@@ -2654,6 +2986,69 @@ ORACLE_SQL = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name ORDER BY rev_e4 DESC, n_name
+    """,
+    "volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS rev_e4
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "custdist": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, CAST(COUNT(o_custkey) AS BIGINT) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) co
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS total_rev_e4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_rev_e4
+        FROM supplier, revenue
+        WHERE s_suppkey = l_suppkey
+          AND total_rev_e4 = (SELECT MAX(total_rev_e4) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "market_share": """
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CASE WHEN s_nationkey = 7
+                    THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                    ELSE 0 END) AS BIGINT) AS mkt_num_e4,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS mkt_den_e4
+        FROM part, lineitem, supplier, orders, customer, nation, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_year ORDER BY o_year
     """,
     "rollup_revenue": """
         SELECT l_returnflag, l_linestatus,

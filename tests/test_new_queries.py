@@ -14,6 +14,10 @@ SF = "/root/testdata/sf0.001"
 
 NEW_QUERIES = [
     "roundtrip_v011",
+    "volume_shipping",
+    "custdist",
+    "top_supplier",
+    "market_share",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
