@@ -44,6 +44,7 @@ QUERIES = {
     "join_orders_customer": q_join_orders_customer,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram": q_dedup_ngram,
+    "dedup_canonical": q_dedup_canonical,
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,

@@ -72,6 +72,66 @@ def q_dedup_ngram(sf_dir: str):
     return dedup_ngram_jaccard(ds, id_col="doc_id", text_col="text")
 
 
+def q_dedup_canonical(sf_dir: str):
+    """End-to-end corpus deduplication — the operation an LLM-data user
+    actually runs: exact n-gram Jaccard pairs (threshold 0.5, the
+    dedup_ngram operator) -> connected components over the dup graph ->
+    one canonical survivor (min doc_id) per cluster -> a per-document
+    (canonical, kept) assignment over the full corpus.
+
+    Scale shape: the pair/edge set is bounded by the near-dup rate (not
+    the corpus); components run through the adaptive pointer-doubling
+    backend; the per-doc assignment joins the doc_id stream against the
+    O(clustered docs) label table via join_adaptive (broadcast below the
+    threshold, hash-shuffle above) — nothing O(corpus) concentrates on
+    the driver beyond this query's own returned assignment table.  The
+    SQL mirror computes the same components with a recursive
+    transitive-closure CTE, so the whole composition is oracle-exact."""
+    from ..functions.dedup import dedup_ngram_jaccard
+    from ..functions.graph import connected_components
+    from ..functions.joins import join_adaptive
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup_ngram_jaccard(ds, id_col="doc_id", text_col="text")
+    docs = _decoded(sf_dir, "documents", columns=["doc_id"])
+    if pairs.num_rows == 0:
+        ids = _to_table(docs)
+        return pa.table(
+            {
+                "doc_id": ids.column("doc_id"),
+                "canonical": ids.column("doc_id"),
+                "kept": pa.array(np.ones(ids.num_rows, np.int64)),
+            }
+        ).sort_by("doc_id")
+    edges = ray.data.from_arrow(
+        pa.table({"a": pairs.column("doc_a"), "b": pairs.column("doc_b")})
+    )
+    labels = connected_components(edges)  # (node, label=min id of component)
+    joined = join_adaptive(docs, labels, "doc_id", "node", ["label"], how="left")
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "canonical": pa.array([], pa.int64()),
+                    "kept": pa.array([], pa.int64()),
+                }
+            )
+        canon = pc.coalesce(t.column("label").cast(pa.int64()), t.column("doc_id"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "canonical": canon,
+                "kept": pc.equal(canon, t.column("doc_id")).cast(pa.int64()),
+            }
+        )
+
+    return _to_table(
+        joined.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("doc_id")
+
+
 def q_simhash(sf_dir: str):
     """Per-document 64-bit SimHash fingerprints (rows-only: hash values
     are estimator-specific).  In-query self-assert: hamming distance must
@@ -161,5 +221,45 @@ ORACLE_SQL = {
         JOIN sizes sb ON sb.doc_id = p.doc_b
         WHERE 2 * p.inter >= (sa.n + sb.n - p.inter)
         ORDER BY p.doc_a, p.doc_b
+    """,
+    "dedup_canonical": """
+        WITH RECURSIVE sh AS (
+            SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), 8) AS s
+            FROM (
+                SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS u
+                FROM documents WHERE length(text) >= 8
+            )
+        ),
+        keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 16),
+        shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+        p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT p.doc_a, p.doc_b
+            FROM p
+            JOIN sizes sa ON sa.doc_id = p.doc_a
+            JOIN sizes sb ON sb.doc_id = p.doc_b
+            WHERE 2 * p.inter >= (sa.n + sb.n - p.inter)
+        ),
+        e AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM e
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        ),
+        mins AS (SELECT a, MIN(b) AS mn FROM reach GROUP BY a)
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS canonical,
+               CASE WHEN LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) = d.doc_id
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents d LEFT JOIN mins m ON m.a = d.doc_id
+        ORDER BY d.doc_id
     """,
 }

@@ -18,6 +18,7 @@ NEW_QUERIES = [
     "custdist",
     "top_supplier",
     "market_share",
+    "dedup_canonical",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
