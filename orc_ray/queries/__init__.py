@@ -83,6 +83,7 @@ QUERIES = {
     "join_lineitem_orders": q_join_lineitem_orders,
     "global_quantiles": q_global_quantiles,
     "salient_terms": q_salient_terms,
+    "vocab_table": q_vocab_table,
     "word_bigrams": q_word_bigrams,
     "label_centroids": q_label_centroids,
     "top_segment_revenue": q_top_segment_revenue,

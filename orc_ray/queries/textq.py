@@ -347,6 +347,62 @@ def q_salient_terms(sf_dir: str):
     return out.sort_by([("source", "ascending"), ("rnk", "ascending")])
 
 
+def q_vocab_table(sf_dir: str):
+    """Tokenizer-prep vocabulary table: global term document-frequency
+    (distinct docs) and term-frequency (occurrences), pruned at
+    min_df=5, top-100 by (df DESC, tok) — the vocabulary-building pass
+    in front of a BPE/unigram tokenizer training run.
+
+    Shape: the same fused tf/df combiner as salient_terms
+    (word_tf_df_rows) -> ONE sum_by_keys over (kind, w) (summing kind-0
+    partials across sources IS the global tf; kind-1 partials sum to the
+    exact df because each doc lives in one batch) -> per-block top-100
+    df candidates (blocks cover disjoint key ranges, so block-local
+    top-k + an O(blocks x k) driver merge is exact) -> the winning 100
+    terms broadcast back as an is_in filter to pull their tf.  Nothing
+    O(vocabulary) reaches the driver."""
+    from ..functions.aggregates import sum_by_keys
+    from ..functions.text import word_tf_df_rows
+
+    MIN_DF, K = 5, 100
+    ds = _decoded(sf_dir, "documents", columns=["text", "source"])
+    rows = ds.map_batches(word_tf_df_rows, batch_format="pyarrow", zero_copy_batch=True)
+    fused = sum_by_keys(rows, ["kind", "w"], "c", out="cnt").materialize()
+
+    def block_top(t: pa.Table) -> pa.Table:
+        empty = pa.table({"w": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        sub = t.filter(
+            pc.and_(pc.equal(t.column("kind"), 1), pc.greater_equal(t.column("cnt"), MIN_DF))
+        )
+        if sub.num_rows == 0:
+            return empty
+        cand = pa.table({"w": sub.column("w"), "df": sub.column("cnt")})
+        return cand.sort_by([("df", "descending"), ("w", "ascending")]).slice(0, K)
+
+    cands = _to_table(fused.map_batches(block_top, batch_format="pyarrow", zero_copy_batch=True))
+    top = cands.sort_by([("df", "descending"), ("w", "ascending")]).slice(0, K)
+    keys = top.column("w").combine_chunks()
+
+    def tf_match(t: pa.Table, *, keys=keys) -> pa.Table:
+        sub = t.filter(
+            pc.and_(pc.equal(t.column("kind"), 0), pc.is_in(t.column("w"), value_set=keys))
+        )
+        return pa.table({"w": sub.column("w"), "tf": sub.column("cnt")})
+
+    tf = _to_table(fused.map_batches(tf_match, batch_format="pyarrow", zero_copy_batch=True))
+    tf_of = dict(zip(tf.column("w").to_pylist(), tf.column("tf").to_pylist()))
+    toks = top.column("w").to_pylist()
+    return pa.table(
+        {
+            "tok": pa.array(toks, pa.string()),
+            "df": top.column("df"),
+            "tf": pa.array([tf_of[w] for w in toks], pa.int64()),
+        }
+    )
+
+
 def q_word_bigrams(sf_dir: str):
     """Corpus-wide top-50 adjacent word bigrams by count (ties broken by
     words ascending — a full deterministic ordering, so the SQL mirror's
@@ -824,6 +880,17 @@ ORACLE_SQL = {
         )
         SELECT source, w, tf, rnk FROM ranked WHERE rnk <= 10
         ORDER BY source, rnk
+    """,
+    "vocab_table": """
+        WITH words AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents
+        ), t AS (
+            SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+            FROM words GROUP BY tok
+        )
+        SELECT tok, df, tf FROM t WHERE df >= 5
+        ORDER BY df DESC, tok LIMIT 100
     """,
     "word_bigrams": """
         WITH s AS (SELECT string_split(text, ' ') AS ws FROM documents),

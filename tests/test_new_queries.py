@@ -19,6 +19,7 @@ NEW_QUERIES = [
     "top_supplier",
     "market_share",
     "dedup_canonical",
+    "vocab_table",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
