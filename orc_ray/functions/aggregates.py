@@ -591,3 +591,59 @@ def with_group_tie_ranks(ds, keys: list[str], order_by: list[str],
         for r, (cr, cu, co, ck) in zip(refs, carries)
     ]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def group_median_disc(ds, key: str, val: str, tiebreak: str) -> "pa.Table":
+    """EXACT per-group discrete median (PERCENTILE_DISC(0.5) — the value
+    at within-group rank ceil(n/2)) of integer column ``val``, returned
+    as a tiny (key, val) Table.
+
+    The q_median_value shape, factored for reuse (MAD needs it twice):
+    group counts are a small aggregate; within-group ranks come from ONE
+    global sort by (key, val, tiebreak) + the distributed prefix scan of
+    ones; the pick compares each row's global rank against its group's
+    target — no per-group sort, no driver-side value lists; the result
+    is O(groups)."""
+    import ray
+
+    counts = agg_by_keys(ds, [key], [(val, "count_all", "n")])
+    ct = pa.concat_tables(
+        [b for b in counts.iter_batches(batch_format="pyarrow", batch_size=None)]
+    ).combine_chunks()
+    keys_list = ct.column(key).to_pylist()
+    ns = ct.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    order_k = np.argsort(np.asarray(keys_list, dtype=object))
+    keys_list = [keys_list[i] for i in order_k]
+    ns = ns[order_k]
+    group_start = np.zeros(len(keys_list), dtype=np.int64)
+    np.cumsum(ns[:-1], out=group_start[1:])
+    targets = group_start + (ns + 1) // 2
+    key_type = ct.column(key).type
+    tref = ray.put((pa.array(keys_list, key_type), targets))
+
+    ones = ds.map_batches(
+        lambda t: t.append_column("one", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    scanned = with_prefix_sum(ones, [key, val, tiebreak], "one", out="rank", inclusive=True)
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        type_arr, tgt_ranks = ray.get(tref)
+        ranks = t.column("rank").to_numpy(zero_copy_only=False)
+        idx = pc.index_in(t.column(key), value_set=type_arr)
+        tgt = np.r_[tgt_ranks, -1][
+            pc.fill_null(idx, len(tgt_ranks)).to_numpy(zero_copy_only=False).astype(np.int64)
+        ]
+        sub = t.filter(pa.array(ranks == tgt))
+        return pa.table({key: sub.column(key), val: sub.column(val)})
+
+    parts = [
+        b
+        for b in scanned.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    return pa.concat_tables(parts).combine_chunks().sort_by(key)

@@ -106,6 +106,7 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "corr_moments": q_corr_moments,
     "nation_revenue": q_nation_revenue,
+    "mad_value": q_mad_value,
     "volume_shipping": q_volume_shipping,
     "custdist": q_custdist,
     "top_supplier": q_top_supplier,

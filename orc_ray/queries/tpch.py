@@ -234,63 +234,32 @@ def q_median_value(sf_dir: str):
     counts are a tiny aggregate; ranks come from ONE global sort by
     (group, value, tiebreak) + the distributed prefix scan of ones —
     no per-group sort, no driver-side value lists.  Exact quantiles are
-    inherently rank-selection; this is the sort-once shape that scales."""
-    import ray
-
-    from ..functions.aggregates import with_prefix_sum
+    inherently rank-selection; this is the sort-once shape that scales
+    (core factored into functions/aggregates.group_median_disc — MAD
+    reuses it twice)."""
+    from ..functions.aggregates import group_median_disc
 
     ds = _decoded(sf_dir, "events", columns=["event_id", "event_type", "value"])
 
-    # group counts (bounded distinct types) -> per-type target global rank
-    def cnt(t: pa.Table) -> pa.Table:
-        return t.group_by("event_type").aggregate([("value", "count")])
-
-    counts = _to_table(ds.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True))
-    counts = counts.group_by("event_type").aggregate([("value_count", "sum")])
-    types = counts.column("event_type").to_pylist()
-    ns = counts.column("value_count_sum").to_numpy(zero_copy_only=False).astype(np.int64)
-    order_t = np.argsort(np.asarray(types, dtype=object))
-    types = [types[i] for i in order_t]
-    ns = ns[order_t]
-    group_start = np.zeros(len(types), dtype=np.int64)
-    np.cumsum(ns[:-1], out=group_start[1:])
-    # global rank of each group's median element ((n+1)//2 within group)
-    targets = group_start + (ns + 1) // 2
-    tref = ray.put((pa.array(types, pa.string()), targets))
-
-    ones = ds.map_batches(
-        lambda t: t.append_column("one", pa.array(np.ones(t.num_rows, np.int64))),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    scanned = with_prefix_sum(
-        ones, ["event_type", "value", "event_id"], "one", out="rank", inclusive=True
-    )
-
-    def pick(t: pa.Table) -> pa.Table:
-        # vectorized: map each row's group to its target rank (index_in +
-        # take), keep rows whose global rank equals it — no per-row Python
-        type_arr, tgt_ranks = ray.get(tref)
-        ranks = t.column("rank").to_numpy(zero_copy_only=False)
-        idx = pc.index_in(t.column("event_type"), value_set=type_arr)
-        tgt = np.r_[tgt_ranks, -1][
-            pc.fill_null(idx, len(tgt_ranks)).to_numpy(zero_copy_only=False).astype(np.int64)
-        ]
-        sub = t.filter(pa.array(ranks == tgt))
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         return pa.table(
             {
-                "event_type": sub.column("event_type"),
-                "median_cents": pa.array(
-                    np.rint(sub.column("value").to_numpy(zero_copy_only=False) * 100).astype(
-                        np.int64
-                    )
-                ),
+                "event_type": t.column("event_type"),
+                "event_id": t.column("event_id"),
+                "v": pa.array(v),
             }
         )
 
-    return _to_table(
-        scanned.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
-    ).sort_by("event_type")
+    med = group_median_disc(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        "v",
+        "event_id",
+    )
+    return pa.table(
+        {"event_type": med.column("event_type"), "median_cents": med.column("v")}
+    )
 
 
 def q_running_revenue(sf_dir: str):
@@ -2860,6 +2829,62 @@ def q_market_share(sf_dir: str):
     ).sort_by("o_year")
 
 
+def q_mad_value(sf_dir: str):
+    """Per-group median absolute deviation — the robust spread statistic
+    outlier-filtering pipelines use where stddev is skew-poisoned.  Two
+    EXACT distributed disc-median passes (functions/aggregates.
+    group_median_disc): pass 1 gives each type's median in cents; the
+    O(groups) result broadcasts back, a map stage emits |x - med|, and
+    pass 2 takes the median of deviations.  Each pass is one global sort
+    + prefix scan; the driver only ever holds O(groups) rows."""
+    import ray
+
+    from ..functions.aggregates import group_median_disc
+
+    ds = _decoded(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "event_id": t.column("event_id"),
+                "v": pa.array(v),
+            }
+        )
+
+    dsc = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    med = group_median_disc(dsc, "event_type", "v", "event_id")
+    mref = ray.put((med.column("event_type").combine_chunks(), med.column("v").to_numpy()))
+
+    def dev(t: pa.Table, *, ref=mref) -> pa.Table:
+        types, meds = ray.get(ref)
+        idx = pc.index_in(t.column("event_type"), value_set=types)
+        m = meds[idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+        d = np.abs(t.column("v").to_numpy(zero_copy_only=False) - m)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "event_id": t.column("event_id"),
+                "d": pa.array(d),
+            }
+        )
+
+    mad = group_median_disc(
+        dsc.map_batches(dev, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        "d",
+        "event_id",
+    )
+    return pa.table(
+        {
+            "event_type": med.column("event_type"),
+            "median_cents": med.column("v"),
+            "mad_cents": mad.column("d"),
+        }
+    )
+
+
 # --- DuckDB oracle SQL for this domain's queries; assembled into the
 # driver-contract registry by queries/__init__ (zero behavior change —
 # the SQL lives beside the pipeline it mirrors).
@@ -2986,6 +3011,37 @@ ORACLE_SQL = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name ORDER BY rev_e4 DESC, n_name
+    """,
+    "mad_value": """
+        WITH v AS (
+            SELECT event_type, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS ve2
+            FROM events
+        ),
+        m AS (
+            SELECT event_type, ve2 AS med FROM (
+                SELECT event_type, ve2,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY ve2, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM v
+            ) WHERE rn = (n + 1) // 2
+        ),
+        d AS (
+            SELECT v.event_type, v.event_id, ABS(v.ve2 - m.med) AS dd
+            FROM v JOIN m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, dd AS mad FROM (
+                SELECT event_type, dd,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY dd, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM d
+            ) WHERE rn = (n + 1) // 2
+        )
+        SELECT m.event_type, m.med AS median_cents, mad.mad AS mad_cents
+        FROM m JOIN mad USING (event_type) ORDER BY m.event_type
     """,
     "volume_shipping": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -20,6 +20,7 @@ NEW_QUERIES = [
     "market_share",
     "dedup_canonical",
     "vocab_table",
+    "mad_value",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
