@@ -107,6 +107,7 @@ QUERIES = {
     "corr_moments": q_corr_moments,
     "nation_revenue": q_nation_revenue,
     "mad_value": q_mad_value,
+    "full_join_daily": q_full_join_daily,
     "volume_shipping": q_volume_shipping,
     "custdist": q_custdist,
     "top_supplier": q_top_supplier,

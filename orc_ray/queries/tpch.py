@@ -2885,6 +2885,94 @@ def q_mad_value(sf_dir: str):
     )
 
 
+def q_full_join_daily(sf_dir: str):
+    """FULL OUTER join — the one join arm the engine's inner/left
+    join_adaptive doesn't provide directly, composed from existing
+    distributed operators instead of a new shuffle primitive: daily
+    order revenue ⟗ daily event counts.  Both inputs are first reduced
+    to O(days) through sum_by_keys; the left arm comes from
+    join_adaptive(how='left'); the right-only rows come from
+    join_semi_anti(anti=True) on the same key — union of the two is the
+    FULL OUTER result, with presence flags instead of NULLs (int nulls
+    don't hash-compare across pandas/DuckDB)."""
+    from ..functions.aggregates import sum_by_keys
+    from ..functions.joins import join_adaptive, join_semi_anti
+
+    DAY_US = 86_400_000_000
+
+    orders = _decoded(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def od(t: pa.Table) -> pa.Table:
+        us = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        return pa.table({"day": pa.array(us // DAY_US), "revenue_cents": pa.array(cents)})
+
+    rev = sum_by_keys(
+        orders.map_batches(od, batch_format="pyarrow", zero_copy_batch=True),
+        ["day"],
+        "revenue_cents",
+    ).materialize()  # consumed twice: left-join stream + anti-join key set
+
+    events = _decoded(sf_dir, "events", columns=["ts"])
+
+    def ed(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"day": pa.array(us // DAY_US), "one": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    cnt = sum_by_keys(
+        events.map_batches(ed, batch_format="pyarrow", zero_copy_batch=True),
+        ["day"],
+        "one",
+        out="n_events",
+    ).materialize()  # consumed twice: left-join payload + anti-join probe
+
+    left = join_adaptive(rev, cnt, "day", "day", ["n_events"], how="left")
+
+    def left_row(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                    "has_orders": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "has_events": pa.array([], pa.int64()),
+                }
+            )
+        ne = t.column("n_events").cast(pa.int64())
+        return pa.table(
+            {
+                "day": t.column("day"),
+                "revenue_cents": t.column("revenue_cents"),
+                "has_orders": pa.array(np.ones(t.num_rows, np.int64)),
+                "n_events": pc.fill_null(ne, 0),
+                "has_events": pc.is_valid(ne).cast(pa.int64()),
+            }
+        )
+
+    def right_only(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, np.int64))
+        return pa.table(
+            {
+                "day": t.column("day"),
+                "revenue_cents": z,
+                "has_orders": z,
+                "n_events": t.column("n_events"),
+                "has_events": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    right = join_semi_anti(cnt, rev, "day", "day", anti=True)
+    full = left.map_batches(left_row, batch_format="pyarrow", zero_copy_batch=True).union(
+        right.map_batches(right_only, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return _to_table(full).sort_by("day")
+
+
 # --- DuckDB oracle SQL for this domain's queries; assembled into the
 # driver-contract registry by queries/__init__ (zero behavior change —
 # the SQL lives beside the pipeline it mirrors).
@@ -3011,6 +3099,26 @@ ORACLE_SQL = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name ORDER BY rev_e4 DESC, n_name
+    """,
+    "full_join_daily": """
+        WITH od AS (
+            SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders GROUP BY 1
+        ),
+        ed AS (
+            SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1
+        )
+        SELECT COALESCE(od.day, ed.day) AS day,
+               COALESCE(od.revenue_cents, 0) AS revenue_cents,
+               CASE WHEN od.day IS NULL THEN 0 ELSE 1 END AS has_orders,
+               COALESCE(ed.n_events, 0) AS n_events,
+               CASE WHEN ed.day IS NULL THEN 0 ELSE 1 END AS has_events
+        FROM od FULL OUTER JOIN ed ON od.day = ed.day
+        ORDER BY day
     """,
     "mad_value": """
         WITH v AS (

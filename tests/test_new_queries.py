@@ -21,6 +21,7 @@ NEW_QUERIES = [
     "dedup_canonical",
     "vocab_table",
     "mad_value",
+    "full_join_daily",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
