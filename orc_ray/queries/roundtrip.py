@@ -175,14 +175,10 @@ def q_predicate_pushdown(sf_dir: str):
     return _decoded(sf_dir, "lineitem", predicates=[("l_orderkey", "<", 100)])
 
 
-def q_acid_table_read(sf_dir: str):
-    """Versioned keyed table (the Hive-ACID-on-ORC analog,
-    orc_ray/state/table.py): orders becomes the base store, two delta
-    commits apply updates, deletes and a last-writer-wins overwrite, and
-    the merge-on-read stream is aggregated per order status.  The SQL
-    oracle replays the same commit sequence with a seq-ordered
-    ROW_NUMBER — value-exact, so upsert/delete/LWW semantics are pinned
-    to SQL, not just to unit tests.
+def acid_table_for(sf_dir: str) -> str:
+    """Build (once, cached) the shared versioned orders table: base store
+    + two deterministic delta commits (the q_acid_table_read fixture,
+    factored out so ivm_revenue maintains its view over the SAME table).
 
     Deltas (deterministic, from the base itself):
       seq 1 'u': every o_orderkey % 97 == 0 -> totalprice + 1000,
@@ -190,7 +186,7 @@ def q_acid_table_read(sf_dir: str):
       seq 2 'u': % 97 == 0 AND odd AND % 193 != 0 -> totalprice + 2000
                  (overwrites seq 1 — last writer wins)
       seq 2 'd': % 193 == 0 (deletes, incl. keys seq 1 updated)"""
-    from ..state.table import append_delta, create_table, load_meta, read_table
+    from ..state.table import append_delta, create_table, load_meta
 
     src = os.path.join(sf_dir, "orders.parquet")
     tdir = os.path.join(
@@ -231,8 +227,27 @@ def q_acid_table_read(sf_dir: str):
         d2u = mk_delta((k % 97 == 0) & (k % 2 == 1) & (k % 193 != 0), 2000.0, "u", "0-UPDATED")
         d2d = mk_delta(k % 193 == 0, None, "d", None)
         append_delta(tdir, pa.concat_tables([d2u, d2d]))
+    return tdir
 
-    ds = read_table(tdir)
+
+def q_acid_table_read(sf_dir: str):
+    """Versioned keyed table (the Hive-ACID-on-ORC analog,
+    orc_ray/state/table.py): orders becomes the base store, two delta
+    commits apply updates, deletes and a last-writer-wins overwrite, and
+    the merge-on-read stream is aggregated per order status.  The SQL
+    oracle replays the same commit sequence with a seq-ordered
+    ROW_NUMBER — value-exact, so upsert/delete/LWW semantics are pinned
+    to SQL, not just to unit tests.
+
+    Deltas (deterministic, from the base itself):
+      seq 1 'u': every o_orderkey % 97 == 0 -> totalprice + 1000,
+                 priority '0-UPDATED'
+      seq 2 'u': % 97 == 0 AND odd AND % 193 != 0 -> totalprice + 2000
+                 (overwrites seq 1 — last writer wins)
+      seq 2 'd': % 193 == 0 (deletes, incl. keys seq 1 updated)"""
+    from ..state.table import read_table
+
+    ds = read_table(acid_table_for(sf_dir))
 
     def partial(t: pa.Table) -> pa.Table:
         cents = np.rint(t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
@@ -270,6 +285,114 @@ def q_acid_table_read(sf_dir: str):
             "n": final.column("n_sum"),
         }
     ).sort_by("o_orderstatus")
+
+
+def q_ivm_revenue(sf_dir: str):
+    """Incremental view maintenance over the versioned orders table: the
+    materialized view SUM(price)/COUNT(*) GROUP BY o_orderstatus is
+    maintained commit-by-commit instead of recomputed — the lakehouse
+    refresh pattern (Hive ACID / Delta incremental MV).
+
+    Algorithm (exact delta-join IVM): aggregate the base (version 0)
+    once; then for each commit v, ADD the commit's 'u' rows and SUBTRACT
+    the previously-visible rows of every key the commit touches ('u'
+    overwrites and 'd' deletes both retract their old row).  The old
+    rows come from a time-travel read at version v-1 filtered to the
+    commit's key set inside map_batches (bounded by the delta size — the
+    base streams, nothing O(table) concentrates).  The SQL oracle
+    recomputes the view from scratch over the replayed final state, so
+    a drift anywhere in the incremental path is a hash mismatch."""
+    import ray
+
+    from ..functions.aggregates import agg_by_keys
+    from ..state.table import load_meta, read_table
+
+    tdir = acid_table_for(sf_dir)
+    meta = load_meta(tdir)
+    key = meta["key"]
+    latest = meta["version"]
+    spec_of = {v["version"]: v for v in meta["versions"]}
+    COLS = [key, "o_orderstatus", "o_totalprice"]
+
+    def stage(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        return pa.table({"o_orderstatus": t.column("o_orderstatus"), "cents": pa.array(cents)})
+
+    def agg_stream(ds) -> pa.Table:
+        rows = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+        return _to_table(
+            agg_by_keys(
+                rows,
+                ["o_orderstatus"],
+                [("cents", "sum", "s"), ("cents", "count_all", "n")],
+            )
+        )
+
+    view: dict[str, list[int]] = {}
+
+    def apply(t: pa.Table, sign: int) -> None:
+        for st_, s_, n_ in zip(
+            t.column("o_orderstatus").to_pylist(),
+            t.column("s").to_pylist(),
+            t.column("n").to_pylist(),
+        ):
+            acc = view.setdefault(st_, [0, 0])
+            acc[0] += sign * s_
+            acc[1] += sign * n_
+
+    apply(agg_stream(read_table(tdir, version=0, columns=COLS)), +1)
+
+    for v in range(1, latest + 1):
+        name = spec_of[v]["deltas"][-1]  # one delta store per commit
+        commit = _to_table(decode_dataset(os.path.join(tdir, name)))
+        ups = commit.filter(pc.equal(commit.column("_op"), "u"))
+        if ups.num_rows:
+            g = (
+                pa.table(
+                    {
+                        "o_orderstatus": ups.column("o_orderstatus"),
+                        "cents": pa.array(
+                            np.rint(
+                                ups.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+                            ).astype(np.int64)
+                        ),
+                        "one": pa.array(np.ones(ups.num_rows, np.int64)),
+                    }
+                )
+                .group_by("o_orderstatus")
+                .aggregate([("cents", "sum"), ("one", "sum")])
+            )
+            apply(
+                pa.table(
+                    {
+                        "o_orderstatus": g.column("o_orderstatus"),
+                        "s": g.column("cents_sum"),
+                        "n": g.column("one_sum"),
+                    }
+                ),
+                +1,
+            )
+        # retract the previously-visible row of EVERY touched key
+        kref = ray.put(commit.column(key).combine_chunks())
+
+        def touched(t: pa.Table, *, ref=kref) -> pa.Table:
+            return t.filter(pc.is_in(t.column(key), value_set=ray.get(ref)))
+
+        prev = read_table(tdir, version=v - 1, columns=COLS).map_batches(
+            touched, batch_format="pyarrow", zero_copy_batch=True
+        )
+        apply(agg_stream(prev), -1)
+
+    statuses = sorted(s for s, (sm, n) in view.items() if n > 0)
+    return pa.table(
+        {
+            "o_orderstatus": pa.array(statuses, pa.string()),
+            "revenue_cents": pa.array([view[s][0] for s in statuses], pa.int64()),
+            "n_orders": pa.array([view[s][1] for s in statuses], pa.int64()),
+        }
+    )
 
 
 def q_shuffled_documents(sf_dir: str):
@@ -635,6 +758,32 @@ ORACLE_SQL = {
     "orc_file_roundtrip": "SELECT * FROM lineitem",
     # versioned-table merge-on-read: SQL replays the same commit sequence
     # (seq-ordered ROW_NUMBER = last writer wins; op 'd' rows delete)
+    "ivm_revenue": """
+        WITH all_rows AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS seq, 'u' AS op
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice + 1000, 1, 'u'
+            FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice + 2000, 2, 'u'
+            FROM orders
+            WHERE o_orderkey % 97 = 0 AND o_orderkey % 2 = 1 AND o_orderkey % 193 <> 0
+            UNION ALL
+            SELECT o_orderkey, NULL, NULL, 2, 'd'
+            FROM orders WHERE o_orderkey % 193 = 0
+        ),
+        latest AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+            FROM all_rows
+        )
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents,
+               COUNT(*) AS n_orders
+        FROM latest WHERE rn = 1 AND op = 'u'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "acid_table_read": """
         WITH all_rows AS (
             SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,

@@ -22,6 +22,7 @@ NEW_QUERIES = [
     "vocab_table",
     "mad_value",
     "full_join_daily",
+    "ivm_revenue",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
