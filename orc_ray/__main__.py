@@ -112,6 +112,9 @@ def cmd_decode(a) -> int:
         columns=a.columns.split(",") if a.columns else None,
         predicates=_parse_where(a.where),
         keys=_load_keystore(a.keystore) if a.keystore else None,
+        # interactive preview: push the row cap into the chunk plan so a
+        # 100-TB store answers `decode --limit 3` from one chunk
+        limit=None if a.out else a.limit,
     )
     if a.out:
         # partitioned export: one directory per key value (hive layout) —

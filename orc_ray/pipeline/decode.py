@@ -522,8 +522,17 @@ def decode_dataset(
     verify_checksums: bool | None = None,
     keys: dict | None = None,
     encoded_vectors: bool = False,
+    limit: int | None = None,
 ) -> "ray.data.Dataset":
     """Lazy decode of a chunk store into a Dataset of original rows.
+
+    ``limit``: read at most N rows (no defined order, like SQL LIMIT
+    without ORDER BY).  PUSHED DOWN to the chunk plan: with no
+    predicates the manifest's per-chunk n_rows cuts the chunk list to
+    the shortest prefix covering N rows BEFORE any I/O (the RowReader
+    seek/stop analog); with predicates every surviving chunk stays
+    planned (matched counts are unknown pre-decode) and the streaming
+    executor's Dataset.limit stops the scan early instead.
 
     ``encoded_vectors=True`` (ORC's setEncodedVectorAllowed /
     EncodedStringVectorBatch analog) returns every eligible top-level
@@ -556,6 +565,11 @@ def decode_dataset(
         # fail on the driver, not inside the first decode task
         raise ValueError("encoded_vectors is incompatible with cast_schema")
     paths, kept, total = list_chunks(out_dir, predicates)
+    if limit is not None:
+        if limit <= 0:
+            return ray.data.from_arrow(pa.table({}))
+        if not predicates:
+            paths = _limit_prefix(out_dir, paths, limit)
     if not paths:
         return ray.data.from_arrow(pa.table({}))
     # direct-read: encoded chunk bytes are read inside the decode task and
@@ -563,7 +577,7 @@ def decode_dataset(
     # blocks do.  Plain-function map_batches (task pool): task workers are
     # reused across pipelines, keeping heaps warm — see encode.py rationale
     ds = ray.data.from_items([{"path": p} for p in paths])
-    return ds.map_batches(
+    out = ds.map_batches(
         functools.partial(
             _decode_batch,
             columns=columns,
@@ -579,3 +593,27 @@ def decode_dataset(
         concurrency=concurrency,
         num_cpus=1,
     )
+    return out.limit(limit) if limit is not None else out
+
+
+def _limit_prefix(out_dir: str, paths: list[str], limit: int) -> list[str]:
+    """Shortest prefix of ``paths`` whose manifest n_rows cover ``limit``
+    (chunks beyond it are never read).  Falls back to all paths when a
+    chunk is missing from the manifest (pre-commit read)."""
+    man = mstate.read_manifest(out_dir)
+    if man.num_rows == 0:
+        return paths
+    rows_of = dict(
+        zip(man.column("chunk_id").to_pylist(), man.column("n_rows").to_pylist())
+    )
+    keep, acc = [], 0
+    for p in paths:
+        cid = os.path.splitext(os.path.basename(p))[0]
+        n = rows_of.get(cid)
+        if n is None:
+            return paths
+        keep.append(p)
+        acc += int(n)
+        if acc >= limit:
+            return keep
+    return keep

@@ -162,3 +162,34 @@ def test_salted_shuffle_bounds_chunk_length_spread(ray_session, tmp_path):
         spreads.append(st["max"] / st["min"])
     # and the corpus itself really is skewed ~256x
     assert lens.max() / lens.min() > 100
+
+
+def test_limit_pushdown(ray_session, f1_files, tmp_path):
+    """decode_dataset(limit=N): row cap honored AND the chunk plan is cut
+    to the shortest manifest-row prefix before any I/O (no predicates);
+    with predicates the cap still holds via the streaming limit."""
+    from orc_ray.pipeline.decode import _limit_prefix
+
+    in_dir, paths = f1_files
+    out = str(tmp_path / "store")
+    encode_dataset(in_dir, out, batch_size=500)  # 8000 rows -> 16 chunks
+    all_paths, _, total = list_chunks(out)
+    assert total >= 8
+
+    # plan pruning: 3 rows needs exactly one chunk; 1200 rows needs 3
+    assert len(_limit_prefix(out, all_paths, 3)) == 1
+    assert len(_limit_prefix(out, all_paths, 1200)) == 3
+    assert _limit_prefix(out, all_paths, 10**9) == all_paths
+
+    t = ray_get_table(decode_dataset(out, limit=3))
+    assert t.num_rows == 3
+    t = ray_get_table(decode_dataset(out, limit=1200, columns=["doc_id"]))
+    assert t.num_rows == 1200 and t.column_names == ["doc_id"]
+    # limit over the full size returns everything
+    assert ray_get_table(decode_dataset(out, limit=10**9)).num_rows == 8000
+    # limit <= 0 -> empty
+    assert ray_get_table(decode_dataset(out, limit=0)).num_rows == 0
+    # with predicates: cap still exact, rows all satisfy the predicate
+    got = ray_get_table(decode_dataset(out, predicates=[("n_tok", ">", 64)], limit=5))
+    assert got.num_rows == 5
+    assert pc.min(got.column("n_tok")).as_py() > 64
