@@ -617,3 +617,75 @@ def _limit_prefix(out_dir: str, paths: list[str], limit: int) -> list[str]:
         if acc >= limit:
             return keep
     return keep
+
+
+def store_schema(out_dir: str, keys: dict | None = None) -> pa.Schema:
+    """Arrow schema of a store from ONE chunk (the limit-pushdown plan
+    reads a single blob — the ORC footer-schema analog; our chunks are
+    self-describing, so the first chunk's decoded schema IS the store's)."""
+    ds = decode_dataset(out_dir, keys=keys, limit=1)
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        return b.schema
+    return pa.schema([])
+
+
+def decode_union(stores: list[str], *, predicates: list[tuple] | None = None,
+                  keys: dict | None = None) -> "ray.data.Dataset":
+    """Union-by-name read across stores whose schemas EVOLVED — the
+    lakehouse multi-snapshot scan (Iceberg/Delta union-by-name; ORC's
+    SchemaEvolution applied across files rather than within one).
+
+    The unified reader schema comes from pyarrow.unify_schemas
+    (permissive promotion: int32 -> int64, float -> double, ...); each
+    store decodes with the existing cast_schema conversion layer for
+    columns whose type changed, and a per-batch fill stage adds typed
+    NULL columns for fields the store never had.  Column order is
+    normalized to the unified schema, so downstream unions are
+    schema-stable.
+
+    ``predicates`` must reference columns present in EVERY store (a
+    missing column reads as NULL, which would silently drop that
+    store's rows from chunk pruning) — violated -> ValueError."""
+    import functools
+
+    import ray
+
+    schemas = [store_schema(s, keys=keys) for s in stores]
+    uni = pa.unify_schemas(schemas, promote_options="permissive")
+    if predicates:
+        need = set()
+        for p in predicates:
+            need |= _pred_columns(p)
+        for s, sch in zip(stores, schemas):
+            missing = need - set(sch.names)
+            if missing:
+                raise ValueError(
+                    f"predicate columns {sorted(missing)} absent from store {s}; "
+                    "union-by-name predicates must exist in every store"
+                )
+
+    def fill(t: pa.Table, *, uni=uni) -> pa.Table:
+        return pa.table(
+            {
+                f.name: (
+                    t.column(f.name) if f.name in t.column_names else pa.nulls(t.num_rows, f.type)
+                )
+                for f in uni
+            }
+        )
+
+    parts = []
+    for s, sch in zip(stores, schemas):
+        cast = {
+            f.name: uni.field(f.name).type
+            for f in sch
+            if f.type != uni.field(f.name).type
+        }
+        ds = decode_dataset(s, predicates=predicates, cast_schema=cast or None, keys=keys)
+        parts.append(
+            ds.map_batches(functools.partial(fill), batch_format="pyarrow", zero_copy_batch=True)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -35,6 +35,7 @@ QUERIES = {
     "orc_file_roundtrip": q_orc_file_roundtrip,
     "acid_table_read": q_acid_table_read,
     "ivm_revenue": q_ivm_revenue,
+    "schema_union_read": q_schema_union_read,
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_v011": q_roundtrip_v011,
     "roundtrip_embeddings": q_roundtrip_embeddings,

@@ -395,6 +395,84 @@ def q_ivm_revenue(sf_dir: str):
     )
 
 
+def q_schema_union_read(sf_dir: str):
+    """Union-by-name read across two stores whose schemas EVOLVED
+    (pipeline/decode.decode_union — the Iceberg/Delta multi-snapshot
+    scan; ORC SchemaEvolution applied ACROSS files): store A holds
+    orders (o_orderkey int64, o_orderstatus, o_totalprice), store B a
+    later layout (o_orderkey written as int32, o_orderpriority only).
+    The unified reader schema promotes the key back to int64 through
+    the convert layer, fills typed NULLs for absent columns, and the
+    per-side aggregate (grouped on status presence) is oracle-exact —
+    so promotion, null-fill and column-order normalization are all
+    pinned to SQL."""
+    from ..functions.aggregates import agg_by_keys
+    from ..pipeline.decode import decode_union
+    from ..state.manifest import load_committed
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]
+    expected = pq.read_metadata(src).num_rows
+
+    store_a = os.path.join(CACHE_ROOT, f"orders-evoA-{tag}")
+    if load_committed(store_a)["files"].get(src) != expected:
+        encode_dataset(
+            [src], store_a, DEFAULT_OPTIONS,
+            columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+            resume=True, batch_size=16384,
+        )
+
+    store_b = os.path.join(CACHE_ROOT, f"orders-evoB-{tag}")
+    if load_committed(store_b)["totals"].get("rows") != expected:
+        narrow = ray.data.read_parquet(src, columns=["o_orderkey", "o_orderpriority"])
+
+        def narrow_key(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_orderkey": t.column("o_orderkey").cast(pa.int32()),
+                    "o_orderpriority": t.column("o_orderpriority"),
+                }
+            )
+
+        encode_dataset(
+            [], store_b, DEFAULT_OPTIONS,
+            ds=narrow.map_batches(narrow_key, batch_format="pyarrow", zero_copy_batch=True),
+            batch_size=16384,
+        )
+
+    u = decode_union([store_a, store_b])
+
+    def stage(t: pa.Table) -> pa.Table:
+        has_status = pc.is_valid(t.column("o_orderstatus")).cast(pa.int64())
+        cents = pa.array(
+            np.rint(
+                pc.fill_null(t.column("o_totalprice"), 0.0).to_numpy(zero_copy_only=False)
+                * 100
+            ).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "has_status": has_status,
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "okey": t.column("o_orderkey"),
+                "cents": cents,
+                "prio": pc.is_valid(t.column("o_orderpriority")).cast(pa.int64()),
+            }
+        )
+
+    agg = agg_by_keys(
+        u.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["has_status"],
+        [
+            ("one", "sum", "n"),
+            ("okey", "sum", "key_sum"),
+            ("cents", "sum", "cents"),
+            ("prio", "sum", "n_prio"),
+        ],
+    )
+    return _to_table(agg).sort_by("has_status")
+
+
 def q_shuffled_documents(sf_dir: str):
     """Deterministic global shuffle (pipeline/encode.shuffle_store) then
     full decode: content must be byte-identical to the source (the
@@ -758,6 +836,22 @@ ORACLE_SQL = {
     "orc_file_roundtrip": "SELECT * FROM lineitem",
     # versioned-table merge-on-read: SQL replays the same commit sequence
     # (seq-ordered ROW_NUMBER = last writer wins; op 'd' rows delete)
+    "schema_union_read": """
+        WITH u AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   CAST(NULL AS VARCHAR) AS o_orderpriority
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, NULL, NULL, o_orderpriority FROM orders
+        )
+        SELECT CASE WHEN o_orderstatus IS NULL THEN 0 ELSE 1 END AS has_status,
+               COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(COALESCE(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0))
+                    AS BIGINT) AS cents,
+               COUNT(o_orderpriority) AS n_prio
+        FROM u GROUP BY has_status ORDER BY has_status
+    """,
     "ivm_revenue": """
         WITH all_rows AS (
             SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS seq, 'u' AS op

@@ -23,6 +23,7 @@ NEW_QUERIES = [
     "mad_value",
     "full_join_daily",
     "ivm_revenue",
+    "schema_union_read",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",

@@ -193,3 +193,41 @@ def test_limit_pushdown(ray_session, f1_files, tmp_path):
     got = ray_get_table(decode_dataset(out, predicates=[("n_tok", ">", 64)], limit=5))
     assert got.num_rows == 5
     assert pc.min(got.column("n_tok")).as_py() > 64
+
+
+def test_decode_union_by_name(ray_session, tmp_path):
+    """Union-by-name across evolved stores: int32->int64 promotion,
+    typed NULL fill for absent columns, stable column order, and the
+    predicate-must-exist-everywhere guard."""
+    import pyarrow.parquet as _pq
+
+    from orc_ray.pipeline.decode import decode_union, store_schema
+
+    a_src = str(tmp_path / "a.parquet")
+    b_src = str(tmp_path / "b.parquet")
+    _pq.write_table(
+        pa.table({"k": pa.array([1, 2, 3], pa.int32()), "s": pa.array(["x", "y", "z"])}),
+        a_src,
+    )
+    _pq.write_table(
+        pa.table({"k": pa.array([10, 20], pa.int64()), "v": pa.array([1.5, 2.5])}),
+        b_src,
+    )
+    sa, sb = str(tmp_path / "sa"), str(tmp_path / "sb")
+    encode_dataset([a_src], sa)
+    encode_dataset([b_src], sb)
+    assert store_schema(sa).field("k").type == pa.int32()
+
+    got = ray_get_table(decode_union([sa, sb])).sort_by("k")
+    assert got.schema.field("k").type == pa.int64()
+    assert got.column_names == ["k", "s", "v"]  # unified order on both sides
+    assert got.column("k").to_pylist() == [1, 2, 3, 10, 20]
+    assert got.column("s").to_pylist() == ["x", "y", "z", None, None]
+    assert got.column("v").to_pylist() == [None, None, None, 1.5, 2.5]
+
+    # predicate over a common column works (and prunes per store)
+    f = ray_get_table(decode_union([sa, sb], predicates=[("k", ">", 2)]))
+    assert sorted(f.column("k").to_pylist()) == [3, 10, 20]
+    # predicate over a one-sided column is rejected loudly
+    with pytest.raises(ValueError, match="absent from store"):
+        decode_union([sa, sb], predicates=[("v", ">", 0.0)])
