@@ -68,6 +68,11 @@ def cmd_encode(a) -> int:
             if "=" not in kv:
                 raise SystemExit(f"--char expects COL=char(n)|varchar(n), got {kv!r}")
         opts.char_specs = dict(kv.split("=", 1) for kv in a.char)
+    if a.column_compression:
+        for kv in a.column_compression:
+            if "=" not in kv:
+                raise SystemExit(f"--column-compression expects COL=codec, got {kv!r}")
+        opts.column_compression = dict(kv.split("=", 1) for kv in a.column_compression)
     rec = encode_dataset(
         a.input,
         a.store,
@@ -448,6 +453,9 @@ def main(argv=None) -> int:
     e.add_argument("--zstd-level", type=int, default=None,
                    help="default: EncodeOptions.compression_level (6)")
     e.add_argument("--strategy", default="speed", choices=["speed", "compression"])
+    e.add_argument("--column-compression", action="append",
+                   help="COL=codec second-stage override (none|zstd|lz4|snappy|gzip); "
+                        "use none for already-compressed payloads (repeatable)")
     e.add_argument("--file-version", default="0.12", choices=["0.11", "0.12"],
                    help="0.11 writes integer streams in the RLEv1-analog "
                         "run/literal+varint layout (readers need no knob)")

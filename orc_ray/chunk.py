@@ -81,6 +81,12 @@ class EncodeOptions:
     stride_rows: int = STRIDE_ROWS       # RowIndexEntry stride (rowIndexStride
     # analog, probe [P1]): per-stride min/max granularity for seek pruning
     column_codecs: dict = field(default_factory=dict)  # name -> forced codec
+    column_compression: dict = field(default_factory=dict)  # name -> codec override
+    # per-column second-stage codec (top-level columns): "none" for
+    # already-compressed payloads (media/binary — double compression burns
+    # CPU for ~0 ratio), "lz4" for decode-latency-critical columns, etc.
+    # The framing header is self-describing per buffer, so readers need
+    # no knob and stores may freely mix per-column codecs.
     bloom_columns: tuple = ()            # per-chunk bloom filters -> manifest
     bloom_fpp: float = 0.05              # reference default (probe [P1])
     masks: dict = field(default_factory=dict)  # name -> nullify|redact|sha256
@@ -777,10 +783,11 @@ def _varbytes_from_numpy(lens: np.ndarray, data: bytes, ty: pa.DataType) -> pa.A
 # ---------------------------------------------------------------------------
 # chunk serialize / deserialize
 
-def _frame_bufs(bufs: list[bytes], opts: EncodeOptions) -> list[bytes]:
+def _frame_bufs(bufs: list[bytes], opts: EncodeOptions, name: str = "") -> list[bytes]:
+    codec = opts.column_compression.get(name, opts.compression)
     return [
-        framing.compress(b, opts.compression, opts.compression_level, opts.compression_block_size)
-        if len(b) >= opts.min_compress_bytes
+        framing.compress(b, codec, opts.compression_level, opts.compression_block_size)
+        if len(b) >= opts.min_compress_bytes and codec != "none"
         else framing.compress(b, "none")
         for b in bufs
     ]
@@ -811,7 +818,7 @@ def _encode_encrypted_column(col, opts: EncodeOptions, name: str) -> tuple[dict,
     rmeta, rbufs = _encode_column(_arr(col), opts, name)
     _annotate_nbuf(rmeta, rbufs)
     enc_bufs, ivs = [], []
-    for k, fb in enumerate(_frame_bufs(rbufs, opts)):
+    for k, fb in enumerate(_frame_bufs(rbufs, opts, name)):
         iv = _aes.derive_iv(lk, name, k, hashlib.sha256(fb).digest())
         ivs.append(base64.b64encode(iv).decode())
         enc_bufs.append(_aes.aes_ctr_xor(lk, iv, fb))
@@ -824,7 +831,7 @@ def _encode_encrypted_column(col, opts: EncodeOptions, name: str) -> tuple[dict,
     marr = apply_masks(pa.table({name: _arr(col)}), {name: mask_name}).column(name)
     mmeta, mbufs = _encode_column(_arr(marr), opts, name)
     _annotate_nbuf(mmeta, mbufs)
-    mframed = _frame_bufs(mbufs, opts)
+    mframed = _frame_bufs(mbufs, opts, name)
 
     cmeta = {
         "name": name,
@@ -865,7 +872,7 @@ def encode_chunk(table: pa.Table, opts: EncodeOptions = DEFAULT_OPTIONS) -> byte
         meta, bufs = _encode_column(table.column(name), opts, name)
         _annotate_nbuf(meta, bufs)
         meta["name"] = name
-        framed = _frame_bufs(bufs, opts)
+        framed = _frame_bufs(bufs, opts, name)
         meta["buf_lens"] = [len(b) for b in framed]
         cols.append(meta)
         all_bufs.extend(framed)

@@ -163,3 +163,31 @@ def test_size_beats_reference_orc_zstd():
     po.write_table(t, sink, compression="zstd", dictionary_key_size_threshold=0.8)
     orc_size = sink.tell()
     assert len(blob) <= orc_size * 1.02, f"ours {len(blob)} vs ORC zstd {orc_size}"
+
+
+def test_per_column_compression_override():
+    """column_compression: per-column second-stage codec — 'none' skips
+    framing compression for that column only (self-describing per-buffer
+    headers: readers need no knob), other columns keep the default."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    # payload: high-entropy bytes (compression buys nothing, costs CPU)
+    payload = pa.array([rng.bytes(512) for _ in range(200)], pa.binary())
+    text = pa.array([f"the same compressible prefix {i % 9}" for i in range(200)])
+    t = pa.table({"payload": payload, "text": text})
+
+    default = encode_chunk(t, EncodeOptions())
+    mixed = encode_chunk(
+        t, EncodeOptions(column_compression={"payload": "none", "text": "lz4"})
+    )
+    assert decode_chunk(default).equals(t)
+    assert decode_chunk(mixed).equals(t)
+    # high-entropy payload framed as 'none' skips the zstd attempt: the
+    # mixed blob can't be meaningfully larger, and text still compresses
+    assert len(mixed) <= len(default) + 1024
+    nothing = encode_chunk(t, EncodeOptions(compression="none"))
+    assert len(mixed) < len(nothing)  # the text column IS still compressed
+
+    # projection decode works on the mixed blob
+    assert decode_chunk(mixed, columns=["text"]).equals(t.select(["text"]))
