@@ -647,3 +647,92 @@ def group_median_disc(ds, key: str, val: str, tiebreak: str) -> "pa.Table":
         if b.num_rows
     ]
     return pa.concat_tables(parts).combine_chunks().sort_by(key)
+
+
+def _block_key_mins(t: pa.Table, keys: list[str], val: str):
+    """(first key, last key, min(val) of the last key's rows) — carry
+    metadata for the segmented running-min scan; None for an empty block."""
+    if t.num_rows == 0:
+        return None
+    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
+    v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = _group_starts(cols)
+    first_key = tuple(c[0] for c in cols)
+    last_key = tuple(c[-1] for c in cols)
+    return first_key, last_key, int(v[int(starts[-1]):].min())
+
+
+def _add_group_cummin(t: pa.Table, keys: list[str], val: str, out: str, carry) -> pa.Table:
+    """Per-key running min within one sorted block (+ boundary carry).
+
+    Segmented cumulative min, vectorized via the offset trick: add a
+    per-segment offset of (S - seg_idx) * span so every earlier segment's
+    values sit strictly ABOVE the current segment's range — one global
+    np.minimum.accumulate then never crosses a segment boundary; subtract
+    the offset back.  min is not invertible (unlike sum), so the cumsum
+    rebase trick can't apply — this is its associative-scan counterpart."""
+    if t.num_rows == 0:
+        return pa.table({})
+    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
+    v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = _group_starts(cols)
+    n = v.size
+    S = starts.size
+    lo, hi = int(v.min()), int(v.max())
+    span = hi - lo + 1
+    if (hi + (S + 1) * span) < 2**62:  # offsets provably fit int64
+        seg_idx = np.repeat(np.arange(S, dtype=np.int64), np.diff(np.r_[starts, n]))
+        addend = (S - seg_idx) * span
+        run = np.minimum.accumulate(v + addend) - addend
+    else:  # extreme value range: per-segment accumulate (rare fallback)
+        run = np.empty(n, np.int64)
+        bounds = np.r_[starts, n]
+        for i in range(S):
+            a, b = int(bounds[i]), int(bounds[i + 1])
+            run[a:b] = np.minimum.accumulate(v[a:b])
+    if carry is not None:
+        end0 = int(starts[1]) if S > 1 else n
+        run[:end0] = np.minimum(run[:end0], carry)
+    return t.append_column(out, pa.array(run))
+
+
+def with_group_cummin(ds, keys: list[str], order_by: list[str], val: str,
+                      out: str = "run_min",
+                      descending: list[bool] | None = None):
+    """MIN(val) OVER (PARTITION BY keys ORDER BY order_by ROWS UNBOUNDED
+    PRECEDING) — the running-extremum window operator.
+
+    Same shape as with_group_prefix_sum: one range sort, per-block edge
+    tasks, an O(blocks) driver carry walk (the min of the key spanning
+    each boundary), then a vectorized per-block segmented scan; blocks
+    never touch the driver (from_arrow_refs).  Running MAX is
+    with_group_cummin over the negated column."""
+    import ray
+
+    desc = [False] * len(keys) + (descending or [False] * len(order_by))
+    sorted_ds = ds.sort(keys + order_by, descending=desc).materialize()
+    refs = [r for b in sorted_ds.iter_internal_ref_bundles() for r in b.block_refs]
+    if not refs:
+        return sorted_ds
+    edge_task = ray.remote(num_cpus=0.5)(_block_key_mins)
+    edges = ray.get([edge_task.remote(r, keys, val) for r in refs])
+    carries = []
+    prev_key, prev_min = None, None
+    for e in edges:
+        if e is None:
+            carries.append(None)
+            continue
+        first_key, last_key, last_min = e
+        carry = prev_min if first_key == prev_key else None
+        carries.append(carry)
+        if first_key == last_key and carry is not None:
+            prev_min = min(carry, last_min)
+        else:
+            prev_min = last_min
+        prev_key = last_key
+    scan_task = ray.remote(num_cpus=1)(_add_group_cummin)
+    out_refs = [
+        scan_task.remote(r, keys, val, out, None if c is None else int(c))
+        for r, c in zip(refs, carries)
+    ]
+    return ray.data.from_arrow_refs(out_refs)

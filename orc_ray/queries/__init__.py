@@ -102,6 +102,7 @@ QUERIES = {
     "gopher_filter": q_gopher_filter,
     "returned_item_revenue": q_returned_item_revenue,
     "value_rank_events": q_value_rank_events,
+    "running_low_value": q_running_low_value,
     "percentile_ranks": q_percentile_ranks,
     "normalize_text": q_normalize_text,
     "json_extract_stats": q_json_extract_stats,

@@ -906,7 +906,48 @@ def q_time_weighted_value(sf_dir: str):
 # --- DuckDB oracle SQL for this domain's queries; assembled into the
 # driver-contract registry by queries/__init__ (zero behavior change —
 # the SQL lives beside the pipeline it mirrors).
+def q_running_low_value(sf_dir: str):
+    """Running MINIMUM per user over time (MIN OVER PARTITION BY ... ROWS
+    UNBOUNDED PRECEDING) — the running-extremum window op.  min has no
+    inverse, so the prefix-SUM rebase trick can't compute it; this runs
+    the associative-scan counterpart (functions/aggregates.
+    with_group_cummin): one range sort, O(blocks) boundary-min carries,
+    vectorized segmented np.minimum.accumulate per block."""
+    from ..functions.aggregates import with_group_cummin
+
+    ds = _decoded(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "v": pa.array(v),
+            }
+        )
+
+    run = with_group_cummin(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        ["ts", "event_id"],
+        "v",
+        out="run_min_cents",
+    )
+    out = _to_table(run).select(["event_id", "run_min_cents"])
+    return out.sort_by("event_id")
+
+
 ORACLE_SQL = {
+    "running_low_value": """
+        SELECT event_id,
+               MIN(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run_min_cents
+        FROM events ORDER BY event_id
+    """,
     "asof_join_events_orders": """
         SELECT e.event_id,
                CAST(epoch(o.o_orderdate) AS BIGINT) AS asof_order_epoch

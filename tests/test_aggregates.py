@@ -173,3 +173,49 @@ def test_with_group_lag_matches_pandas(ray_session):
     assert (both_null | (merged["prev_got"] == merged["prev_exp"])).all()
     # exactly one null per key (its first row)
     assert int(merged["prev_got"].isna().sum()) == len(np.unique(k))
+
+
+def test_with_group_cummin(ray_session):
+    """Segmented running-min: brute-force parity across many blocks
+    (boundary carries), including a key spanning several blocks and the
+    extreme-range fallback path."""
+    import numpy as np
+
+    import ray
+
+    from orc_ray.functions.aggregates import _add_group_cummin, with_group_cummin
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    k = np.sort(rng.integers(0, 37, n))  # sorted keys, many spanning blocks
+    o = np.arange(n, dtype=np.int64)  # unique order column
+    v = rng.integers(-10**6, 10**6, n)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(k), "o": pa.array(o), "v": pa.array(v)})
+    ).repartition(11)
+    got = pa.concat_tables(
+        with_group_cummin(ds, ["k"], ["o"], "v", out="m").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("o")
+    # brute force per key
+    exp = np.empty(n, np.int64)
+    for key in np.unique(k):
+        m = k == key
+        exp[m] = np.minimum.accumulate(v[m])
+    np.testing.assert_array_equal(got.column("m").to_numpy(zero_copy_only=False), exp)
+
+    # extreme-range fallback (offsets would overflow int64): same kernel contract
+    lo, hi = np.iinfo(np.int64).min // 2, np.iinfo(np.int64).max // 2
+    t = pa.table(
+        {
+            "k": pa.array([0, 0, 1, 1, 1, 2], pa.int64()),
+            "v": pa.array([hi, lo, 5, -7, 3, lo], pa.int64()),
+        }
+    )
+    out = _add_group_cummin(t, ["k"], "v", "m", None)
+    assert out.column("m").to_pylist() == [hi, lo, 5, -7, -7, lo]
+    # carry applies to the first segment only
+    out2 = _add_group_cummin(t, ["k"], "v", "m", carry=lo + 1)
+    assert out2.column("m").to_pylist()[:2] == [lo + 1, lo]
+    assert out2.column("m").to_pylist()[2:] == [5, -7, -7, lo]

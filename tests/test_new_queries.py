@@ -24,6 +24,7 @@ NEW_QUERIES = [
     "full_join_daily",
     "ivm_revenue",
     "schema_union_read",
+    "running_low_value",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
