@@ -231,3 +231,20 @@ def test_decode_union_by_name(ray_session, tmp_path):
     # predicate over a one-sided column is rejected loudly
     with pytest.raises(ValueError, match="absent from store"):
         decode_union([sa, sb], predicates=[("v", ">", 0.0)])
+
+
+def test_column_compression_through_pipeline(ray_session, f1_files, tmp_path):
+    """Per-column compression override through encode_dataset/decode_dataset
+    (not just chunk-level): mixed-codec store roundtrips bit-exactly."""
+    from orc_ray.chunk import EncodeOptions
+
+    in_dir, paths = f1_files
+    out = str(tmp_path / "store")
+    encode_dataset(
+        in_dir, out,
+        EncodeOptions(column_compression={"text": "lz4", "doc_id": "none"}),
+        batch_size=1000,
+    )
+    got = _sorted_by_doc(ray_get_table(decode_dataset(out)))
+    exp = _sorted_by_doc(pa.concat_tables([pq.read_table(p) for p in paths]))
+    assert got.equals(exp.select(got.column_names))

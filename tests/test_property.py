@@ -153,3 +153,31 @@ def test_tdigest_weight_conservation_and_rank_property(xs, nparts):
     assert (np.diff(m) >= 0).all()  # centroid means stay sorted
     med = tdigest_quantile((m, w), [0.5])[0]
     assert v.min() <= med <= v.max()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(ints, max_size=1500))
+def test_intcodec_v011_any_int64(xs):
+    from orc_ray.codecs.intcodec import decode_ints, encode_ints
+
+    v = np.array(xs, dtype=np.int64)
+    np.testing.assert_array_equal(decode_ints(encode_ints(v, version="0.11")), v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(ints, min_size=1, max_size=40),
+    st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=40),
+    st.integers(min_value=-128, max_value=127),
+)
+def test_intcodec_v011_runny_and_delta(vals, lens, delta):
+    """Run/delta-heavy inputs through the RLEv1-analog lane, including
+    fixed-delta ramps at every legal delta byte value."""
+    from orc_ray.codecs.intcodec import decode_ints, encode_ints
+
+    n = min(len(vals), len(lens))
+    v = np.repeat(np.array(vals[:n], np.int64), np.array(lens[:n], np.int64))
+    with np.errstate(over="ignore"):
+        ramp = vals[0] + delta * np.arange(lens[0], dtype=np.int64)
+    v = np.concatenate([v, ramp])
+    np.testing.assert_array_equal(decode_ints(encode_ints(v, version="0.11")), v)
