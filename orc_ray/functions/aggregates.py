@@ -736,3 +736,37 @@ def with_group_cummin(ds, keys: list[str], order_by: list[str], val: str,
         for r, c in zip(refs, carries)
     ]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def with_group_cummax(ds, keys: list[str], order_by: list[str], val: str,
+                      out: str = "run_max",
+                      descending: list[bool] | None = None):
+    """MAX(val) OVER (PARTITION BY keys ORDER BY order_by ROWS UNBOUNDED
+    PRECEDING): with_group_cummin over the negated column (max(x) =
+    -min(-x)); one negation map on each side, same sort/carry shape."""
+    import ray  # noqa: F401  (parity with the cummin entry point)
+
+    def neg(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = t.column_names.index(val)
+        return t.set_column(i, val, pc.negate_checked(t.column(val)))
+
+    negated = ds.map_batches(neg, batch_format="pyarrow", zero_copy_batch=True)
+    run = with_group_cummin(negated, keys, order_by, val, out=out, descending=descending)
+    return run.map_batches(
+        lambda t: _negate_cols(t, [val, out]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _negate_cols(t: pa.Table, cols: list[str]) -> pa.Table:
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return t
+    for c in cols:
+        if c in t.column_names:
+            t = t.set_column(t.column_names.index(c), c, pc.negate_checked(t.column(c)))
+    return t

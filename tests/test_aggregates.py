@@ -219,3 +219,30 @@ def test_with_group_cummin(ray_session):
     out2 = _add_group_cummin(t, ["k"], "v", "m", carry=lo + 1)
     assert out2.column("m").to_pylist()[:2] == [lo + 1, lo]
     assert out2.column("m").to_pylist()[2:] == [5, -7, -7, lo]
+
+
+def test_with_group_cummax(ray_session):
+    import ray
+
+    from orc_ray.functions.aggregates import with_group_cummax
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    k = np.sort(rng.integers(0, 17, n))
+    o = np.arange(n, dtype=np.int64)
+    v = rng.integers(-10**6, 10**6, n)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(k), "o": pa.array(o), "v": pa.array(v)})
+    ).repartition(7)
+    got = pa.concat_tables(
+        with_group_cummax(ds, ["k"], ["o"], "v", out="m").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("o")
+    exp = np.empty(n, np.int64)
+    for key in np.unique(k):
+        m = k == key
+        exp[m] = np.maximum.accumulate(v[m])
+    np.testing.assert_array_equal(got.column("m").to_numpy(zero_copy_only=False), exp)
+    # the value column itself comes back un-negated
+    np.testing.assert_array_equal(got.column("v").to_numpy(zero_copy_only=False), v)
