@@ -103,6 +103,7 @@ QUERIES = {
     "returned_item_revenue": q_returned_item_revenue,
     "value_rank_events": q_value_rank_events,
     "running_low_value": q_running_low_value,
+    "running_high_order": q_running_high_order,
     "percentile_ranks": q_percentile_ranks,
     "normalize_text": q_normalize_text,
     "json_extract_stats": q_json_extract_stats,

@@ -939,7 +939,47 @@ def q_running_low_value(sf_dir: str):
     return out.sort_by("event_id")
 
 
+def q_running_high_order(sf_dir: str):
+    """Running MAXIMUM order value per customer over time — the cummax
+    twin of running_low_value (functions/aggregates.with_group_cummax:
+    negated segmented-min scan), driver-gated so both extremum
+    directions are pinned to SQL."""
+    from ..functions.aggregates import with_group_cummax
+
+    ds = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "v": pa.array(v),
+            }
+        )
+
+    run = with_group_cummax(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        "v",
+        out="run_max_cents",
+    )
+    return _to_table(run).select(["o_orderkey", "run_max_cents"]).sort_by("o_orderkey")
+
+
 ORACLE_SQL = {
+    "running_high_order": """
+        SELECT o_orderkey,
+               MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS run_max_cents
+        FROM orders ORDER BY o_orderkey
+    """,
     "running_low_value": """
         SELECT event_id,
                MIN(CAST(ROUND(value * 100) AS BIGINT)) OVER (

@@ -25,6 +25,7 @@ NEW_QUERIES = [
     "ivm_revenue",
     "schema_union_read",
     "running_low_value",
+    "running_high_order",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
