@@ -112,6 +112,7 @@ QUERIES = {
     "nation_revenue": q_nation_revenue,
     "mad_value": q_mad_value,
     "full_join_daily": q_full_join_daily,
+    "unpivot_part": q_unpivot_part,
     "volume_shipping": q_volume_shipping,
     "custdist": q_custdist,
     "top_supplier": q_top_supplier,

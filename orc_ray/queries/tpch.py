@@ -2973,6 +2973,41 @@ def q_full_join_daily(sf_dir: str):
     return _to_table(full).sort_by("day")
 
 
+def q_unpivot_part(sf_dir: str):
+    """UNPIVOT (wide -> long reshape): each part row becomes one row per
+    measured attribute — the PIVOT twin (q_pivot_weekday covers the other
+    direction).  Pure per-batch restructuring: N columns concat into an
+    (attr, val) pair inside map_batches; no shuffle, no driver work
+    beyond the returned long table."""
+    ds = _decoded(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        key = t.column("p_partkey").combine_chunks()
+        size = t.column("p_size").cast(pa.int64()).combine_chunks()
+        cents = pa.array(
+            np.rint(t.column("p_retailprice").to_numpy(zero_copy_only=False) * 100).astype(
+                np.int64
+            )
+        )
+        return pa.table(
+            {
+                "p_partkey": pa.concat_arrays([key, key]),
+                "attr": pa.concat_arrays(
+                    [
+                        pa.array(["p_retailprice_cents"] * n, pa.string()),
+                        pa.array(["p_size"] * n, pa.string()),
+                    ]
+                ),
+                "val": pa.concat_arrays([cents, size]),
+            }
+        )
+
+    return _to_table(
+        ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by([("p_partkey", "ascending"), ("attr", "ascending")])
+
+
 # --- DuckDB oracle SQL for this domain's queries; assembled into the
 # driver-contract registry by queries/__init__ (zero behavior change —
 # the SQL lives beside the pipeline it mirrors).
@@ -3099,6 +3134,14 @@ ORACLE_SQL = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name ORDER BY rev_e4 DESC, n_name
+    """,
+    "unpivot_part": """
+        SELECT p_partkey, 'p_retailprice_cents' AS attr,
+               CAST(ROUND(p_retailprice * 100) AS BIGINT) AS val
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_size', CAST(p_size AS BIGINT) FROM part
+        ORDER BY p_partkey, attr
     """,
     "full_join_daily": """
         WITH od AS (

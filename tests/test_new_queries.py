@@ -26,6 +26,7 @@ NEW_QUERIES = [
     "schema_union_read",
     "running_low_value",
     "running_high_order",
+    "unpivot_part",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
