@@ -104,6 +104,7 @@ QUERIES = {
     "value_rank_events": q_value_rank_events,
     "running_low_value": q_running_low_value,
     "running_high_order": q_running_high_order,
+    "median_interarrival": q_median_interarrival,
     "percentile_ranks": q_percentile_ranks,
     "normalize_text": q_normalize_text,
     "json_extract_stats": q_json_extract_stats,

@@ -971,7 +971,88 @@ def q_running_high_order(sf_dir: str):
     return _to_table(run).select(["o_orderkey", "run_max_cents"]).sort_by("o_orderkey")
 
 
+def q_median_interarrival(sf_dir: str):
+    """Median inter-arrival gap per event type — the latency/telemetry
+    percentile users actually ask of event streams, composed from two
+    distributed operators: with_group_lag gives each event its user's
+    previous timestamp (O(blocks) boundary carries), and the exact
+    disc-median of the microsecond gaps per type runs through
+    group_median_disc (one sort + prefix scan, O(groups) driver rows)."""
+    from ..functions.aggregates import group_median_disc, with_group_lag
+
+    ds = _decoded(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+            }
+        )
+
+    lagged = with_group_lag(
+        ds.map_batches(us, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        ["ts_us", "event_id"],
+        "ts_us",
+        out="prev_us",
+    )
+
+    def gaps(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "event_id": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        sub = t.filter(pc.is_valid(t.column("prev_us")))
+        if sub.num_rows == 0:
+            return empty
+        return pa.table(
+            {
+                "event_type": sub.column("event_type"),
+                "event_id": sub.column("event_id"),
+                "gap_us": pc.subtract(sub.column("ts_us"), sub.column("prev_us")),
+            }
+        )
+
+    med = group_median_disc(
+        lagged.map_batches(gaps, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        "gap_us",
+        "event_id",
+    )
+    return pa.table(
+        {
+            "event_type": med.column("event_type"),
+            "median_gap_us": med.column("gap_us"),
+        }
+    )
+
+
 ORACLE_SQL = {
+    "median_interarrival": """
+        WITH g AS (
+            SELECT event_type, event_id,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events
+        ),
+        r AS (
+            SELECT event_type, gap_us,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY gap_us, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM g WHERE gap_us IS NOT NULL
+        )
+        SELECT event_type, gap_us AS median_gap_us
+        FROM r WHERE rn = (n + 1) // 2 ORDER BY event_type
+    """,
     "running_high_order": """
         SELECT o_orderkey,
                MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (

@@ -27,6 +27,7 @@ NEW_QUERIES = [
     "running_low_value",
     "running_high_order",
     "unpivot_part",
+    "median_interarrival",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
