@@ -114,6 +114,7 @@ QUERIES = {
     "mad_value": q_mad_value,
     "full_join_daily": q_full_join_daily,
     "unpivot_part": q_unpivot_part,
+    "weighted_median": q_weighted_median,
     "volume_shipping": q_volume_shipping,
     "custdist": q_custdist,
     "top_supplier": q_top_supplier,

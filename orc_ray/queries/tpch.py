@@ -3008,6 +3008,75 @@ def q_unpivot_part(sf_dir: str):
     ).sort_by([("p_partkey", "ascending"), ("attr", "ascending")])
 
 
+def q_weighted_median(sf_dir: str):
+    """EXACT weighted median price per return flag (weight = quantity):
+    the smallest value whose cumulative weight reaches ceil(W/2) — what
+    plain medians become when every row carries a count/size weight.
+
+    Shape: group weight totals via sum_by_keys (O(groups) driver rows,
+    broadcast back as crossing targets); ONE global sort + the segmented
+    weighted prefix scan (with_group_prefix_sum); the crossing row is
+    identified per batch by cw >= target AND cw - wt < target — exactly
+    one row per group survives, so only O(groups) rows ever leave the
+    scan."""
+    import ray
+
+    from ..functions.aggregates import sum_by_keys, with_group_prefix_sum
+
+    li = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def rows(t: pa.Table) -> pa.Table:
+        v = np.rint(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        w = np.rint(t.column("l_quantity").to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table(
+            {
+                "k": t.column("l_returnflag"),
+                "v": pa.array(v),
+                "wt": pa.array(w),
+                "t1": t.column("l_orderkey"),
+                "t2": t.column("l_linenumber").cast(pa.int64()),
+            }
+        )
+
+    ds = li.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    totals = _to_table(sum_by_keys(ds, ["k"], "wt", out="W"))
+    tref = ray.put(
+        (
+            totals.column("k").combine_chunks(),
+            (totals.column("W").to_numpy(zero_copy_only=False) + 1) // 2,
+        )
+    )
+
+    scanned = with_group_prefix_sum(ds, ["k"], ["v", "t1", "t2"], "wt", out="cw", inclusive=True)
+
+    def crossing(t: pa.Table, *, ref=tref) -> pa.Table:
+        empty = pa.table(
+            {"l_returnflag": pa.array([], pa.string()), "wmedian_cents": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        keys_arr, tgt_np = ray.get(ref)
+        idx = pc.index_in(t.column("k"), value_set=keys_arr)
+        tgt = tgt_np[idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+        cw = t.column("cw").to_numpy(zero_copy_only=False)
+        wt = t.column("wt").to_numpy(zero_copy_only=False)
+        hit = (cw >= tgt) & (cw - wt < tgt)
+        sub = t.filter(pa.array(hit))
+        return pa.table(
+            {"l_returnflag": sub.column("k"), "wmedian_cents": sub.column("v")}
+        )
+
+    return _to_table(
+        scanned.map_batches(crossing, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("l_returnflag")
+
+
 # --- DuckDB oracle SQL for this domain's queries; assembled into the
 # driver-contract registry by queries/__init__ (zero behavior change —
 # the SQL lives beside the pipeline it mirrors).
@@ -3134,6 +3203,26 @@ ORACLE_SQL = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name ORDER BY rev_e4 DESC, n_name
+    """,
+    "weighted_median": """
+        WITH w AS (
+            SELECT l_returnflag AS k,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS wt,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ),
+        tot AS (SELECT k, SUM(wt) AS W FROM w GROUP BY k),
+        r AS (
+            SELECT w.k, w.v, w.wt, tot.W,
+                   SUM(w.wt) OVER (PARTITION BY w.k
+                                   ORDER BY w.v, w.l_orderkey, w.l_linenumber
+                                   ROWS UNBOUNDED PRECEDING) AS cw
+            FROM w JOIN tot USING (k)
+        )
+        SELECT k AS l_returnflag, CAST(MIN(v) AS BIGINT) AS wmedian_cents
+        FROM r WHERE cw >= (W + 1) // 2
+        GROUP BY k ORDER BY k
     """,
     "unpivot_part": """
         SELECT p_partkey, 'p_retailprice_cents' AS attr,

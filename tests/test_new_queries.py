@@ -28,6 +28,7 @@ NEW_QUERIES = [
     "running_high_order",
     "unpivot_part",
     "median_interarrival",
+    "weighted_median",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
