@@ -105,6 +105,7 @@ QUERIES = {
     "running_low_value": q_running_low_value,
     "running_high_order": q_running_high_order,
     "median_interarrival": q_median_interarrival,
+    "sliding_distinct_users": q_sliding_distinct_users,
     "percentile_ranks": q_percentile_ranks,
     "normalize_text": q_normalize_text,
     "json_extract_stats": q_json_extract_stats,

@@ -1035,7 +1035,77 @@ def q_median_interarrival(sf_dir: str):
     )
 
 
+def q_sliding_distinct_users(sf_dir: str):
+    """Sliding-window COUNT(DISTINCT): unique users per 3h window
+    stepping 1h — the dedup-inside-window aggregation a plain sliding
+    SUM can't provide (q_sliding_window_events covers that).  Each event
+    fans out to its 3 covering windows with a per-batch (window, user)
+    dedup, ONE sum_by_keys collapses global duplicates, and the per-
+    window count is a second tiny keyed sum — two-level distinct, never
+    O(rows) at any single point."""
+    from ..functions.aggregates import sum_by_keys
+
+    HOUR_US = 3_600_000_000
+    ds = _decoded(sf_dir, "events", columns=["ts", "user_id"])
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        h = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // HOUR_US
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        win = np.concatenate([h, h - 1, h - 2])
+        users = np.concatenate([u, u, u])
+        g = (
+            pa.table({"win": pa.array(win), "user_id": pa.array(users)})
+            .group_by(["win", "user_id"])
+            .aggregate([])
+        )
+        return pa.table(
+            {
+                "win": g.column("win"),
+                "user_id": g.column("user_id"),
+                "one": pa.array(np.ones(g.num_rows, np.int64)),
+            }
+        )
+
+    dpairs = sum_by_keys(
+        ds.map_batches(fan_out, batch_format="pyarrow", zero_copy_batch=True),
+        ["win", "user_id"],
+        "one",
+    )
+
+    def count_win(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"win": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        g = t.group_by("win").aggregate([([], "count_all")])
+        return pa.table({"win": g.column("win"), "n": g.column("count_all").cast(pa.int64())})
+
+    agg = _to_table(
+        sum_by_keys(
+            dpairs.map_batches(count_win, batch_format="pyarrow", zero_copy_batch=True),
+            ["win"],
+            "n",
+            out="n_users",
+        )
+    ).sort_by("win")
+    return pa.table(
+        {
+            "window_start_us": pc.multiply(agg.column("win"), HOUR_US),
+            "n_users": agg.column("n_users"),
+        }
+    )
+
+
 ORACLE_SQL = {
+    "sliding_distinct_users": """
+        WITH e AS (
+            SELECT epoch_us(ts) // 3600000000 AS h, user_id FROM events
+        ),
+        wu AS (
+            SELECT DISTINCT (h - off) AS win, user_id
+            FROM e, (VALUES (0), (1), (2)) t(off)
+        )
+        SELECT win * 3600000000 AS window_start_us, COUNT(*) AS n_users
+        FROM wu GROUP BY win ORDER BY window_start_us
+    """,
     "median_interarrival": """
         WITH g AS (
             SELECT event_type, event_id,

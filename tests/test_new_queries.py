@@ -29,6 +29,7 @@ NEW_QUERIES = [
     "unpivot_part",
     "median_interarrival",
     "weighted_median",
+    "sliding_distinct_users",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
