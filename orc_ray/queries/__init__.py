@@ -86,6 +86,7 @@ QUERIES = {
     "global_quantiles": q_global_quantiles,
     "salient_terms": q_salient_terms,
     "vocab_table": q_vocab_table,
+    "lexical_diversity": q_lexical_diversity,
     "word_bigrams": q_word_bigrams,
     "label_centroids": q_label_centroids,
     "top_segment_revenue": q_top_segment_revenue,

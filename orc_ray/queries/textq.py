@@ -403,6 +403,60 @@ def q_vocab_table(sf_dir: str):
     )
 
 
+def q_lexical_diversity(sf_dir: str):
+    """Per-source lexical diversity: the corpus-level type-token ratio
+    Σ(distinct words per doc) / Σ(words per doc), floored at e6 with
+    EXACT integer arithmetic ((1e6 * Σd) // Σw — no float anywhere, so
+    the SQL mirror is bit-identical).  A standard text-quality signal:
+    templated/spammy sources score low, natural prose high.
+
+    Shape: per-batch vectorized per-doc distinct-word counts (one Arrow
+    group_by over (doc, word), then a count per doc); the per-source
+    (Σ distinct, Σ total) partials reduce through ONE agg_by_keys —
+    nothing O(vocabulary) or O(rows) leaves the batch stage."""
+    from ..functions.aggregates import agg_by_keys
+    from ..functions.text import _concat_np, _ws_words
+
+    ds = _decoded(sf_dir, "documents", columns=["text", "source"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        text = _concat_np(t.column("text"))
+        off, flat, n_words = _ws_words(text)
+        d = len(n_words)
+        doc_of = np.repeat(np.arange(d, dtype=np.int64), np.diff(off))
+        valid = n_words[doc_of] > 0  # mask the phantom '' of empty docs
+        wtab = pa.table({"d": pa.array(doc_of[valid]), "w": flat.filter(pa.array(valid))})
+        per = wtab.group_by(["d", "w"]).aggregate([])  # distinct (doc, word)
+        dis = per.group_by("d").aggregate([([], "count_all")])
+        distinct = np.zeros(d, np.int64)
+        distinct[dis.column("d").to_numpy(zero_copy_only=False)] = (
+            dis.column("count_all").to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "w": pa.array(n_words.astype(np.int64)),
+                "dw": pa.array(distinct),
+            }
+        )
+
+    agg = agg_by_keys(
+        ds.map_batches(per_doc, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        [("w", "sum", "sw"), ("dw", "sum", "sd")],
+    )
+    t = _to_table(agg).sort_by("source")
+    sw = t.column("sw").to_numpy(zero_copy_only=False)
+    sd = t.column("sd").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "source": t.column("source"),
+            "ttr_e6": pa.array((1_000_000 * sd) // np.maximum(sw, 1)),
+            "n_words": pa.array(sw),
+        }
+    )
+
+
 def q_word_bigrams(sf_dir: str):
     """Corpus-wide top-50 adjacent word bigrams by count (ties broken by
     words ascending — a full deterministic ordering, so the SQL mirror's
@@ -880,6 +934,21 @@ ORACLE_SQL = {
         )
         SELECT source, w, tf, rnk FROM ranked WHERE rnk <= 10
         ORDER BY source, rnk
+    """,
+    "lexical_diversity": """
+        WITH words AS (
+            SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT doc_id, source,
+                   COUNT(*) AS w, COUNT(DISTINCT w) AS dw
+            FROM words GROUP BY doc_id, source
+        )
+        SELECT source,
+               CAST((1000000 * SUM(dw)) // GREATEST(SUM(w), 1) AS BIGINT) AS ttr_e6,
+               CAST(SUM(w) AS BIGINT) AS n_words
+        FROM per_doc GROUP BY source ORDER BY source
     """,
     "vocab_table": """
         WITH words AS (

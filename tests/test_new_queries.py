@@ -30,6 +30,7 @@ NEW_QUERIES = [
     "median_interarrival",
     "weighted_median",
     "sliding_distinct_users",
+    "lexical_diversity",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
