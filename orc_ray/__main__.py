@@ -112,15 +112,26 @@ def cmd_decode(a) -> int:
     _ray_up()
     from .pipeline.decode import decode_dataset
 
-    ds = decode_dataset(
-        a.store,
-        columns=a.columns.split(",") if a.columns else None,
-        predicates=_parse_where(a.where),
-        keys=_load_keystore(a.keystore) if a.keystore else None,
-        # interactive preview: push the row cap into the chunk plan so a
-        # 100-TB store answers `decode --limit 3` from one chunk
-        limit=None if a.out else a.limit,
-    )
+    keys = _load_keystore(a.keystore) if a.keystore else None
+    if a.union:
+        from .pipeline.decode import decode_union
+
+        # union-by-name across evolved stores; limit/columns apply after
+        ds = decode_union([a.store] + a.union, predicates=_parse_where(a.where), keys=keys)
+        if a.columns:
+            ds = ds.select_columns(a.columns.split(","))
+        if not a.out:
+            ds = ds.limit(a.limit)
+    else:
+        ds = decode_dataset(
+            a.store,
+            columns=a.columns.split(",") if a.columns else None,
+            predicates=_parse_where(a.where),
+            keys=keys,
+            # interactive preview: push the row cap into the chunk plan so a
+            # 100-TB store answers `decode --limit 3` from one chunk
+            limit=None if a.out else a.limit,
+        )
     if a.out:
         # partitioned export: one directory per key value (hive layout) —
         # a failed downstream run skips finished partitions by directory
@@ -484,6 +495,9 @@ def main(argv=None) -> int:
     d.add_argument("--out")
     d.add_argument("--partition-by", help="comma-separated hive partition columns for --out")
     d.add_argument("--where", help='JSON predicates, e.g. \'[["col","<",100]]\'')
+    d.add_argument("--union", action="append",
+                   help="additional store(s) to union by name (schema-evolution "
+                        "read: types promote, absent columns fill with NULLs)")
     d.add_argument("--keystore", help="JSON keystore to decrypt encrypted columns "
                    "(omit to read masked public variants)")
     d.set_defaults(fn=cmd_decode)
