@@ -322,34 +322,39 @@ def word_tf_df_rows(batch: pa.Table, col: str = "text", source_col: str = "sourc
     )
 
 
-def bigram_rows(batch: pa.Table, col: str = "text") -> pa.Table:
+def bigram_rows(batch: pa.Table, col: str = "text", source_col: str | None = None) -> pa.Table:
     """Per-batch combiner for adjacent word-bigram counting: emits
     (w1, w2, c) locally pre-aggregated (Arrow group_by) so the downstream
     sum_by_keys shuffle moves one row per distinct in-batch bigram, not
-    one per occurrence."""
+    one per occurrence.  With ``source_col`` the grouping (and output)
+    gains a leading ``src`` key — the per-source collocation variant."""
     text = _concat_np(batch.column(col))
     off, flat, n_words = _ws_words(text)
     m = np.maximum(n_words - 1, 0)  # bigram starts per doc
     if int(m.sum()) == 0:
-        return pa.table(
+        cols = {"src": pa.array([], pa.string())} if source_col else {}
+        cols.update(
             {
                 "w1": pa.array([], pa.string()),
                 "w2": pa.array([], pa.string()),
                 "c": pa.array([], pa.int64()),
             }
         )
+        return pa.table(cols)
     excl = np.zeros(m.size, np.int64)
     np.cumsum(m[:-1], out=excl[1:])
     idx = np.repeat(off[:-1], m) + (np.arange(int(m.sum()), dtype=np.int64) - np.repeat(excl, m))
-    pairs = pa.table({"w1": flat.take(pa.array(idx)), "w2": flat.take(pa.array(idx + 1))})
-    g = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
-    return pa.table(
-        {
-            "w1": g.column("w1"),
-            "w2": g.column("w2"),
-            "c": g.column("count_all").cast(pa.int64()),
-        }
-    )
+    pcols = {"w1": flat.take(pa.array(idx)), "w2": flat.take(pa.array(idx + 1))}
+    gkeys = ["w1", "w2"]
+    if source_col:
+        src = batch.column(source_col).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(m.size, dtype=np.int64), m)
+        pcols = {"src": pa.array(src[doc_of]), **pcols}
+        gkeys = ["src", "w1", "w2"]
+    g = pa.table(pcols).group_by(gkeys).aggregate([([], "count_all")])
+    out = {k: g.column(k) for k in gkeys}
+    out["c"] = g.column("count_all").cast(pa.int64())
+    return pa.table(out)
 
 
 # Gopher / MassiveText quality-rule stop list (Rae et al. 2021, table A1:

@@ -87,6 +87,7 @@ QUERIES = {
     "salient_terms": q_salient_terms,
     "vocab_table": q_vocab_table,
     "lexical_diversity": q_lexical_diversity,
+    "source_collocations": q_source_collocations,
     "word_bigrams": q_word_bigrams,
     "label_centroids": q_label_centroids,
     "top_segment_revenue": q_top_segment_revenue,

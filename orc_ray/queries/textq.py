@@ -403,6 +403,46 @@ def q_vocab_table(sf_dir: str):
     )
 
 
+def q_source_collocations(sf_dir: str):
+    """Top-5 adjacent word bigrams PER SOURCE (grouped collocations —
+    the per-domain phrase signature used to spot templated sources):
+    per-batch pre-aggregated bigram emission with the source key
+    attached, ONE sum_by_keys over (src, w1, w2), then the distributed
+    window rank takes each source's top 5 with a fully deterministic
+    tie order."""
+    import functools
+
+    from ..functions.aggregates import sum_by_keys, with_group_ranks
+    from ..functions.text import bigram_rows
+
+    ds = _decoded(sf_dir, "documents", columns=["text", "source"])
+    rows = ds.map_batches(
+        functools.partial(bigram_rows, source_col="source"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    counts = sum_by_keys(rows, ["src", "w1", "w2"], "c")
+    ranked = with_group_ranks(
+        counts, ["src"], ["c", "w1", "w2"], descending=[True, False, False]
+    )
+
+    def top5(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({})
+        return t.filter(pc.less_equal(t.column("rnk"), 5))
+
+    out = _to_table(ranked.map_batches(top5, batch_format="pyarrow", zero_copy_batch=True))
+    return pa.table(
+        {
+            "source": out.column("src"),
+            "w1": out.column("w1"),
+            "w2": out.column("w2"),
+            "c": out.column("c"),
+            "rnk": out.column("rnk"),
+        }
+    ).sort_by([("source", "ascending"), ("rnk", "ascending")])
+
+
 def q_lexical_diversity(sf_dir: str):
     """Per-source lexical diversity: the corpus-level type-token ratio
     Σ(distinct words per doc) / Σ(words per doc), floored at e6 with
@@ -933,6 +973,21 @@ ORACLE_SQL = {
             FROM kept
         )
         SELECT source, w, tf, rnk FROM ranked WHERE rnk <= 10
+        ORDER BY source, rnk
+    """,
+    "source_collocations": """
+        WITH s AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+        p AS (SELECT source, ws, UNNEST(generate_series(1, len(ws) - 1)) AS i FROM s),
+        cnt AS (
+            SELECT source, ws[i] AS w1, ws[i + 1] AS w2, COUNT(*) AS c
+            FROM p GROUP BY 1, 2, 3
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY c DESC, w1, w2) AS rnk
+            FROM cnt
+        )
+        SELECT source, w1, w2, c, rnk FROM r WHERE rnk <= 5
         ORDER BY source, rnk
     """,
     "lexical_diversity": """

@@ -31,6 +31,7 @@ NEW_QUERIES = [
     "weighted_median",
     "sliding_distinct_users",
     "lexical_diversity",
+    "source_collocations",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
