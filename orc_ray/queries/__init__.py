@@ -118,6 +118,7 @@ QUERIES = {
     "full_join_daily": q_full_join_daily,
     "unpivot_part": q_unpivot_part,
     "weighted_median": q_weighted_median,
+    "revenue_share": q_revenue_share,
     "volume_shipping": q_volume_shipping,
     "custdist": q_custdist,
     "top_supplier": q_top_supplier,

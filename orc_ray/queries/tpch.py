@@ -3077,6 +3077,49 @@ def q_weighted_median(sf_dir: str):
     ).sort_by("l_returnflag")
 
 
+def q_revenue_share(sf_dir: str):
+    """Ratio-to-report: each nation's share of total order revenue, as
+    an exact integer e6 floor ((1e6 * nation_cents) // total_cents — no
+    float anywhere).  The customer->nation map broadcasts once; revenue
+    reduces per nation through one distributed keyed sum; the share
+    divides the O(nations) table on the driver."""
+    import ray
+
+    from ..functions.aggregates import sum_by_keys
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    cref = ray.put((cust.column("c_custkey").combine_chunks(), cust.column("c_nationkey").combine_chunks()))
+
+    orders = _decoded(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def stage(t: pa.Table, *, ref=cref) -> pa.Table:
+        ck, cn = ray.get(ref)
+        nat = pc.take(cn, pc.index_in(t.column("o_custkey"), value_set=ck))
+        cents = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        return pa.table({"nation": nat.cast(pa.int64()), "cents": pa.array(cents)})
+
+    per_nat = _to_table(
+        sum_by_keys(
+            orders.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True),
+            ["nation"],
+            "cents",
+        )
+    ).sort_by("nation")
+    cents = per_nat.column("cents").to_numpy(zero_copy_only=False)
+    total = int(cents.sum())
+    return pa.table(
+        {
+            "nation": per_nat.column("nation"),
+            "revenue_cents": per_nat.column("cents"),
+            "share_e6": pa.array((1_000_000 * cents) // total),
+        }
+    )
+
+
 # --- DuckDB oracle SQL for this domain's queries; assembled into the
 # driver-contract registry by queries/__init__ (zero behavior change —
 # the SQL lives beside the pipeline it mirrors).
@@ -3203,6 +3246,19 @@ ORACLE_SQL = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name ORDER BY rev_e4 DESC, n_name
+    """,
+    "revenue_share": """
+        WITH n AS (
+            SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        )
+        SELECT nation, revenue_cents,
+               CAST((1000000 * revenue_cents)
+                    // (SELECT SUM(revenue_cents) FROM n) AS BIGINT) AS share_e6
+        FROM n ORDER BY nation
     """,
     "weighted_median": """
         WITH w AS (

@@ -32,6 +32,7 @@ NEW_QUERIES = [
     "sliding_distinct_users",
     "lexical_diversity",
     "source_collocations",
+    "revenue_share",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
