@@ -47,6 +47,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram": q_dedup_ngram,
     "dedup_canonical": q_dedup_canonical,
+    "prefix_clusters": q_prefix_clusters,
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,

@@ -132,6 +132,48 @@ def q_dedup_canonical(sf_dir: str):
     ).sort_by("doc_id")
 
 
+def q_prefix_clusters(sf_dir: str):
+    """Prefix-bucket near-dup PREFILTER: documents sharing their first
+    16 bytes of text, with each bucket's canonical (min doc_id) — the
+    cheap O(1)-per-doc pass large pipelines run BEFORE shingle-level
+    dedup to knock out boilerplate/templated heads.  Per-batch prefix
+    extraction + in-batch combine, ONE agg_by_keys over the prefix
+    (count + min doc), HAVING count > 1 applied per block — only
+    actual clusters reach the driver."""
+    from ..functions.aggregates import agg_by_keys
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prefixes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "prefix": pc.utf8_slice_codeunits(t.column("text"), 0, 16),
+                "doc_id": t.column("doc_id"),
+            }
+        )
+
+    agg = agg_by_keys(
+        ds.map_batches(prefixes, batch_format="pyarrow", zero_copy_batch=True),
+        ["prefix"],
+        [("doc_id", "count_all", "n_docs"), ("doc_id", "min", "canonical")],
+    )
+
+    def clusters(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "prefix": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "canonical": pa.array([], pa.int64()),
+                }
+            )
+        return t.filter(pc.greater(t.column("n_docs"), 1))
+
+    return _to_table(
+        agg.map_batches(clusters, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("prefix")
+
+
 def q_simhash(sf_dir: str):
     """Per-document 64-bit SimHash fingerprints (rows-only: hash values
     are estimator-specific).  In-query self-assert: hamming distance must
@@ -221,6 +263,14 @@ ORACLE_SQL = {
         JOIN sizes sb ON sb.doc_id = p.doc_b
         WHERE 2 * p.inter >= (sa.n + sb.n - p.inter)
         ORDER BY p.doc_a, p.doc_b
+    """,
+    "prefix_clusters": """
+        SELECT substr(text, 1, 16) AS prefix,
+               COUNT(*) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS canonical
+        FROM documents
+        GROUP BY prefix HAVING COUNT(*) > 1
+        ORDER BY prefix
     """,
     "dedup_canonical": """
         WITH RECURSIVE sh AS (

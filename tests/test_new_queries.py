@@ -33,6 +33,7 @@ NEW_QUERIES = [
     "lexical_diversity",
     "source_collocations",
     "revenue_share",
+    "prefix_clusters",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
