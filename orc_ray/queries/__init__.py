@@ -109,6 +109,7 @@ QUERIES = {
     "running_high_order": q_running_high_order,
     "median_interarrival": q_median_interarrival,
     "sliding_distinct_users": q_sliding_distinct_users,
+    "hourly_seasonality": q_hourly_seasonality,
     "percentile_ranks": q_percentile_ranks,
     "normalize_text": q_normalize_text,
     "json_extract_stats": q_json_extract_stats,

@@ -1094,7 +1094,48 @@ def q_sliding_distinct_users(sf_dir: str):
     )
 
 
+def q_hourly_seasonality(sf_dir: str):
+    """Hour-of-day seasonality profile per event type (the diurnal-load
+    curve behind capacity planning): hod = (epoch_us // 3600e6) % 24 —
+    pure integer arithmetic matching SQL EXTRACT(hour ...) on UTC
+    timestamps — then one distributed keyed sum of counts and cents."""
+    from ..functions.aggregates import agg_by_keys
+
+    HOUR_US = 3_600_000_000
+    ds = _decoded(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hod": pa.array((us // HOUR_US) % 24),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "cents": pa.array(cents),
+            }
+        )
+
+    agg = agg_by_keys(
+        ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hod"],
+        [("one", "sum", "n"), ("cents", "sum", "value_cents")],
+    )
+    return _to_table(agg).sort_by(
+        [("event_type", "ascending"), ("hod", "ascending")]
+    )
+
+
 ORACLE_SQL = {
+    "hourly_seasonality": """
+        SELECT event_type,
+               CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hod,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events GROUP BY event_type, hod
+        ORDER BY event_type, hod
+    """,
     "sliding_distinct_users": """
         WITH e AS (
             SELECT epoch_us(ts) // 3600000000 AS h, user_id FROM events

@@ -34,6 +34,7 @@ NEW_QUERIES = [
     "source_collocations",
     "revenue_share",
     "prefix_clusters",
+    "hourly_seasonality",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
