@@ -335,6 +335,19 @@ def cmd_compact(a) -> int:
     return 0
 
 
+def cmd_purge(a) -> int:
+    """Physical row deletion: rewrite the store dropping matched rows."""
+    _ray_up()
+    from .pipeline.encode import purge_store
+
+    preds = _parse_where(a.where)
+    if not preds:
+        raise SystemExit("purge requires --where (refusing a no-op rewrite)")
+    rec = purge_store(a.store, a.out, preds, batch_size=a.batch_size)
+    print(json.dumps(rec["totals"]))
+    return 0
+
+
 def cmd_table(a) -> int:
     """Versioned keyed tables (Hive-ACID analog, state/table.py):
     create / delta / read / compact / vacuum / history."""
@@ -584,6 +597,13 @@ def main(argv=None) -> int:
     cp.add_argument("out")
     cp.add_argument("--batch-size", type=int, default=16384)
     cp.set_defaults(fn=cmd_compact)
+
+    pg = sub.add_parser("purge", help="rewrite a store DROPPING rows matching --where (hard delete)")
+    pg.add_argument("store")
+    pg.add_argument("out")
+    pg.add_argument("--where", required=True, help='JSON predicates, e.g. \'[["user_id","==",7]]\'')
+    pg.add_argument("--batch-size", type=int, default=16384)
+    pg.set_defaults(fn=cmd_purge)
 
     tb = sub.add_parser("table", help="versioned keyed table: create|delta|read|compact|vacuum|history")
     tb.add_argument("op", choices=["create", "delta", "read", "compact", "vacuum", "history"])

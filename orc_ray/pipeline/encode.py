@@ -455,6 +455,47 @@ def compact_store(
     return encode_dataset(None, out_dir, opts, ds=decode_dataset(in_dir), batch_size=batch_size)
 
 
+def purge_store(
+    in_dir: str,
+    out_dir: str,
+    predicates: list[tuple],
+    opts: EncodeOptions = DEFAULT_OPTIONS,
+    *,
+    batch_size: int = 16384,
+) -> dict:
+    """Physically rewrite a store DROPPING every row that matches
+    ``predicates`` (the same grammar decode accepts) — the GDPR-style
+    hard delete that complements the versioned table's logical 'd'
+    deltas: matched rows do not survive in any chunk of the output.
+
+    Zero shuffle: the decode stream applies the predicate per batch
+    (stats pruning does NOT apply — a chunk that may contain survivors
+    must still be read) and streams straight into encode.  Same
+    wipe-first commit contract as sort/compact."""
+    import pyarrow.compute as pc
+
+    from .decode import _mask, decode_dataset
+
+    _wipe_target(in_dir, out_dir)
+
+    def drop(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        m = None
+        for p in predicates:
+            mm = _mask(t, p)
+            if mm is None:
+                continue
+            m = mm if m is None else pc.and_(m, mm)
+        if m is None:
+            return t
+        # nulls in the predicate result mean "did not match" -> kept
+        return t.filter(pc.invert(pc.fill_null(m, False)))
+
+    ds = decode_dataset(in_dir).map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+    return encode_dataset(None, out_dir, opts, ds=ds, batch_size=batch_size)
+
+
 def _rename_path_col(batch: pa.Table) -> pa.Table:
     if "path" in batch.column_names:
         names = [(_PATH_COL if n == "path" else n) for n in batch.column_names]

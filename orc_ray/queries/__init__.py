@@ -38,6 +38,7 @@ QUERIES = {
     "schema_union_read": q_schema_union_read,
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_v011": q_roundtrip_v011,
+    "purged_documents": q_purged_documents,
     "roundtrip_embeddings": q_roundtrip_embeddings,
     "projection_pushdown": q_projection_pushdown,
     "predicate_pushdown": q_predicate_pushdown,

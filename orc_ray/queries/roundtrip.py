@@ -473,6 +473,24 @@ def q_schema_union_read(sf_dir: str):
     return _to_table(agg).sort_by("has_status")
 
 
+def q_purged_documents(sf_dir: str):
+    """Physical hard delete (pipeline/encode.purge_store — the GDPR purge
+    that complements the versioned table's logical deletes): every
+    lang='de' row is dropped from the REWRITTEN store's chunks, then the
+    purged store decodes in full.  The oracle reads the complement
+    (lang <> 'de'), so both the predicate semantics and the rewrite's
+    fidelity for survivors are pinned."""
+    from ..pipeline.encode import purge_store
+    from ..state.manifest import load_committed
+
+    src_store = store_for(sf_dir, "documents")
+    out = os.path.join(CACHE_ROOT, f"purged-{os.path.basename(src_store)}")
+    marker_rows = load_committed(out)["totals"].get("rows")
+    if marker_rows is None:
+        purge_store(src_store, out, [("lang", "==", "de")])
+    return decode_dataset(out)
+
+
 def q_shuffled_documents(sf_dir: str):
     """Deterministic global shuffle (pipeline/encode.shuffle_store) then
     full decode: content must be byte-identical to the source (the
@@ -906,6 +924,7 @@ ORACLE_SQL = {
     """,
     "roundtrip_events": "SELECT * FROM events",
     "roundtrip_v011": "SELECT * FROM events",
+    "purged_documents": "SELECT * FROM documents WHERE lang <> 'de'",
     "roundtrip_embeddings": "SELECT * FROM embeddings",
     "projection_pushdown": "SELECT l_orderkey, l_quantity FROM lineitem",
     "predicate_pushdown": "SELECT * FROM lineitem WHERE l_orderkey < 100",

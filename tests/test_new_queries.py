@@ -35,6 +35,7 @@ NEW_QUERIES = [
     "revenue_share",
     "prefix_clusters",
     "hourly_seasonality",
+    "purged_documents",
     "encrypted_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
