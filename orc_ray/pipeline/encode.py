@@ -383,11 +383,33 @@ def encode_dataset(
 
 def _wipe_target(in_dir: str, out_dir: str) -> None:
     """Wipe-first contract shared by the re-encode ops (sort/zorder/
-    compact/shuffle/sample): refuse in-place targets — the wipe would
-    destroy the input before the decode stream ever reads it."""
+    compact/shuffle/sample/purge): refuse in-place targets — the wipe
+    would destroy the input before the decode stream ever reads it —
+    and refuse ENCRYPTED inputs: these ops decode WITHOUT keys, so the
+    rewrite would silently replace every encrypted column with its
+    masked public variant (verified: a keyed read of such an output
+    recovers only NULLs — irreversible data loss, not an error)."""
+    import json as _json
     import os
 
+    from ..state import manifest as _mstate
     from ..state import storage as fstore
+
+    man = _mstate.read_manifest(str(in_dir))
+    if man.num_rows:
+        enc_cols = {
+            col
+            for cj in man.column("codecs").to_pylist()
+            for col, tag in _json.loads(cj).items()
+            if tag == "enc"
+        }
+        if enc_cols:
+            raise ValueError(
+                f"store {in_dir!r} has encrypted columns {sorted(enc_cols)}: a keyless "
+                "re-encode would permanently replace them with their masked variants. "
+                "Decode with keys and re-encode with EncodeOptions(encrypt=..., "
+                "encryption_keys=...) explicitly instead."
+            )
 
     # canonical() sees through URL/path aliases of the same store
     # (file:///x vs /x, symlinks, s3://b//k), so the containment check

@@ -205,3 +205,32 @@ def test_header_iv_is_keyed_prf():
     # re-deriving with the local key over the true framed plaintext matches
     # (covered end-to-end by test_deterministic_reencode_for_resumability)
     assert all(len(iv) == 16 for iv in ivs)
+
+
+def test_reencode_ops_refuse_encrypted_stores(ray_session, tmp_path):
+    """sort/zorder/compact/shuffle/sample/purge decode WITHOUT keys, so on
+    an encrypted store they would silently rewrite every encrypted column
+    as its masked variant (keyed reads of the output recover only NULLs).
+    The wipe-first guard must refuse loudly instead."""
+    import hashlib
+
+    import pyarrow.parquet as _pq
+
+    from orc_ray.chunk import EncodeOptions
+    from orc_ray.pipeline.encode import compact_store, encode_dataset, purge_store, sort_store
+
+    src = str(tmp_path / "in.parquet")
+    _pq.write_table(
+        pa.table({"id": pa.array([1, 2, 3], pa.int64()), "secret": ["a", "b", "c"]}), src
+    )
+    store = str(tmp_path / "enc_store")
+    key = hashlib.sha256(b"guard").digest()
+    encode_dataset([src], store, EncodeOptions(encrypt={"secret": "k"}, encryption_keys={"k": key}))
+
+    for op in (
+        lambda: compact_store(store, str(tmp_path / "o1")),
+        lambda: sort_store(store, str(tmp_path / "o2"), by=["id"]),
+        lambda: purge_store(store, str(tmp_path / "o3"), [("id", "==", 1)]),
+    ):
+        with pytest.raises(ValueError, match="encrypted columns"):
+            op()
