@@ -379,6 +379,11 @@ def cmd_table(a) -> int:
         print(json.dumps({"removed": removed}))
     elif a.op == "history":
         print(json.dumps(tbl.load_meta(a.dir)["versions"], indent=1))
+    elif a.op == "erase":
+        if a.key_value is None:
+            raise SystemExit("table erase requires --key-value")
+        kv = json.loads(a.key_value)  # typed literal: 7 or "alice"
+        print(json.dumps(tbl.erase_key(a.dir, kv)))
     return 0
 
 
@@ -606,13 +611,15 @@ def main(argv=None) -> int:
     pg.set_defaults(fn=cmd_purge)
 
     tb = sub.add_parser("table", help="versioned keyed table: create|delta|read|compact|vacuum|history")
-    tb.add_argument("op", choices=["create", "delta", "read", "compact", "vacuum", "history"])
+    tb.add_argument("op", choices=["create", "delta", "read", "compact", "vacuum", "history", "erase"])
     tb.add_argument("dir")
     tb.add_argument("input", nargs="?", help="create: base parquet; delta: parquet with an _op column")
     tb.add_argument("--key", help="create: the table key column")
     tb.add_argument("--version", type=int, default=None, help="read: time-travel version")
     tb.add_argument("--limit", type=int, default=20)
     tb.add_argument("--keep", type=int, default=1, help="vacuum: versions to keep")
+    tb.add_argument("--key-value", help="erase: JSON literal of the key to hard-erase "
+                                        "from ALL versions (GDPR right-to-be-forgotten)")
     tb.add_argument("--batch-size", type=int, default=16384)
     tb.set_defaults(fn=cmd_table)
 

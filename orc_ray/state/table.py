@@ -124,12 +124,19 @@ def _fold_deltas(table_dir: str, delta_names: list[str], key: str) -> pa.Table |
     parts = []
     for name in delta_names:
         seq = int(name.rsplit("-", 1)[1])
-        t = pa.concat_tables(
-            decode_dataset(os.path.join(table_dir, name)).iter_batches(
+        batches = [
+            b
+            for b in decode_dataset(os.path.join(table_dir, name)).iter_batches(
                 batch_format="pyarrow", batch_size=None
             )
-        )
+            if b.num_rows
+        ]
+        if not batches:  # a delta may be EMPTY after erase_key hard-erasure
+            continue
+        t = pa.concat_tables(batches)
         parts.append(t.append_column("_seq", pa.array(np.full(t.num_rows, seq, np.int64))))
+    if not parts:
+        return None
     allrows = pa.concat_tables(parts).combine_chunks()
     k = allrows.column(key).to_numpy(zero_copy_only=False)
     s = allrows.column("_seq").to_numpy(zero_copy_only=False)
@@ -252,3 +259,54 @@ def vacuum_table(table_dir: str, keep_versions: int = 1) -> list[str]:
     meta["versions"] = kept
     _write_meta(table_dir, meta)
     return sorted(dead)
+
+
+def erase_key(table_dir: str, key_value) -> dict:
+    """GDPR-style HARD erasure: physically remove every row of ``key``
+    == ``key_value`` from EVERY store of EVERY version — base stores,
+    delta stores, all time-travel history.  The logical 'd' delta only
+    hides a key at the newest version; erase_key is what a
+    right-to-be-forgotten request actually requires, because old
+    versions stay readable until vacuum.
+
+    Each distinct store under the table is rewritten once through
+    pipeline.encode.purge_store (streamed, wipe-first into a sibling
+    temp dir) and swapped in under its ORIGINAL name, so the version
+    history in _table.json keeps working unchanged.  Encrypted-column
+    tables are refused by purge_store's keyless-re-encode guard.
+
+    Returns {"stores_rewritten": n, "rows_erased": m}."""
+    from ..pipeline.decode import count_rows
+    from ..pipeline.encode import purge_store
+
+    meta = load_meta(table_dir)
+    key = meta["key"]
+    names: set = set()
+    for v in meta["versions"]:
+        names.add(v["base"])
+        names.update(v["deltas"])
+    rewritten, erased = 0, 0
+    for name in sorted(names):
+        store = os.path.join(table_dir, name)
+        before = count_rows(store, trust_stats=True)
+        tmp = os.path.join(table_dir, f"_erase-{name}")
+        purge_store(store, tmp, [(key, "==", key_value)])
+        after = count_rows(tmp, trust_stats=True)
+        if after == before:  # key absent from this store: keep original bytes
+            st.rmtree(tmp)
+            continue
+        st.rmtree(store)
+        if st.is_url(store):
+            # object-store swap: per-file move (puts are atomic per key)
+            for p in st.glob_paths(os.path.join(tmp, "**")):
+                rel = p[len(str(tmp)):].lstrip("/")
+                try:
+                    st.replace(p, os.path.join(store, rel))
+                except (IsADirectoryError, OSError):
+                    pass  # directory placeholders
+            st.rmtree(tmp)
+        else:
+            os.rename(tmp, store)
+        rewritten += 1
+        erased += before - after
+    return {"stores_rewritten": rewritten, "rows_erased": erased}

@@ -129,3 +129,37 @@ def test_projection_requires_key(table_dir):
     assert dict(zip(got.column("k").to_pylist(), got.column("v").to_pylist()))[5] == 555
     with pytest.raises(ValueError):
         read_table(table_dir, columns=["v"])
+
+
+def test_erase_key_across_all_versions(table_dir):
+    """GDPR hard erasure: the key disappears from EVERY version (time
+    travel included), other rows and versions stay intact, and a second
+    erase is a no-op."""
+    from orc_ray.state.table import erase_key
+
+    append_delta(table_dir, _delta([7, 100], "u", v=[777, 1000]))
+    append_delta(table_dir, _delta([7], "d"))
+
+    # pre-check: key 7 visible at v0 and v1, deleted (logically) at v2
+    assert 7 in _collect(read_table(table_dir, version=0)).column("k").to_pylist()
+    assert 7 in _collect(read_table(table_dir, version=1)).column("k").to_pylist()
+
+    rec = erase_key(table_dir, 7)
+    # base-0 + both deltas contained key 7
+    assert rec["stores_rewritten"] == 3 and rec["rows_erased"] == 3
+
+    for v in (0, 1, 2):
+        got = _collect(read_table(table_dir, version=v))
+        assert 7 not in got.column("k").to_pylist(), v
+    # everything else survives: v1 still shows key 100's upsert
+    t1 = _collect(read_table(table_dir, version=1))
+    assert t1.num_rows == 1999  # 2000 - the erased key
+    row100 = t1.filter(pa.compute.equal(t1.column("k"), 100))
+    assert row100.column("v").to_pylist() == [1000]
+    # v0 is the pre-delta base without key 7: key 100 still has its BASE value
+    t0 = _collect(read_table(table_dir, version=0))
+    assert t0.num_rows == 1999
+    assert t0.filter(pa.compute.equal(t0.column("k"), 100)).column("v").to_pylist() == [1000]
+    # idempotent: nothing left to erase
+    rec2 = erase_key(table_dir, 7)
+    assert rec2 == {"stores_rewritten": 0, "rows_erased": 0}
