@@ -248,3 +248,48 @@ def test_column_compression_through_pipeline(ray_session, f1_files, tmp_path):
     got = _sorted_by_doc(ray_get_table(decode_dataset(out)))
     exp = _sorted_by_doc(pa.concat_tables([pq.read_table(p) for p in paths]))
     assert got.equals(exp.select(got.column_names))
+
+
+def test_purge_store_fuzz(ray_session, tmp_path):
+    """purge_store vs pure-Arrow complement filtering over random
+    predicates (incl. trees and null-producing columns): survivors must
+    be exactly the non-matching rows, bit-identical, and rows with NULL
+    predicate results are KEPT (did-not-match semantics)."""
+    import numpy as np
+
+    from orc_ray.pipeline.decode import _mask
+    from orc_ray.pipeline.encode import purge_store
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    t = pa.table(
+        {
+            "k": np.arange(n, dtype=np.int64),
+            "v": rng.integers(-1000, 1000, n),
+            "cat": pa.array([None if i % 7 == 0 else f"c{i % 4}" for i in range(n)]),
+        }
+    )
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    store = str(tmp_path / "store")
+    encode_dataset([src], store, batch_size=700)
+
+    preds_pool = [
+        [("v", ">", 0)],
+        [("cat", "==", "c2")],                       # null cat rows must SURVIVE
+        [("k", "between", 1000, 2000), ("v", "<", 0)],
+        [("or", ("v", ">=", 900), ("cat", "==", "c0"))],
+        [("not", ("k", "<", 4999))],
+        [("cat", "isnull")],
+    ]
+    for i, preds in enumerate(preds_pool):
+        out = str(tmp_path / f"purged{i}")
+        purge_store(store, out, preds)
+        got = ray_get_table(decode_dataset(out)).sort_by("k").combine_chunks()
+        m = None
+        for p in preds:
+            mm = _mask(t, p)
+            m = mm if m is None else pa.compute.and_(m, mm)
+        exp = t.filter(pa.compute.invert(pa.compute.fill_null(m, False)))
+        assert got.num_rows == exp.num_rows, preds
+        assert got.equals(exp.select(got.column_names)), preds
