@@ -126,6 +126,12 @@ QUERIES = {
     "custdist": q_custdist,
     "top_supplier": q_top_supplier,
     "market_share": q_market_share,
+    "profit_by_nation": q_profit_by_nation,
+    "supplier_cnt": q_supplier_cnt,
+    "small_qty_revenue": q_small_qty_revenue,
+    "excess_suppliers": q_excess_suppliers,
+    "waiting_suppliers": q_waiting_suppliers,
+    "sales_opportunity": q_sales_opportunity,
     "promo_share": q_promo_share,
     "bloom_join": q_bloom_join,
     "order_clusters": q_order_clusters,

@@ -3120,6 +3120,522 @@ def q_revenue_share(sf_dir: str):
     )
 
 
+def q_profit_by_nation(sf_dir: str):
+    """TPC-H Q9 analog — profit by supplier nation and order year.
+
+    The fixture has no partsupp table (no ps_supplycost), so profit is
+    the discounted revenue e4 (extendedprice x (1-discount)) while the
+    JOIN SHAPE stays Q9's: part-name filter -> lineitem -> supplier ->
+    nation on the build side, orders on the probe side for the year.
+    The filtered partkey set and the suppkey->nationkey map broadcast
+    once (ray.put); lineitem drops to the matching parts per batch
+    BEFORE the orders join, so join_adaptive sees only ~1/8 of lineitem;
+    the (nation, year) rollup is O(nations x years) per-batch partials.
+    """
+    from ..functions.joins import join_adaptive
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    )
+    pkeys = part.filter(
+        pc.match_substring(part.column("p_name"), "widget")
+    ).column("p_partkey").combine_chunks()
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    dims_ref = ray.put(
+        (pkeys, supp.column("s_suppkey").combine_chunks(), supp.column("s_nationkey").combine_chunks())
+    )
+
+    li = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_stage(t: pa.Table, *, ref=dims_ref) -> pa.Table:
+        pk, sk, sn = ray.get(ref)
+        t = t.filter(pc.is_in(t.column("l_partkey"), value_set=pk))
+        nat = pc.take(sn, pc.index_in(t.column("l_suppkey"), value_set=sk))
+        e = np.rint(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        d = np.rint(t.column("l_discount").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "nat": nat.cast(pa.int64()),
+                "profit_e4": pa.array(e * (100 - d)),
+            }
+        )
+
+    li_rev = li.map_batches(li_stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def ord_stage(t: pa.Table) -> pa.Table:
+        us = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        year = (_month_id_from_epoch_us(us) // 12).astype(np.int64)
+        return pa.table({"o_orderkey": t.column("o_orderkey"), "o_year": pa.array(year)})
+
+    joined = join_adaptive(
+        li_rev,
+        orders.map_batches(ord_stage, batch_format="pyarrow", zero_copy_batch=True),
+        "l_orderkey",
+        "o_orderkey",
+        ["o_year"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "nat": pa.array([], pa.int64()),
+                    "o_year": pa.array([], pa.int64()),
+                    "profit_e4": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["nat", "o_year"]).aggregate([("profit_e4", "sum")])
+        return pa.table(
+            {
+                "nat": g.column("nat"),
+                "o_year": g.column("o_year"),
+                "profit_e4": g.column("profit_e4_sum"),
+            }
+        )
+
+    parts = _to_table(joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by(["nat", "o_year"]).aggregate([("profit_e4", "sum")])
+    return pa.table(
+        {
+            "nation": pa.array([f"NATION_{k}" for k in final.column("nat").to_pylist()]),
+            "o_year": final.column("o_year"),
+            "profit_e4": final.column("profit_e4_sum"),
+        }
+    ).sort_by([("nation", "ascending"), ("o_year", "descending")])
+
+
+def q_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 analog — distinct-supplier count per (brand, type, size).
+
+    No partsupp exists in the fixture; lineitem's observed (l_partkey,
+    l_suppkey) pairs are the part<->supplier bridge.  Each filtered
+    partkey maps to a dense triple id on the driver (triples are tiny:
+    <= brands x types x sizes), so the global pair dedup is ONE
+    sum_by_keys range sort over int64 (tid, suppkey) — O(distinct pairs)
+    shuffle, never raw lineitem rows to the driver.  After the dedup each
+    pair exists exactly once globally, so the per-tid COUNT is an exact
+    per-batch partial + tiny final sum.  Complaint-supplier exclusion
+    (classic Q16's NOT IN) is the s_acctbal < 1000 set, broadcast once.
+    """
+    from ..functions.aggregates import sum_by_keys
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    )
+    keep = pc.and_(
+        pc.and_(
+            pc.invert(pc.equal(part.column("p_brand"), "Brand#5")),
+            pc.invert(pc.equal(part.column("p_type"), "PROMO")),
+        ),
+        pc.is_in(
+            part.column("p_size"),
+            value_set=pa.array([1, 4, 7, 10, 13], part.column("p_size").type),
+        ),
+    )
+    pf = part.filter(keep)
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_acctbal"]
+    )
+    bad = supp.filter(pc.less(supp.column("s_acctbal"), 1000.0)).column("s_suppkey").combine_chunks()
+
+    pbr = pf.column("p_brand").to_pylist()
+    pty = pf.column("p_type").to_pylist()
+    psz = pf.column("p_size").to_pylist()
+    triples = sorted(set(zip(pbr, pty, psz)))
+    tid = {t: i for i, t in enumerate(triples)}
+    pk2tid = pa.array([tid[(b, ty, s)] for b, ty, s in zip(pbr, pty, psz)], pa.int64())
+    ref = ray.put((pf.column("p_partkey").combine_chunks(), pk2tid, bad))
+
+    li = _decoded(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def to_pairs(t: pa.Table, *, ref=ref) -> pa.Table:
+        pk, t2, bad = ray.get(ref)
+        m = pc.is_in(t.column("l_partkey"), value_set=pk)
+        if len(bad):
+            m = pc.and_(m, pc.invert(pc.is_in(t.column("l_suppkey"), value_set=bad)))
+        t = t.filter(m)
+        trip = pc.take(t2, pc.index_in(t.column("l_partkey"), value_set=pk))
+        raw = pa.table(
+            {
+                "tid": trip,
+                "sk": t.column("l_suppkey").cast(pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        # batch-local dedup shrinks the sort input before the shuffle
+        g = raw.group_by(["tid", "sk"]).aggregate([("one", "min")])
+        return pa.table({"tid": g.column("tid"), "sk": g.column("sk"), "one": g.column("one_min")})
+
+    dpairs = sum_by_keys(
+        li.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True),
+        ["tid", "sk"],
+        "one",
+    )
+
+    def cnt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tid" not in t.column_names:
+            return pa.table({"tid": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        g = t.group_by("tid").aggregate([("one", "count")])
+        return pa.table({"tid": g.column("tid"), "n": g.column("one_count").cast(pa.int64())})
+
+    parts = _to_table(dpairs.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True))
+    final = parts.group_by("tid").aggregate([("n", "sum")])
+    tids = final.column("tid").to_pylist()
+    out = pa.table(
+        {
+            "p_brand": pa.array([triples[i][0] for i in tids]),
+            "p_type": pa.array([triples[i][1] for i in tids]),
+            "p_size": pa.array([int(triples[i][2]) for i in tids], pa.int64()),
+            "supplier_cnt": final.column("n_sum"),
+        }
+    )
+    return out.sort_by(
+        [
+            ("supplier_cnt", "descending"),
+            ("p_brand", "ascending"),
+            ("p_type", "ascending"),
+            ("p_size", "ascending"),
+        ]
+    )
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 analog — revenue that would be lost by dropping
+    small-quantity orders of one brand's parts.
+
+    Pass 1 reduces per-part (sum, count) of quantity through per-batch
+    partials (O(filtered parts) rows, broadcast back via ray.put); pass 2
+    re-streams the same filtered lineitem and keeps rows strictly below
+    20% of the part's mean quantity.  The compare is EXACT integers
+    (5 * qty * cnt < sum_qty — quantities are integral in the fixture),
+    so there is no float knife-edge against the oracle.  Output is one
+    row: FLOOR(sum(extendedprice)_cents / 7), classic Q17's 'avg yearly'.
+    """
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    pk = part.filter(pc.equal(part.column("p_brand"), "Brand#13")).column("p_partkey").combine_chunks()
+    pk_ref = ray.put(pk)
+
+    li = _decoded(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def pass1(t: pa.Table, *, ref=pk_ref) -> pa.Table:
+        keys = ray.get(ref)
+        t = t.filter(pc.is_in(t.column("l_partkey"), value_set=keys))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "l_partkey": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("l_partkey").aggregate([("l_quantity", "sum"), ("l_quantity", "count")])
+        return pa.table(
+            {
+                "l_partkey": g.column("l_partkey"),
+                "q": pa.array(np.rint(g.column("l_quantity_sum").to_numpy()).astype(np.int64)),
+                "n": g.column("l_quantity_count").cast(pa.int64()),
+            }
+        )
+
+    p1 = _to_table(
+        li.map_batches(pass1, batch_format="pyarrow", zero_copy_batch=True)
+    ).group_by("l_partkey").aggregate([("q", "sum"), ("n", "sum")])
+    stats_ref = ray.put(
+        (
+            p1.column("l_partkey").combine_chunks(),
+            p1.column("q_sum").combine_chunks(),
+            p1.column("n_sum").combine_chunks(),
+        )
+    )
+
+    def pass2(t: pa.Table, *, ref=stats_ref) -> pa.Table:
+        keys, qs, ns = ray.get(ref)
+        if keys is None or len(keys) == 0:
+            return pa.table({"c": pa.array([0], pa.int64())})
+        t = t.filter(pc.is_in(t.column("l_partkey"), value_set=keys))
+        if t.num_rows == 0:
+            return pa.table({"c": pa.array([0], pa.int64())})
+        i = pc.index_in(t.column("l_partkey"), value_set=keys).to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = np.rint(t.column("l_quantity").to_numpy(zero_copy_only=False)).astype(np.int64)
+        keep = 5 * qty * ns.to_numpy()[i] < qs.to_numpy()[i]
+        cents = np.rint(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"c": pa.array([int(cents[keep].sum())], pa.int64())})
+
+    tot = _to_table(li.map_batches(pass2, batch_format="pyarrow", zero_copy_batch=True))
+    total = int(pc.sum(tot.column("c")).as_py() or 0)
+    return pa.table({"avg_yearly_e2": pa.array([total // 7], pa.int64())})
+
+
+def q_excess_suppliers(sf_dir: str):
+    """TPC-H Q20 analog — suppliers who shipped an above-average total
+    quantity of 'large *' parts during 1997.
+
+    partsupp (ps_availqty) is absent, so the excess test is against the
+    mean per-shipping-supplier total with a STRICT integer compare
+    (qty * n > tot — no float edge), keeping Q20's chain: part-name
+    filter (broadcast keys) -> date-bounded lineitem scan (shipdate
+    predicate pushed into the chunk reader) -> per-supplier reduce
+    (per-batch partials, O(suppliers) final) -> threshold -> supplier
+    name join.  The final reduce is O(suppliers) rows on the driver —
+    the documented partitioning assumption (suppliers << lineitem).
+    """
+    lo_us = 852_076_800_000_000  # 1997-01-01 epoch-us
+    hi_us = 883_612_800_000_000  # 1998-01-01 epoch-us
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    )
+    pk = part.filter(pc.starts_with(part.column("p_name"), "large")).column("p_partkey").combine_chunks()
+    pk_ref = ray.put(pk)
+
+    li = _decoded(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        predicates=[("and", ("l_shipdate", ">=", lo_us), ("l_shipdate", "<", hi_us))],
+    )
+
+    def partial(t: pa.Table, *, ref=pk_ref) -> pa.Table:
+        keys = ray.get(ref)
+        t = t.filter(pc.is_in(t.column("l_partkey"), value_set=keys))
+        if t.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()), "qty": pa.array([], pa.int64())})
+        t2 = pa.table(
+            {
+                "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                "qty": pa.array(np.rint(t.column("l_quantity").to_numpy(zero_copy_only=False)).astype(np.int64)),
+            }
+        )
+        g = t2.group_by("l_suppkey").aggregate([("qty", "sum")])
+        return pa.table({"l_suppkey": g.column("l_suppkey"), "qty": g.column("qty_sum")})
+
+    per = _to_table(
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    ).group_by("l_suppkey").aggregate([("qty", "sum")])
+    q = per.column("qty_sum").to_numpy()
+    sk = per.column("l_suppkey").to_numpy()
+    n, tot = q.size, int(q.sum()) if q.size else 0
+    keepm = q * n > tot
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    names = pc.take(
+        supp.column("s_name").combine_chunks(),
+        pc.index_in(pa.array(sk[keepm]), value_set=supp.column("s_suppkey").combine_chunks()),
+    )
+    out = pa.table({"s_name": names, "ship_qty": pa.array(q[keepm])})
+    return out.sort_by([("ship_qty", "descending"), ("s_name", "ascending")])
+
+
+def q_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 analog — suppliers 'at fault' in multi-supplier
+    finished orders.
+
+    l_commitdate / l_receiptdate are absent from the fixture, so the
+    fault signal is the return flag: for o_orderstatus = 'F' orders with
+    >= 2 distinct suppliers where EXACTLY ONE supplier had a returned
+    ('R') line, that supplier is counted (Q21's EXISTS / NOT EXISTS pair
+    over the lineitem self-join, re-expressed as two keyed reductions).
+
+    Scale shape: distinct (order, supplier) pairs reduce through ONE
+    sum_by_keys range sort with the R flag PACKED into the summed value
+    (2^20 per R line + 1 per line; lines-per-pair << 2^20 so the pack
+    never carries); the F-order restriction is a distributed semi join;
+    the per-order qualifier is a second sum_by_keys over the materialized
+    pairs with the same pack (2^20 per R-supplier + 1 per supplier); the
+    qualifying orderkeys semi-join back against the R-pairs.  Nothing
+    driver-side ever exceeds O(suppliers).
+    """
+    from ..functions.aggregates import sum_by_keys
+    from ..functions.joins import join_semi_anti
+
+    PACK = 1 << 20
+
+    li = _decoded(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def line_stage(t: pa.Table) -> pa.Table:
+        r = pc.equal(t.column("l_returnflag"), "R").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                "v": pa.array(1 + r.astype(np.int64) * PACK),
+            }
+        )
+
+    pairs = sum_by_keys(
+        li.map_batches(line_stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey", "l_suppkey"],
+        "v",
+    )
+
+    orders_f = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "F")).select(["o_orderkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # pairs feeds BOTH the per-order qualifier and the final attribution:
+    # materialize once (object-store blocks, O(distinct pairs))
+    pairs_f = join_semi_anti(pairs, orders_f, "l_orderkey", "o_orderkey").materialize()
+
+    def pair_stage(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "v" not in t.column_names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()), "w": pa.array([], pa.int64())})
+        has_r = (t.column("v").to_numpy(zero_copy_only=False) >= PACK).astype(np.int64)
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "w": pa.array(1 + has_r * PACK)})
+
+    per_order = sum_by_keys(
+        pairs_f.map_batches(pair_stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"],
+        "w",
+    )
+
+    def qualify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "w" not in t.column_names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64())})
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        keep = ((w % PACK) >= 2) & ((w // PACK) == 1)
+        return pa.table({"l_orderkey": t.column("l_orderkey").filter(pa.array(keep))})
+
+    qual = per_order.map_batches(qualify, batch_format="pyarrow", zero_copy_batch=True)
+
+    r_pairs = pairs_f.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("v"), PACK))
+        if t.num_rows and "v" in t.column_names
+        else pa.table({"l_orderkey": pa.array([], pa.int64()), "l_suppkey": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    faulted = join_semi_anti(r_pairs, qual, "l_orderkey", "l_orderkey")
+
+    def count_stage(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_suppkey" not in t.column_names:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        g = t.group_by("l_suppkey").aggregate([("v", "count")])
+        return pa.table({"l_suppkey": g.column("l_suppkey"), "n": g.column("v_count").cast(pa.int64())})
+
+    per_supp = _to_table(
+        faulted.map_batches(count_stage, batch_format="pyarrow", zero_copy_batch=True)
+    ).group_by("l_suppkey").aggregate([("n", "sum")])
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    names = pc.take(
+        supp.column("s_name").combine_chunks(),
+        pc.index_in(per_supp.column("l_suppkey").cast(pa.int64()), value_set=supp.column("s_suppkey").cast(pa.int64()).combine_chunks()),
+    )
+    out = pa.table({"s_name": names, "numwait": per_supp.column("n_sum")}).sort_by(
+        [("numwait", "descending"), ("s_name", "ascending")]
+    )
+    return out.slice(0, 20)
+
+
+def q_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 analog — rich customers with no orders, by nation.
+
+    c_phone is absent, so the 'country code' IN-list is a nationkey set.
+    The positive-balance mean threshold is an EXACT integer compare
+    (bal_cents * n > sum_cents — no float knife-edge); the no-orders
+    test is the distributed ANTI join (orders' custkeys dedup per batch
+    inside join_semi_anti, broadcast-or-partitioned by size); the
+    per-nation rollup is O(nations) per-batch partials.  Customer routes
+    through the engine store both passes.
+    """
+    from ..functions.joins import join_semi_anti
+
+    NATS = [3, 7, 11, 13, 17, 19, 23]
+
+    cust = _decoded(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def thresh_partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_in(t.column("c_nationkey"), value_set=pa.array(NATS, t.column("c_nationkey").type)),
+            pc.greater(t.column("c_acctbal"), 0.0),
+        )
+        t = t.filter(m)
+        cents = np.rint(t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {"s": pa.array([int(cents.sum())], pa.int64()), "n": pa.array([t.num_rows], pa.int64())}
+        )
+
+    tp = _to_table(cust.map_batches(thresh_partial, batch_format="pyarrow", zero_copy_batch=True))
+    S = int(pc.sum(tp.column("s")).as_py() or 0)
+    N = int(pc.sum(tp.column("n")).as_py() or 0)
+
+    def rich(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.is_in(t.column("c_nationkey"), value_set=pa.array(NATS, t.column("c_nationkey").type))
+        )
+        cents = np.rint(t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        keep = cents * N > S
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "cntrycode": t.column("c_nationkey").cast(pa.int64()),
+                "bal_e2": pa.array(cents),
+            }
+        ).filter(pa.array(keep))
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow", zero_copy_batch=True)
+    # every fixture customer has at least one order, so classic Q22's bare
+    # NOT EXISTS is vacuous here; the analog anti-joins the URGENT subset
+    # (customers who never placed a 1-URGENT order) — same distributed
+    # ANTI shape, non-degenerate result at every sf
+    urgent = _decoded(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT")).select(["o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    no_orders = join_semi_anti(rich_ds, urgent, "c_custkey", "o_custkey", anti=True)
+
+    def roll(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cntrycode" not in t.column_names:
+            return pa.table(
+                {
+                    "cntrycode": pa.array([], pa.int64()),
+                    "numcust": pa.array([], pa.int64()),
+                    "totacctbal_e2": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("cntrycode").aggregate([("bal_e2", "sum"), ("bal_e2", "count")])
+        return pa.table(
+            {
+                "cntrycode": g.column("cntrycode"),
+                "numcust": g.column("bal_e2_count").cast(pa.int64()),
+                "totacctbal_e2": g.column("bal_e2_sum"),
+            }
+        )
+
+    parts = _to_table(no_orders.map_batches(roll, batch_format="pyarrow", zero_copy_batch=True))
+    if parts.num_rows == 0:
+        return pa.table(
+            {
+                "cntrycode": pa.array([], pa.int64()),
+                "numcust": pa.array([], pa.int64()),
+                "totacctbal_e2": pa.array([], pa.int64()),
+            }
+        )
+    final = parts.group_by("cntrycode").aggregate([("numcust", "sum"), ("totacctbal_e2", "sum")])
+    return pa.table(
+        {
+            "cntrycode": final.column("cntrycode"),
+            "numcust": final.column("numcust_sum"),
+            "totacctbal_e2": final.column("totacctbal_e2_sum"),
+        }
+    ).sort_by("cntrycode")
+
+
 # --- DuckDB oracle SQL for this domain's queries; assembled into the
 # driver-contract registry by queries/__init__ (zero behavior change —
 # the SQL lives beside the pipeline it mirrors).
@@ -3783,5 +4299,98 @@ ORACLE_SQL = {
                CAST(FLOOR((2.0 * num / (n * tot) - (n + 1) / n) * 1000000) AS BIGINT)
                  AS gini_e6
         FROM t
+    """,
+    "profit_by_nation": """
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS profit_e4
+        FROM lineitem, orders, supplier, nation, part
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND p_partkey = l_partkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%widget%'
+        GROUP BY 1, 2
+        ORDER BY 1, 2 DESC
+    """,
+    "supplier_cnt": """
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 7, 10, 13)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "small_qty_revenue": """
+        WITH s AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
+            GROUP BY l_partkey
+        )
+        SELECT COALESCE(CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 7.0)
+                        AS BIGINT), 0) AS avg_yearly_e2
+        FROM lineitem JOIN s ON s.l_partkey = lineitem.l_partkey
+        WHERE 5 * CAST(ROUND(l_quantity) AS BIGINT) * s.n < s.q
+    """,
+    "excess_suppliers": """
+        WITH per AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS ship_qty
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey AND p_name LIKE 'large%'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey
+        ),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(ship_qty) AS BIGINT) AS tot FROM per)
+        SELECT s_name, ship_qty
+        FROM per, t, supplier
+        WHERE s_suppkey = l_suppkey AND ship_qty * n > tot
+        ORDER BY ship_qty DESC, s_name
+    """,
+    "waiting_suppliers": """
+        WITH pairs AS (
+            SELECT l_orderkey, l_suppkey,
+                   MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY l_orderkey, l_suppkey
+        ),
+        ostats AS (
+            SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS nsupp,
+                   CAST(SUM(has_r) AS BIGINT) AS nr
+            FROM pairs GROUP BY l_orderkey
+        )
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM pairs p JOIN ostats o ON p.l_orderkey = o.l_orderkey
+                     JOIN supplier ON s_suppkey = p.l_suppkey
+        WHERE p.has_r = 1 AND o.nsupp >= 2 AND o.nr = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    "sales_opportunity": """
+        WITH avg_bal AS (
+            SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer
+            WHERE c_nationkey IN (3, 7, 11, 13, 17, 19, 23) AND c_acctbal > 0
+        )
+        SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_e2
+        FROM customer, avg_bal
+        WHERE c_nationkey IN (3, 7, 11, 13, 17, 19, 23)
+          AND CAST(ROUND(c_acctbal * 100) AS BIGINT) * n > s
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY cntrycode
+        ORDER BY cntrycode
     """,
 }

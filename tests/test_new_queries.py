@@ -18,6 +18,12 @@ NEW_QUERIES = [
     "custdist",
     "top_supplier",
     "market_share",
+    "profit_by_nation",
+    "supplier_cnt",
+    "small_qty_revenue",
+    "excess_suppliers",
+    "waiting_suppliers",
+    "sales_opportunity",
     "dedup_canonical",
     "vocab_table",
     "mad_value",
