@@ -41,7 +41,8 @@ def _embed_matrix(t: pa.Table, col: str) -> np.ndarray:
     return vals.reshape(-1, d)
 
 
-def kmeans(ds, col: str, k: int, max_iters: int = 20, id_col: str | None = None):
+def kmeans(ds, col: str, k: int, max_iters: int = 20, id_col: str | None = None,
+           stats_out: dict | None = None):
     """Lloyd k-means over ds[col] (list<float>, fixed dim).
 
     Returns (centroids ndarray [k, dim], assign_fn) where assign_fn maps
@@ -49,7 +50,10 @@ def kmeans(ds, col: str, k: int, max_iters: int = 20, id_col: str | None = None)
     stage.  Deterministic: seeds are the k vectors with the smallest
     ``id_col``; pass an id column for cross-run determinism (with
     id_col=None, per-batch positional ids are used, which depends on the
-    dataset's block layout).
+    dataset's block layout).  ``stats_out`` receives
+    {"inertia": [per-iteration assignment SSE, ...]} — Lloyd guarantees
+    the sequence is non-increasing, which callers assert as the
+    convergence self-check.
     """
     import ray
 
@@ -93,6 +97,7 @@ def kmeans(ds, col: str, k: int, max_iters: int = 20, id_col: str | None = None)
                     "cid": pa.array([], pa.int64()),
                     "n": pa.array([], pa.int64()),
                     "vsum": pa.array([], pa.large_binary()),
+                    "d2s": pa.array([], pa.float64()),
                 }
             )
         # assignment: one matmul + argmin of squared distance
@@ -102,11 +107,17 @@ def kmeans(ds, col: str, k: int, max_iters: int = 20, id_col: str | None = None)
         sums = np.zeros((kk, dim))
         np.add.at(sums, a, x)
         cnt = np.bincount(a, minlength=kk).astype(np.int64)
+        # per-cluster assignment SSE partial (clamped: cancellation in the
+        # expanded form can dip epsilon-negative) — O(k) floats per batch
+        d2min = np.maximum(d2[np.arange(a.size), a], 0.0)
+        sse = np.zeros(kk)
+        np.add.at(sse, a, d2min)
         return pa.table(
             {
                 "cid": pa.array(np.arange(kk, dtype=np.int64)),
                 "n": pa.array(cnt),
                 "vsum": pa.array([sums[i].tobytes() for i in range(kk)], pa.large_binary()),
+                "d2s": pa.array(sse),
             }
         )
 
@@ -120,6 +131,10 @@ def kmeans(ds, col: str, k: int, max_iters: int = 20, id_col: str | None = None)
             if b.num_rows
         ]
         allr = pa.concat_tables(rows)
+        if stats_out is not None:
+            stats_out.setdefault("inertia", []).append(
+                float(allr.column("d2s").to_numpy(zero_copy_only=False).sum())
+            )
         cid = allr.column("cid").to_numpy(zero_copy_only=False)
         n = allr.column("n").to_numpy(zero_copy_only=False)
         tot = np.zeros(cents.shape)

@@ -381,7 +381,8 @@ def q_kmeans_embeddings(sf_dir: str):
     from ..functions.kmeans import kmeans
 
     ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    cents, _ = kmeans(ds, "embedding", k=8, id_col="vec_id")
+    stats: dict = {}
+    cents, _ = kmeans(ds, "embedding", k=8, id_col="vec_id", stats_out=stats)
     import numpy as np
 
     # self-assert: all k clusters materialized with finite, non-degenerate
@@ -389,6 +390,15 @@ def q_kmeans_embeddings(sf_dir: str):
     # to zeros/NaNs long before the rows-only gate would notice)
     assert cents.shape[0] == 8 and np.isfinite(cents).all(), cents.shape
     assert (np.linalg.norm(cents, axis=1) > 0).all()
+    # Lloyd convergence self-assert: the per-iteration assignment SSE must
+    # be non-increasing (tiny float slack for the distributed add order) —
+    # a broken partial merge or a wrong argmin breaks monotonicity on the
+    # first step, long before the rows-only gate would notice
+    inertia = stats["inertia"]
+    assert len(inertia) >= 1 and all(
+        b <= a * (1 + 1e-9) for a, b in zip(inertia, inertia[1:])
+    ), inertia
+    assert inertia[-1] <= inertia[0], inertia
     norms = np.floor(np.linalg.norm(cents, axis=1) * 1e6).astype(np.int64)
     return pa.table(
         {
