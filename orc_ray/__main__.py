@@ -406,6 +406,15 @@ def cmd_scan(a) -> int:
     return 0
 
 
+def cmd_fsck(a) -> int:
+    _ray_up()
+    from .pipeline.fsck import fsck_store
+
+    rep = fsck_store(a.store, deep=not a.shallow)
+    print(json.dumps(rep))
+    return 0 if rep["ok"] else 1
+
+
 def cmd_key(a) -> int:
     """Local keystore management (orc-tools `key` analog; a deployment
     would use a KMS).  gen: add a fresh random key under NAME; list:
@@ -650,6 +659,13 @@ def main(argv=None) -> int:
     s.add_argument("--trust-stats", action="store_true",
                    help="count from manifest stats (footer numberOfRows analog)")
     s.set_defaults(fn=cmd_scan)
+
+    fk = sub.add_parser("fsck", help="store integrity audit: commit/manifest/"
+                        "chunk consistency + distributed content-hash scan")
+    fk.add_argument("store")
+    fk.add_argument("--shallow", action="store_true",
+                    help="metadata consistency only (skip the blob re-hash)")
+    fk.set_defaults(fn=cmd_fsck)
 
     a = p.parse_args(argv)
     return a.fn(a)

@@ -254,3 +254,49 @@ def test_reencode_refuses_in_place(ray_session, tmp_path):
     import os
 
     assert os.path.exists(os.path.join(store, "chunks"))  # input untouched
+
+
+def test_fsck_cli(ray_session, tmp_path, capsys):
+    import glob
+    import json
+    import os
+
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(3000), pa.int64()),
+            "s": pa.array([f"s{i % 11}" for i in range(3000)]),
+        }
+    )
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    store = str(tmp_path / "store")
+    encode_dataset([src], store, batch_size=700)
+
+    # clean store: every check green, exit 0
+    assert main(["fsck", store]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["ok"] and rep["verified_chunks"] == rep["manifest_chunks"] >= 2
+    assert rep["manifest_rows"] == rep["committed_rows"] == 3000
+
+    # tamper one blob, delete another, plant an orphan: all three classes
+    blobs = sorted(glob.glob(os.path.join(store, "chunks", "*.oray")))
+    with open(blobs[0], "r+b") as f:
+        f.seek(7)
+        b = f.read(1)
+        f.seek(7)
+        f.write(bytes([b[0] ^ 0xFF]))
+    os.remove(blobs[1])
+    with open(os.path.join(store, "chunks", "ab" * 12 + ".oray"), "wb") as f:
+        f.write(b"junk")
+
+    assert main(["fsck", store]) == 1
+    rep = json.loads(capsys.readouterr().out)
+    assert not rep["ok"]
+    assert rep["corrupt_chunks"] == [os.path.basename(blobs[0])[: -len(".oray")]]
+    assert rep["missing_chunks"] == [os.path.basename(blobs[1])[: -len(".oray")]]
+    assert rep["orphan_chunks"] == 1
+
+    # shallow skips the re-hash but still flags the missing blob
+    assert main(["fsck", store, "--shallow"]) == 1
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["missing_chunks"] and "verified_chunks" not in rep
