@@ -112,6 +112,29 @@ def _assert_recall(approx: pa.Table, sf_dir: str, q: np.ndarray, k: int, floor: 
     assert recall >= floor, (recall, floor, sorted(got), sorted(exact_ids))
 
 
+def _assert_mean_recall(probe, sf_dir: str, k: int, floor: float, vids=(0, 1, 2, 3, 4)) -> None:
+    """Mean recall@k over several probe vectors vs the exact top-k — a
+    statistically tighter self-assert than any single-query floor (one
+    lucky query can mask a systematic recall regression; the mean over 5
+    cannot).  ``probe`` maps a float32 query vector to a vec_id table.
+    Measured means on the fixture corpus: IVF 0.74-0.78, LSH 0.74-0.80
+    at sf0.001/sf0.01 — floor 0.6 catches any drop toward random-bucket
+    behaviour (~0.1) or a halved recall, with safe margin."""
+    from ..functions.similarity import topk_cosine
+
+    ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    total = 0.0
+    for vid in vids:
+        q = _query_vec(sf_dir, vid, np.float32)
+        exact = set(
+            topk_cosine(ds, q.astype(np.float64), k=k, dtype=np.float64).column("vec_id").to_pylist()
+        )
+        got = set(probe(q).column("vec_id").to_pylist())
+        total += len(got & exact) / k
+    mean = total / len(vids)
+    assert mean >= floor, (mean, floor)
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF approximate top-10 through the partition-pruned chunk store
     (no oracle: approximate; recall vs the exact top-k is asserted
@@ -124,6 +147,9 @@ def q_ann_ivf(sf_dir: str):
     assert kept < total or total <= 4, (kept, total)  # pruning must bite
     out = t.select(["vec_id", "sim"])
     _assert_recall(out, sf_dir, q, k=10, floor=0.7)
+    _assert_mean_recall(
+        lambda qv: topk_cosine_ivf_store(store, qv, k=10, nprobe=4)[0], sf_dir, k=10, floor=0.6
+    )
     return out
 
 
@@ -167,6 +193,9 @@ def q_ann_lsh(sf_dir: str):
     assert kept < total or total <= 4, (kept, total)  # pruning must bite
     out = t.select(["vec_id", "sim"])
     _assert_recall(out, sf_dir, q, k=10, floor=0.5)
+    _assert_mean_recall(
+        lambda qv: topk_cosine_lsh_store(store, qv, k=10, nprobe=32)[0], sf_dir, k=10, floor=0.6
+    )
     return out
 
 
