@@ -114,6 +114,9 @@ def cmd_decode(a) -> int:
 
     keys = _load_keystore(a.keystore) if a.keystore else None
     if a.union:
+        if a.skip_corrupt:
+            raise SystemExit("--skip-corrupt is not supported with --union "
+                             "(recover each store individually first)")
         from .pipeline.decode import decode_union
 
         # union-by-name across evolved stores; limit/columns apply after
@@ -128,6 +131,7 @@ def cmd_decode(a) -> int:
             columns=a.columns.split(",") if a.columns else None,
             predicates=_parse_where(a.where),
             keys=keys,
+            on_corrupt="skip" if a.skip_corrupt else "raise",
             # interactive preview: push the row cap into the chunk plan so a
             # 100-TB store answers `decode --limit 3` from one chunk
             limit=None if a.out else a.limit,
@@ -348,6 +352,25 @@ def cmd_purge(a) -> int:
     return 0
 
 
+def cmd_rekey(a) -> int:
+    """Encryption key rotation: keyed decode -> fresh encode, new keys."""
+    _ray_up()
+    from .chunk import EncodeOptions
+    from .pipeline.encode import rekey_store
+
+    old = _load_keystore(a.keystore)
+    new = _load_keystore(a.new_keystore)
+    opts = EncodeOptions(
+        encrypt=dict(kv.split("=", 1) for kv in a.encrypt),
+        encryption_keys=new,
+    )
+    if a.mask:
+        opts.masks = dict(kv.split("=", 1) for kv in a.mask)
+    rec = rekey_store(a.store, a.out, opts, keys=old, batch_size=a.batch_size)
+    print(json.dumps(rec["totals"]))
+    return 0
+
+
 def cmd_table(a) -> int:
     """Versioned keyed tables (Hive-ACID analog, state/table.py):
     create / delta / read / compact / vacuum / history."""
@@ -527,6 +550,9 @@ def main(argv=None) -> int:
                         "read: types promote, absent columns fill with NULLs)")
     d.add_argument("--keystore", help="JSON keystore to decrypt encrypted columns "
                    "(omit to read masked public variants)")
+    d.add_argument("--skip-corrupt", action="store_true",
+                   help="recovery read (FileDump --recover analog): drop chunks "
+                        "failing their content hash instead of erroring")
     d.set_defaults(fn=cmd_decode)
 
     i = sub.add_parser("inspect")
@@ -618,6 +644,20 @@ def main(argv=None) -> int:
     pg.add_argument("--where", required=True, help='JSON predicates, e.g. \'[["user_id","==",7]]\'')
     pg.add_argument("--batch-size", type=int, default=16384)
     pg.set_defaults(fn=cmd_purge)
+
+    rk = sub.add_parser("rekey", help="rotate encryption keys: keyed decode -> "
+                        "re-encode under a new keystore (plaintext never on disk)")
+    rk.add_argument("store")
+    rk.add_argument("out")
+    rk.add_argument("--keystore", required=True, help="CURRENT keys (decrypt)")
+    rk.add_argument("--new-keystore", required=True, help="NEW keys (re-encrypt)")
+    rk.add_argument("--encrypt", action="append", required=True, metavar="COL=KEYNAME",
+                    help="new column->key map (repeatable); columns omitted here "
+                         "are DECRYPTED in the output")
+    rk.add_argument("--mask", action="append", metavar="COL=MASK",
+                    help="masking for the new public variants (default sha256)")
+    rk.add_argument("--batch-size", type=int, default=16384)
+    rk.set_defaults(fn=cmd_rekey)
 
     tb = sub.add_parser("table", help="versioned keyed table: create|delta|read|compact|vacuum|history")
     tb.add_argument("op", choices=["create", "delta", "read", "compact", "vacuum", "history", "erase"])

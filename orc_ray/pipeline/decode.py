@@ -288,9 +288,9 @@ def _read_files(paths: list) -> list:
     return [fstore.read_bytes(p) for p in paths]
 
 
-def _decode_batch(batch: pa.Table, *, columns, predicates, cast_schema=None, verify_checksums=None, keys=None, encoded_vectors=False) -> pa.Table:
+def _decode_batch(batch: pa.Table, *, columns, predicates, cast_schema=None, verify_checksums=None, keys=None, encoded_vectors=False, on_corrupt="raise") -> pa.Table:
     """Task-pool entry: decode a batch of chunk blobs."""
-    return _DecodeChunks(columns, predicates, cast_schema, verify_checksums, keys, encoded_vectors)(batch)
+    return _DecodeChunks(columns, predicates, cast_schema, verify_checksums, keys, encoded_vectors, on_corrupt)(batch)
 
 
 class _DecodeChunks:
@@ -302,12 +302,19 @@ class _DecodeChunks:
         verify_checksums: bool | None = None,
         keys: dict | None = None,
         encoded_vectors: bool = False,
+        on_corrupt: str = "raise",
     ):
         # AES-CTR is malleable (a ciphertext bit-flip decodes to silently
         # wrong plaintext), so integrity MUST come from the content-addressed
         # chunk checksum: default verification ON whenever keys are supplied.
+        if on_corrupt not in ("raise", "skip"):
+            raise ValueError(f"on_corrupt must be 'raise' or 'skip', got {on_corrupt!r}")
+        if on_corrupt == "skip":
+            # recovery read: can't skip what isn't detected
+            verify_checksums = True
         if verify_checksums is None:
             verify_checksums = keys is not None
+        self.on_corrupt = on_corrupt
         # encoded-vector read (ORC setEncodedVectorAllowed analog): eligible
         # string columns come back dictionary<int32,str>.  Predicate columns
         # are excluded (comparison kernels want flat arrays); cast_schema is
@@ -359,21 +366,41 @@ class _DecodeChunks:
             # direct-read mode: chunk bytes are read inside the task and
             # never transit the object store (mirrors the encode fast path)
             paths = batch.column("path").to_pylist()
-            blobs = _read_files(paths)
+            if self.on_corrupt == "skip":
+                # recovery read: a blob missing from the chunk dir (the plan
+                # comes from the manifest) is salvage-skipped like a bad hash
+                pairs = []
+                for p in paths:
+                    try:
+                        pairs.append((p, fstore.read_bytes(p)))
+                    except (FileNotFoundError, OSError):
+                        continue
+                paths = [p for p, _ in pairs]
+                blobs = [b for _, b in pairs]
+            else:
+                blobs = _read_files(paths)
             if self.verify_checksums:
                 # chunks are content-addressed: the filename IS the sha256
                 # prefix of the payload, so bit-rot detection is one hash
                 import hashlib
                 import os as _os
 
+                good = []
                 for p, blob in zip(paths, blobs):
                     cid = _os.path.basename(p).split(".")[0]
                     got = hashlib.sha256(blob).hexdigest()[: len(cid)]
                     if got != cid:
+                        if self.on_corrupt == "skip":
+                            # recovery read (FileDump --recover analog):
+                            # drop the bad chunk, salvage the rest; fsck
+                            # reports exactly which chunks were lost
+                            continue
                         raise IOError(
                             f"chunk {p} fails its content checksum "
                             f"({got} != {cid}): corrupt or tampered file"
                         )
+                    good.append(blob)
+                blobs = good
         else:
             blobs = batch.column("bytes").to_pylist()
         empty_schema = None
@@ -523,8 +550,15 @@ def decode_dataset(
     keys: dict | None = None,
     encoded_vectors: bool = False,
     limit: int | None = None,
+    on_corrupt: str = "raise",
 ) -> "ray.data.Dataset":
     """Lazy decode of a chunk store into a Dataset of original rows.
+
+    ``on_corrupt="skip"`` is the RECOVERY read (orc-tools FileDump
+    --recover analog): checksum verification is forced on and chunks
+    that fail their content hash are dropped instead of failing the
+    scan — the salvage path after bit rot, paired with ``fsck`` which
+    reports exactly which chunks (and how many rows) were lost.
 
     ``limit``: read at most N rows (no defined order, like SQL LIMIT
     without ORDER BY).  PUSHED DOWN to the chunk plan: with no
@@ -555,6 +589,8 @@ def decode_dataset(
     ciphertext; OFF for plain reads (corruption there surfaces as codec
     parse / stats errors, and the caller can still opt in).
     ``keys``: {key name -> AES master key material} for encrypted columns;
+    (eager-validated below so a bad ``on_corrupt`` fails at call time, not
+    wrapped in a RayTaskError inside the first decode task)
     omit it to read the masked public variants (predicates over an
     encrypted column then evaluate against the MASKED values — exactly what
     a keyless reader is allowed to see).
@@ -564,6 +600,8 @@ def decode_dataset(
     if encoded_vectors and cast_schema:
         # fail on the driver, not inside the first decode task
         raise ValueError("encoded_vectors is incompatible with cast_schema")
+    if on_corrupt not in ("raise", "skip"):
+        raise ValueError(f"on_corrupt must be 'raise' or 'skip', got {on_corrupt!r}")
     paths, kept, total = list_chunks(out_dir, predicates)
     if limit is not None:
         if limit <= 0:
@@ -586,6 +624,7 @@ def decode_dataset(
             verify_checksums=verify_checksums,
             keys=keys,
             encoded_vectors=encoded_vectors,
+            on_corrupt=on_corrupt,
         ),
         batch_size=1,
         batch_format="pyarrow",

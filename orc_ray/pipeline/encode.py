@@ -381,14 +381,17 @@ def encode_dataset(
     return mstate.commit(out_dir, expected)
 
 
-def _wipe_target(in_dir: str, out_dir: str) -> None:
+def _wipe_target(in_dir: str, out_dir: str, *, keys_supplied: bool = False) -> None:
     """Wipe-first contract shared by the re-encode ops (sort/zorder/
     compact/shuffle/sample/purge): refuse in-place targets — the wipe
     would destroy the input before the decode stream ever reads it —
     and refuse ENCRYPTED inputs: these ops decode WITHOUT keys, so the
     rewrite would silently replace every encrypted column with its
     masked public variant (verified: a keyed read of such an output
-    recovers only NULLs — irreversible data loss, not an error)."""
+    recovers only NULLs — irreversible data loss, not an error).
+    ``keys_supplied=True`` (rekey_store only) lifts the encrypted-input
+    refusal: that op decodes WITH the current keys, so the plaintext
+    survives the rewrite."""
     import json as _json
     import os
 
@@ -396,7 +399,7 @@ def _wipe_target(in_dir: str, out_dir: str) -> None:
     from ..state import storage as fstore
 
     man = _mstate.read_manifest(str(in_dir))
-    if man.num_rows:
+    if man.num_rows and not keys_supplied:
         enc_cols = {
             col
             for cj in man.column("codecs").to_pylist()
@@ -515,6 +518,40 @@ def purge_store(
         return t.filter(pc.invert(pc.fill_null(m, False)))
 
     ds = decode_dataset(in_dir).map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+    return encode_dataset(None, out_dir, opts, ds=ds, batch_size=batch_size)
+
+
+def rekey_store(
+    in_dir: str,
+    out_dir: str,
+    opts: EncodeOptions,
+    *,
+    keys: dict,
+    batch_size: int = 16384,
+) -> dict:
+    """Encryption key ROTATION (the ORC/Hive column-key rotation story):
+    decode the store WITH its current keys — exact plaintext, checksum
+    verification forced on by the keyed read — and stream straight into
+    a fresh encode under ``opts``'s new encrypt map + keystore.  Zero
+    shuffle; plaintext exists only inside the decode→encode tasks, never
+    on disk.  The keyless-re-encode guard is lifted explicitly here
+    (keys_supplied) because this is the one re-encode op whose decode
+    recovers the true values rather than the masked variants.
+
+    ``keys``: the CURRENT {key name -> master key} map.  ``opts`` must
+    carry the NEW ``encrypt`` column map and ``encryption_keys``; columns
+    may also be re-keyed to the same name with fresh material, added, or
+    dropped from encryption entirely (decrypt-on-rotate).
+    """
+    from .decode import decode_dataset
+
+    if not keys:
+        raise ValueError(
+            "rekey_store requires the store's CURRENT keys: a keyless rewrite "
+            "would replace encrypted columns with their masked variants"
+        )
+    _wipe_target(in_dir, out_dir, keys_supplied=True)
+    ds = decode_dataset(in_dir, keys=keys)
     return encode_dataset(None, out_dir, opts, ds=ds, batch_size=batch_size)
 
 

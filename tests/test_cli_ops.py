@@ -300,3 +300,49 @@ def test_fsck_cli(ray_session, tmp_path, capsys):
     assert main(["fsck", store, "--shallow"]) == 1
     rep = json.loads(capsys.readouterr().out)
     assert rep["missing_chunks"] and "verified_chunks" not in rep
+
+
+def test_recovery_read_skip_corrupt(ray_session, tmp_path):
+    """on_corrupt='skip' (FileDump --recover analog): corrupt and missing
+    chunks drop from the scan; a plain read of the same store raises."""
+    import glob
+    import os
+
+    import pytest
+
+    from orc_ray.pipeline.decode import decode_dataset
+
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(2100), pa.int64()),
+            "s": pa.array([f"s{i % 5}" for i in range(2100)]),
+        }
+    )
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    store = str(tmp_path / "store")
+    encode_dataset([src], store, batch_size=700)  # 3 chunks
+
+    blobs = sorted(glob.glob(os.path.join(store, "chunks", "*.oray")))
+    assert len(blobs) == 3
+    with open(blobs[0], "r+b") as f:
+        f.seek(5)
+        b = f.read(1)
+        f.seek(5)
+        f.write(bytes([b[0] ^ 0xFF]))
+    os.remove(blobs[1])
+
+    with pytest.raises(Exception):
+        decode_dataset(store).count()  # plain read fails on the bad chunk
+
+    rec = pa.concat_tables(
+        decode_dataset(store, on_corrupt="skip").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    # exactly one intact 700-row chunk survives, values intact
+    assert rec.num_rows == 700
+    assert set(rec.column("s").to_pylist()) <= {f"s{i}" for i in range(5)}
+
+    with pytest.raises(ValueError, match="on_corrupt"):
+        decode_dataset(store, on_corrupt="bogus").count()

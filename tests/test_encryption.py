@@ -234,3 +234,56 @@ def test_reencode_ops_refuse_encrypted_stores(ray_session, tmp_path):
     ):
         with pytest.raises(ValueError, match="encrypted columns"):
             op()
+
+
+def test_rekey_store_rotation(ray_session, tmp_path):
+    """Key rotation: keyed decode -> re-encode under a new keystore.
+    New key reads exact plaintext; the old key fails loudly; keyless
+    reads see only masked variants; keyless rekey is refused."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest
+
+    from orc_ray.pipeline.decode import decode_dataset
+    from orc_ray.pipeline.encode import encode_dataset, rekey_store
+
+    key_a, key_b = bytes(range(32)), bytes(range(1, 33))
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(900), pa.int64()),
+            "secret": pa.array([f"confidential-{i}" for i in range(900)]),
+        }
+    )
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    encode_dataset(
+        [src], a,
+        EncodeOptions(encrypt={"secret": "old"}, encryption_keys={"old": key_a}),
+        batch_size=300,
+    )
+
+    with pytest.raises(ValueError, match="CURRENT keys"):
+        rekey_store(a, b, EncodeOptions(encrypt={"secret": "new"},
+                                        encryption_keys={"new": key_b}), keys={})
+
+    rekey_store(
+        a, b,
+        EncodeOptions(encrypt={"secret": "new"}, encryption_keys={"new": key_b}),
+        keys={"old": key_a}, batch_size=300,
+    )
+    got = pa.concat_tables(
+        decode_dataset(b, keys={"new": key_b}).iter_batches(batch_format="pyarrow", batch_size=None)
+    ).combine_chunks().sort_by("id")
+    assert got.equals(t.sort_by("id"))
+
+    # keyless read: masked only, no plaintext survives
+    pub = pa.concat_tables(
+        decode_dataset(b).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vals = [v for v in pub.column("secret").to_pylist() if v is not None]
+    assert all("confidential" not in v for v in vals)
+
+    # the retired key fails loudly (checksum forced on by the keyed read)
+    with pytest.raises(Exception):
+        decode_dataset(b, keys={"new": key_a}).count()
