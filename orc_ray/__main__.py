@@ -352,6 +352,22 @@ def cmd_purge(a) -> int:
     return 0
 
 
+def cmd_recover(a) -> int:
+    """Salvage a damaged store into a fresh consistent one."""
+    _ray_up()
+    from .pipeline.fsck import fsck_store
+    from .pipeline.encode import recover_store
+
+    rec = recover_store(a.store, a.out, batch_size=a.batch_size)
+    before = fsck_store(a.store, deep=False)
+    print(json.dumps({
+        "recovered_rows": rec["totals"]["rows"],
+        "damaged_manifest_rows": before["manifest_rows"],
+        "rows_lost": before["manifest_rows"] - rec["totals"]["rows"],
+    }))
+    return 0
+
+
 def cmd_rekey(a) -> int:
     """Encryption key rotation: keyed decode -> fresh encode, new keys."""
     _ray_up()
@@ -644,6 +660,13 @@ def main(argv=None) -> int:
     pg.add_argument("--where", required=True, help='JSON predicates, e.g. \'[["user_id","==",7]]\'')
     pg.add_argument("--batch-size", type=int, default=16384)
     pg.set_defaults(fn=cmd_purge)
+
+    rc = sub.add_parser("recover", help="salvage a damaged store (skip corrupt/"
+                        "missing chunks) into a fresh consistent one")
+    rc.add_argument("store")
+    rc.add_argument("out")
+    rc.add_argument("--batch-size", type=int, default=16384)
+    rc.set_defaults(fn=cmd_recover)
 
     rk = sub.add_parser("rekey", help="rotate encryption keys: keyed decode -> "
                         "re-encode under a new keystore (plaintext never on disk)")

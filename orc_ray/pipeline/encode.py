@@ -521,6 +521,29 @@ def purge_store(
     return encode_dataset(None, out_dir, opts, ds=ds, batch_size=batch_size)
 
 
+def recover_store(
+    in_dir: str,
+    out_dir: str,
+    opts: EncodeOptions = DEFAULT_OPTIONS,
+    *,
+    batch_size: int = 16384,
+) -> dict:
+    """Salvage a damaged store into a fresh CONSISTENT one: recovery
+    decode (``on_corrupt="skip"`` — corrupt and missing chunks dropped,
+    checksum verification forced on) streaming straight into a normal
+    encode.  The output commits in trust mode over what actually
+    survived, so its manifest, commit record and fsck are all green even
+    though rows were lost; the caller learns exactly how many from the
+    returned totals vs the damaged manifest.  Zero shuffle.  The
+    keyless-re-encode guard applies as usual: an ENCRYPTED damaged store
+    must be rekeyed (rekey_store) instead, not blindly salvaged."""
+    from .decode import decode_dataset
+
+    _wipe_target(in_dir, out_dir)
+    ds = decode_dataset(in_dir, on_corrupt="skip")
+    return encode_dataset(None, out_dir, opts, ds=ds, batch_size=batch_size)
+
+
 def rekey_store(
     in_dir: str,
     out_dir: str,

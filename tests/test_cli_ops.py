@@ -346,3 +346,27 @@ def test_recovery_read_skip_corrupt(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="on_corrupt"):
         decode_dataset(store, on_corrupt="bogus").count()
+
+
+def test_recover_store_cli(ray_session, tmp_path, capsys):
+    """fsck -> recover -> fsck loop: a damaged store salvages into a fresh
+    store whose own audit is fully green."""
+    import glob
+    import json
+    import os
+
+    t = pa.table({"k": pa.array(np.arange(2100), pa.int64())})
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    store = str(tmp_path / "store")
+    encode_dataset([src], store, batch_size=700)
+    blobs = sorted(glob.glob(os.path.join(store, "chunks", "*.oray")))
+    os.remove(blobs[0])
+
+    out = str(tmp_path / "rec")
+    assert main(["recover", store, out]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep == {"recovered_rows": 1400, "damaged_manifest_rows": 2100, "rows_lost": 700}
+
+    assert main(["fsck", out]) == 0
+    assert json.loads(capsys.readouterr().out)["ok"]
