@@ -31,6 +31,8 @@ from .media import media_store_for  # noqa: F401
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "encrypted_roundtrip": q_encrypted_roundtrip,
+    "rekeyed_roundtrip": q_rekeyed_roundtrip,
+    "recovered_roundtrip": q_recovered_roundtrip,
     "roundtrip_lineitem": q_roundtrip_lineitem,
     "orc_file_roundtrip": q_orc_file_roundtrip,
     "acid_table_read": q_acid_table_read,

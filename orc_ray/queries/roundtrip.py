@@ -39,6 +39,119 @@ def q_roundtrip_embeddings(sf_dir: str):
     return _decoded(sf_dir, "embeddings")
 
 
+def q_recovered_roundtrip(sf_dir: str):
+    """Damage-and-salvage through the driver gate (FileDump --recover /
+    fsck+recover surface): the documents table is doc_id-sorted and
+    encoded at 250 rows/chunk; the chunk holding the 250 SMALLEST doc_ids
+    is deleted; recover_store salvages the remainder (recovery decode,
+    checksum-forced, streaming into a fresh trust-mode encode); the
+    decoded output must equal the table minus EXACTLY those rows —
+    oracle: ORDER BY doc_id OFFSET 250.  Sorted input + fixed batch size
+    pin deterministically which rows live in the dropped chunk."""
+    import json as _json
+    import shutil
+
+    from ..pipeline.encode import recover_store
+    from ..state import manifest as mstate
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]
+    dmg = os.path.join(CACHE_ROOT, f"documents-dmg-{tag}")
+    rec = os.path.join(CACHE_ROOT, f"documents-rec-{tag}")
+    shutil.rmtree(dmg, ignore_errors=True)
+    shutil.rmtree(rec, ignore_errors=True)
+
+    ds = ray.data.read_parquet(src).sort("doc_id")
+    encode_dataset(None, dmg, ds=ds, batch_size=250)
+
+    # locate the chunk whose doc_id range covers the global minimum (ids
+    # are fixed-width 'doc-%016d', so truncated string stats stay ordered)
+    man = mstate.read_manifest(dmg)
+    mins = [_json.loads(s)["doc_id"]["min"] for s in man.column("stats").to_pylist()]
+    first = mins.index(min(mins))
+    cid = man.column("chunk_id")[first].as_py()
+    n_drop = int(man.column("n_rows")[first].as_py())
+    assert n_drop == 250, n_drop
+    os.remove(os.path.join(mstate.chunk_dir(dmg), f"{cid}.oray"))
+
+    recover_store(dmg, rec, batch_size=4096)
+    return _to_table(decode_dataset(rec)).sort_by("doc_id")
+
+
+def q_rekeyed_roundtrip(sf_dir: str):
+    """Key ROTATION through the driver gate: the encrypted documents
+    store (same build as encrypted_roundtrip) is rekeyed from k_text to a
+    fresh master key; the keyed read of the ROTATED store must reproduce
+    the exact plaintext (per-source COUNT + SUM(LENGTH(text)), oracle-
+    exact vs raw parquet), while its keyless read still exposes zero text
+    values (nullify mask)."""
+    import shutil
+
+    from ..chunk import EncodeOptions
+    from ..functions.aggregates import agg_by_keys
+    from ..pipeline.encode import rekey_store
+    from ..state.manifest import load_committed
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    old_key = hashlib.sha256(b"orc-ray-demo-master-key").digest()
+    new_key = hashlib.sha256(b"orc-ray-rotated-master-key").digest()
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]
+    enc = os.path.join(CACHE_ROOT, f"documents-enc-{tag}")
+    rot = os.path.join(CACHE_ROOT, f"documents-rot-{tag}")
+
+    # same cached build as q_encrypted_roundtrip (shared store, key k_text)
+    expected = pq.read_metadata(src).num_rows
+    if load_committed(enc)["files"].get(src) != expected:
+        encode_dataset(
+            [src], enc,
+            EncodeOptions(encrypt={"text": "k_text"}, encryption_keys={"k_text": old_key}),
+            resume=True, batch_size=16384,
+        )
+
+    shutil.rmtree(rot, ignore_errors=True)
+    rekey_store(
+        enc, rot,
+        EncodeOptions(encrypt={"text": "k_rot"}, encryption_keys={"k_rot": new_key}),
+        keys={"k_text": old_key}, batch_size=16384,
+    )
+
+    keyed = decode_dataset(rot, columns=["source", "text"], keys={"k_rot": new_key})
+
+    def lens(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "text_len": pc.utf8_length(t.column("text")).cast(pa.int64()),
+            }
+        )
+
+    agg = agg_by_keys(
+        keyed.map_batches(lens, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        [("text_len", "sum", "len_sum"), ("text_len", "count_all", "n")],
+    )
+
+    # keyless read of the ROTATED store: nullify mask, zero values visible
+    pub = decode_dataset(rot, columns=["source", "text"])
+
+    def vals(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "vals": pc.is_valid(t.column("text")).cast(pa.int64()),
+            }
+        )
+
+    pub_agg = agg_by_keys(
+        pub.map_batches(vals, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        [("vals", "sum", "public_text_vals")],
+    )
+    left = _to_table(agg)
+    right = _to_table(pub_agg)
+    return left.join(right, keys=["source"]).sort_by("source")
+
+
 def q_roundtrip_v011(sf_dir: str):
     """Old-file-version write path (EncodeOptions.file_version="0.11"):
     every integer stream — keys, timestamps, dictionary indices, string
@@ -848,6 +961,17 @@ ORACLE_SQL = {
         "SELECT source, CAST(SUM(LENGTH(text)) AS BIGINT) AS len_sum, "
         "COUNT(*) AS n, CAST(0 AS BIGINT) AS public_text_vals "
         "FROM documents GROUP BY source ORDER BY source"
+    ),
+    # key rotation: the rotated store's keyed read is STILL the exact
+    # plaintext, and its keyless read still exposes zero text values
+    "rekeyed_roundtrip": (
+        "SELECT source, CAST(SUM(LENGTH(text)) AS BIGINT) AS len_sum, "
+        "COUNT(*) AS n, CAST(0 AS BIGINT) AS public_text_vals "
+        "FROM documents GROUP BY source ORDER BY source"
+    ),
+    # salvage: everything except the dropped first chunk (250 smallest ids)
+    "recovered_roundtrip": (
+        "SELECT * FROM documents ORDER BY doc_id LIMIT 100000000 OFFSET 250"
     ),
     "roundtrip_lineitem": "SELECT * FROM lineitem",
     # full fidelity through REAL .orc files (engine sink -> C++ ORC -> engine source)

@@ -43,6 +43,8 @@ NEW_QUERIES = [
     "hourly_seasonality",
     "purged_documents",
     "encrypted_roundtrip",
+    "rekeyed_roundtrip",
+    "recovered_roundtrip",
     "point_lookup_events",
     "window_hourly_events",
     "top_revenue_orders",
