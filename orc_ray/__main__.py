@@ -423,6 +423,10 @@ def cmd_table(a) -> int:
             raise SystemExit("table erase requires --key-value")
         kv = json.loads(a.key_value)  # typed literal: 7 or "alice"
         print(json.dumps(tbl.erase_key(a.dir, kv)))
+    elif a.op == "fsck":
+        rep = tbl.fsck_table(a.dir)
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 1
     return 0
 
 
@@ -683,7 +687,7 @@ def main(argv=None) -> int:
     rk.set_defaults(fn=cmd_rekey)
 
     tb = sub.add_parser("table", help="versioned keyed table: create|delta|read|compact|vacuum|history")
-    tb.add_argument("op", choices=["create", "delta", "read", "compact", "vacuum", "history", "erase"])
+    tb.add_argument("op", choices=["create", "delta", "read", "compact", "vacuum", "history", "erase", "fsck"])
     tb.add_argument("dir")
     tb.add_argument("input", nargs="?", help="create: base parquet; delta: parquet with an _op column")
     tb.add_argument("--key", help="create: the table key column")

@@ -310,3 +310,57 @@ def erase_key(table_dir: str, key_value) -> dict:
         rewritten += 1
         erased += before - after
     return {"stores_rewritten": rewritten, "rows_erased": erased}
+
+
+def fsck_table(table_dir: str, *, deep: bool = True) -> dict:
+    """Integrity audit across the WHOLE version history (the table-level
+    companion of pipeline.fsck.fsck_store): every base/delta store any
+    retained version references must exist and pass its own store audit
+    (commit/manifest/chunk consistency + the distributed content-hash
+    scan when ``deep``); store directories no version references are
+    reported as orphans (vacuum reclaims them, they are not a failure).
+    ``ok`` is True iff the meta is readable and every referenced store is
+    green — i.e. time travel to ANY retained version is safe."""
+    from ..pipeline.fsck import fsck_store
+
+    meta = load_meta(table_dir)
+    referenced: list[str] = []
+    for v in meta["versions"]:
+        for name in [v["base"], *v["deltas"]]:
+            if name not in referenced:
+                referenced.append(name)
+
+    issues: list[str] = []
+    stores: dict[str, dict] = {}
+    for name in referenced:
+        p = os.path.join(table_dir, name)
+        if not st.exists(os.path.join(p, "_committed.json")):
+            issues.append(f"referenced store {name!r} missing or uncommitted")
+            stores[name] = {"ok": False, "issues": ["missing or uncommitted"]}
+            continue
+        r = fsck_store(p, deep=deep)
+        stores[name] = {
+            "ok": r["ok"],
+            "issues": r["issues"],
+            "manifest_rows": r["manifest_rows"],
+            "corrupt_chunks": r.get("corrupt_chunks", []),
+            "missing_chunks": r["missing_chunks"],
+        }
+        if not r["ok"]:
+            issues.append(f"store {name}: {'; '.join(r['issues'])}")
+
+    orphans = sorted(
+        {
+            os.path.basename(os.path.dirname(p))
+            for p in st.glob_paths(os.path.join(table_dir, "*", "_committed.json"))
+        }
+        - set(referenced)
+    )
+    return {
+        "table": table_dir,
+        "version": meta["version"],
+        "stores": stores,
+        "orphan_stores": orphans,
+        "issues": issues,
+        "ok": not issues,
+    }

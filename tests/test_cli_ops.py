@@ -370,3 +370,41 @@ def test_recover_store_cli(ray_session, tmp_path, capsys):
 
     assert main(["fsck", out]) == 0
     assert json.loads(capsys.readouterr().out)["ok"]
+
+
+def test_table_fsck(ray_session, tmp_path, capsys):
+    """Table-level audit: green across the whole version history; a
+    corrupted delta chunk flags exactly that store and exits 1."""
+    import glob
+    import json
+    import os
+
+    from orc_ray.state import table as tbl
+
+    base = pa.table({"k": pa.array(np.arange(50), pa.int64()),
+                     "v": pa.array(np.arange(50) * 3, pa.int64())})
+    src = str(tmp_path / "base.parquet")
+    pq.write_table(base, src)
+    tdir = str(tmp_path / "tbl")
+    tbl.create_table(tdir, [src], key="k", batch_size=32)
+    delta = pa.table({"k": pa.array([1, 99], pa.int64()),
+                      "v": pa.array([111, 999], pa.int64()),
+                      "_op": pa.array(["u", "u"])})
+    tbl.append_delta(tdir, delta)
+
+    assert main(["table", "fsck", tdir]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["ok"] and set(rep["stores"]) == {"base-0", "delta-1"}
+
+    blob = sorted(glob.glob(os.path.join(tdir, "delta-1", "chunks", "*.oray")))[0]
+    with open(blob, "r+b") as f:
+        f.seek(3)
+        b = f.read(1)
+        f.seek(3)
+        f.write(bytes([b[0] ^ 0xFF]))
+
+    assert main(["table", "fsck", tdir]) == 1
+    rep = json.loads(capsys.readouterr().out)
+    assert not rep["ok"]
+    assert rep["stores"]["base-0"]["ok"] and not rep["stores"]["delta-1"]["ok"]
+    assert rep["stores"]["delta-1"]["corrupt_chunks"]
