@@ -382,7 +382,8 @@ def cmd_rekey(a) -> int:
     )
     if a.mask:
         opts.masks = dict(kv.split("=", 1) for kv in a.mask)
-    rec = rekey_store(a.store, a.out, opts, keys=old, batch_size=a.batch_size)
+    rec = rekey_store(a.store, a.out, opts, keys=old, batch_size=a.batch_size,
+                      on_corrupt="skip" if a.skip_corrupt else "raise")
     print(json.dumps(rec["totals"]))
     return 0
 
@@ -683,6 +684,9 @@ def main(argv=None) -> int:
                          "are DECRYPTED in the output")
     rk.add_argument("--mask", action="append", metavar="COL=MASK",
                     help="masking for the new public variants (default sha256)")
+    rk.add_argument("--skip-corrupt", action="store_true",
+                    help="salvage-rotate a DAMAGED encrypted store: drop chunks "
+                         "failing their content hash, rotate the survivors")
     rk.add_argument("--batch-size", type=int, default=16384)
     rk.set_defaults(fn=cmd_rekey)
 

@@ -551,6 +551,7 @@ def rekey_store(
     *,
     keys: dict,
     batch_size: int = 16384,
+    on_corrupt: str = "raise",
 ) -> dict:
     """Encryption key ROTATION (the ORC/Hive column-key rotation story):
     decode the store WITH its current keys — exact plaintext, checksum
@@ -565,6 +566,10 @@ def rekey_store(
     carry the NEW ``encrypt`` column map and ``encryption_keys``; columns
     may also be re-keyed to the same name with fresh material, added, or
     dropped from encryption entirely (decrypt-on-rotate).
+
+    ``on_corrupt="skip"`` is the salvage-rotate path for a DAMAGED
+    encrypted store — the one case plain ``recover_store`` cannot handle
+    (it refuses keyless re-encodes): bad chunks drop, survivors rotate.
     """
     from .decode import decode_dataset
 
@@ -574,7 +579,7 @@ def rekey_store(
             "would replace encrypted columns with their masked variants"
         )
     _wipe_target(in_dir, out_dir, keys_supplied=True)
-    ds = decode_dataset(in_dir, keys=keys)
+    ds = decode_dataset(in_dir, keys=keys, on_corrupt=on_corrupt)
     return encode_dataset(None, out_dir, opts, ds=ds, batch_size=batch_size)
 
 

@@ -287,3 +287,56 @@ def test_rekey_store_rotation(ray_session, tmp_path):
     # the retired key fails loudly (checksum forced on by the keyed read)
     with pytest.raises(Exception):
         decode_dataset(b, keys={"new": key_a}).count()
+
+
+def test_rekey_salvage_damaged_encrypted_store(ray_session, tmp_path):
+    """The one damaged-store case recover_store refuses (encrypted input):
+    rekey with on_corrupt='skip' drops the bad chunk and rotates the
+    survivors; plain rekey of the same store raises."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest
+
+    from orc_ray.pipeline.decode import decode_dataset
+    from orc_ray.pipeline.encode import encode_dataset, recover_store, rekey_store
+
+    key_a, key_b = bytes(range(32)), bytes(range(2, 34))
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(900), pa.int64()),
+            "secret": pa.array([f"confidential-{i}" for i in range(900)]),
+        }
+    )
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    encode_dataset(
+        [src], a,
+        EncodeOptions(encrypt={"secret": "old"}, encryption_keys={"old": key_a}),
+        batch_size=300,
+    )
+    blob = sorted(glob.glob(os.path.join(a, "chunks", "*.oray")))[0]
+    with open(blob, "r+b") as f:
+        f.seek(9)
+        x = f.read(1)
+        f.seek(9)
+        f.write(bytes([x[0] ^ 0xFF]))
+
+    # plain recover refuses encrypted inputs; plain rekey hits the bad chunk
+    with pytest.raises(ValueError, match="encrypted columns"):
+        recover_store(a, b)
+    new_opts = EncodeOptions(encrypt={"secret": "new"}, encryption_keys={"new": key_b})
+    with pytest.raises(Exception):
+        rekey_store(a, b, new_opts, keys={"old": key_a}, batch_size=300)
+
+    rekey_store(a, b, new_opts, keys={"old": key_a}, batch_size=300, on_corrupt="skip")
+    got = pa.concat_tables(
+        decode_dataset(b, keys={"new": key_b}).iter_batches(batch_format="pyarrow", batch_size=None)
+    ).combine_chunks().sort_by("id")
+    assert got.num_rows == 600  # one 300-row chunk lost
+    ids = got.column("id").to_numpy()
+    ref = t.filter(pa.compute.is_in(t.column("id"), value_set=pa.array(ids))).sort_by("id")
+    assert got.equals(ref)  # survivors bit-exact under the new key
