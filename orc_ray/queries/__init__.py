@@ -57,6 +57,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "dedup_minhash": q_dedup_minhash,
+    "dup_windows": q_dup_windows,
+    "dedup_substrings": q_dedup_substrings,
     "simhash": q_simhash,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,

@@ -222,10 +222,81 @@ def q_dedup_embedding(sf_dir: str):
     return cosine_pairs(ds, threshold=0.4)
 
 
+def q_dup_windows(sf_dir: str):
+    """Exact duplicated-substring stats (Lee et al. 2022 family): per doc,
+    how many 32-byte windows occur >= 2 times corpus-wide.  Rolling-hash
+    candidate pass + exact gram-word verify pass through distributed
+    sum_by_keys (functions/substring.py) — the corpus text never shuffles;
+    the driver holds only the duplicated hash/gram sets (ceiling asserted
+    so duplicate-volume growth can't silently regress it)."""
+    from ..functions.substring import dup_window_stats
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+    stats: dict = {}
+    out = _to_table(dup_window_stats(ds, stats_out=stats)).sort_by("doc_id")
+    # driver state is the dup-hash + dup-gram sets only: bounded by the
+    # corpus's duplicate volume (<= total windows, and at this corpus a
+    # small fraction of it), never by corpus size
+    assert stats["driver_rows"] <= 2 * max(stats["dup_hashes"], 1) + stats["dup_grams"], stats
+    assert stats["dup_grams"] <= stats["dup_hashes"], stats
+    return out
+
+
+def q_dedup_substrings(sf_dir: str):
+    """Duplicated-span CUT (the Lee et al. dedup transform): every byte
+    covered by a duplicated 32-byte window is removed; docs left empty are
+    dropped.  Same two-pass exact dup-gram set as q_dup_windows, then one
+    vectorized coverage pass (+1/-1 prefix sum) rebuilds the survivors."""
+    from ..functions.substring import cut_dup_spans
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+    stats: dict = {}
+    out = _to_table(cut_dup_spans(ds, stats_out=stats)).sort_by("doc_id")
+    assert stats["dup_grams"] <= stats["dup_hashes"], stats
+    return out
+
+
 # --- DuckDB oracle SQL for this domain's queries; assembled into the
 # driver-contract registry by queries/__init__ (zero behavior change —
 # the SQL lives beside the pipeline it mirrors).
 ORACLE_SQL = {
+    "dup_windows": """
+        WITH w AS (
+            SELECT doc_id, CAST(UNNEST(range(GREATEST(length(text) - 31, 0)))
+                   AS BIGINT) AS i, text
+            FROM documents
+        ),
+        g AS (SELECT doc_id, i, substr(text, CAST(i + 1 AS INT), 32) AS gram FROM w),
+        c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram)
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+        FROM g JOIN c USING (gram)
+        GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+    "dedup_substrings": """
+        WITH w AS (
+            SELECT doc_id, CAST(UNNEST(range(GREATEST(length(text) - 31, 0)))
+                   AS BIGINT) AS i, text
+            FROM documents
+        ),
+        g AS (SELECT doc_id, i, substr(text, CAST(i + 1 AS INT), 32) AS gram FROM w),
+        c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        f AS (SELECT g.doc_id, g.i FROM g JOIN c USING (gram)),
+        p AS (
+            SELECT doc_id, CAST(UNNEST(range(length(text))) AS BIGINT) AS j, text
+            FROM documents
+        ),
+        k AS (
+            SELECT p.doc_id, p.j, substr(p.text, CAST(p.j + 1 AS INT), 1) AS ch
+            FROM p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM f
+                WHERE f.doc_id = p.doc_id AND f.i BETWEEN p.j - 31 AND p.j
+            )
+        )
+        SELECT doc_id, string_agg(ch, '' ORDER BY j) AS clean_text
+        FROM k GROUP BY doc_id ORDER BY doc_id
+    """,
     "dedup_exact": """
         SELECT text, MIN(doc_id) AS doc_id FROM documents
         GROUP BY text ORDER BY doc_id

@@ -1,0 +1,138 @@
+"""Duplicated-substring detection / span cutting vs brute-force references.
+
+Covers functions/substring.py: the rolling-hash candidate pass, the exact
+gram verify pass, per-doc stats, and the coverage cut — over corpora with
+planted cross-doc duplicates, in-doc self-repeats, short docs (< L), and
+multi-block layouts so duplicate pairs straddle batches.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from orc_ray.functions.substring import (
+    _all_window_hashes,
+    cut_dup_spans,
+    dup_window_stats,
+)
+
+
+def _brute_dup_grams(texts, L):
+    from collections import Counter
+
+    c = Counter()
+    for x in texts:
+        b = x.encode()
+        for i in range(max(len(b) - L + 1, 0)):
+            c[b[i : i + L]] += 1
+    return {g for g, n in c.items() if n >= 2}
+
+
+def _brute_stats(ids, texts, L):
+    dup = _brute_dup_grams(texts, L)
+    out = {}
+    for d, x in zip(ids, texts):
+        b = x.encode()
+        n = max(len(b) - L + 1, 0)
+        if n == 0:
+            continue
+        out[d] = (n, sum(1 for i in range(n) if b[i : i + L] in dup))
+    return out
+
+
+def _brute_cut(ids, texts, L):
+    dup = _brute_dup_grams(texts, L)
+    out = {}
+    for d, x in zip(ids, texts):
+        b = x.encode()
+        cov = np.zeros(len(b), bool)
+        for i in range(max(len(b) - L + 1, 0)):
+            if b[i : i + L] in dup:
+                cov[i : i + L] = True
+        kept = bytes(np.frombuffer(b, np.uint8)[~cov]) if len(b) else b""
+        if kept:
+            out[d] = kept.decode()
+    return out
+
+
+def _corpus():
+    rng = np.random.default_rng(7)
+    alphabet = np.frombuffer(b"abcd", np.uint8)
+    texts = ["".join(chr(c) for c in rng.choice(alphabet, rng.integers(5, 90))) for _ in range(160)]
+    texts += ["PLANTED-DUPLICATE-SPAN-xyz" + t[:10] for t in texts[:6]]  # shared 26-byte head
+    texts += ["ab" * 40]  # heavy in-doc self-repeat
+    texts += ["short", "", "exactly8"]  # sub-window docs
+    texts += [texts[3]]  # whole-doc duplicate
+    ids = list(range(len(texts)))
+    return ids, texts
+
+
+def _ds(ids, texts, blocks=5):
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def test_rolling_hash_gram_consistency(ray_session):
+    rng = np.random.default_rng(0)
+    b = rng.integers(0, 3, 4000).astype(np.uint8)
+    L = 8
+    h = _all_window_hashes(b, L)
+    seen = {}
+    for i in range(h.size):
+        g = bytes(b[i : i + L])
+        assert seen.setdefault(g, int(h[i])) == int(h[i])
+
+
+def test_dup_window_stats_matches_bruteforce(ray_session):
+    ids, texts = _corpus()
+    L = 8
+    stats = {}
+    out = pa.concat_tables(
+        list(dup_window_stats(_ds(ids, texts), L=L, stats_out=stats).iter_batches(batch_format="pyarrow", batch_size=None))
+    ).sort_by("doc_id")
+    got = {d: (n, k) for d, n, k in zip(out.column("doc_id").to_pylist(),
+                                        out.column("n_windows").to_pylist(),
+                                        out.column("dup_windows").to_pylist())}
+    assert got == _brute_stats(ids, texts, L)
+    # exact set can only shrink the hash-candidate set
+    assert stats["dup_grams"] <= stats["dup_hashes"]
+    assert stats["driver_rows"] == stats["dup_hashes"] + stats["dup_grams"]
+
+
+def test_cut_dup_spans_matches_bruteforce(ray_session):
+    ids, texts = _corpus()
+    L = 8
+    out = pa.concat_tables(
+        list(cut_dup_spans(_ds(ids, texts), L=L).iter_batches(batch_format="pyarrow", batch_size=None))
+    ).sort_by("doc_id")
+    got = dict(zip(out.column("doc_id").to_pylist(), out.column("clean_text").to_pylist()))
+    assert got == _brute_cut(ids, texts, L)
+
+
+def test_no_duplicates_is_identity(ray_session):
+    # all-distinct windows: every 16-byte window spans >=3 complete "ijjj"
+    # position units, which pin (doc, offset) uniquely — nothing repeats
+    texts = ["".join(f"{i}{j:03d}" for j in range(10)) for i in range(5)]
+    ids = list(range(5))
+    stats = {}
+    out = pa.concat_tables(
+        list(cut_dup_spans(_ds(ids, texts, blocks=2), L=16, stats_out=stats).iter_batches(batch_format="pyarrow", batch_size=None))
+    ).sort_by("doc_id")
+    assert out.column("clean_text").to_pylist() == texts
+    assert stats["dup_grams"] == 0
+
+
+def test_fully_duplicated_doc_dropped(ray_session):
+    texts = ["SAME-CONTENT-SAME-CONTENT!", "SAME-CONTENT-SAME-CONTENT!", "unique tail that survives here"]
+    out = pa.concat_tables(
+        list(cut_dup_spans(_ds([1, 2, 3], texts, blocks=2), L=8).iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    assert out.column("doc_id").to_pylist() == [3]
+    assert out.column("clean_text").to_pylist() == ["unique tail that survives here"]
+
+
+def test_window_length_must_be_word_aligned(ray_session):
+    with pytest.raises(ValueError):
+        dup_window_stats(_ds([1], ["x" * 50]), L=12)
