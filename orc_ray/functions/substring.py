@@ -30,13 +30,22 @@ windows a suffix array's length->=L repeats induce):
    cuts the union of flagged [i, i+L) spans out of the text (the
    +1/-1 prefix-sum coverage trick, fully vectorized).
 
-Driver-side state is the duplicated-hash and duplicated-gram arrays —
-bounded by the corpus's *duplicate* volume, never its size; callers get
-the exact counts via ``stats_out`` so tests can pin the ceiling.  At
-larger duplicate volumes the broadcast degrades gracefully to the
-engine's usual escape hatch (bloom front + hash-partitioned semi-join,
-as in ``functions/search.py`` df lookup) — documented, not needed at
-test scale.
+Driver-side state is the duplicated-hash array plus, on the BROADCAST
+arm, the duplicated-gram array — bounded by the corpus's *duplicate*
+volume, never its size; callers get the exact counts via ``stats_out``
+so tests can pin the ceiling.  When the estimated gram broadcast
+(``dup_hashes x L`` bytes) exceeds ``broadcast_budget_bytes`` the
+operator switches to the PARTITIONED arm: the dup-gram set stays a
+Dataset (never driver-collected), candidate windows (hash pre-filtered,
+so bounded by duplicate-candidate volume) are hash-co-partitioned
+against it with ONE ``left_semi`` Dataset.join, and the flagged
+``(doc, start)`` pairs flow back to the per-doc stats through a keyed
+sum / to the cut through a ``map_groups`` start-list + ``left_outer``
+join with the corpus stream.  Both arms are byte-identical on output
+(asserted in tests by forcing each arm on the same corpus); only the
+shuffle shape differs.  The remaining broadcast is the 8 B/dup-hash
+prefilter — 1/Lth of the gram volume; a fixed-size bloom front is the
+documented next rung if even that outgrows the object store.
 
 Semantics notes (both deliberate, both matched by the SQL oracles):
 - "duplicated" counts *total occurrences* >= 2, including repeats inside
@@ -156,35 +165,54 @@ def _as_void(words: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(words).view([("", np.void, 8 * w)]).ravel()
 
 
-def _dup_gram_set(ds, text_col: str, L: int, stats_out: dict | None):
-    """Duplicated-hash array + exact duplicated-gram void set (sorted).
+# Broadcast-arm budget: switch to the partitioned semi-join once the
+# estimated gram broadcast (dup_hashes x L bytes) would exceed this.
+_DEFAULT_BROADCAST_BUDGET = 64 << 20
 
-    Stages 1-2 of the module docstring; both returned arrays are the
-    bounded driver-side state that stage 3 broadcasts.
-    """
+
+def _ge2(t: pa.Table) -> pa.Table:
+    return t.filter(pc.greater_equal(t.column("cnt"), 2)) if t.num_rows else t
+
+
+def _dup_hash_set(ds, text_col: str, L: int):
+    """Pass 1: sorted uint64 array of window hashes seen >= 2 times
+    corpus-wide, + its object-store ref (broadcast once)."""
     from .aggregates import sum_by_keys
 
-    if L % 8 != 0 or L <= 0:
-        raise ValueError(f"window length must be a positive multiple of 8, got {L}")
-    nw = L // 8
-
-    # -- pass 1: per-batch (hash, count) partials -> distributed exact sum
     def hash_partial(t: pa.Table) -> pa.Table:
         _, _, _, _, h = _batch_window_hashes(t, text_col, L)
         uniq, cnt = np.unique(h, return_counts=True)
         return pa.table({"gram_h": pa.array(uniq.view(np.int64)), "cnt": pa.array(cnt.astype(np.int64))})
 
-    def ge2(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t.column("cnt"), 2)) if t.num_rows else t
-
     hs = ds.map_batches(hash_partial, batch_format="pyarrow")
-    totals = sum_by_keys(hs, ["gram_h"], "cnt").map_batches(ge2, batch_format="pyarrow")
+    totals = sum_by_keys(hs, ["gram_h"], "cnt").map_batches(_ge2, batch_format="pyarrow")
     dup_h_t = pa.concat_tables(
         list(totals.iter_batches(batch_format="pyarrow", batch_size=None))
         or [pa.table({"gram_h": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})]
     )
     dup_h = np.sort(dup_h_t.column("gram_h").to_numpy(zero_copy_only=False).view(np.uint64))
-    dup_h_ref = ray.put(dup_h)
+    return dup_h, ray.put(dup_h)
+
+
+def _check_L(L: int) -> int:
+    if L % 8 != 0 or L <= 0:
+        raise ValueError(f"window length must be a positive multiple of 8, got {L}")
+    return L // 8
+
+
+def _dup_gram_set(ds, text_col: str, L: int, stats_out: dict | None,
+                  dup_h=None, dup_h_ref=None):
+    """Duplicated-hash array + exact duplicated-gram void set (sorted).
+
+    Stages 1-2 of the module docstring on the BROADCAST arm; both
+    returned arrays are the bounded driver-side state that stage 3
+    broadcasts.
+    """
+    from .aggregates import sum_by_keys
+
+    nw = _check_L(L)
+    if dup_h is None:
+        dup_h, dup_h_ref = _dup_hash_set(ds, text_col, L)
 
     # -- pass 2: candidate windows -> exact gram-word counts
     def gram_partial(t: pa.Table) -> pa.Table:
@@ -203,7 +231,7 @@ def _dup_gram_set(ds, text_col: str, L: int, stats_out: dict | None):
 
     gs = ds.map_batches(gram_partial, batch_format="pyarrow")
     gkeys = [f"g{k}" for k in range(nw)]
-    gtot = sum_by_keys(gs, gkeys, "cnt").map_batches(ge2, batch_format="pyarrow")
+    gtot = sum_by_keys(gs, gkeys, "cnt").map_batches(_ge2, batch_format="pyarrow")
     dup_g_t = pa.concat_tables(
         list(gtot.iter_batches(batch_format="pyarrow", batch_size=None))
         or [pa.table({k: pa.array([], pa.int64()) for k in gkeys + ["cnt"]})]
@@ -220,6 +248,62 @@ def _dup_gram_set(ds, text_col: str, L: int, stats_out: dict | None):
         # ALL driver-resident state for the whole operator family
         stats_out["driver_rows"] = int(dup_h.size) + int(dup_g.size)
     return dup_h_ref, ray.put(dup_g)
+
+
+def _flagged_pairs(ds, id_col: str, text_col: str, L: int, dup_h_ref,
+                   num_partitions: int, stats_out: dict | None):
+    """PARTITIONED arm: Dataset of exact flagged (id_col, start) window
+    occurrences — the dup-gram set never reaches the driver.
+
+    Candidate windows (hash-prefiltered, so bounded by duplicate-candidate
+    volume) are materialized once in the object store and consumed twice:
+    a keyed occurrence count yields the exact >=2 gram set as a Dataset,
+    then ONE hash-co-partitioned ``left_semi`` join flags the candidate
+    occurrences whose gram is in it.  Returns None when there are no
+    candidates (callers short-circuit to the identity/zero path).
+    """
+    from .aggregates import sum_by_keys
+
+    nw = _check_L(L)
+    gkeys = [f"g{k}" for k in range(nw)]
+
+    def cand(t: pa.Table) -> pa.Table:
+        H = ray.get(dup_h_ref)
+        data, offs, starts, nwin, h = _batch_window_hashes(t, text_col, L)
+        if starts.size and H.size:
+            pos = np.searchsorted(H, h)
+            hit = (pos < H.size) & (H[np.minimum(pos, H.size - 1)] == h)
+        else:
+            hit = np.zeros(starts.size, bool)
+        row_of = np.repeat(np.arange(nwin.size, dtype=np.int64), nwin)[hit]
+        starts_hit = starts[hit]
+        words = _gram_words(data, starts_hit, L)
+        cols = {k: pa.array(words[:, i]) for i, k in enumerate(gkeys)}
+        cols[id_col] = t.column(id_col).take(pa.array(row_of))
+        # start relative to the doc, not the flat batch buffer
+        cols["start"] = pa.array(starts_hit - np.repeat(offs[:-1], nwin)[hit])
+        return pa.table(cols)
+
+    cands = ds.map_batches(cand, batch_format="pyarrow").materialize()
+    n_cand = cands.count()
+    if stats_out is not None:
+        stats_out["candidate_windows"] = int(n_cand)
+    if n_cand == 0:
+        return None
+
+    def one(t: pa.Table) -> pa.Table:
+        return t.append_column("one", pa.array(np.ones(t.num_rows, np.int64)))
+
+    counts = sum_by_keys(
+        cands.select_columns(gkeys).map_batches(one, batch_format="pyarrow"),
+        gkeys, "one", out="cnt",
+    )
+    dup_grams = counts.map_batches(_ge2, batch_format="pyarrow").drop_columns(["cnt"])
+    flagged = cands.join(
+        dup_grams, join_type="left_semi", num_partitions=num_partitions,
+        on=tuple(gkeys),
+    )
+    return flagged.select_columns([id_col, "start"])
 
 
 def _flag_windows(t: pa.Table, text_col: str, L: int, dup_h, dup_g):
@@ -240,71 +324,174 @@ def _flag_windows(t: pa.Table, text_col: str, L: int, dup_h, dup_g):
     return data, offs, starts, nwin, flag
 
 
+def _pick_arm(dup_h, L, broadcast_budget_bytes, stats_out):
+    # budget <= 0 force-selects the partitioned arm (tests / ops override)
+    arm = ("broadcast" if broadcast_budget_bytes > 0
+           and dup_h.size * L <= broadcast_budget_bytes else "partitioned")
+    if stats_out is not None:
+        stats_out["arm"] = arm
+        stats_out["dup_hashes"] = int(dup_h.size)
+        if arm == "partitioned":
+            # only the 8 B/hash prefilter is driver/broadcast-resident;
+            # the gram set stays a Dataset end-to-end
+            stats_out["driver_rows"] = int(dup_h.size)
+    return arm
+
+
 def dup_window_stats(ds, id_col: str = "doc_id", text_col: str = "text", L: int = 32,
-                     stats_out: dict | None = None):
+                     stats_out: dict | None = None,
+                     broadcast_budget_bytes: int = _DEFAULT_BROADCAST_BUDGET,
+                     num_partitions: int = 16):
     """Per-document duplicated-window counts, as a ray.data.Dataset.
 
     Returns (id_col, n_windows, dup_windows) for every doc with at least
     one L-byte window; ``dup_windows`` counts positions whose exact
-    L-gram occurs >= 2 times corpus-wide.  Each doc is a single row, so
-    the apply pass emits FINAL per-doc rows with no further shuffle.
+    L-gram occurs >= 2 times corpus-wide.  Arms are output-identical:
+    broadcast probes per batch (each doc is one row, so per-doc rows are
+    FINAL with no further shuffle); partitioned unions the flagged-pair
+    counts with the per-doc window counts through one keyed sum.
     """
-    dup_h, dup_g = _dup_gram_set(ds, text_col, L, stats_out)
+    _check_L(L)
+    dup_h, dup_h_ref = _dup_hash_set(ds, text_col, L)
 
-    def per_doc(t: pa.Table) -> pa.Table:
-        _, _, starts, nwin, flag = _flag_windows(t, text_col, L, dup_h, dup_g)
+    if _pick_arm(dup_h, L, broadcast_budget_bytes, stats_out) == "broadcast":
+        dup_hr, dup_g = _dup_gram_set(ds, text_col, L, stats_out, dup_h, dup_h_ref)
+
+        def per_doc(t: pa.Table) -> pa.Table:
+            _, _, starts, nwin, flag = _flag_windows(t, text_col, L, dup_hr, dup_g)
+            keep = nwin > 0
+            if starts.size:
+                # flagged-window count per doc: prefix-sum sampled at doc cuts
+                fc = np.zeros(starts.size + 1, np.int64)
+                np.cumsum(flag, out=fc[1:])
+                cuts = np.cumsum(nwin)
+                dupc = fc[cuts] - fc[cuts - nwin]
+            else:
+                dupc = np.zeros(nwin.size, np.int64)
+            return pa.table({
+                id_col: t.column(id_col).filter(pa.array(keep)),
+                "n_windows": pa.array(nwin[keep]),
+                "dup_windows": pa.array(dupc[keep]),
+            })
+
+        return ds.map_batches(per_doc, batch_format="pyarrow")
+
+    from .aggregates import agg_by_keys
+
+    def win_rows(t: pa.Table) -> pa.Table:
+        _, offs = _flat_utf8(t.column(text_col))
+        nwin = np.maximum(np.diff(offs) - L + 1, 0)
         keep = nwin > 0
-        if starts.size:
-            # flagged-window count per doc: prefix-sum sampled at doc cuts
-            fc = np.zeros(starts.size + 1, np.int64)
-            np.cumsum(flag, out=fc[1:])
-            cuts = np.cumsum(nwin)
-            dupc = fc[cuts] - fc[cuts - nwin]
-        else:
-            dupc = np.zeros(nwin.size, np.int64)
         return pa.table({
             id_col: t.column(id_col).filter(pa.array(keep)),
             "n_windows": pa.array(nwin[keep]),
-            "dup_windows": pa.array(dupc[keep]),
+            "dup_windows": pa.array(np.zeros(int(keep.sum()), np.int64)),
         })
 
-    return ds.map_batches(per_doc, batch_format="pyarrow")
+    per_doc_wins = ds.map_batches(win_rows, batch_format="pyarrow")
+    flagged = _flagged_pairs(ds, id_col, text_col, L, dup_h_ref,
+                             num_partitions, stats_out)
+    if flagged is None:
+        return per_doc_wins
+
+    def flag_rows(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table({id_col: t.column(id_col),
+                         "n_windows": pa.array(z),
+                         "dup_windows": pa.array(z + 1)})
+
+    unioned = per_doc_wins.union(flagged.map_batches(flag_rows, batch_format="pyarrow"))
+    return agg_by_keys(unioned, [id_col],
+                       [("n_windows", "sum", "n_windows"),
+                        ("dup_windows", "sum", "dup_windows")])
+
+
+def _cut_batch(id_arr, data: np.ndarray, offs: np.ndarray, fs: np.ndarray,
+               L: int, id_col: str) -> pa.Table:
+    """Shared coverage cut: remove the union of flagged [fs, fs+L) spans
+    (global flat indices) from the batch's docs; drop emptied docs."""
+    n = data.size
+    if n == 0:
+        return pa.table({id_col: id_arr.slice(0, 0),
+                         "clean_text": pa.array([], pa.string())})
+    add = np.zeros(n + 1, np.int64)
+    np.add.at(add, fs, 1)
+    np.add.at(add, fs + L, -1)
+    covered = np.cumsum(add[:n]) > 0
+    keep = ~covered
+    kc = np.zeros(n + 1, np.int64)
+    np.cumsum(keep, out=kc[1:])
+    new_lens = kc[offs[1:]] - kc[offs[:-1]]
+    new_offs = np.zeros(new_lens.size + 1, np.int64)
+    np.cumsum(new_lens, out=new_offs[1:])
+    out = pa.Array.from_buffers(
+        pa.large_binary(), new_lens.size,
+        [None, pa.py_buffer(new_offs.tobytes()), pa.py_buffer(data[keep].tobytes())],
+    ).cast(pa.string())
+    nonempty = pa.array(new_lens > 0)
+    return pa.table({id_col: id_arr.filter(nonempty),
+                     "clean_text": out.filter(nonempty)})
 
 
 def cut_dup_spans(ds, id_col: str = "doc_id", text_col: str = "text", L: int = 32,
-                  stats_out: dict | None = None):
+                  stats_out: dict | None = None,
+                  broadcast_budget_bytes: int = _DEFAULT_BROADCAST_BUDGET,
+                  num_partitions: int = 16):
     """Remove every byte covered by a duplicated L-window (Lee et al. cut).
 
     Returns (id_col, clean_text) for every doc with at least one byte
     surviving; a doc fully covered by duplicated windows is dropped.
     Coverage is the union of flagged [i, i+L) spans via the +1/-1
     prefix-sum trick — one vectorized pass per batch, no per-row Python.
+    On the partitioned arm the flagged starts come back to the corpus
+    stream as per-doc start lists through one ``left_outer`` hash join.
     """
-    dup_h, dup_g = _dup_gram_set(ds, text_col, L, stats_out)
+    _check_L(L)
+    dup_h, dup_h_ref = _dup_hash_set(ds, text_col, L)
 
-    def per_doc(t: pa.Table) -> pa.Table:
-        data, offs, starts, _, flag = _flag_windows(t, text_col, L, dup_h, dup_g)
-        n = data.size
-        if n == 0:
-            return pa.table({id_col: t.column(id_col).slice(0, 0),
-                             "clean_text": pa.array([], pa.string())})
-        add = np.zeros(n + 1, np.int64)
-        fs = starts[flag]
-        np.add.at(add, fs, 1)
-        np.add.at(add, fs + L, -1)
-        covered = np.cumsum(add[:n]) > 0
-        keep = ~covered
-        kc = np.zeros(n + 1, np.int64)
-        np.cumsum(keep, out=kc[1:])
-        new_lens = kc[offs[1:]] - kc[offs[:-1]]
-        new_offs = np.zeros(new_lens.size + 1, np.int64)
-        np.cumsum(new_lens, out=new_offs[1:])
-        out = pa.Array.from_buffers(
-            pa.large_binary(), new_lens.size,
-            [None, pa.py_buffer(new_offs.tobytes()), pa.py_buffer(data[keep].tobytes())],
-        ).cast(pa.string())
-        nonempty = pa.array(new_lens > 0)
+    if _pick_arm(dup_h, L, broadcast_budget_bytes, stats_out) == "broadcast":
+        dup_hr, dup_g = _dup_gram_set(ds, text_col, L, stats_out, dup_h, dup_h_ref)
+
+        def per_doc(t: pa.Table) -> pa.Table:
+            data, offs, starts, _, flag = _flag_windows(t, text_col, L, dup_hr, dup_g)
+            return _cut_batch(t.column(id_col).combine_chunks(), data, offs,
+                              starts[flag], L, id_col)
+
+        return ds.map_batches(per_doc, batch_format="pyarrow")
+
+    flagged = _flagged_pairs(ds, id_col, text_col, L, dup_h_ref,
+                             num_partitions, stats_out)
+
+    def identity_cut(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).combine_chunks()
+        nonempty = pc.greater(pc.binary_length(txt), 0)
         return pa.table({id_col: t.column(id_col).filter(nonempty),
-                         "clean_text": out.filter(nonempty)})
+                         "clean_text": txt.filter(nonempty)})
 
-    return ds.map_batches(per_doc, batch_format="pyarrow")
+    if flagged is None:
+        return ds.map_batches(identity_cut, batch_format="pyarrow")
+
+    def collect(g: pa.Table) -> pa.Table:
+        # packed int64 bytes, not list<int64>: Acero's hash join (behind
+        # Dataset.join) rejects list-typed non-key fields
+        s = np.sort(g.column("start").to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({id_col: g.column(id_col).slice(0, 1),
+                         "starts": pa.array([s.tobytes()], pa.large_binary())})
+
+    flag_lists = flagged.groupby(id_col).map_groups(collect, batch_format="pyarrow")
+    joined = ds.join(flag_lists, join_type="left_outer",
+                     num_partitions=num_partitions, on=(id_col,))
+
+    def cut_joined(t: pa.Table) -> pa.Table:
+        data, offs = _flat_utf8(t.column(text_col))
+        # unflagged docs carry a null blob -> 0 bytes in the flat view, so
+        # the per-row repeat of doc base offsets lines up with `rel`
+        sdata, soffs = _flat_utf8(t.column("starts"))
+        # copy before the int64 view: the sliced uint8 buffer may not be
+        # 8-byte aligned (blob volume is duplicate-bounded, copy is cheap)
+        rel = np.frombuffer(sdata.tobytes(), np.int64)
+        per_row = np.diff(soffs) // 8
+        fs = rel + np.repeat(offs[:-1], per_row)
+        return _cut_batch(t.column(id_col).combine_chunks(), data, offs, fs, L, id_col)
+
+    return joined.map_batches(cut_joined, batch_format="pyarrow")

@@ -136,3 +136,46 @@ def test_fully_duplicated_doc_dropped(ray_session):
 def test_window_length_must_be_word_aligned(ray_session):
     with pytest.raises(ValueError):
         dup_window_stats(_ds([1], ["x" * 50]), L=12)
+
+
+def _collect(ds):
+    return pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    ).sort_by("doc_id")
+
+
+def test_partitioned_arm_stats_parity(ray_session):
+    # budget 0 forces the hash-co-partitioned semi-join arm; outputs must
+    # be identical to the broadcast arm on the same corpus
+    ids, texts = _corpus()
+    s_b, s_p = {}, {}
+    a = _collect(dup_window_stats(_ds(ids, texts), L=8, stats_out=s_b))
+    b = _collect(dup_window_stats(_ds(ids, texts), L=8, stats_out=s_p,
+                                  broadcast_budget_bytes=0, num_partitions=4))
+    assert s_b["arm"] == "broadcast" and s_p["arm"] == "partitioned"
+    assert a.equals(b), (a.num_rows, b.num_rows)
+    # partitioned arm never holds grams on the driver
+    assert s_p["driver_rows"] == s_p["dup_hashes"]
+    assert s_p["candidate_windows"] >= s_b["dup_grams"]
+
+
+def test_partitioned_arm_cut_parity(ray_session):
+    ids, texts = _corpus()
+    a = _collect(cut_dup_spans(_ds(ids, texts), L=8))
+    b = _collect(cut_dup_spans(_ds(ids, texts), L=8,
+                               broadcast_budget_bytes=0, num_partitions=4))
+    assert a.equals(b), (a.num_rows, b.num_rows)
+
+
+def test_partitioned_arm_no_duplicates(ray_session):
+    # empty candidate set short-circuits: identity cut / zero stats
+    texts = ["".join(f"{i}{j:03d}" for j in range(10)) for i in range(5)]
+    ids = list(range(5))
+    st = {}
+    out = _collect(cut_dup_spans(_ds(ids, texts, blocks=2), L=16, stats_out=st,
+                                 broadcast_budget_bytes=0))
+    assert out.column("clean_text").to_pylist() == texts
+    assert st["arm"] == "partitioned" and st["candidate_windows"] == 0
+    stats = _collect(dup_window_stats(_ds(ids, texts, blocks=2), L=16,
+                                      broadcast_budget_bytes=0))
+    assert stats.column("dup_windows").to_pylist() == [0] * 5
