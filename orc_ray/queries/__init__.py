@@ -181,6 +181,8 @@ QUERIES = {
     "zorder_lookup": q_zorder_lookup,
     "encoded_groupby": q_encoded_groupby,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
+    "oov_rate": q_oov_rate,
     "revenue_trend_slope": q_revenue_trend_slope,
     "group_percentile_cont": q_group_percentile_cont,
     "winsorized_stats": q_winsorized_stats,

@@ -882,6 +882,149 @@ def q_unigram_logprob(sf_dir: str):
     ).sort_by("doc_id")
 
 
+def q_oov_rate(sf_dir: str):
+    """Out-of-vocabulary rate per source under a top-1000 corpus vocab —
+    the coverage check run before fixing a tokenizer's vocab on a new
+    corpus mix.  Integer-exact: (source, n_tokens, oov_tokens).
+
+    Pass 1 is the unigram_logprob vocab build (ONE sum_by_keys, O(vocab)
+    shuffle); the top-K cut happens on the driver's O(vocab) table with
+    the deterministic (count DESC, word ASC) order the SQL mirror uses,
+    and only the K surviving words broadcast.  Pass 2 is a per-batch
+    index_in probe + per-source partials -> one tiny keyed sum.  At 100
+    TB the vocab table is itself top-K'd distributedly (local top-K per
+    block + merge, as in token_histogram); here the full table keeps the
+    tie-break exact."""
+    import ray as _ray
+
+    from ..functions.aggregates import sum_by_keys
+    from ..functions.text import _concat_np, _ws_words
+
+    K = 1000
+    ds = _decoded(sf_dir, "documents", columns=["source", "text"])
+
+    def tok_counts(t: pa.Table, *, _ws_words=_ws_words, _concat_np=_concat_np) -> pa.Table:
+        _, flat, _ = _ws_words(_concat_np(t.column("text")), lower=True)
+        g = pa.table({"w": flat}).group_by("w").aggregate([([], "count_all")])
+        return pa.table({"w": g.column("w"), "one": g.column("count_all").cast(pa.int64())})
+
+    vocab = _to_table(
+        sum_by_keys(ds.map_batches(tok_counts, batch_format="pyarrow", zero_copy_batch=True),
+                    ["w"], "one", out="n")
+    )
+    order = pc.sort_indices(vocab, sort_keys=[("n", "descending"), ("w", "ascending")])
+    top = vocab.take(order.slice(0, K)).column("w").combine_chunks()
+    ref = _ray.put(top)
+
+    def per_source(t: pa.Table, *, ref=ref, _ws_words=_ws_words, _concat_np=_concat_np) -> pa.Table:
+        top = _ray.get(ref)
+        off, flat, n_words = _ws_words(_concat_np(t.column("text")), lower=True)
+        in_vocab = pc.is_in(flat, value_set=top).to_numpy(zero_copy_only=False)
+        # mask out the phantom "" word empty docs contribute to `flat`
+        word_doc = np.repeat(np.arange(n_words.size, dtype=np.int64), np.diff(off))
+        valid = n_words[word_doc] > 0
+        src = t.column("source").take(pa.array(word_doc[valid]))
+        g = pa.table({
+            "source": src,
+            "one": pa.array(np.ones(int(valid.sum()), np.int64)),
+            "oov": pa.array((~in_vocab[valid]).astype(np.int64)),
+        }).group_by("source").aggregate([("one", "sum"), ("oov", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "n_tokens": g.column("one_sum"),
+                         "oov_tokens": g.column("oov_sum")})
+
+    partials = ds.map_batches(per_source, batch_format="pyarrow", zero_copy_batch=True)
+    out = sum_by_keys(partials, ["source"], "n_tokens")
+    # two values through one keyed sum: pack (n_tokens, oov) into one pass
+    # would lose column names; run the second tiny sum instead (O(sources))
+    oov = sum_by_keys(partials.select_columns(["source", "oov_tokens"]),
+                      ["source"], "oov_tokens")
+    a = _to_table(out).sort_by("source")
+    b = _to_table(oov).sort_by("source")
+    return pa.table({"source": a.column("source"),
+                     "n_tokens": a.column("n_tokens"),
+                     "oov_tokens": b.column("oov_tokens")})
+
+
+def q_bigram_logprob(sf_dir: str):
+    """Bigram-LM scoring — per document, the average ln P(w_i | w_{i-1})
+    under the corpus's own MLE bigram model (P = c(a,b) / c(a,·)); the
+    2-gram upgrade of unigram_logprob and the standard LM-quality filter
+    feature.  Output (doc_id, avg_lp_e6, n_pairs), e6-floored like the
+    unigram precedent.
+
+    Pass 1: per-batch in-doc bigram counts (vectorized pair extraction:
+    every word except each doc's last is a context) -> ONE sum_by_keys
+    over (w1, w2) — the shuffle is O(distinct bigrams), never O(tokens).
+    Context totals c(a,·) derive from the collected table by one Arrow
+    group-sum on the driver; the (pair -> lp) map broadcasts once.  At
+    100 TB the model table is top-K + a backoff floor (documented); the
+    full table here keeps the SQL mirror exact."""
+    import ray as _ray
+
+    from ..functions.aggregates import sum_by_keys
+    from ..functions.text import _concat_np, _ws_words
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+    SEP = "\x1f"
+
+    def _pairs(t: pa.Table, *, _ws_words=_ws_words, _concat_np=_concat_np):
+        off, flat, n_words = _ws_words(_concat_np(t.column("text")), lower=True)
+        total = int(off[-1])
+        keep = np.ones(total, bool)
+        last = off[1:] - 1
+        keep[last[last >= 0]] = False  # no pair crosses a doc boundary
+        # phantom "" words of empty docs are their own (excluded) last word
+        word_doc = np.repeat(np.arange(n_words.size, dtype=np.int64), np.diff(off))
+        keep &= n_words[word_doc] > 1
+        pos = np.flatnonzero(keep)
+        w1 = flat.take(pa.array(pos))
+        w2 = flat.take(pa.array(pos + 1))
+        n_pairs = np.maximum(n_words - 1, 0)
+        return w1, w2, pos, n_pairs
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        w1, w2, _, _ = _pairs(t)
+        g = pa.table({"w1": w1, "w2": w2}).group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return pa.table({"w1": g.column("w1"), "w2": g.column("w2"),
+                         "one": g.column("count_all").cast(pa.int64())})
+
+    model = _to_table(
+        sum_by_keys(ds.map_batches(pair_counts, batch_format="pyarrow", zero_copy_batch=True),
+                    ["w1", "w2"], "one", out="nab")
+    )
+    ctx = model.group_by("w1").aggregate([("nab", "sum")])
+    pos_ctx = pc.index_in(model.column("w1"), value_set=ctx.column("w1").combine_chunks())
+    na = pc.take(ctx.column("nab_sum"), pos_ctx).to_numpy(zero_copy_only=False).astype(np.float64)
+    nab = model.column("nab").to_numpy(zero_copy_only=False).astype(np.float64)
+    lp = np.log(nab) - np.log(na)
+    keys = pc.binary_join_element_wise(model.column("w1"), model.column("w2"), SEP)
+    ref = _ray.put((keys.combine_chunks(), lp))
+
+    def score(t: pa.Table, *, ref=ref) -> pa.Table:
+        keys, lp = _ray.get(ref)
+        w1, w2, _, n_pairs = _pairs(t)
+        k = pc.binary_join_element_wise(w1, w2, SEP)
+        pos = pc.index_in(k, value_set=keys).to_numpy(zero_copy_only=False).astype(np.int64)
+        per_pair = lp[pos]  # full model -> every in-corpus pair hits
+        c = np.zeros(per_pair.size + 1)
+        np.cumsum(per_pair, out=c[1:])
+        po = np.zeros(n_pairs.size + 1, np.int64)
+        np.cumsum(n_pairs, out=po[1:])
+        sums = c[po[1:]] - c[po[:-1]]
+        keep = n_pairs > 0
+        avg = sums[keep] / n_pairs[keep]
+        return pa.table({
+            "doc_id": t.column("doc_id").filter(pa.array(keep)),
+            "avg_lp_e6": pa.array(np.floor(avg * 1_000_000).astype(np.int64)),
+            "n_pairs": pa.array(n_pairs[keep]),
+        })
+
+    return _to_table(
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("doc_id")
+
+
 # --- DuckDB oracle SQL for this domain's queries; assembled into the
 # driver-contract registry by queries/__init__ (zero behavior change —
 # the SQL lives beside the pipeline it mirrors).
@@ -1084,6 +1227,43 @@ ORACLE_SQL = {
                CAST(t.tot AS BIGINT) AS n_docs
         FROM c JOIN t ON c.source = t.source
         GROUP BY c.source, t.tot ORDER BY c.source
+    """,
+    "oov_rate": """
+        WITH words AS (
+          SELECT source,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+          FROM documents WHERE trim(text) <> ''
+        ),
+        vocab AS (
+          SELECT w FROM (SELECT w, COUNT(*) AS n FROM words GROUP BY w)
+          ORDER BY n DESC, w ASC LIMIT 1000
+        )
+        SELECT words.source,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS oov_tokens
+        FROM words LEFT JOIN vocab ON words.w = vocab.w
+        GROUP BY words.source ORDER BY words.source
+    """,
+    "bigram_logprob": """
+        WITH s AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+          FROM documents WHERE trim(text) <> ''
+        ),
+        p AS (
+          SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+          FROM (SELECT doc_id, ws,
+                       UNNEST(generate_series(1, len(ws) - 1)) AS i FROM s)
+        ),
+        cab AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS nab
+                FROM p GROUP BY w1, w2),
+        ca AS (SELECT w1, SUM(nab) AS na FROM cab GROUP BY w1)
+        SELECT p.doc_id,
+               CAST(FLOOR(AVG(LN(cab.nab) - LN(ca.na)) * 1000000) AS BIGINT)
+                 AS avg_lp_e6,
+               COUNT(*) AS n_pairs
+        FROM p JOIN cab USING (w1, w2) JOIN ca USING (w1)
+        GROUP BY p.doc_id ORDER BY p.doc_id
     """,
     "unigram_logprob": """
         WITH words AS (
