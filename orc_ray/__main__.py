@@ -282,6 +282,34 @@ def cmd_import_orc(a) -> int:
     return 0
 
 
+def cmd_export_parquet(a) -> int:
+    """Decode a chunk store into content-addressed partitioned parquet
+    (the export direction back to the engine's own input format)."""
+    _ray_up()
+    from .pipeline.decode import decode_dataset
+    from .pipeline.orcio import write_parquet_parts
+
+    man = write_parquet_parts(
+        decode_dataset(
+            a.store,
+            columns=a.columns.split(",") if a.columns else None,
+            predicates=_parse_where(a.where),
+        ),
+        a.out,
+        compression=a.compression if a.compression != "none" else "NONE",
+    )
+    print(
+        json.dumps(
+            {
+                "parts": man.num_rows,
+                "rows": sum(man.column("rows").to_pylist()),
+                "bytes": sum(man.column("bytes").to_pylist()),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_export_orc(a) -> int:
     """Decode a chunk store into partitioned real .orc files."""
     _ray_up()
@@ -718,6 +746,16 @@ def main(argv=None) -> int:
     eo.add_argument("--compression", default="zstd",
                     choices=["zstd", "zlib", "snappy", "lz4", "uncompressed"])
     eo.set_defaults(fn=cmd_export_orc)
+
+    ep = sub.add_parser("export-parquet",
+                        help="decode a chunk store into partitioned .parquet files")
+    ep.add_argument("store")
+    ep.add_argument("out")
+    ep.add_argument("--columns")
+    ep.add_argument("--where", help='JSON predicates, e.g. \'[["col","<",100]]\'')
+    ep.add_argument("--compression", default="zstd",
+                    choices=["zstd", "snappy", "lz4", "gzip", "none"])
+    ep.set_defaults(fn=cmd_export_parquet)
 
     m = sub.add_parser("merge", help="merge committed stores (orc-tools merge analog)")
     m.add_argument("out")

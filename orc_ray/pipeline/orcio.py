@@ -106,23 +106,17 @@ def read_orc(
     )
 
 
-def _write_orc_part(
-    batch: pa.Table, *, out_dir: str, compression: str, stripe_size: int | None
-) -> pa.Table:
-    empty = pa.table(
-        {"path": pa.array([], pa.string()), "rows": pa.array([], pa.int64()),
-         "bytes": pa.array([], pa.int64())}
-    )
+def _write_part(batch: pa.Table, *, out_dir: str, ext: str, serialize) -> pa.Table:
+    """Shared content-addressed part sink: serialize the block, name the
+    file by its sha256, skip if present (idempotent resume)."""
     if batch.num_rows == 0:
-        return empty
-    sink = pa.BufferOutputStream()
-    kw = {"compression": compression}
-    if stripe_size is not None:
-        kw["stripe_size"] = stripe_size
-    po.write_table(batch, sink, **kw)
-    blob = sink.getvalue().to_pybytes()
+        return pa.table(
+            {"path": pa.array([], pa.string()), "rows": pa.array([], pa.int64()),
+             "bytes": pa.array([], pa.int64())}
+        )
+    blob = serialize(batch)
     name = hashlib.sha256(blob).hexdigest()[:16]
-    path = os.path.join(out_dir, f"part-{name}.orc")
+    path = os.path.join(out_dir, f"part-{name}.{ext}")
     if not os.path.exists(path):  # content-addressed: resume skips done parts
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -131,6 +125,20 @@ def _write_orc_part(
     return pa.table(
         {"path": [path], "rows": [batch.num_rows], "bytes": [len(blob)]}
     )
+
+
+def _write_orc_part(
+    batch: pa.Table, *, out_dir: str, compression: str, stripe_size: int | None
+) -> pa.Table:
+    def serialize(b: pa.Table) -> bytes:
+        sink = pa.BufferOutputStream()
+        kw = {"compression": compression}
+        if stripe_size is not None:
+            kw["stripe_size"] = stripe_size
+        po.write_table(b, sink, **kw)
+        return sink.getvalue().to_pybytes()
+
+    return _write_part(batch, out_dir=out_dir, ext="orc", serialize=serialize)
 
 
 def write_orc(
@@ -156,6 +164,10 @@ def write_orc(
         zero_copy_batch=True,
         num_cpus=1,
     )
+    return _collect_manifest(man)
+
+
+def _collect_manifest(man) -> pa.Table:
     parts = [
         b for b in man.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows
     ]
@@ -165,3 +177,33 @@ def write_orc(
              "bytes": pa.array([], pa.int64())}
         )
     return pa.concat_tables(parts).sort_by("path")
+
+
+def write_parquet_parts(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    *,
+    compression: str = "zstd",
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Streaming partitioned Parquet sink with the same content-addressed
+    idempotent-resume contract as :func:`write_orc` — the export direction
+    back to the engine's own input format (store -> parquet), so a decoded
+    store re-enters any parquet-reading pipeline without a driver-side
+    materialization.  One ``part-<sha>.parquet`` file per block."""
+    import pyarrow.parquet as pq
+
+    def serialize(b: pa.Table) -> bytes:
+        sink = pa.BufferOutputStream()
+        pq.write_table(b, sink, compression=compression)
+        return sink.getvalue().to_pybytes()
+
+    os.makedirs(out_dir, exist_ok=True)
+    man = ds.map_batches(
+        functools.partial(_write_part, out_dir=out_dir, ext="parquet", serialize=serialize),
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        num_cpus=1,
+    )
+    return _collect_manifest(man)

@@ -137,3 +137,48 @@ def test_store_to_orc_to_store(ray_session, tmp_path):
         decode_dataset(store2).iter_batches(batch_format="pyarrow", batch_size=None)
     ).sort_by("k")
     assert got.equals(t)
+
+
+def test_write_parquet_parts_partitioned_and_resumable(ray_session, tmp_path):
+    import ray
+    import pyarrow.parquet as pq
+
+    from orc_ray.pipeline.orcio import write_parquet_parts
+
+    t = _table(9000)
+    out = str(tmp_path / "pqsink")
+    man = write_parquet_parts(ray.data.from_arrow(t), out, batch_size=2048)
+    parts = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert parts == man.column("path").to_pylist()
+    assert len(parts) >= 2  # partitioned output, never one giant file
+    assert sum(man.column("rows").to_pylist()) == 9000
+    back = pa.concat_tables([pq.read_table(p) for p in parts]).sort_by("k")
+    assert back.equals(t)
+    # idempotent resume: re-running writes nothing new (content-addressed)
+    mtimes = {p: os.path.getmtime(p) for p in parts}
+    write_parquet_parts(ray.data.from_arrow(t), out, batch_size=2048)
+    assert sorted(glob.glob(os.path.join(out, "part-*.parquet"))) == parts
+    assert {p: os.path.getmtime(p) for p in parts} == mtimes
+
+
+def test_store_to_parquet_export_cli(ray_session, tmp_path):
+    """store --export-parquet--> parts --re-encode--> store: exact loop."""
+    import pyarrow.parquet as pq
+
+    from orc_ray.pipeline.decode import decode_dataset
+    from orc_ray.pipeline.encode import encode_dataset
+    from orc_ray.pipeline.orcio import write_parquet_parts
+
+    t = _table(4000)
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    store1 = str(tmp_path / "store1")
+    encode_dataset(src, store1, batch_size=1024)
+    pq_dir = str(tmp_path / "pq")
+    write_parquet_parts(decode_dataset(store1), pq_dir, batch_size=1024)
+    store2 = str(tmp_path / "store2")
+    encode_dataset(pq_dir, store2, batch_size=1024)
+    a = pa.concat_tables(
+        decode_dataset(store2).iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("k")
+    assert a.equals(t)
