@@ -380,6 +380,22 @@ def cmd_purge(a) -> int:
     return 0
 
 
+def cmd_dedup_cut(a) -> int:
+    """Rewrite a store cutting duplicated-substring spans from the text
+    column (Lee et al. 2022 substring dedup as a store op)."""
+    _ray_up()
+    from .pipeline.encode import dedup_cut_store
+
+    stats: dict = {}
+    rec = dedup_cut_store(
+        a.store, a.out, id_col=a.id_col, text_col=a.text_col,
+        window=a.window, batch_size=a.batch_size, stats_out=stats,
+    )
+    print(json.dumps({**rec["totals"], "arm": stats.get("arm"),
+                      "dup_hashes": stats.get("dup_hashes")}))
+    return 0
+
+
 def cmd_recover(a) -> int:
     """Salvage a damaged store into a fresh consistent one."""
     _ray_up()
@@ -693,6 +709,16 @@ def main(argv=None) -> int:
     pg.add_argument("--where", required=True, help='JSON predicates, e.g. \'[["user_id","==",7]]\'')
     pg.add_argument("--batch-size", type=int, default=16384)
     pg.set_defaults(fn=cmd_purge)
+
+    dc = sub.add_parser("dedup-cut", help="rewrite a store cutting duplicated-"
+                        "substring spans from the text column (Lee et al. 2022)")
+    dc.add_argument("store")
+    dc.add_argument("out")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--window", type=int, default=32)
+    dc.add_argument("--batch-size", type=int, default=16384)
+    dc.set_defaults(fn=cmd_dedup_cut)
 
     rc = sub.add_parser("recover", help="salvage a damaged store (skip corrupt/"
                         "missing chunks) into a fresh consistent one")

@@ -374,6 +374,11 @@ def join_adaptive(
         num_partitions=num_partitions,
         on=(big_key,),
         right_on=(small_key,),
+        # 0-CPU aggregators: the shuffle pool is memory-bound, and join
+        # aggregator actors LINGER after execution — a reserved-CPU pool
+        # left behind by one join can deadlock every later pipeline on a
+        # small cluster (substring._join_parallelism has the incident)
+        aggregator_ray_remote_args={"num_cpus": 0},
     )
 
 

@@ -250,8 +250,25 @@ def _dup_gram_set(ds, text_col: str, L: int, stats_out: dict | None,
     return dup_h_ref, ray.put(dup_g)
 
 
+def _join_parallelism(num_partitions: int | None) -> tuple[int, dict]:
+    """Resolve hash-join parallelism against the actual cluster.
+
+    Dataset.join spawns ``num_partitions`` aggregator ACTORS that LINGER
+    after the dataset executes (observed live: 8 idle aggregators from a
+    finished join still held their CPU reservation and deadlocked every
+    subsequent pipeline on the 4-CPU test session).  Aggregators are
+    memory-bound, not CPU-bound — request 0 CPUs so a lingering pool can
+    never starve co-scheduled stages; partitions scale with cluster CPUs
+    (callers override upward for real clusters, where more partitions =
+    smaller per-aggregator working sets)."""
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(16, cpus // 2))
+    return num_partitions, {"num_cpus": 0}
+
+
 def _flagged_pairs(ds, id_col: str, text_col: str, L: int, dup_h_ref,
-                   num_partitions: int, stats_out: dict | None):
+                   num_partitions: int | None, stats_out: dict | None):
     """PARTITIONED arm: Dataset of exact flagged (id_col, start) window
     occurrences — the dup-gram set never reaches the driver.
 
@@ -299,9 +316,10 @@ def _flagged_pairs(ds, id_col: str, text_col: str, L: int, dup_h_ref,
         gkeys, "one", out="cnt",
     )
     dup_grams = counts.map_batches(_ge2, batch_format="pyarrow").drop_columns(["cnt"])
+    num_partitions, agg_args = _join_parallelism(num_partitions)
     flagged = cands.join(
         dup_grams, join_type="left_semi", num_partitions=num_partitions,
-        on=tuple(gkeys),
+        on=tuple(gkeys), aggregator_ray_remote_args=agg_args,
     )
     return flagged.select_columns([id_col, "start"])
 
@@ -341,7 +359,7 @@ def _pick_arm(dup_h, L, broadcast_budget_bytes, stats_out):
 def dup_window_stats(ds, id_col: str = "doc_id", text_col: str = "text", L: int = 32,
                      stats_out: dict | None = None,
                      broadcast_budget_bytes: int = _DEFAULT_BROADCAST_BUDGET,
-                     num_partitions: int = 16):
+                     num_partitions: int | None = None):
     """Per-document duplicated-window counts, as a ray.data.Dataset.
 
     Returns (id_col, n_windows, dup_windows) for every doc with at least
@@ -406,14 +424,13 @@ def dup_window_stats(ds, id_col: str = "doc_id", text_col: str = "text", L: int 
                         ("dup_windows", "sum", "dup_windows")])
 
 
-def _cut_batch(id_arr, data: np.ndarray, offs: np.ndarray, fs: np.ndarray,
-               L: int, id_col: str) -> pa.Table:
+def _cut_arrays(data: np.ndarray, offs: np.ndarray, fs: np.ndarray, L: int):
     """Shared coverage cut: remove the union of flagged [fs, fs+L) spans
-    (global flat indices) from the batch's docs; drop emptied docs."""
+    (global flat indices); returns (cleaned string array, new_lens)."""
     n = data.size
+    rows = offs.size - 1
     if n == 0:
-        return pa.table({id_col: id_arr.slice(0, 0),
-                         "clean_text": pa.array([], pa.string())})
+        return pa.nulls(rows, pa.string()).fill_null(""), np.zeros(rows, np.int64)
     add = np.zeros(n + 1, np.int64)
     np.add.at(add, fs, 1)
     np.add.at(add, fs + L, -1)
@@ -428,23 +445,40 @@ def _cut_batch(id_arr, data: np.ndarray, offs: np.ndarray, fs: np.ndarray,
         pa.large_binary(), new_lens.size,
         [None, pa.py_buffer(new_offs.tobytes()), pa.py_buffer(data[keep].tobytes())],
     ).cast(pa.string())
+    return out, new_lens
+
+
+def _cut_batch(t: pa.Table, data: np.ndarray, offs: np.ndarray, fs: np.ndarray,
+               L: int, id_col: str, text_col: str, replace_text: bool) -> pa.Table:
+    """Assemble the cut result: (id, clean_text) pairs, or — in
+    ``replace_text`` mode — the FULL row with ``text_col`` swapped for
+    the cleaned text (the store-rewrite shape).  Emptied docs drop."""
+    out, new_lens = _cut_arrays(data, offs, fs, L)
     nonempty = pa.array(new_lens > 0)
-    return pa.table({id_col: id_arr.filter(nonempty),
-                     "clean_text": out.filter(nonempty)})
+    if not replace_text:
+        return pa.table({id_col: t.column(id_col).combine_chunks().filter(nonempty),
+                         "clean_text": out.filter(nonempty)})
+    if "starts" in t.column_names:
+        t = t.drop_columns(["starts"])
+    t = t.set_column(t.schema.get_field_index(text_col), text_col, out)
+    return t.filter(nonempty)
 
 
 def cut_dup_spans(ds, id_col: str = "doc_id", text_col: str = "text", L: int = 32,
                   stats_out: dict | None = None,
                   broadcast_budget_bytes: int = _DEFAULT_BROADCAST_BUDGET,
-                  num_partitions: int = 16):
+                  num_partitions: int | None = None, replace_text: bool = False):
     """Remove every byte covered by a duplicated L-window (Lee et al. cut).
 
     Returns (id_col, clean_text) for every doc with at least one byte
-    surviving; a doc fully covered by duplicated windows is dropped.
-    Coverage is the union of flagged [i, i+L) spans via the +1/-1
-    prefix-sum trick — one vectorized pass per batch, no per-row Python.
-    On the partitioned arm the flagged starts come back to the corpus
-    stream as per-doc start lists through one ``left_outer`` hash join.
+    surviving — or, with ``replace_text``, the doc's FULL row with
+    ``text_col`` replaced by the cleaned text (the store-rewrite shape
+    used by ``dedup_cut_store``); a doc fully covered by duplicated
+    windows is dropped.  Coverage is the union of flagged [i, i+L) spans
+    via the +1/-1 prefix-sum trick — one vectorized pass per batch, no
+    per-row Python.  On the partitioned arm the flagged starts come back
+    to the corpus stream as per-doc start lists through one
+    ``left_outer`` hash join.
     """
     _check_L(L)
     dup_h, dup_h_ref = _dup_hash_set(ds, text_col, L)
@@ -454,8 +488,8 @@ def cut_dup_spans(ds, id_col: str = "doc_id", text_col: str = "text", L: int = 3
 
         def per_doc(t: pa.Table) -> pa.Table:
             data, offs, starts, _, flag = _flag_windows(t, text_col, L, dup_hr, dup_g)
-            return _cut_batch(t.column(id_col).combine_chunks(), data, offs,
-                              starts[flag], L, id_col)
+            return _cut_batch(t, data, offs, starts[flag], L, id_col,
+                              text_col, replace_text)
 
         return ds.map_batches(per_doc, batch_format="pyarrow")
 
@@ -465,6 +499,8 @@ def cut_dup_spans(ds, id_col: str = "doc_id", text_col: str = "text", L: int = 3
     def identity_cut(t: pa.Table) -> pa.Table:
         txt = t.column(text_col).combine_chunks()
         nonempty = pc.greater(pc.binary_length(txt), 0)
+        if replace_text:
+            return t.filter(nonempty)
         return pa.table({id_col: t.column(id_col).filter(nonempty),
                          "clean_text": txt.filter(nonempty)})
 
@@ -479,8 +515,10 @@ def cut_dup_spans(ds, id_col: str = "doc_id", text_col: str = "text", L: int = 3
                          "starts": pa.array([s.tobytes()], pa.large_binary())})
 
     flag_lists = flagged.groupby(id_col).map_groups(collect, batch_format="pyarrow")
+    num_partitions, agg_args = _join_parallelism(num_partitions)
     joined = ds.join(flag_lists, join_type="left_outer",
-                     num_partitions=num_partitions, on=(id_col,))
+                     num_partitions=num_partitions, on=(id_col,),
+                     aggregator_ray_remote_args=agg_args)
 
     def cut_joined(t: pa.Table) -> pa.Table:
         data, offs = _flat_utf8(t.column(text_col))
@@ -492,6 +530,6 @@ def cut_dup_spans(ds, id_col: str = "doc_id", text_col: str = "text", L: int = 3
         rel = np.frombuffer(sdata.tobytes(), np.int64)
         per_row = np.diff(soffs) // 8
         fs = rel + np.repeat(offs[:-1], per_row)
-        return _cut_batch(t.column(id_col).combine_chunks(), data, offs, fs, L, id_col)
+        return _cut_batch(t, data, offs, fs, L, id_col, text_col, replace_text)
 
     return joined.map_batches(cut_joined, batch_format="pyarrow")

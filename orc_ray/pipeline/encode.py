@@ -521,6 +521,40 @@ def purge_store(
     return encode_dataset(None, out_dir, opts, ds=ds, batch_size=batch_size)
 
 
+def dedup_cut_store(
+    in_dir: str,
+    out_dir: str,
+    opts: EncodeOptions = DEFAULT_OPTIONS,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    batch_size: int = 16384,
+    stats_out: dict | None = None,
+    broadcast_budget_bytes: int | None = None,
+) -> dict:
+    """Rewrite a store with every duplicated-substring span physically cut
+    from ``text_col`` (the Lee et al. 2022 dedup transform as a store
+    operation): bytes covered by any ``window``-byte gram occurring >= 2
+    times corpus-wide are removed, docs left empty are dropped, every
+    other column rides along unchanged.  Same wipe-first commit contract
+    as sort/compact; the cut itself is functions/substring.py's dual-arm
+    operator (broadcast probe, or partitioned semi-join past the
+    broadcast budget)."""
+    from ..functions.substring import _DEFAULT_BROADCAST_BUDGET, cut_dup_spans
+    from .decode import decode_dataset
+
+    _wipe_target(in_dir, out_dir)
+    if broadcast_budget_bytes is None:
+        broadcast_budget_bytes = _DEFAULT_BROADCAST_BUDGET
+    cleaned = cut_dup_spans(
+        decode_dataset(in_dir), id_col=id_col, text_col=text_col, L=window,
+        stats_out=stats_out, replace_text=True,
+        broadcast_budget_bytes=broadcast_budget_bytes,
+    )
+    return encode_dataset(None, out_dir, opts, ds=cleaned, batch_size=batch_size)
+
+
 def recover_store(
     in_dir: str,
     out_dir: str,

@@ -179,3 +179,39 @@ def test_partitioned_arm_no_duplicates(ray_session):
     stats = _collect(dup_window_stats(_ds(ids, texts, blocks=2), L=16,
                                       broadcast_budget_bytes=0))
     assert stats.column("dup_windows").to_pylist() == [0] * 5
+
+
+def test_dedup_cut_store_roundtrip(ray_session, tmp_path):
+    """Store -> dedup-cut -> store preserves non-text columns and equals
+    the brute-force cut on text, on BOTH arms."""
+    import pyarrow.parquet as pq
+
+    from orc_ray.pipeline.decode import decode_dataset
+    from orc_ray.pipeline.encode import dedup_cut_store, encode_dataset
+
+    ids, texts = _corpus()
+    extra = [i * 7 % 13 for i in ids]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts),
+                  "extra": pa.array(extra, pa.int32())})
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    store = str(tmp_path / "store")
+    encode_dataset(src, store, batch_size=40)
+
+    want = _brute_cut(ids, texts, 8)
+    for arm, budget in (("broadcast", 64 << 20), ("partitioned", 0)):
+        out_dir = str(tmp_path / f"cut-{arm}")
+        stats: dict = {}
+        dedup_cut_store(store, out_dir, window=8, batch_size=40, stats_out=stats,
+                        broadcast_budget_bytes=budget)
+        assert stats["arm"] == arm
+        got = pa.concat_tables(
+            decode_dataset(out_dir).iter_batches(batch_format="pyarrow", batch_size=None)
+        ).sort_by("doc_id")
+        assert dict(zip(got.column("doc_id").to_pylist(),
+                        got.column("text").to_pylist())) == want
+        # non-text columns ride along unchanged
+        by_id = dict(zip(ids, extra))
+        assert all(by_id[d] == e for d, e in zip(got.column("doc_id").to_pylist(),
+                                                 got.column("extra").to_pylist()))
+        assert got.schema.field("extra").type == pa.int32()
