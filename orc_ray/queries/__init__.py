@@ -176,6 +176,7 @@ QUERIES = {
     "order_next_gap": q_order_next_gap,
     "mode_priority": q_mode_priority,
     "same_day_order_pairs": q_same_day_order_pairs,
+    "pagerank": q_pagerank,
     "source_lang_entropy": q_source_lang_entropy,
     "sampled_documents": q_sampled_documents,
     "zorder_lookup": q_zorder_lookup,

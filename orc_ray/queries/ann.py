@@ -307,6 +307,88 @@ def q_order_clusters(sf_dir: str):
     ).sort_by("o_orderkey")
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank over the customer<->supplier interaction graph (edges =
+    distinct (custkey, suppkey) pairs from lineitem x orders, weighted by
+    interaction count, both directions) — 3 damped iterations (d=0.85) in
+    EXACT int64 fixed-point (R scaled 1e9, per-edge contribution
+    ``(R[u]*w) // W[u]``, damping ``(85*S) // 100``): every operation is
+    an order-independent integer op, so the SQL mirror hash-matches with
+    no float knife-edge.  Top-20 nodes by final rank.
+
+    Scale shape: the EDGE dimension (the 100-TB one) is fully
+    distributed — per-iteration work is one map_batches over the
+    materialized edge Dataset (bounded by distinct pairs) + one
+    sum_by_keys on the destination; only the O(nodes) rank/out-weight
+    vectors broadcast (``ray.put`` per iteration), the standard Pregel
+    split.  Past broadcastable node counts the rank vector becomes a
+    hash-partitioned join side (join_adaptive's shuffle arm) — documented
+    upgrade, same iteration algebra."""
+    import ray as _ray
+
+    from ..functions.aggregates import sum_by_keys
+    from ..functions.joins import join_adaptive
+
+    D_NUM, D_DEN = 85, 100           # damping 0.85 as an exact ratio
+    SCALE = 1_000_000_000            # R fixed-point scale (1e9)
+    BASE = (D_DEN - D_NUM) * SCALE // D_DEN  # (1-d)*SCALE = 150_000_000
+    SUPP_OFF = 1_000_000             # suppliers live at key + 1e6
+
+    li = _decoded(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = join_adaptive(li, orders, "l_orderkey", "o_orderkey", ["o_custkey"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"c": t.column("o_custkey"), "s": t.column("l_suppkey")})
+             .group_by(["c", "s"]).aggregate([([], "count_all")]))
+        return pa.table({"c": g.column("c"), "s": g.column("s"),
+                         "one": g.column("count_all").cast(pa.int64())})
+
+    eo = sum_by_keys(joined.map_batches(pair_partial, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                     ["c", "s"], "one", out="w")
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64) + SUPP_OFF
+        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": pa.array(np.concatenate([c, s])),
+                         "v": pa.array(np.concatenate([s, c])),
+                         "w": pa.array(np.concatenate([w, w]))})
+
+    edges = eo.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    # O(nodes) out-weights: the one driver-side vector (Pregel master state)
+    outw = _to_table(sum_by_keys(edges.select_columns(["u", "w"]), ["u"], "w", out="wu"))
+    nodes = outw.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nodes)
+    nodes, wu = nodes[order], outw.column("wu").to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    r = np.full(nodes.size, SCALE, np.int64)
+
+    for _ in range(3):
+        ref = _ray.put((nodes, r, wu))
+
+        def contrib(t: pa.Table, *, ref=ref) -> pa.Table:
+            nodes, r, wu = _ray.get(ref)
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            i = np.searchsorted(nodes, u)
+            part = (r[i] * w) // wu[i]       # exact int64, order-free
+            g = (pa.table({"v": t.column("v"), "p": pa.array(part)})
+                 .group_by("v").aggregate([("p", "sum")]))
+            return pa.table({"v": g.column("v"), "p": g.column("p_sum")})
+
+        sums = _to_table(sum_by_keys(
+            edges.map_batches(contrib, batch_format="pyarrow"), ["v"], "p"))
+        s = np.zeros(nodes.size, np.int64)
+        vi = np.searchsorted(nodes, sums.column("v").to_numpy(zero_copy_only=False))
+        s[vi] = sums.column("p").to_numpy(zero_copy_only=False)
+        r = BASE + (D_NUM * s) // D_DEN
+
+    top = np.lexsort((nodes, -r))[:20]
+    return pa.table({"node": pa.array(nodes[top]), "rank_e9": pa.array(r[top])})
+
+
 def q_kmeans_step(sf_dir: str):
     """ONE exact-integer Lloyd assignment step (k=8) over e6-quantized
     embeddings (functions/kmeans.py kmeans_step_exact): deterministic
@@ -480,6 +562,33 @@ def q_hybrid_retrieval(sf_dir: str):
 # driver-contract registry by queries/__init__ (zero behavior change —
 # the SQL lives beside the pipeline it mirrors).
 ORACLE_SQL = {
+    "pagerank": """
+        WITH eo AS (
+          SELECT o.o_custkey AS c, l.l_suppkey AS s, CAST(COUNT(*) AS BIGINT) AS w
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2
+        ),
+        edges AS (
+          SELECT c AS u, s + 1000000 AS v, w FROM eo
+          UNION ALL SELECT s + 1000000 AS u, c AS v, w FROM eo
+        ),
+        outw AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wu FROM edges GROUP BY u),
+        r0 AS (SELECT u, CAST(1000000000 AS BIGINT) AS r FROM outw),
+        r1 AS (SELECT e.v AS u,
+                      CAST(150000000 + (85 * SUM((r.r * e.w) // o.wu)) // 100 AS BIGINT) AS r
+               FROM edges e JOIN r0 r ON e.u = r.u JOIN outw o ON e.u = o.u
+               GROUP BY e.v),
+        r2 AS (SELECT e.v AS u,
+                      CAST(150000000 + (85 * SUM((r.r * e.w) // o.wu)) // 100 AS BIGINT) AS r
+               FROM edges e JOIN r1 r ON e.u = r.u JOIN outw o ON e.u = o.u
+               GROUP BY e.v),
+        r3 AS (SELECT e.v AS u,
+                      CAST(150000000 + (85 * SUM((r.r * e.w) // o.wu)) // 100 AS BIGINT) AS r
+               FROM edges e JOIN r2 r ON e.u = r.u JOIN outw o ON e.u = o.u
+               GROUP BY e.v)
+        SELECT u AS node, r AS rank_e9 FROM r3
+        ORDER BY r DESC, u ASC LIMIT 20
+    """,
     "ann_topk": """
         SELECT e.vec_id,
                CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
