@@ -181,3 +181,79 @@ def test_intcodec_v011_runny_and_delta(vals, lens, delta):
         ramp = vals[0] + delta * np.arange(lens[0], dtype=np.int64)
     v = np.concatenate([v, ramp])
     np.testing.assert_array_equal(decode_ints(encode_ints(v, version="0.11")), v)
+
+
+# --- substring-dedup kernels (functions/substring.py), Ray-free ---
+
+from orc_ray.functions.substring import (  # noqa: E402
+    _all_window_hashes,
+    _cut_arrays,
+    _gram_words,
+    _window_starts,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=600), st.sampled_from([8, 16, 32]))
+def test_substring_hash_equal_bytes_equal_hash(data, L):
+    b = np.frombuffer(data, np.uint8)
+    h = _all_window_hashes(b, L)
+    assert h.size == max(b.size - L + 1, 0)
+    seen = {}
+    for i in range(h.size):
+        g = bytes(b[i : i + L])
+        assert seen.setdefault(g, int(h[i])) == int(h[i])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.text(st.characters(codec="ascii"), max_size=60),
+             min_size=1, max_size=12),
+    st.data(),
+)
+def test_substring_cut_arrays_matches_bruteforce(docs, data):
+    # ASCII corpus: the operator contract is a string column (cuts are
+    # byte-windowed; the module docstring pins the char/byte
+    # correspondence to ASCII)
+    L = 8
+    raw = [d.encode() for d in docs]
+    offs = np.zeros(len(raw) + 1, np.int64)
+    np.cumsum([len(d) for d in raw], out=offs[1:])
+    flat = np.frombuffer(b"".join(raw), np.uint8)
+    # arbitrary flagged in-doc window starts (the operator only ever
+    # flags valid starts; the kernel must cut exactly their span union)
+    fs = []
+    for i, d in enumerate(raw):
+        nwin = max(len(d) - L + 1, 0)
+        if nwin:
+            picks = data.draw(st.lists(st.integers(0, nwin - 1), max_size=5))
+            fs.extend(int(offs[i]) + p for p in picks)
+    fs = np.array(sorted(set(fs)), np.int64)
+    out, new_lens = _cut_arrays(flat, offs, fs, L)
+    for i, d in enumerate(raw):
+        cov = np.zeros(len(d), bool)
+        for f in fs:
+            if offs[i] <= f < offs[i + 1]:
+                cov[f - offs[i] : f - offs[i] + L] = True
+        want = bytes(np.frombuffer(d, np.uint8)[~cov]) if d else b""
+        assert out[i].as_py().encode() == want
+        assert new_lens[i] == len(want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 50), min_size=1, max_size=10), st.sampled_from([8, 16]))
+def test_substring_window_starts_and_grams(lens, L):
+    offs = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, int(offs[-1])).astype(np.uint8)
+    starts, nwin = _window_starts(offs, L)
+    assert nwin.tolist() == [max(n - L + 1, 0) for n in lens]
+    assert starts.size == int(nwin.sum())
+    # every window stays inside its doc
+    doc_of = np.repeat(np.arange(len(lens)), nwin)
+    assert (starts >= offs[doc_of]).all()
+    assert (starts + L <= offs[doc_of + 1]).all()
+    words = _gram_words(data, starts, L)
+    for k in range(min(starts.size, 20)):
+        assert words[k].tobytes() == data[starts[k] : starts[k] + L].tobytes()
