@@ -282,6 +282,46 @@ def cmd_import_orc(a) -> int:
     return 0
 
 
+def cmd_import_csv(a) -> int:
+    """Encode CSV file(s) into a chunk store (orc-tools csv-import analog:
+    tools/src/java/org/apache/orc/tools/convert/CsvReader.java).  An ORC
+    schema string (--schema 'struct<a:int,b:char(3)>') pushes column types
+    into the Arrow CSV parser and char(n)/varchar(n) into the write-side
+    pad/truncate enforcement."""
+    _ray_up()
+    from .chunk import EncodeOptions
+    from .pipeline.encode import encode_dataset
+    from .pipeline.orcio import read_csv
+
+    ds, char_specs = read_csv(
+        a.input,
+        schema=a.schema,
+        delimiter=a.delimiter,
+        columns=a.columns.split(",") if a.columns else None,
+    )
+    rec = encode_dataset(
+        [], a.store, EncodeOptions(char_specs=char_specs), ds=ds,
+        batch_size=a.batch_size,
+    )
+    print(json.dumps(rec["totals"]))
+    return 0
+
+
+def cmd_import_jsonl(a) -> int:
+    """Encode JSON-lines file(s) into a chunk store (orc-tools json-import
+    analog: tools/src/java/org/apache/orc/tools/convert/JsonReader.java;
+    schema inference is the json-schema subcommand's finder)."""
+    _ray_up()
+    from .chunk import EncodeOptions
+    from .pipeline.encode import encode_dataset
+    from .pipeline.orcio import read_jsonl
+
+    ds = read_jsonl(a.input, columns=a.columns.split(",") if a.columns else None)
+    rec = encode_dataset([], a.store, EncodeOptions(), ds=ds, batch_size=a.batch_size)
+    print(json.dumps(rec["totals"]))
+    return 0
+
+
 def cmd_export_parquet(a) -> int:
     """Decode a chunk store into content-addressed partitioned parquet
     (the export direction back to the engine's own input format)."""
@@ -763,6 +803,24 @@ def main(argv=None) -> int:
     io_.add_argument("--columns")
     io_.add_argument("--batch-size", type=int, default=16384)
     io_.set_defaults(fn=cmd_import_orc)
+
+    ic = sub.add_parser("import-csv",
+                        help="encode CSV file(s)/dir into a chunk store (csv-import analog)")
+    ic.add_argument("input")
+    ic.add_argument("store")
+    ic.add_argument("--schema", help="ORC schema string, e.g. 'struct<a:int,b:char(3)>'")
+    ic.add_argument("--delimiter", default=",")
+    ic.add_argument("--columns")
+    ic.add_argument("--batch-size", type=int, default=16384)
+    ic.set_defaults(fn=cmd_import_csv)
+
+    ij = sub.add_parser("import-jsonl",
+                        help="encode JSON-lines file(s)/dir into a chunk store (json-import analog)")
+    ij.add_argument("input")
+    ij.add_argument("store")
+    ij.add_argument("--columns")
+    ij.add_argument("--batch-size", type=int, default=16384)
+    ij.set_defaults(fn=cmd_import_jsonl)
 
     eo = sub.add_parser("export-orc", help="decode a chunk store into partitioned .orc files")
     eo.add_argument("store")

@@ -207,3 +207,144 @@ def write_parquet_parts(
         num_cpus=1,
     )
     return _collect_manifest(man)
+
+
+# ---------------------------------------------------------------------------
+# Text-format imports (orc-tools csv-import analog)
+# ---------------------------------------------------------------------------
+
+_ORC_SCALARS = {
+    "boolean": pa.bool_(),
+    "tinyint": pa.int8(),
+    "smallint": pa.int16(),
+    "int": pa.int32(),
+    "bigint": pa.int64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "string": pa.string(),
+    "binary": pa.binary(),
+    "date": pa.date32(),
+    "timestamp": pa.timestamp("us"),
+}
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside (...) or <...>."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [p for p in out if p]
+
+
+def parse_type_spec(spec: str) -> tuple[dict[str, pa.DataType], dict[str, str]]:
+    """Parse a flat ORC schema string — ``struct<a:int,b:char(3),...>`` or
+    the bare ``a:int,b:char(3)`` shorthand — into Arrow ``column_types``
+    plus the engine's write-side ``char_specs``.
+
+    The grammar is TypeDescription.fromString's flat-struct subset
+    (java/core/.../TypeDescription.java; csv-import requires a flat
+    schema too: tools/src/java/org/apache/orc/tools/convert/CsvReader).
+    ``char(n)``/``varchar(n)`` parse as string columns and come back as
+    the EncodeOptions.char_specs entry that the encode path enforces.
+    Nested types are rejected — CSV rows are flat by construction.
+    """
+    s = spec.strip()
+    if s.startswith("struct<"):
+        if not s.endswith(">"):
+            raise ValueError(f"unterminated struct spec: {spec!r}")
+        s = s[len("struct<"):-1]
+    types: dict[str, pa.DataType] = {}
+    char_specs: dict[str, str] = {}
+    for field in _split_top_level(s):
+        name, _, ty = field.partition(":")
+        name, ty = name.strip(), ty.strip().lower()
+        if not name or not ty:
+            raise ValueError(f"bad field {field!r} in {spec!r}")
+        if ty in _ORC_SCALARS:
+            types[name] = _ORC_SCALARS[ty]
+        elif ty.startswith("decimal(") and ty.endswith(")"):
+            p, _, sc = ty[len("decimal("):-1].partition(",")
+            types[name] = pa.decimal128(int(p), int(sc or 0))
+        elif (ty.startswith("char(") or ty.startswith("varchar(")) and ty.endswith(")"):
+            int(ty[ty.index("(") + 1:-1])  # validate n
+            types[name] = pa.string()
+            char_specs[name] = ty
+        elif ty.startswith(("struct<", "array<", "map<", "uniontype<", "list<")):
+            raise ValueError(
+                f"nested type {ty!r} not supported by the CSV importer "
+                "(flat schemas only, same as csv-import)"
+            )
+        else:
+            raise ValueError(f"unknown ORC type {ty!r} in {spec!r}")
+    return types, char_specs
+
+
+def _text_files(paths, exts: tuple[str, ...]) -> list[str]:
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        p = str(p)
+        if os.path.isdir(p):
+            files += sorted(
+                os.path.join(p, f) for f in os.listdir(p) if f.endswith(exts)
+            )
+        else:
+            files.append(p)
+    return files
+
+
+def read_csv(
+    paths,
+    *,
+    schema: str | None = None,
+    delimiter: str = ",",
+    columns: list[str] | None = None,
+) -> tuple["ray.data.Dataset", dict[str, str]]:
+    """Lazy Dataset over CSV file(s)/dir, plus the char_specs implied by
+    ``schema`` (an ORC schema string; column types are pushed into the
+    Arrow CSV parser so values never round-trip through Python).  The
+    csv-import direction of orc-tools convert
+    (tools/src/java/org/apache/orc/tools/convert/CsvReader.java).
+    """
+    from pyarrow import csv as pacsv
+
+    char_specs: dict[str, str] = {}
+    convert = None
+    if schema is not None:
+        types, char_specs = parse_type_spec(schema)
+        convert = pacsv.ConvertOptions(
+            column_types=types, include_columns=columns or None
+        )
+    elif columns:
+        convert = pacsv.ConvertOptions(include_columns=columns)
+    files = _text_files(paths, (".csv", ".csv.gz"))
+    ds = ray.data.read_csv(
+        files,
+        parse_options=pacsv.ParseOptions(delimiter=delimiter),
+        **({"convert_options": convert} if convert is not None else {}),
+    )
+    return ds, char_specs
+
+
+def read_jsonl(paths, *, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Lazy Dataset over JSON-lines file(s)/dir through the Arrow JSON
+    reader (schema inferred the same way as the ``json-schema`` CLI's
+    JsonSchemaFinder analog).  The json-import direction of orc-tools
+    convert (tools/src/java/org/apache/orc/tools/convert/JsonReader.java).
+    """
+    files = _text_files(paths, (".jsonl", ".json", ".ndjson"))
+    ds = ray.data.read_json(files, file_extensions=None)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
