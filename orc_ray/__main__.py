@@ -282,6 +282,28 @@ def cmd_import_orc(a) -> int:
     return 0
 
 
+def cmd_export_csv(a) -> int:
+    """Decode a chunk store into content-addressed partitioned CSV parts
+    (the export direction of the csv-import analog; doubles use Arrow's
+    shortest-roundtrip formatting so they re-import bit-exact)."""
+    _ray_up()
+    from .pipeline.decode import decode_dataset
+    from .pipeline.orcio import write_csv_parts
+
+    man = write_csv_parts(
+        decode_dataset(
+            a.store,
+            columns=a.columns.split(",") if a.columns else None,
+            predicates=_parse_where(a.where),
+        ),
+        a.out,
+    )
+    print(json.dumps({"parts": man.num_rows,
+                      "rows": sum(man.column("rows").to_pylist()),
+                      "bytes": sum(man.column("bytes").to_pylist())}))
+    return 0
+
+
 def cmd_import_csv(a) -> int:
     """Encode CSV file(s) into a chunk store (orc-tools csv-import analog:
     tools/src/java/org/apache/orc/tools/convert/CsvReader.java).  An ORC
@@ -803,6 +825,14 @@ def main(argv=None) -> int:
     io_.add_argument("--columns")
     io_.add_argument("--batch-size", type=int, default=16384)
     io_.set_defaults(fn=cmd_import_orc)
+
+    ec = sub.add_parser("export-csv",
+                        help="decode a chunk store into partitioned .csv files")
+    ec.add_argument("store")
+    ec.add_argument("out")
+    ec.add_argument("--columns")
+    ec.add_argument("--where", help='JSON predicates, e.g. \'[["col","<",100]]\'')
+    ec.set_defaults(fn=cmd_export_csv)
 
     ic = sub.add_parser("import-csv",
                         help="encode CSV file(s)/dir into a chunk store (csv-import analog)")

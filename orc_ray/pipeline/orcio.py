@@ -348,3 +348,32 @@ def read_jsonl(paths, *, columns: list[str] | None = None) -> "ray.data.Dataset"
     if columns:
         ds = ds.select_columns(columns)
     return ds
+
+
+def write_csv_parts(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    *,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Streaming partitioned CSV sink with the content-addressed
+    idempotent-resume contract of :func:`write_orc` — one
+    ``part-<sha>.csv`` per block, Arrow's shortest-roundtrip float
+    formatting so doubles survive the text round-trip bit-exact (the
+    export direction of the csv-import analog)."""
+    from pyarrow import csv as pacsv
+
+    def serialize(b: pa.Table) -> bytes:
+        sink = pa.BufferOutputStream()
+        pacsv.write_csv(b, sink)
+        return sink.getvalue().to_pybytes()
+
+    os.makedirs(out_dir, exist_ok=True)
+    man = ds.map_batches(
+        functools.partial(_write_part, out_dir=out_dir, ext="csv", serialize=serialize),
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        num_cpus=1,
+    )
+    return _collect_manifest(man)

@@ -35,6 +35,7 @@ QUERIES = {
     "recovered_roundtrip": q_recovered_roundtrip,
     "roundtrip_lineitem": q_roundtrip_lineitem,
     "orc_file_roundtrip": q_orc_file_roundtrip,
+    "csv_roundtrip": q_csv_roundtrip,
     "acid_table_read": q_acid_table_read,
     "ivm_revenue": q_ivm_revenue,
     "schema_union_read": q_schema_union_read,
@@ -184,6 +185,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
     "oov_rate": q_oov_rate,
+    "tokenize_corpus": q_tokenize_corpus,
     "revenue_trend_slope": q_revenue_trend_slope,
     "group_percentile_cont": q_group_percentile_cont,
     "winsorized_stats": q_winsorized_stats,

@@ -280,6 +280,55 @@ def q_orc_file_roundtrip(sf_dir: str):
     return read_orc(out, cast_schema=ts_us)
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """CSV text interop: orders streams out of the engine's chunk store
+    through the partitioned CSV sink (one content-addressed .csv part per
+    block, Arrow shortest-roundtrip float formatting) and back in through
+    the typed csv-import source (orc_ray/pipeline/orcio.py — the
+    orc-tools csv-import analog, tools/.../convert/CsvReader.java), then
+    through a fresh chunk encode+decode.  The full table must survive the
+    TEXT round-trip bit-exactly — doubles included — so the oracle is
+    SELECT * FROM orders.  char(1) on o_orderstatus exercises write-side
+    CHAR enforcement on the import (identity on width-1 values)."""
+    import json as _json
+    import shutil
+
+    from ..pipeline.orcio import read_csv, write_csv_parts
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]
+    csv_dir = os.path.join(CACHE_ROOT, f"orders-csv-{tag}")
+    expected = pq.read_metadata(src).num_rows
+    man_path = os.path.join(csv_dir, "_written.json")
+
+    done = False
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            done = _json.load(f).get("rows") == expected
+    if not done:
+        shutil.rmtree(csv_dir, ignore_errors=True)
+        man = write_csv_parts(
+            decode_dataset(store_for(sf_dir, "orders")), csv_dir, batch_size=8192
+        )
+        with open(man_path, "w") as f:
+            _json.dump({"rows": sum(man.column("rows").to_pylist())}, f)
+
+    ds, char_specs = read_csv(
+        csv_dir,
+        schema=(
+            "o_orderkey:bigint,o_custkey:bigint,o_orderstatus:char(1),"
+            "o_totalprice:double,o_orderdate:timestamp,o_orderpriority:string"
+        ),
+    )
+    store = os.path.join(CACHE_ROOT, f"orders-csvstore-{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    from ..chunk import EncodeOptions
+
+    encode_dataset(None, store, EncodeOptions(char_specs=char_specs),
+                   ds=ds, batch_size=8192)
+    return decode_dataset(store)
+
+
 def q_projection_pushdown(sf_dir: str):
     return _decoded(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 
@@ -976,6 +1025,8 @@ ORACLE_SQL = {
     "roundtrip_lineitem": "SELECT * FROM lineitem",
     # full fidelity through REAL .orc files (engine sink -> C++ ORC -> engine source)
     "orc_file_roundtrip": "SELECT * FROM lineitem",
+    # full fidelity through CSV text (engine sink -> csv-import -> fresh encode)
+    "csv_roundtrip": "SELECT * FROM orders",
     # versioned-table merge-on-read: SQL replays the same commit sequence
     # (seq-ordered ROW_NUMBER = last writer wins; op 'd' rows delete)
     "schema_union_read": """

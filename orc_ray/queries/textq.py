@@ -946,6 +946,114 @@ def q_oov_rate(sf_dir: str):
                      "oov_tokens": b.column("oov_tokens")})
 
 
+def q_tokenize_corpus(sf_dir: str):
+    """Raw text -> the north-star pre-tokenized table -> token-lane store.
+
+    Closes the loop on BASELINE.md's input shape: documents.text is
+    tokenized (whitespace words, lowercased — the oov_rate convention)
+    against a deterministic top-4096 corpus vocabulary (count DESC, word
+    ASC; OOV -> unk id 4096), materialized as EXACTLY the engine's input
+    table (doc_id:string, tokens:list<int32>, n_tok:int32, source:string),
+    encoded through the chunk store's FOR+bitpack token lane, decoded
+    back, and reduced per source to integer-exact aggregates
+    (n_docs, n_tok_sum, id_sum, n_unk) the DuckDB oracle reproduces via
+    regexp_split + ROW_NUMBER vocab join.
+
+    Scale shape: ONE sum_by_keys O(vocab) shuffle builds the vocabulary;
+    the id assignment is a broadcast top-K probe per batch (index_in);
+    the token table streams into the store and back out — it never
+    materializes on the driver.  K is fixed so the broadcast is O(K)."""
+    import ray as _ray
+
+    from ..functions.aggregates import agg_by_keys, sum_by_keys
+    from ..functions.text import _concat_np, _seg_sum, _ws_words
+
+    K = 4096
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def tok_counts(t: pa.Table, *, _ws_words=_ws_words, _concat_np=_concat_np) -> pa.Table:
+        off, flat, n_words = _ws_words(_concat_np(t.column("text")), lower=True)
+        # mask the phantom "" word empty docs contribute (the SQL mirror's
+        # WHERE trim(text) <> '' exclusion)
+        word_doc = np.repeat(np.arange(n_words.size, dtype=np.int64), np.diff(off))
+        flat = flat.filter(pa.array(n_words[word_doc] > 0))
+        g = pa.table({"w": flat}).group_by("w").aggregate([([], "count_all")])
+        return pa.table({"w": g.column("w"), "one": g.column("count_all").cast(pa.int64())})
+
+    vocab = _to_table(
+        sum_by_keys(ds.map_batches(tok_counts, batch_format="pyarrow", zero_copy_batch=True),
+                    ["w"], "one", out="n")
+    )
+    order = pc.sort_indices(vocab, sort_keys=[("n", "descending"), ("w", "ascending")])
+    top = vocab.take(order.slice(0, K)).column("w").combine_chunks()
+    ref = _ray.put(top)
+
+    def to_tokens(t: pa.Table, *, ref=ref, K=K,
+                  _ws_words=_ws_words, _concat_np=_concat_np) -> pa.Table:
+        top = _ray.get(ref)
+        off, flat, n_words = _ws_words(_concat_np(t.column("text")), lower=True)
+        # index_in position IS the vocab id (top is in rank order); OOV -> K
+        ids = pc.fill_null(pc.index_in(flat, value_set=top), K)
+        ids = ids.to_numpy(zero_copy_only=False).astype(np.int32)
+        word_doc = np.repeat(np.arange(n_words.size, dtype=np.int64), np.diff(off))
+        vals = ids[n_words[word_doc] > 0]
+        offsets = np.zeros(n_words.size + 1, dtype=np.int64)
+        np.cumsum(n_words, out=offsets[1:])
+        tokens = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(vals))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "tokens": tokens,
+            "n_tok": pa.array(n_words.astype(np.int32)),
+            "source": t.column("source"),
+        })
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    store = os.path.join(
+        CACHE_ROOT,
+        f"tokenized-{hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]}",
+    )
+    import shutil
+
+    shutil.rmtree(store, ignore_errors=True)
+    encode_dataset(
+        None, store, DEFAULT_OPTIONS,
+        ds=ds.map_batches(to_tokens, batch_format="pyarrow", zero_copy_batch=True),
+        batch_size=8192,
+    )
+
+    def agg_parts(t: pa.Table, *, K=K, _seg_sum=_seg_sum) -> pa.Table:
+        toks = t.column("tokens").combine_chunks()
+        ids = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        g = pa.table({
+            "source": t.column("source"),
+            "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_tok_sum": t.column("n_tok").cast(pa.int64()),
+            "id_sum": pa.array(_seg_sum(ids, off)),
+            "n_unk": pa.array(_seg_sum((ids == K).astype(np.int64), off)),
+        }).group_by("source").aggregate(
+            [("n_docs", "sum"), ("n_tok_sum", "sum"), ("id_sum", "sum"), ("n_unk", "sum")]
+        )
+        return pa.table({
+            "source": g.column("source"),
+            "n_docs": g.column("n_docs_sum"),
+            "n_tok_sum": g.column("n_tok_sum_sum"),
+            "id_sum": g.column("id_sum_sum"),
+            "n_unk": g.column("n_unk_sum"),
+        })
+
+    out = agg_by_keys(
+        decode_dataset(store, columns=["source", "tokens", "n_tok"]).map_batches(
+            agg_parts, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["source"],
+        [("n_docs", "sum", "n_docs"), ("n_tok_sum", "sum", "n_tok_sum"),
+         ("id_sum", "sum", "id_sum"), ("n_unk", "sum", "n_unk")],
+    )
+    return _to_table(out).sort_by("source")
+
+
 def q_bigram_logprob(sf_dir: str):
     """Bigram-LM scoring — per document, the average ln P(w_i | w_{i-1})
     under the corpus's own MLE bigram model (P = c(a,b) / c(a,·)); the
@@ -1244,6 +1352,35 @@ ORACLE_SQL = {
                  AS oov_tokens
         FROM words LEFT JOIN vocab ON words.w = vocab.w
         GROUP BY words.source ORDER BY words.source
+    """,
+    "tokenize_corpus": """
+        WITH words AS (
+          SELECT doc_id, source,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+          FROM documents WHERE trim(text) <> ''
+        ),
+        vocab AS (
+          SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) - 1 AS BIGINT) AS id
+          FROM (SELECT w, COUNT(*) AS n FROM words GROUP BY w)
+          ORDER BY n DESC, w ASC LIMIT 4096
+        ),
+        tok AS (
+          SELECT words.source, COALESCE(vocab.id, 4096) AS id
+          FROM words LEFT JOIN vocab ON words.w = vocab.w
+        ),
+        pt AS (
+          SELECT source, COUNT(*) AS n_tok_sum,
+                 CAST(SUM(id) AS BIGINT) AS id_sum,
+                 CAST(SUM(CASE WHEN id = 4096 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+          FROM tok GROUP BY source
+        ),
+        d AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+        SELECT d.source, d.n_docs,
+               COALESCE(pt.n_tok_sum, 0) AS n_tok_sum,
+               COALESCE(pt.id_sum, 0) AS id_sum,
+               COALESCE(pt.n_unk, 0) AS n_unk
+        FROM d LEFT JOIN pt ON d.source = pt.source
+        ORDER BY d.source
     """,
     "bigram_logprob": """
         WITH s AS (

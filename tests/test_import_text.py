@@ -117,3 +117,36 @@ def test_read_jsonl_projection(ray_session, tmp_path):
     ds = read_jsonl(str(d), columns=["a"])
     assert ds.schema().names == ["a"]
     assert sorted(r["a"] for r in ds.take_all()) == [1, 2]
+
+
+def test_export_csv_cli_roundtrip(ray_session, tmp_path, capsys):
+    """store -> export-csv -> import-csv -> identical values (doubles too)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from orc_ray.pipeline.encode import encode_dataset
+
+    rng = np.random.default_rng(7)
+    t = pa.table({
+        "k": np.arange(500, dtype=np.int64),
+        "v": rng.uniform(0, 1e6, 500),  # shortest-roundtrip floats
+        "s": [f"row-{i}" for i in range(500)],
+    })
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    store = str(tmp_path / "store")
+    encode_dataset([src], store, batch_size=128)
+
+    out = str(tmp_path / "csvout")
+    assert main(["export-csv", store, out]) == 0
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["rows"] == 500 and rec["parts"] >= 1
+
+    store2 = str(tmp_path / "store2")
+    assert main(["import-csv", out, store2,
+                 "--schema", "k:bigint,v:double,s:string"]) == 0
+    capsys.readouterr()
+    back = pa.Table.from_pylist(decode_dataset(store2).take_all()).sort_by("k")
+    assert back.column("k").to_pylist() == t.column("k").to_pylist()
+    assert back.column("v").to_numpy().tolist() == t.column("v").to_numpy().tolist()
+    assert back.column("s").to_pylist() == t.column("s").to_pylist()
