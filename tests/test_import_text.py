@@ -150,3 +150,26 @@ def test_export_csv_cli_roundtrip(ray_session, tmp_path, capsys):
     assert back.column("k").to_pylist() == t.column("k").to_pylist()
     assert back.column("v").to_numpy().tolist() == t.column("v").to_numpy().tolist()
     assert back.column("s").to_pylist() == t.column("s").to_pylist()
+
+
+def test_csv_roundtrip_nasty_strings(ray_session, tmp_path):
+    """Quoting-hostile content (commas, quotes, newlines, unicode, leading
+    zeros kept as strings) must survive write_csv_parts -> read_csv."""
+    import ray
+
+    from orc_ray.pipeline.orcio import read_csv, write_csv_parts
+
+    vals = [
+        'plain', 'comma,inside', 'quote "double" marks', "single ' quote",
+        'line\nbreak', 'tab\there', 'unicode é中文\U0001f600',
+        '  padded  ', '', '0042', '-', '\\backslash\\', '"fully quoted"',
+    ]
+    t = pa.table({
+        "k": pa.array(range(len(vals)), pa.int64()),
+        "s": pa.array(vals, pa.string()),
+    })
+    out = str(tmp_path / "nasty")
+    write_csv_parts(ray.data.from_arrow(t), out)
+    ds, _ = read_csv(out, schema="k:bigint,s:string")
+    back = pa.Table.from_pylist(ds.take_all()).sort_by("k")
+    assert back.column("s").to_pylist() == vals

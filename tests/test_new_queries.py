@@ -136,6 +136,8 @@ NEW_QUERIES = [
     "struct_pruned_read",
     "time_weighted_value",
     "gini_user_activity",
+    "csv_roundtrip",
+    "tokenize_corpus",
 ]
 
 
