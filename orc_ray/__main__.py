@@ -46,33 +46,9 @@ def _ray_up():
 
 def cmd_encode(a) -> int:
     _ray_up()
-    from .chunk import EncodeOptions
     from .pipeline.encode import encode_dataset
 
-    opts = EncodeOptions(strategy=a.strategy, file_version=a.file_version)
-    if a.zstd_level is not None:
-        opts.compression_level = a.zstd_level
-    if a.mask:
-        for kv in a.mask:
-            if "=" not in kv:
-                raise SystemExit(f"--mask expects COL=MASK, got {kv!r}")
-        opts.masks = dict(kv.split("=", 1) for kv in a.mask)
-    if a.encrypt:
-        for kv in a.encrypt:
-            if "=" not in kv:
-                raise SystemExit(f"--encrypt expects COL=KEYNAME, got {kv!r}")
-        opts.encrypt = dict(kv.split("=", 1) for kv in a.encrypt)
-        opts.encryption_keys = _load_keystore(a.keystore)
-    if a.char:
-        for kv in a.char:
-            if "=" not in kv:
-                raise SystemExit(f"--char expects COL=char(n)|varchar(n), got {kv!r}")
-        opts.char_specs = dict(kv.split("=", 1) for kv in a.char)
-    if a.column_compression:
-        for kv in a.column_compression:
-            if "=" not in kv:
-                raise SystemExit(f"--column-compression expects COL=codec, got {kv!r}")
-        opts.column_compression = dict(kv.split("=", 1) for kv in a.column_compression)
+    opts = _build_opts(a)
     rec = encode_dataset(
         a.input,
         a.store,
@@ -86,6 +62,32 @@ def cmd_encode(a) -> int:
     )
     print(json.dumps(rec["totals"]))
     return 0
+
+
+def _build_opts(a) -> "EncodeOptions":
+    """EncodeOptions from the shared encode-flag family (encode and the
+    typed text importers accept the same --mask/--encrypt/--char/... set;
+    absent attributes mean the subcommand doesn't expose that flag)."""
+    from .chunk import EncodeOptions
+
+    opts = EncodeOptions(
+        strategy=getattr(a, "strategy", "speed"),
+        file_version=getattr(a, "file_version", "0.12"),
+    )
+    if getattr(a, "zstd_level", None) is not None:
+        opts.compression_level = a.zstd_level
+    for flag, attr in [("mask", "masks"), ("encrypt", "encrypt"),
+                       ("char", "char_specs"),
+                       ("column_compression", "column_compression")]:
+        vals = getattr(a, flag, None)
+        if vals:
+            for kv in vals:
+                if "=" not in kv:
+                    raise SystemExit(f"--{flag.replace('_','-')} expects COL=VALUE, got {kv!r}")
+            setattr(opts, attr, dict(kv.split("=", 1) for kv in vals))
+    if opts.encrypt:
+        opts.encryption_keys = _load_keystore(getattr(a, "keystore", None))
+    return opts
 
 
 def _load_keystore(path: str | None) -> dict:
@@ -311,7 +313,6 @@ def cmd_import_csv(a) -> int:
     into the Arrow CSV parser and char(n)/varchar(n) into the write-side
     pad/truncate enforcement."""
     _ray_up()
-    from .chunk import EncodeOptions
     from .pipeline.encode import encode_dataset
     from .pipeline.orcio import read_csv
 
@@ -321,10 +322,9 @@ def cmd_import_csv(a) -> int:
         delimiter=a.delimiter,
         columns=a.columns.split(",") if a.columns else None,
     )
-    rec = encode_dataset(
-        [], a.store, EncodeOptions(char_specs=char_specs), ds=ds,
-        batch_size=a.batch_size,
-    )
+    opts = _build_opts(a)
+    opts.char_specs = {**char_specs, **opts.char_specs}
+    rec = encode_dataset([], a.store, opts, ds=ds, batch_size=a.batch_size)
     print(json.dumps(rec["totals"]))
     return 0
 
@@ -334,12 +334,11 @@ def cmd_import_jsonl(a) -> int:
     analog: tools/src/java/org/apache/orc/tools/convert/JsonReader.java;
     schema inference is the json-schema subcommand's finder)."""
     _ray_up()
-    from .chunk import EncodeOptions
     from .pipeline.encode import encode_dataset
     from .pipeline.orcio import read_jsonl
 
     ds = read_jsonl(a.input, columns=a.columns.split(",") if a.columns else None)
-    rec = encode_dataset([], a.store, EncodeOptions(), ds=ds, batch_size=a.batch_size)
+    rec = encode_dataset([], a.store, _build_opts(a), ds=ds, batch_size=a.batch_size)
     print(json.dumps(rec["totals"]))
     return 0
 
@@ -842,6 +841,10 @@ def main(argv=None) -> int:
     ic.add_argument("--delimiter", default=",")
     ic.add_argument("--columns")
     ic.add_argument("--batch-size", type=int, default=16384)
+    ic.add_argument("--mask", action="append", help="COL=nullify|redact|sha256")
+    ic.add_argument("--encrypt", action="append", help="COL=KEYNAME (needs --keystore)")
+    ic.add_argument("--keystore", help="JSON keystore path")
+    ic.add_argument("--char", action="append", help="COL=char(n)|varchar(n)")
     ic.set_defaults(fn=cmd_import_csv)
 
     ij = sub.add_parser("import-jsonl",
@@ -850,6 +853,9 @@ def main(argv=None) -> int:
     ij.add_argument("store")
     ij.add_argument("--columns")
     ij.add_argument("--batch-size", type=int, default=16384)
+    ij.add_argument("--mask", action="append", help="COL=nullify|redact|sha256")
+    ij.add_argument("--encrypt", action="append", help="COL=KEYNAME (needs --keystore)")
+    ij.add_argument("--keystore", help="JSON keystore path")
     ij.set_defaults(fn=cmd_import_jsonl)
 
     eo = sub.add_parser("export-orc", help="decode a chunk store into partitioned .orc files")
