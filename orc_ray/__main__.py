@@ -21,6 +21,7 @@ meta/data/scan/convert; C++ orc-metadata/orc-contents/orc-scan).
     python -m orc_ray table   create|delta|read|compact|vacuum|history DIR …
     python -m orc_ray query   NAME [--sf-dir D] [--limit N]   # run a library pipeline
     python -m orc_ray stats   STORE        # per-column file stats rollup (orc-statistics)
+    python -m orc_ray memory  STORE [--columns a,b --workers N]  # orc-memory analog
     python -m orc_ray json-schema F.jsonl  # infer schema (JsonSchemaFinder analog)
     python -m orc_ray version
     python -m orc_ray key gen k1 --keystore /path/keys.json  # local KMS stand-in
@@ -171,6 +172,99 @@ def cmd_inspect(a) -> int:
     if a.chunks and man.num_rows:
         for row in man.to_pylist():
             print(json.dumps(row, default=str))
+    return 0
+
+
+def cmd_memory(a) -> int:
+    """Reader memory estimate (orc-memory analog, tools/src/FileMemory.cc):
+    how much heap a decode of STORE needs — per worker and at --workers
+    concurrency — from the manifest plus a few sampled chunk HEADERS.
+    Only header bytes are read, never data buffers, so this answers in
+    O(manifest) for a 100-TB store.
+
+    Per-column encoded sizes come from the sampled headers' buf_lens (the
+    stream-size sums FileMemory.cc reads from the footer).  Decoded sizes
+    are exact for fixed-width types (rows x width + validity) and an
+    enc-share-proportional ESTIMATE for var-width columns — printed as
+    *_est accordingly."""
+    import base64
+    import struct as _struct
+
+    import pyarrow as pa
+
+    from .chunk import MAGIC
+    from .state import manifest as mstate
+    from .state import storage as fstore
+
+    man = mstate.read_manifest(a.store)
+    if man.num_rows == 0:
+        print(json.dumps({"chunks": 0, "rows": 0}))
+        return 0
+    rows = sum(man.column("n_rows").to_pylist())
+    enc_total = sum(man.column("enc_bytes").to_pylist())
+    raw_total = sum(man.column("raw_bytes").to_pylist())
+    chunk_rows = man.column("n_rows").to_pylist()
+    max_chunk_scale = max(chunk_rows) / (rows / len(chunk_rows))
+
+    ids = man.column("chunk_id").to_pylist()
+    step = max(1, len(ids) // a.sample)
+    sample = ids[::step][: a.sample]
+    cdir = mstate.chunk_dir(a.store)
+    col_enc: dict[str, int] = {}
+    schema = None
+    for cid in sample:
+        with fstore.open_file(f"{cdir}/{cid}.oray") as f:
+            head = f.read(9)
+            if bytes(head[:5]) != MAGIC:
+                raise SystemExit(f"{cid}: not an ORAY1 chunk")
+            (hlen,) = _struct.unpack_from("<I", head, 5)
+            hdr = json.loads(f.read(hlen))
+        if schema is None:
+            schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(hdr["schema"])))
+        for c in hdr["columns"]:
+            col_enc[c["name"]] = col_enc.get(c["name"], 0) + sum(c["buf_lens"])
+
+    all_cols = list(col_enc)
+    selected = a.columns.split(",") if a.columns else all_cols
+    unknown = [c for c in selected if c not in col_enc]
+    if unknown:
+        raise SystemExit(f"columns not in store: {unknown} (have {all_cols})")
+    enc_all = sum(col_enc.values()) or 1
+    sel_frac = sum(col_enc[c] for c in selected) / enc_all
+    enc_sel_est = int(enc_total * sel_frac)
+
+    # decoded sizes: exact for fixed-width arrow types, estimated for
+    # var-width by their share of the var-width encoded bytes
+    fixed_dec: dict[str, int] = {}
+    var_cols: list[str] = []
+    for c in all_cols:
+        try:
+            w = schema.field(c).type.bit_width // 8
+            fixed_dec[c] = rows * w + rows // 8  # values + validity bitmap
+        except (ValueError, KeyError):
+            var_cols.append(c)
+    var_raw = max(0, raw_total - sum(fixed_dec.values()))
+    var_enc = sum(col_enc[c] for c in var_cols) or 1
+    dec_bytes = {
+        c: fixed_dec.get(c, int(var_raw * col_enc[c] / var_enc)) for c in all_cols
+    }
+    dec_sel_est = sum(dec_bytes[c] for c in selected)
+
+    n_chunks = len(ids)
+    per_worker = int((enc_sel_est + dec_sel_est) / n_chunks * max_chunk_scale)
+    print(json.dumps({
+        "chunks": n_chunks,
+        "rows": rows,
+        "headers_sampled": len(sample),
+        "columns": selected,
+        "enc_bytes_total": enc_total,
+        "enc_bytes_selected_est": enc_sel_est,
+        "decoded_bytes_selected_est": dec_sel_est,
+        "per_column_decoded_est": {c: dec_bytes[c] for c in selected},
+        "per_worker_peak_est": per_worker,
+        "workers": a.workers,
+        "peak_total_est": per_worker * a.workers,
+    }))
     return 0
 
 
@@ -733,6 +827,15 @@ def main(argv=None) -> int:
     sh.add_argument("--seed", type=int, default=0)
     sh.add_argument("--batch-size", type=int, default=16384)
     sh.set_defaults(fn=cmd_shuffle)
+
+    mem = sub.add_parser("memory",
+                         help="reader memory estimate from manifest + sampled "
+                              "chunk headers (orc-memory analog)")
+    mem.add_argument("store")
+    mem.add_argument("--columns")
+    mem.add_argument("--workers", type=int, default=1)
+    mem.add_argument("--sample", type=int, default=8)
+    mem.set_defaults(fn=cmd_memory)
 
     st = sub.add_parser("stats", help="file-level per-column stats rollup from the manifest (orc-statistics analog)")
     st.add_argument("store")

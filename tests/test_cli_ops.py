@@ -408,3 +408,36 @@ def test_table_fsck(ray_session, tmp_path, capsys):
     assert not rep["ok"]
     assert rep["stores"]["base-0"]["ok"] and not rep["stores"]["delta-1"]["ok"]
     assert rep["stores"]["delta-1"]["corrupt_chunks"]
+
+
+def test_memory_cli(ray_session, tmp_path, capsys):
+    """orc-memory analog: header-only per-column estimate; fixed-width
+    decoded sizes exact, projection shrinks the estimate."""
+    import json as _json
+
+    t = pa.table({
+        "k": np.arange(1000, dtype=np.int64),
+        "v": np.random.default_rng(3).uniform(size=1000),
+        "s": [f"string-value-{i:05d}" for i in range(1000)],
+    })
+    src = str(tmp_path / "m.parquet")
+    pq.write_table(t, src)
+    store = str(tmp_path / "mstore")
+    encode_dataset([src], store, batch_size=250)
+
+    assert main(["memory", store, "--workers", "2"]) == 0
+    full = _json.loads(capsys.readouterr().out)
+    assert full["chunks"] == 4 and full["rows"] == 1000
+    # fixed-width exact: 1000 * 8 + 1000//8 validity
+    assert full["per_column_decoded_est"]["k"] == 8125
+    assert full["per_column_decoded_est"]["v"] == 8125
+    assert full["peak_total_est"] == 2 * full["per_worker_peak_est"]
+
+    assert main(["memory", store, "--columns", "k"]) == 0
+    proj = _json.loads(capsys.readouterr().out)
+    assert proj["enc_bytes_selected_est"] < full["enc_bytes_total"]
+    assert proj["decoded_bytes_selected_est"] == 8125
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["memory", store, "--columns", "nope"])
