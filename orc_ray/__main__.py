@@ -18,6 +18,8 @@ meta/data/scan/convert; C++ orc-metadata/orc-contents/orc-scan).
     python -m orc_ray profile STORE --cols a,b     # one-pass numeric profile
     python -m orc_ray text-index STORE IDX / bm25 IDX terms -k 10
     python -m orc_ray import-orc F.orc STORE / export-orc STORE DIR
+    python -m orc_ray import-csv F.csv STORE --schema 'struct<a:int,b:char(3)>'
+    python -m orc_ray import-jsonl F.jsonl STORE / export-csv STORE DIR
     python -m orc_ray table   create|delta|read|compact|vacuum|history DIR …
     python -m orc_ray query   NAME [--sf-dir D] [--limit N]   # run a library pipeline
     python -m orc_ray stats   STORE        # per-column file stats rollup (orc-statistics)
