@@ -173,3 +173,41 @@ def test_csv_roundtrip_nasty_strings(ray_session, tmp_path):
     ds, _ = read_csv(out, schema="k:bigint,s:string")
     back = pa.Table.from_pylist(ds.take_all()).sort_by("k")
     assert back.column("s").to_pylist() == vals
+
+
+def test_type_spec_property_roundtrip():
+    """Render->parse round-trip over the full flat-struct grammar."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalar = st.sampled_from(
+        ["boolean", "tinyint", "smallint", "int", "bigint", "float",
+         "double", "string", "binary", "date", "timestamp"]
+    )
+    decimal = st.tuples(st.integers(1, 38), st.integers(0, 10)).map(
+        lambda ps: f"decimal({ps[0]},{min(ps[1], ps[0])})"
+    )
+    sized = st.tuples(st.sampled_from(["char", "varchar"]), st.integers(1, 999)).map(
+        lambda kn: f"{kn[0]}({kn[1]})"
+    )
+    name = st.from_regex(r"[a-z][a-z0-9_]{0,15}", fullmatch=True)
+    fields = st.dictionaries(name, st.one_of(scalar, decimal, sized),
+                             min_size=1, max_size=8)
+
+    @settings(max_examples=200, deadline=None)
+    @given(fields=fields, wrap=st.booleans())
+    def check(fields, wrap):
+        body = ",".join(f"{n}:{t}" for n, t in fields.items())
+        spec = f"struct<{body}>" if wrap else body
+        types, chars = parse_type_spec(spec)
+        assert set(types) == set(fields)
+        for n, t in fields.items():
+            if t.startswith(("char(", "varchar(")):
+                assert types[n] == pa.string() and chars[n] == t
+            elif t.startswith("decimal("):
+                p, s = t[8:-1].split(",")
+                assert types[n] == pa.decimal128(int(p), int(s))
+            else:
+                assert n not in chars
+
+    check()
