@@ -841,7 +841,12 @@ def q_unigram_logprob(sf_dir: str):
     ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
 
     def tok_counts(t: pa.Table, *, _ws_words=_ws_words, _concat_np=_concat_np) -> pa.Table:
-        _, flat, _ = _ws_words(_concat_np(t.column("text")), lower=True)
+        off, flat, n_words = _ws_words(_concat_np(t.column("text")), lower=True)
+        # mask the phantom "" empty docs contribute — the SQL mirror's
+        # WHERE trim(text) <> '' never sees them, and an unmasked ""
+        # would inflate `total` and shift EVERY word's logp
+        word_doc = np.repeat(np.arange(n_words.size, dtype=np.int64), np.diff(off))
+        flat = flat.filter(pa.array(n_words[word_doc] > 0))
         g = pa.table({"w": flat}).group_by("w").aggregate([([], "count_all")])
         return pa.table({"w": g.column("w"), "one": g.column("count_all").cast(pa.int64())})
 
@@ -862,8 +867,12 @@ def q_unigram_logprob(sf_dir: str):
         words, logp = _ray.get(ref)
         text = _concat_np(t.column("text"))
         off, flat, n_words = _ws_words(text, lower=True)
-        pos = pc.index_in(flat, value_set=words).to_numpy(zero_copy_only=False).astype(np.int64)
-        per_tok = logp[pos]  # full vocab -> every token hits
+        pos = pc.index_in(flat, value_set=words)
+        # phantom "" words of empty docs are not in the (masked) vocab —
+        # null position -> zero contribution; their docs drop below anyway
+        hit = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+        pos = pc.fill_null(pos, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        per_tok = np.where(hit, logp[pos], 0.0)  # full vocab -> every real token hits
         c = np.zeros(per_tok.size + 1)
         np.cumsum(per_tok, out=c[1:])
         sums = c[off[1:]] - c[off[:-1]]
@@ -904,7 +913,11 @@ def q_oov_rate(sf_dir: str):
     ds = _decoded(sf_dir, "documents", columns=["source", "text"])
 
     def tok_counts(t: pa.Table, *, _ws_words=_ws_words, _concat_np=_concat_np) -> pa.Table:
-        _, flat, _ = _ws_words(_concat_np(t.column("text")), lower=True)
+        off, flat, n_words = _ws_words(_concat_np(t.column("text")), lower=True)
+        # mask the phantom "" word (SQL's WHERE trim(text) <> '' exclusion);
+        # unmasked it could displace a real word from the top-K cut
+        word_doc = np.repeat(np.arange(n_words.size, dtype=np.int64), np.diff(off))
+        flat = flat.filter(pa.array(n_words[word_doc] > 0))
         g = pa.table({"w": flat}).group_by("w").aggregate([([], "count_all")])
         return pa.table({"w": g.column("w"), "one": g.column("count_all").cast(pa.int64())})
 
@@ -1152,7 +1165,9 @@ ORACLE_SQL = {
         SELECT token, COUNT(*) AS cnt FROM (
             SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
             FROM documents WHERE trim(text) <> ''
-        ) GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+        ) WHERE token <> ''  -- DuckDB trim() is space-only: tab-padded docs
+                             -- emit phantom '' tokens Python split() never has
+        GROUP BY token ORDER BY cnt DESC, token LIMIT 50
     """,
     "fingerprints": """
         SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id
@@ -1243,8 +1258,13 @@ ORACLE_SQL = {
     """,
     "lexical_diversity": """
         WITH words AS (
-            SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS w
-            FROM documents
+            -- whitespace-exact tokens (Python split() semantics): regexp
+            -- split + drop the '' phantoms space-only trim leaves behind
+            SELECT doc_id, source, w FROM (
+                SELECT doc_id, source,
+                       UNNEST(string_split_regex(trim(text), '\\s+')) AS w
+                FROM documents
+            ) WHERE w <> ''
         ),
         per_doc AS (
             SELECT doc_id, source,
@@ -1338,9 +1358,11 @@ ORACLE_SQL = {
     """,
     "oov_rate": """
         WITH words AS (
-          SELECT source,
-                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
-          FROM documents WHERE trim(text) <> ''
+          SELECT source, w FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+          ) WHERE w <> ''
         ),
         vocab AS (
           SELECT w FROM (SELECT w, COUNT(*) AS n FROM words GROUP BY w)
@@ -1355,9 +1377,11 @@ ORACLE_SQL = {
     """,
     "tokenize_corpus": """
         WITH words AS (
-          SELECT doc_id, source,
-                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
-          FROM documents WHERE trim(text) <> ''
+          SELECT doc_id, source, w FROM (
+            SELECT doc_id, source,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+          ) WHERE w <> ''
         ),
         vocab AS (
           SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) - 1 AS BIGINT) AS id
@@ -1384,7 +1408,11 @@ ORACLE_SQL = {
     """,
     "bigram_logprob": """
         WITH s AS (
-          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+          -- list_filter drops the '' phantoms of space-only trim so pair
+          -- indexing never pairs a phantom with a real word
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS ws
           FROM documents WHERE trim(text) <> ''
         ),
         p AS (
@@ -1404,9 +1432,11 @@ ORACLE_SQL = {
     """,
     "unigram_logprob": """
         WITH words AS (
-          SELECT doc_id,
-                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
-          FROM documents WHERE trim(text) <> ''
+          SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+          ) WHERE w <> ''
         ),
         cnt AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS n FROM words GROUP BY w),
         tot AS (SELECT SUM(n) AS t FROM cnt),
