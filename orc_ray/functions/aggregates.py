@@ -35,6 +35,72 @@ def _run_sums(cols: list[np.ndarray], v: np.ndarray):
     return starts, csum[ends] - csum[starts]
 
 
+def _zero_scalar(t: pa.DataType):
+    """A canonical constant of type ``t`` used to fill null sort keys.
+    The value never surfaces: it only has to be identical across batches
+    so null-keyed rows stay contiguous after the range sort."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.scalar("", t)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pa.scalar(b"", t)
+    if pa.types.is_boolean(t):
+        return pa.scalar(False, t)
+    return pa.scalar(0, t)  # ints/floats/temporal/decimal
+
+
+def _nullsafe_sorted(ds, keys: list[str]):
+    """``ds.sort(keys)`` that tolerates null key values.
+
+    Ray Data's sort compares boundary samples with Python ``<`` and
+    raises TypeError the moment two null keys (or a null and a value)
+    meet, so nulls cannot ride through the shuffle directly.  Each key
+    gains a companion ``__nn_<k>`` int8 flag and is filled with a
+    type-canonical constant; the sort runs on the interleaved
+    (flag, filled) columns — a total order on key tuples with nulls
+    LAST — and ``_restore_null_keys`` re-nulls the flagged rows inside
+    the per-block stage.  Cost: one int8 column per key in the shuffle
+    payload and one vectorized is_null/fill_null pass."""
+    import pyarrow.compute as pc
+
+    aux = [f"__nn_{k}" for k in keys]
+
+    def tag(t: pa.Table) -> pa.Table:
+        cols = {}
+        for k, a in zip(keys, aux):
+            col = t.column(k)
+            cols[a] = pc.cast(pc.is_null(col), pa.int8())
+            if col.null_count:
+                col = pc.fill_null(col, _zero_scalar(col.type))
+            cols[k] = col
+        for c in t.column_names:
+            if c not in cols:
+                cols[c] = t.column(c)
+        return pa.table(cols)
+
+    sort_cols = [c for pair in zip(aux, keys) for c in pair]
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).sort(sort_cols),
+        aux,
+    )
+
+
+def _restore_null_keys(t: pa.Table, keys: list[str], aux: list[str]) -> pa.Table:
+    """Undo ``_nullsafe_sorted``'s fill: re-null flagged key rows and
+    drop the flag columns."""
+    import pyarrow.compute as pc
+
+    for k, a in zip(keys, aux):
+        if a not in t.column_names:
+            return t  # schema-less empty sort partition
+        flag = pc.cast(t.column(a), pa.bool_())
+        if pc.any(flag).as_py():
+            col = t.column(k)
+            typ = col.type
+            restored = pc.if_else(flag, pa.scalar(None, typ), col.combine_chunks())
+            t = t.set_column(t.schema.get_field_index(k), k, restored)
+    return t.drop_columns(aux)
+
+
 def _block_total(t: pa.Table, val: str) -> int:
     import pyarrow.compute as pc
 
@@ -290,7 +356,10 @@ def agg_by_keys(ds, keys: list[str], aggs: list[tuple], stats_out: dict | None =
     each block (any key/value type, no per-group Python), and only the
     <=2 groups per block owning the block's first/last key reach the
     driver for healing (min-of-mins / max-of-maxes / sum-of-sums).
-    Keys must be non-null."""
+    Null keys form their own group (SQL GROUP BY semantics): the edge
+    detection compares endpoints null-safely (IS NOT DISTINCT FROM) and
+    both Arrow group_by and the healing re-aggregate treat null as one
+    group."""
     import ray
     import pyarrow.compute as pc
 
@@ -301,6 +370,7 @@ def agg_by_keys(ds, keys: list[str], aggs: list[tuple], stats_out: dict | None =
     def stage(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 and not t.column_names:
             return pa.table({})  # schema-less empty sort partition
+        t = _restore_null_keys(t, keys, aux_names)
         g = t.group_by(keys).aggregate(arrow_aggs)
         # groups owning the block's first/last sorted KEY TUPLE may
         # continue in neighbouring blocks.  The tuple must be compared as
@@ -310,11 +380,21 @@ def agg_by_keys(ds, keys: list[str], aggs: list[tuple], stats_out: dict | None =
         if t.num_rows == 0:
             edge = pa.array([], pa.bool_())
         else:
+            def eq_nullsafe(arr, scalar):
+                # IS NOT DISTINCT FROM: a null endpoint (a null-keyed
+                # group at the block edge) must match the null group —
+                # plain pc.equal yields null there, which poisons the
+                # AND/OR chain and the downstream filters then drop
+                # EVERY group in the block (silent total loss)
+                if not scalar.is_valid:
+                    return pc.is_null(arr)
+                return pc.fill_null(pc.equal(arr, scalar), False)
+
             eq_first = eq_last = None
             for k in keys:
                 col = t.column(k)
-                f = pc.equal(g.column(k), col[0])
-                l = pc.equal(g.column(k), col[-1])
+                f = eq_nullsafe(g.column(k), col[0])
+                l = eq_nullsafe(g.column(k), col[-1])
                 eq_first = f if eq_first is None else pc.and_(eq_first, f)
                 eq_last = l if eq_last is None else pc.and_(eq_last, l)
             edge = pc.or_(eq_first, eq_last)
@@ -324,8 +404,9 @@ def agg_by_keys(ds, keys: list[str], aggs: list[tuple], stats_out: dict | None =
         cols["_edge"] = edge
         return pa.table(cols)
 
+    sorted_ds, aux_names = _nullsafe_sorted(ds, keys)
     mixed = (
-        ds.sort(keys)
+        sorted_ds
         .map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
     )
@@ -394,6 +475,7 @@ def sum_by_keys(ds, keys: list[str], val: str, out: str | None = None,
                     "_edge": pa.array([], pa.bool_()),
                 }
             )
+        t = _restore_null_keys(t, keys, aux_names)
         cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
         v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
         starts, sums = _run_sums(cols, v)
@@ -409,8 +491,9 @@ def sum_by_keys(ds, keys: list[str], val: str, out: str | None = None,
             }
         )
 
+    sorted_ds, aux_names = _nullsafe_sorted(ds, keys)
     mixed = (
-        ds.sort(keys)
+        sorted_ds
         .map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
     )
@@ -441,12 +524,13 @@ def sum_by_keys(ds, keys: list[str], val: str, out: str | None = None,
     if not bparts:
         return interior_ds
     # heal: <=2 partial rows per block; resort and re-sum with the same
-    # kernel, keeping every group (no interior split on the driver side)
+    # kernel, keeping every group (no interior split on the driver side).
+    # Arrow sort_by, not np.lexsort: object arrays holding a null key
+    # would hit Python's None-vs-value '<' TypeError.
     b = pa.concat_tables(bparts).combine_chunks()
+    b = b.sort_by([(k, "ascending") for k in keys])
     cols = [b.column(k).to_numpy(zero_copy_only=False) for k in keys]
-    order = np.lexsort(tuple(reversed(cols)))
-    cols = [c[order] for c in cols]
-    v = b.column(val).to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    v = b.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
     starts, sums = _run_sums(cols, v)
     healed = pa.table(
         {

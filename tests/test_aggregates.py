@@ -246,3 +246,34 @@ def test_with_group_cummax(ray_session):
     np.testing.assert_array_equal(got.column("m").to_numpy(zero_copy_only=False), exp)
     # the value column itself comes back un-negated
     np.testing.assert_array_equal(got.column("v").to_numpy(zero_copy_only=False), v)
+
+
+def test_agg_by_keys_null_keys(ray_session):
+    """Null keys form their own group (SQL GROUP BY).  Regression: the
+    edge detection used pc.equal against a possibly-null sort endpoint;
+    the null poisoned the AND/OR chain and the interior/edge filters
+    then dropped EVERY group in the block — one null key silently
+    emptied the whole result."""
+    import ray
+
+    t = pa.table({
+        "k": ["aa", "aa", None, None, "", "", "bb"],
+        "v": [1, 2, 3, 4, 5, 6, 7],
+    })
+    out = agg_by_keys(
+        ray.data.from_arrow(t).repartition(3),
+        ["k"],
+        [("v", "count_all", "n"), ("v", "min", "lo"), ("v", "sum", "s")],
+    )
+    rows = sorted(
+        pa.concat_tables(
+            out.iter_batches(batch_format="pyarrow", batch_size=None)
+        ).to_pylist(),
+        key=lambda r: (r["k"] is None, r["k"] or ""),
+    )
+    assert rows == [
+        {"k": "", "n": 2, "lo": 5, "s": 11},
+        {"k": "aa", "n": 2, "lo": 1, "s": 3},
+        {"k": "bb", "n": 1, "lo": 7, "s": 7},
+        {"k": None, "n": 2, "lo": 3, "s": 7},
+    ]
