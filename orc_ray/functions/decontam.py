@@ -35,9 +35,11 @@ def word_ngrams(texts, n: int):
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    if texts.null_count:
+        texts = pc.fill_null(texts, "")  # null doc == empty doc (0 grams)
     words = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
     flat = pc.list_flatten(words)
-    lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
     total = len(flat)
     m = total - n + 1
     if m <= 0:

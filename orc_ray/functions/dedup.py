@@ -38,7 +38,13 @@ def _shingle_keys(concat: np.ndarray, offsets: np.ndarray, k: int = 8):
     total = int(counts.sum())
     first_win = np.cumsum(counts) - counts
     pos = np.repeat(starts, counts) + (np.arange(total) - np.repeat(first_win, counts))
-    h = keys[pos].copy()
+    if keys.size:
+        # an empty doc at the batch tail has its single (fully masked)
+        # window at pos == len(concat) — clamp instead of reading past
+        # the end; the mask below zeroes whatever byte value is read
+        h = keys[np.minimum(pos, keys.size - 1)].copy()
+    else:  # every doc in the batch is empty
+        h = np.zeros(total, dtype=np.uint64)
     # windows of docs shorter than k would read the next doc's bytes —
     # mask them to the doc's own length so signatures don't depend on
     # batch neighbors (determinism across batch splits)
@@ -230,9 +236,21 @@ def dedup_exact_fingerprint(ds, id_col: str = "doc_id", text_col: str = "text", 
     hash_fn = _fp_fn or content_hash64  # _fp_fn: test seam for collisions
 
     def fp_stage(t: pa.Table) -> pa.Table:
-        concat, offsets = _varbytes(t.column(text_col))
+        col = t.column(text_col)
+        concat, offsets = _varbytes(col)
         fp = hash_fn(concat, offsets, 0x3C79AC492BA7B653)
         fp2 = content_hash64(concat, offsets, key=0x9FB21C651E98DF25)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if arr.null_count:
+            # NULL text is its own dedup group, distinct from '' (SQL
+            # GROUP BY semantics; _varbytes gives nulls zero length, the
+            # same bytes as the empty string).  Reserved constants keep
+            # the shuffle payload fixed-width; a real doc colliding with
+            # them lands in the same 2^-64 class the fp2 re-resolve
+            # already guards (the exact resolver groups nulls apart).
+            isnull = pc.is_null(arr).to_numpy(zero_copy_only=False)
+            fp = np.where(isnull, np.uint64(0xD1B54A32D192ED03), fp)
+            fp2 = np.where(isnull, np.uint64(0x8CB92BA72F3D8DD7), fp2)
         return pa.table(
             {
                 id_col: t.column(id_col),

@@ -48,17 +48,22 @@ def _top_by_priority(t: pa.Table, k: int, payload_cols: list[str]) -> pa.Table:
 
 def weighted_sample(ds, id_col: str, weight_col: str, k: int, payload_cols: list[str] | None = None) -> pa.Table:
     """Top-k weighted sample of a Dataset: returns (id, pri_e9,
-    *payload_cols) sorted by (pri_e9 desc, id asc).  Weights must be
-    positive."""
+    *payload_cols) sorted by (pri_e9 desc, id asc).  Zero/null-weight
+    rows have zero inclusion probability and are dropped (A-ES
+    semantics); negative weights are a caller error."""
     import functools
 
     payload_cols = payload_cols or []
 
     def local_top(t: pa.Table, *, id_col, weight_col, k) -> pa.Table:
+        w_all = t.column(weight_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        if np.any(w_all < 0):
+            raise ValueError("weighted_sample requires non-negative weights")
+        pos = ~(np.isnan(w_all) | (w_all == 0))
+        if not pos.all():
+            t = t.filter(pa.array(pos))
         ids = t.column(id_col)
-        w = t.column(weight_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
-        if np.any(w <= 0):
-            raise ValueError("weighted_sample requires positive weights")
+        w = w_all[pos]
         pri = es_priority_e9(ids, w)
         idv = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
         base = pa.table(

@@ -613,9 +613,11 @@ ORACLE_SQL = {
     """,
     "bm25_search": r"""
         WITH dl AS (
+          -- whitespace tokens == the engine's _ws_words: null / empty /
+          -- tab-padded docs have dl = 0 but still count toward n/avgdl
           SELECT doc_id,
-                 CASE WHEN trim(text) = '' THEN 0
-                      ELSE array_length(string_split_regex(trim(text), '\s+')) END AS dl
+                 COALESCE(len(list_filter(string_split_regex(text, '\s+'),
+                                          x -> x <> '')), 0) AS dl
           FROM documents
         ),
         st AS (SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
@@ -676,9 +678,11 @@ ORACLE_SQL = {
     """,
     "hybrid_retrieval": r"""
         WITH dl AS (
+          -- whitespace tokens == the engine's _ws_words: null / empty /
+          -- tab-padded docs have dl = 0 but still count toward n/avgdl
           SELECT doc_id,
-                 CASE WHEN trim(text) = '' THEN 0
-                      ELSE array_length(string_split_regex(trim(text), '\s+')) END AS dl
+                 COALESCE(len(list_filter(string_split_regex(text, '\s+'),
+                                          x -> x <> '')), 0) AS dl
           FROM documents
         ),
         st AS (SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),

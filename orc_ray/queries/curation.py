@@ -85,10 +85,12 @@ def _pack_oracle_ctes(source_rel: str) -> str:
     constant the engine uses."""
     return f"""
         tok AS (
+            -- len(list_filter(..)) == Python str.split(): null / empty /
+            -- tab-padded docs count 0 tokens (no phantom '' words)
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE array_length(string_split_regex(trim(text), '\\s+'))
-                   END AS n_tok
+                   COALESCE(len(list_filter(
+                       string_split_regex(text, '\\s+'), x -> x <> '')), 0)
+                       AS n_tok
             FROM {source_rel}
         ),
         s AS (
@@ -206,22 +208,22 @@ def _curation_oracle_sql() -> str:
 
 
 def q_stratified_sample(sf_dir: str):
-    """Deterministic per-source stratified sampling: source tier
-    (src<i> -> i % 4) sets the keep rate 100%/50%/25%/12.5% via the
-    md5(doc_id) first hex digit — RNG-free, stable across shards and
-    cluster sizes (the sampling analog of q_hash_split).  Per-batch
-    vectorized tier lookup; the md5 bucket reuses decontam.md5_first_hex."""
+    """Deterministic per-source stratified sampling: the source NAME's
+    md5 first nibble % 4 picks a tier with keep rate 100%/50%/25%/12.5%,
+    applied via the md5(doc_id) first hex digit — RNG-free, stable
+    across shards and cluster sizes (the sampling analog of
+    q_hash_split), and total over arbitrary source strings (no
+    'src<i>' naming assumption — an int parse here broke on corpora
+    with non-numeric source names).  Per-batch vectorized tier lookup;
+    the md5 buckets reuse the block-parallel md5 kernel."""
     from ..functions.decontam import md5_first_hex
+    from ..functions.md5vec import md5_digests
 
     tier_digits = [None, list("01234567"), list("0123"), list("01")]
     ds = _decoded(sf_dir, "documents", columns=["doc_id", "source"])
 
     def sample(t: pa.Table) -> pa.Table:
-        tiers = (
-            pc.cast(pc.replace_substring_regex(t.column("source"), r"^src", ""), pa.int64())
-            .to_numpy(zero_copy_only=False)
-            % 4
-        )
+        tiers = (md5_digests(t.column("source"))[:, 0] >> 4) % 4
         digits = md5_first_hex(t.column("doc_id"))
         keep = np.ones(t.num_rows, bool)
         for tier, allowed in enumerate(tier_digits):
@@ -406,7 +408,7 @@ ORACLE_SQL = {
     """,
     "stratified_sample": r"""
         SELECT doc_id, source FROM documents
-        WHERE CASE CAST(regexp_extract(source, 'src(\d+)', 1) AS INTEGER) % 4
+        WHERE CASE CAST(('0x' || substr(md5(source), 1, 1)) AS BIGINT) % 4
               WHEN 0 THEN TRUE
               WHEN 1 THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                           IN ('0','1','2','3','4','5','6','7')
@@ -460,6 +462,7 @@ ORACLE_SQL = {
                              / 1152921504606846977.0)
                           / n_chars * 1000000000) AS BIGINT) AS pri_e9
         FROM documents
+        WHERE n_chars > 0  -- zero-weight rows have zero inclusion probability
         ORDER BY pri_e9 DESC, doc_id LIMIT 100
     """,
     "upsert_read": """

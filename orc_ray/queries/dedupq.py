@@ -313,11 +313,17 @@ ORACLE_SQL = {
     """,
     "dedup_ngram": """
         WITH sh AS (
-            -- char substrings == byte windows on this ASCII corpus
-            SELECT DISTINCT doc_id, substr(text, CAST(u AS INTEGER), 8) AS s
+            -- BYTE windows, exactly like the engine's rolling hash:
+            -- to_hex(encode(text)) maps each byte to 2 hex chars, so an
+            -- 8-byte window at byte offset u is the 16-char hex slice at
+            -- 2u+1 — bijective, so DISTINCT/COUNT are unchanged, and
+            -- non-ASCII text (multi-byte UTF-8) matches byte semantics
+            SELECT DISTINCT doc_id,
+                   substr(hx, CAST(2 * u + 1 AS INTEGER), 16) AS s
             FROM (
-                SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS u
-                FROM documents WHERE length(text) >= 8
+                SELECT doc_id, to_hex(encode(text)) AS hx,
+                       unnest(range(0, octet_length(encode(text)) - 7)) AS u
+                FROM documents WHERE octet_length(encode(text)) >= 8
             )
         ),
         keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 16),

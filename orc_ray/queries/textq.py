@@ -77,11 +77,13 @@ def _quality_oracle_sql() -> str:
     return f"""
         WITH sw(word) AS (VALUES {sw}),
         base AS (
-            SELECT doc_id, text,
-                   CAST(LENGTH(text) AS DOUBLE) AS n,
-                   GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS nz,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE array_length(string_split_regex(trim(text), '\\s+')) END AS nw
+            -- COALESCE: null doc == empty doc (the kernel's fill_null);
+            -- list_filter: no phantom '' words on tab-padded docs
+            SELECT doc_id, COALESCE(text, '') AS text,
+                   CAST(LENGTH(COALESCE(text, '')) AS DOUBLE) AS n,
+                   GREATEST(CAST(LENGTH(COALESCE(text, '')) AS DOUBLE), 1.0) AS nz,
+                   len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                                   x -> x <> '')) AS nw
             FROM documents
         ),
         words AS (
@@ -541,7 +543,15 @@ def q_chunk_passages(sf_dir: str):
 
     def chunks(t: pa.Table) -> pa.Table:
         text = t.column("text").combine_chunks()
-        nc = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        # Null text counts as length 0 (one chunk whose value stays null,
+        # matching substr(NULL) in the SQL mirror).  Without the coalesce
+        # the null lane becomes NaN -> INT64_MIN -> wraps POSITIVE after
+        # the -W subtraction, and the per-ordinal loop runs ~6e16 rounds.
+        nc = (
+            pc.coalesce(pc.utf8_length(text), pa.scalar(0, pa.int32()))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         n_chunks = np.ceil(np.maximum(nc - CHUNK_W, 0) / CHUNK_S).astype(np.int64) + 1
         parts = []
         for k in range(int(n_chunks.max()) if n_chunks.size else 0):
@@ -1155,10 +1165,15 @@ ORACLE_SQL = {
                LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
         FROM documents
     """,
-    "token_counts": """
+    "token_counts": r"""
+        -- len(list_filter(..)) matches Python str.split(): null, empty,
+        -- and tab/space-padded docs all count 0 words (DuckDB TRIM is
+        -- space-only, so a '\t'-padded doc would otherwise emit phantom
+        -- '' tokens and over-count)
         SELECT doc_id,
-               CASE WHEN TRIM(text) = '' THEN 0
-                    ELSE array_length(string_split_regex(TRIM(text), '\\s+')) END AS n_ws_tokens
+               CAST(COALESCE(len(list_filter(
+                        string_split_regex(text, '\s+'), x -> x <> '')), 0)
+                    AS BIGINT) AS n_ws_tokens
         FROM documents
     """,
     "token_histogram": r"""
@@ -1198,8 +1213,8 @@ ORACLE_SQL = {
     """,
     "repetition_stats": r"""
         WITH w AS (SELECT doc_id,
-                          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                               ELSE string_split_regex(trim(text), '\s+') END AS ws
+                          list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                                      x -> x <> '') AS ws
                    FROM documents),
         tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
         wc AS (SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY doc_id, word),
@@ -1278,7 +1293,11 @@ ORACLE_SQL = {
     """,
     "vocab_table": """
         WITH words AS (
-            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            -- whitespace tokens == Python str.split(): no phantom ''
+            -- tokens on multi-space/tab/padded docs, null docs -> 0 rows
+            SELECT doc_id,
+                   UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS tok
             FROM documents
         ), t AS (
             SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
@@ -1288,7 +1307,8 @@ ORACLE_SQL = {
         ORDER BY df DESC, tok LIMIT 100
     """,
     "word_bigrams": """
-        WITH s AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        WITH s AS (SELECT list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> '') AS ws FROM documents),
         p AS (SELECT ws, UNNEST(generate_series(1, len(ws) - 1)) AS i FROM s)
         SELECT ws[i] AS w1, ws[i + 1] AS w2, COUNT(*) AS cnt
         FROM p GROUP BY 1, 2
@@ -1297,7 +1317,9 @@ ORACLE_SQL = {
     "source_vocab_overlap": """
         WITH sw AS (
             SELECT DISTINCT source, w FROM (
-                SELECT source, UNNEST(string_split(text, ' ')) AS w
+                SELECT source,
+                       UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) AS w
                 FROM documents)
         ),
         sz AS (SELECT source, COUNT(*) AS n FROM sw GROUP BY source),

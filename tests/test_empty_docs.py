@@ -19,7 +19,8 @@ import pyarrow.parquet as pq
 import pytest
 
 QUERY_NAMES = ["oov_rate", "unigram_logprob", "tokenize_corpus",
-               "bigram_logprob", "lexical_diversity", "token_histogram"]
+               "bigram_logprob", "lexical_diversity", "token_histogram",
+               "chunk_passages"]
 
 
 @pytest.fixture(scope="module")

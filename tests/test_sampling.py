@@ -28,11 +28,17 @@ def test_weighted_sample_split_invariant(ray_session):
     assert one.column("id").to_pylist() == many.column("id").to_pylist()
 
 
-def test_weighted_sample_rejects_nonpositive(ray_session):
+def test_weighted_sample_zero_weight_excluded(ray_session):
+    """A-ES semantics: zero-weight rows have zero inclusion probability
+    and are silently dropped; negative weights are a caller error."""
     import pytest
 
     from orc_ray.functions.sampling import weighted_sample
 
     ds = ray.data.from_arrow(pa.table({"doc_id": ["a", "b"], "w": [1.0, 0.0]}))
-    with pytest.raises(Exception, match="positive weights"):
-        weighted_sample(ds, "doc_id", "w", 1)
+    out = weighted_sample(ds, "doc_id", "w", 2)
+    assert out.column("id").to_pylist() == ["a"]
+
+    neg = ray.data.from_arrow(pa.table({"doc_id": ["a", "b"], "w": [1.0, -2.0]}))
+    with pytest.raises(Exception, match="non-negative weights"):
+        weighted_sample(neg, "doc_id", "w", 1)
