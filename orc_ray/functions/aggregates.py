@@ -48,8 +48,10 @@ def _zero_scalar(t: pa.DataType):
     return pa.scalar(0, t)  # ints/floats/temporal/decimal
 
 
-def _nullsafe_sorted(ds, keys: list[str]):
-    """``ds.sort(keys)`` that tolerates null key values.
+def _nullsafe_sorted(ds, keys: list[str], order_by: list[str] | None = None,
+                     order_desc: list[bool] | None = None):
+    """``ds.sort(keys + order_by)`` that tolerates null values in the
+    ``keys`` (PARTITION BY / GROUP BY) columns.
 
     Ray Data's sort compares boundary samples with Python ``<`` and
     raises TypeError the moment two null keys (or a null and a value)
@@ -59,9 +61,12 @@ def _nullsafe_sorted(ds, keys: list[str]):
     (flag, filled) columns — a total order on key tuples with nulls
     LAST — and ``_restore_null_keys`` re-nulls the flagged rows inside
     the per-block stage.  Cost: one int8 column per key in the shuffle
-    payload and one vectorized is_null/fill_null pass."""
+    payload and one vectorized is_null/fill_null pass.  ``order_by``
+    columns are sorted as-is (null ORDER BY values stay unsupported —
+    their SQL semantics need an explicit NULLS FIRST/LAST decision)."""
     import pyarrow.compute as pc
 
+    order_by = order_by or []
     aux = [f"__nn_{k}" for k in keys]
 
     def tag(t: pa.Table) -> pa.Table:
@@ -77,9 +82,12 @@ def _nullsafe_sorted(ds, keys: list[str]):
                 cols[c] = t.column(c)
         return pa.table(cols)
 
-    sort_cols = [c for pair in zip(aux, keys) for c in pair]
+    sort_cols = [c for pair in zip(aux, keys) for c in pair] + list(order_by)
+    desc = [False] * (2 * len(keys)) + list(order_desc or [False] * len(order_by))
     return (
-        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).sort(sort_cols),
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).sort(
+            sort_cols, descending=desc
+        ),
         aux,
     )
 
@@ -99,6 +107,67 @@ def _restore_null_keys(t: pa.Table, keys: list[str], aux: list[str]) -> pa.Table
             restored = pc.if_else(flag, pa.scalar(None, typ), col.combine_chunks())
             t = t.set_column(t.schema.get_field_index(k), k, restored)
     return t.drop_columns(aux)
+
+
+def _key_detection_np(t: pa.Table, keys: list[str]) -> list[np.ndarray]:
+    """Numpy arrays for run detection over sorted blocks: one
+    (filled value, is-null flag) PAIR per key — never exposing None/NaN
+    to numpy comparisons (an int64 column with nulls reaches numpy as
+    float NaN, and NaN != NaN would split the null group row-by-row).
+    Always pairs, even for null-free columns, so cross-block key tuples
+    built from these arrays have a stable arity."""
+    import pyarrow.compute as pc
+
+    det: list[np.ndarray] = []
+    for k in keys:
+        col = t.column(k)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flag = pc.is_null(col).to_numpy(zero_copy_only=False)
+        if col.null_count:
+            col = pc.fill_null(col, _zero_scalar(col.type))
+        det.append(col.to_numpy(zero_copy_only=False))
+        det.append(flag)
+    return det
+
+
+def _det_tuple(det: list[np.ndarray], i: int) -> tuple:
+    """Comparable key tuple at row ``i`` from detection arrays, ordered
+    (flag, filled) per key so tuple '<' realizes the null-LAST total
+    order without ever comparing None."""
+    out = []
+    for j in range(0, len(det), 2):
+        out.append(bool(det[j + 1][i]))
+        out.append(det[j][i])
+    return tuple(out)
+
+
+def _sorted_for_keys(ds, keys: list[str], order_by: list[str] | None = None,
+                     order_desc: list[bool] | None = None):
+    """Materialized ``ds.sort(keys + order_by)`` tolerating null keys,
+    at zero cost on the common (null-free) path.
+
+    Fast path: plain Ray sort.  With null keys it either (a) raises
+    TypeError while sorting boundary SAMPLES with Python '<', or
+    (b) completes with the null-greatest total order (block-internal
+    pyarrow sorts are nulls-last and find_partition_index maps null
+    boundaries/rows through NULL_SENTINEL) — stress-tested across null
+    densities: raise-or-correct, never silent misplacement; downstream
+    stages additionally force null groups onto the healing path or
+    assert block ordering, so (b) is verified, not assumed.  On (a) we
+    retry through ``_nullsafe_sorted`` (tagged flag+filled sort) and
+    return its aux column names for the per-block restore."""
+    order_by = order_by or []
+    desc = [False] * len(keys) + list(order_desc or [False] * len(order_by))
+    try:
+        return ds.sort(keys + order_by, descending=desc).materialize(), []
+    except TypeError:
+        pass  # driver-side sample comparison (rare: local/tiny datasets)
+    except Exception as e:  # RayTaskError wraps the worker-side TypeError
+        msg = str(e)
+        if "'<' not supported" not in msg and "TypeError" not in msg:
+            raise
+    sorted_ds, aux = _nullsafe_sorted(ds, keys, order_by, order_desc)
+    return sorted_ds.materialize(), aux
 
 
 def _block_total(t: pa.Table, val: str) -> int:
@@ -151,27 +220,56 @@ def with_prefix_sum(ds, sort_keys: list[str], val: str, out: str = "cum_prev",
     return ray.data.from_arrow_refs(out_refs)
 
 
-def _block_key_edges(t: pa.Table, keys: list[str]):
+def _check_block_order(first_last_pairs) -> None:
+    """O(blocks) sanity check on the fast-path sort: consecutive blocks'
+    (first, last) key tuples must be non-decreasing under the null-LAST
+    order the detection tuples realize.  A violation would mean the
+    sort scattered a key group across non-adjacent blocks (never
+    observed: Ray raises instead when null keys reach its boundary
+    samples) and the carry walk would silently mis-rank — fail loudly."""
+    prev_last = None
+    for pair in first_last_pairs:
+        if pair is None:
+            continue
+        first_key, last_key = pair
+        if prev_last is not None and first_key < prev_last:
+            raise RuntimeError(
+                "window sort produced non-contiguous key blocks "
+                f"({prev_last!r} then {first_key!r}) — null keys in the "
+                "PARTITION BY columns hit an unsupported Ray sort path"
+            )
+        prev_last = last_key
+
+
+def _block_key_edges(t: pa.Table, keys: list[str], aux: tuple = ()):
     """(first key tuple, last key tuple, #rows of the last key) for one
     sorted block — the carry metadata for the segmented rank scan; None
-    for an empty block."""
+    for an empty block.  Key tuples come from the (flag, filled)
+    detection arrays: comparable and equality-exact even for null keys."""
     if t.num_rows == 0:
         return None
-    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
-    starts = _group_starts(cols)
-    first_key = tuple(c[0] for c in cols)
-    last_key = tuple(c[-1] for c in cols)
+    if aux:
+        t = _restore_null_keys(t, list(keys), list(aux))
+    det = _key_detection_np(t, keys)
+    starts = _group_starts(det)
+    first_key = _det_tuple(det, 0)
+    last_key = _det_tuple(det, t.num_rows - 1)
     n_last = t.num_rows - int(starts[-1])
     return first_key, last_key, n_last
 
 
-def _add_ranks(t: pa.Table, keys: list[str], out: str, carry: int) -> pa.Table:
+def _add_ranks(t: pa.Table, keys: list[str], out: str, carry: int,
+               aux: tuple = ()) -> pa.Table:
     """Within-key ordinals for one sorted block; ``carry`` is how many
-    rows of the block's FIRST key preceded this block."""
+    rows of the block's FIRST key preceded this block.  ``aux`` names the
+    null-flag companions: run detection uses (filled key, flag) pairs —
+    numpy-native, no NaN/None comparisons — and the block is re-nulled
+    before the rank column is appended."""
     if t.num_rows == 0:
         return pa.table({})
-    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
-    starts = _group_starts(cols)
+    if aux:
+        t = _restore_null_keys(t, list(keys), list(aux))
+    starts = _group_starts(_key_detection_np(t, keys))
     n = t.num_rows
     seg = np.repeat(starts, np.diff(np.r_[starts, n]))
     rnk = np.arange(n, dtype=np.int64) - seg + 1
@@ -192,13 +290,13 @@ def with_group_ranks(ds, keys: list[str], order_by: list[str],
     behind per-domain capping."""
     import ray
 
-    desc = [False] * len(keys) + (descending or [False] * len(order_by))
-    sorted_ds = ds.sort(keys + order_by, descending=desc).materialize()
+    sorted_ds, aux = _sorted_for_keys(ds, keys, order_by, descending)
     refs = [r for b in sorted_ds.iter_internal_ref_bundles() for r in b.block_refs]
     if not refs:
         return sorted_ds
     edge_task = ray.remote(num_cpus=0.5)(_block_key_edges)
-    edges = ray.get([edge_task.remote(r, keys) for r in refs])
+    edges = ray.get([edge_task.remote(r, keys, tuple(aux)) for r in refs])
+    _check_block_order(e[:2] if e else None for e in edges)
     # O(blocks) driver walk: carry the running row count of the key that
     # spans each block boundary (a block wholly inside one key keeps the
     # run going: first_key == last_key -> carry + n_last)
@@ -214,31 +312,34 @@ def with_group_ranks(ds, keys: list[str], order_by: list[str],
         prev_run = (carry + n_last) if first_key == last_key else n_last
         prev_key = last_key
     rank_task = ray.remote(num_cpus=1)(_add_ranks)
-    out_refs = [rank_task.remote(r, keys, out, int(c)) for r, c in zip(refs, carries)]
+    out_refs = [rank_task.remote(r, keys, out, int(c), tuple(aux)) for r, c in zip(refs, carries)]
     return ray.data.from_arrow_refs(out_refs)
 
 
-def _block_key_sums(t: pa.Table, keys: list[str], val: str):
+def _block_key_sums(t: pa.Table, keys: list[str], val: str, aux: tuple = ()):
     """(first key, last key, sum(val) of the last key's rows) — carry
     metadata for the segmented prefix sum; None for an empty block."""
     if t.num_rows == 0:
         return None
-    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
+    if aux:
+        t = _restore_null_keys(t, list(keys), list(aux))
+    det = _key_detection_np(t, keys)
     v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
-    starts = _group_starts(cols)
-    first_key = tuple(c[0] for c in cols)
-    last_key = tuple(c[-1] for c in cols)
+    starts = _group_starts(det)
+    first_key = _det_tuple(det, 0)
+    last_key = _det_tuple(det, t.num_rows - 1)
     return first_key, last_key, int(v[int(starts[-1]):].sum())
 
 
 def _add_group_scan(t: pa.Table, keys: list[str], val: str, out: str,
-                    carry: int, inclusive: bool) -> pa.Table:
+                    carry: int, inclusive: bool, aux: tuple = ()) -> pa.Table:
     """Per-key running sum within one sorted block + boundary carry."""
     if t.num_rows == 0:
         return pa.table({})
-    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
+    if aux:
+        t = _restore_null_keys(t, list(keys), list(aux))
     v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
-    starts = _group_starts(cols)
+    starts = _group_starts(_key_detection_np(t, keys))
     n = v.size
     c = np.cumsum(v)
     # subtract each key group's preceding total -> per-key running sums
@@ -259,13 +360,13 @@ def with_group_prefix_sum(ds, keys: list[str], order_by: list[str], val: str,
     sum of the key spanning each block boundary, never O(keys) state."""
     import ray
 
-    desc = [False] * len(keys) + (descending or [False] * len(order_by))
-    sorted_ds = ds.sort(keys + order_by, descending=desc).materialize()
+    sorted_ds, aux = _sorted_for_keys(ds, keys, order_by, descending)
     refs = [r for b in sorted_ds.iter_internal_ref_bundles() for r in b.block_refs]
     if not refs:
         return sorted_ds
     edge_task = ray.remote(num_cpus=0.5)(_block_key_sums)
-    edges = ray.get([edge_task.remote(r, keys, val) for r in refs])
+    edges = ray.get([edge_task.remote(r, keys, val, tuple(aux)) for r in refs])
+    _check_block_order(e[:2] if e else None for e in edges)
     carries = []
     prev_key, prev_run = None, 0
     for e in edges:
@@ -279,28 +380,33 @@ def with_group_prefix_sum(ds, keys: list[str], order_by: list[str], val: str,
         prev_key = last_key
     scan_task = ray.remote(num_cpus=1)(_add_group_scan)
     out_refs = [
-        scan_task.remote(r, keys, val, out, int(c), inclusive) for r, c in zip(refs, carries)
+        scan_task.remote(r, keys, val, out, int(c), inclusive, tuple(aux))
+        for r, c in zip(refs, carries)
     ]
     return ray.data.from_arrow_refs(out_refs)
 
 
-def _block_key_last(t: pa.Table, keys: list[str], val: str):
+def _block_key_last(t: pa.Table, keys: list[str], val: str, aux: tuple = ()):
     """(first key, last key, last row's val) — LAG carry; None if empty."""
     if t.num_rows == 0:
         return None
-    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
-    first_key = tuple(c[0] for c in cols)
-    last_key = tuple(c[-1] for c in cols)
+    if aux:
+        t = _restore_null_keys(t, list(keys), list(aux))
+    det = _key_detection_np(t, keys)
+    first_key = _det_tuple(det, 0)
+    last_key = _det_tuple(det, t.num_rows - 1)
     return first_key, last_key, t.column(val)[t.num_rows - 1].as_py()
 
 
-def _add_group_lag(t: pa.Table, keys: list[str], val: str, out: str, carry) -> pa.Table:
+def _add_group_lag(t: pa.Table, keys: list[str], val: str, out: str, carry,
+                   aux: tuple = ()) -> pa.Table:
     """Per-key LAG(val, 1) within one sorted block; ``carry`` is the
     previous block's last value iff it shares this block's first key."""
     if t.num_rows == 0:
         return pa.table({})
-    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
-    starts = _group_starts(cols)
+    if aux:
+        t = _restore_null_keys(t, list(keys), list(aux))
+    starts = _group_starts(_key_detection_np(t, keys))
     v = t.column(val)
     v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
     n = t.num_rows
@@ -323,13 +429,13 @@ def with_group_lag(ds, keys: list[str], order_by: list[str], val: str,
     only the boundary key's last value."""
     import ray
 
-    desc = [False] * len(keys) + (descending or [False] * len(order_by))
-    sorted_ds = ds.sort(keys + order_by, descending=desc).materialize()
+    sorted_ds, aux = _sorted_for_keys(ds, keys, order_by, descending)
     refs = [r for b in sorted_ds.iter_internal_ref_bundles() for r in b.block_refs]
     if not refs:
         return sorted_ds
     edge_task = ray.remote(num_cpus=0.5)(_block_key_last)
-    edges = ray.get([edge_task.remote(r, keys, val) for r in refs])
+    edges = ray.get([edge_task.remote(r, keys, val, tuple(aux)) for r in refs])
+    _check_block_order(e[:2] if e else None for e in edges)
     carries = []
     prev_key, prev_val = None, None
     for e in edges:
@@ -340,7 +446,7 @@ def with_group_lag(ds, keys: list[str], order_by: list[str], val: str,
         carries.append(prev_val if first_key == prev_key else None)
         prev_key, prev_val = last_key, last_val
     lag_task = ray.remote(num_cpus=1)(_add_group_lag)
-    out_refs = [lag_task.remote(r, keys, val, out, c) for r, c in zip(refs, carries)]
+    out_refs = [lag_task.remote(r, keys, val, out, c, tuple(aux)) for r, c in zip(refs, carries)]
     return ray.data.from_arrow_refs(out_refs)
 
 
@@ -370,7 +476,8 @@ def agg_by_keys(ds, keys: list[str], aggs: list[tuple], stats_out: dict | None =
     def stage(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 and not t.column_names:
             return pa.table({})  # schema-less empty sort partition
-        t = _restore_null_keys(t, keys, aux_names)
+        if aux_names:
+            t = _restore_null_keys(t, keys, aux_names)
         g = t.group_by(keys).aggregate(arrow_aggs)
         # groups owning the block's first/last sorted KEY TUPLE may
         # continue in neighbouring blocks.  The tuple must be compared as
@@ -391,20 +498,28 @@ def agg_by_keys(ds, keys: list[str], aggs: list[tuple], stats_out: dict | None =
                 return pc.fill_null(pc.equal(arr, scalar), False)
 
             eq_first = eq_last = None
+            nullgrp = None
             for k in keys:
                 col = t.column(k)
                 f = eq_nullsafe(g.column(k), col[0])
                 l = eq_nullsafe(g.column(k), col[-1])
                 eq_first = f if eq_first is None else pc.and_(eq_first, f)
                 eq_last = l if eq_last is None else pc.and_(eq_last, l)
+                isn = pc.is_null(g.column(k))
+                nullgrp = isn if nullgrp is None else pc.or_(nullgrp, isn)
             edge = pc.or_(eq_first, eq_last)
+            # null-keyed groups ALWAYS heal on the driver: their
+            # placement after the fast-path sort is then irrelevant to
+            # correctness (the heal re-aggregates across every block),
+            # at O(null groups per block) extra driver rows
+            edge = pc.or_(edge, nullgrp)
         cols = {k: g.column(k) for k in keys}
         for pn, on in zip(part_names, out_names):
             cols[on] = g.column(pn)
         cols["_edge"] = edge
         return pa.table(cols)
 
-    sorted_ds, aux_names = _nullsafe_sorted(ds, keys)
+    sorted_ds, aux_names = _sorted_for_keys(ds, keys)
     mixed = (
         sorted_ds
         .map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
@@ -475,23 +590,28 @@ def sum_by_keys(ds, keys: list[str], val: str, out: str | None = None,
                     "_edge": pa.array([], pa.bool_()),
                 }
             )
-        t = _restore_null_keys(t, keys, aux_names)
-        cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
+        if aux_names:
+            t = _restore_null_keys(t, keys, aux_names)
+        det = _key_detection_np(t, keys)
         v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
-        starts, sums = _run_sums(cols, v)
+        starts, sums = _run_sums(det, v)
         edge = np.zeros(starts.size, dtype=bool)
         edge[0] = True
         edge[-1] = True  # first/last group may continue in neighbour blocks
-        idx = starts
+        # null-keyed runs ALWAYS heal on the driver -> placement-
+        # independent correctness after the fast-path sort
+        for j in range(1, len(det), 2):
+            edge |= det[j][starts]
+        idx = pa.array(starts)
         return pa.table(
             {
-                **{k: pa.array(c[idx]) for k, c in zip(keys, cols)},
+                **{k: t.column(k).take(idx) for k in keys},
                 "_v": pa.array(sums),
                 "_edge": pa.array(edge),
             }
         )
 
-    sorted_ds, aux_names = _nullsafe_sorted(ds, keys)
+    sorted_ds, aux_names = _sorted_for_keys(ds, keys)
     mixed = (
         sorted_ds
         .map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
@@ -528,13 +648,14 @@ def sum_by_keys(ds, keys: list[str], val: str, out: str | None = None,
     # Arrow sort_by, not np.lexsort: object arrays holding a null key
     # would hit Python's None-vs-value '<' TypeError.
     b = pa.concat_tables(bparts).combine_chunks()
-    b = b.sort_by([(k, "ascending") for k in keys])
-    cols = [b.column(k).to_numpy(zero_copy_only=False) for k in keys]
+    b = b.sort_by([(k, "ascending") for k in keys])  # Arrow: null-safe
+    det = _key_detection_np(b, keys)
     v = b.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
-    starts, sums = _run_sums(cols, v)
+    starts, sums = _run_sums(det, v)
+    take = pa.array(starts)
     healed = pa.table(
         {
-            **{k: pa.array(c[starts]) for k, c in zip(keys, cols)},
+            **{k: b.column(k).take(take) for k in keys},
             out: pa.array(sums),
         }
     )
@@ -552,19 +673,22 @@ def _order_change(t: pa.Table, order_by: list[str]) -> np.ndarray:
     return ch
 
 
-def _block_tie_edges(t: pa.Table, keys: list[str], order_by: list[str]):
+def _block_tie_edges(t: pa.Table, keys: list[str], order_by: list[str],
+                     aux: tuple = ()):
     """Carry metadata for the tie-aware rank scan over one sorted block:
     (first key, first order tuple, last key, last order tuple,
      rows of last key, distinct order values of last key,
      row-offset of the last key's final tie run within that key)."""
     if t.num_rows == 0:
         return None
-    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
-    starts = _group_starts(cols)
+    if aux:
+        t = _restore_null_keys(t, list(keys), list(aux))
+    det = _key_detection_np(t, keys)
+    starts = _group_starts(det)
     last_start = int(starts[-1])
     ch = _order_change(t, order_by)
-    first_key = tuple(c[0] for c in cols)
-    last_key = tuple(c[-1] for c in cols)
+    first_key = _det_tuple(det, 0)
+    last_key = _det_tuple(det, t.num_rows - 1)
     first_order = tuple(t.column(c)[0].as_py() for c in order_by)
     last_order = tuple(t.column(c)[-1].as_py() for c in order_by)
     tail = ch[last_start:]
@@ -578,6 +702,7 @@ def _block_tie_edges(t: pa.Table, keys: list[str], order_by: list[str]):
 def _add_tie_ranks(
     t: pa.Table, keys: list[str], order_by: list[str], out: str, dense: bool,
     carry_rows: int, carry_runs: int, cont: bool, cont_rank: int,
+    aux: tuple = (),
 ) -> pa.Table:
     """Tie-aware within-key ranks for one sorted block.  ``carry_rows`` /
     ``carry_runs`` count the first key's rows / distinct order values in
@@ -585,9 +710,10 @@ def _add_tie_ranks(
     continuation whose (dense) rank is ``cont_rank``."""
     if t.num_rows == 0:
         return pa.table({})
+    if aux:
+        t = _restore_null_keys(t, list(keys), list(aux))
     n = t.num_rows
-    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
-    starts = _group_starts(cols)
+    starts = _group_starts(_key_detection_np(t, keys))
     seg = np.repeat(starts, np.diff(np.r_[starts, n]))  # key start per row
     ch = _order_change(t, order_by).copy()
     ch[starts] = True  # a new key always starts a new run
@@ -622,13 +748,13 @@ def with_group_tie_ranks(ds, keys: list[str], order_by: list[str],
     spanning each boundary, then vectorized per-block assignment."""
     import ray
 
-    desc = [False] * len(keys) + (descending or [False] * len(order_by))
-    sorted_ds = ds.sort(keys + order_by, descending=desc).materialize()
+    sorted_ds, aux = _sorted_for_keys(ds, keys, order_by, descending)
     refs = [r for b in sorted_ds.iter_internal_ref_bundles() for r in b.block_refs]
     if not refs:
         return sorted_ds
     edge_task = ray.remote(num_cpus=0.5)(_block_tie_edges)
-    edges = ray.get([edge_task.remote(r, keys, order_by) for r in refs])
+    edges = ray.get([edge_task.remote(r, keys, order_by, tuple(aux)) for r in refs])
+    _check_block_order((e[0], e[2]) if e else None for e in edges)
     carries = []  # (carry_rows, carry_runs, cont, cont_rank)
     prev_key = None
     prev_order = None
@@ -671,7 +797,8 @@ def with_group_tie_ranks(ds, keys: list[str], order_by: list[str],
         prev_order = last_order
     rank_task = ray.remote(num_cpus=1)(_add_tie_ranks)
     out_refs = [
-        rank_task.remote(r, keys, order_by, out, dense, int(cr), int(cu), bool(co), int(ck))
+        rank_task.remote(r, keys, order_by, out, dense, int(cr), int(cu), bool(co),
+                         int(ck), tuple(aux))
         for r, (cr, cu, co, ck) in zip(refs, carries)
     ]
     return ray.data.from_arrow_refs(out_refs)
@@ -733,20 +860,23 @@ def group_median_disc(ds, key: str, val: str, tiebreak: str) -> "pa.Table":
     return pa.concat_tables(parts).combine_chunks().sort_by(key)
 
 
-def _block_key_mins(t: pa.Table, keys: list[str], val: str):
+def _block_key_mins(t: pa.Table, keys: list[str], val: str, aux: tuple = ()):
     """(first key, last key, min(val) of the last key's rows) — carry
     metadata for the segmented running-min scan; None for an empty block."""
     if t.num_rows == 0:
         return None
-    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
+    if aux:
+        t = _restore_null_keys(t, list(keys), list(aux))
+    det = _key_detection_np(t, keys)
     v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
-    starts = _group_starts(cols)
-    first_key = tuple(c[0] for c in cols)
-    last_key = tuple(c[-1] for c in cols)
+    starts = _group_starts(det)
+    first_key = _det_tuple(det, 0)
+    last_key = _det_tuple(det, t.num_rows - 1)
     return first_key, last_key, int(v[int(starts[-1]):].min())
 
 
-def _add_group_cummin(t: pa.Table, keys: list[str], val: str, out: str, carry) -> pa.Table:
+def _add_group_cummin(t: pa.Table, keys: list[str], val: str, out: str, carry,
+                      aux: tuple = ()) -> pa.Table:
     """Per-key running min within one sorted block (+ boundary carry).
 
     Segmented cumulative min, vectorized via the offset trick: add a
@@ -757,9 +887,10 @@ def _add_group_cummin(t: pa.Table, keys: list[str], val: str, out: str, carry) -
     rebase trick can't apply — this is its associative-scan counterpart."""
     if t.num_rows == 0:
         return pa.table({})
-    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
+    if aux:
+        t = _restore_null_keys(t, list(keys), list(aux))
     v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
-    starts = _group_starts(cols)
+    starts = _group_starts(_key_detection_np(t, keys))
     n = v.size
     S = starts.size
     lo, hi = int(v.min()), int(v.max())
@@ -793,13 +924,13 @@ def with_group_cummin(ds, keys: list[str], order_by: list[str], val: str,
     with_group_cummin over the negated column."""
     import ray
 
-    desc = [False] * len(keys) + (descending or [False] * len(order_by))
-    sorted_ds = ds.sort(keys + order_by, descending=desc).materialize()
+    sorted_ds, aux = _sorted_for_keys(ds, keys, order_by, descending)
     refs = [r for b in sorted_ds.iter_internal_ref_bundles() for r in b.block_refs]
     if not refs:
         return sorted_ds
     edge_task = ray.remote(num_cpus=0.5)(_block_key_mins)
-    edges = ray.get([edge_task.remote(r, keys, val) for r in refs])
+    edges = ray.get([edge_task.remote(r, keys, val, tuple(aux)) for r in refs])
+    _check_block_order(e[:2] if e else None for e in edges)
     carries = []
     prev_key, prev_min = None, None
     for e in edges:
@@ -816,7 +947,7 @@ def with_group_cummin(ds, keys: list[str], order_by: list[str], val: str,
         prev_key = last_key
     scan_task = ray.remote(num_cpus=1)(_add_group_cummin)
     out_refs = [
-        scan_task.remote(r, keys, val, out, None if c is None else int(c))
+        scan_task.remote(r, keys, val, out, None if c is None else int(c), tuple(aux))
         for r, c in zip(refs, carries)
     ]
     return ray.data.from_arrow_refs(out_refs)

@@ -277,3 +277,104 @@ def test_agg_by_keys_null_keys(ray_session):
         {"k": "bb", "n": 1, "lo": 7, "s": 7},
         {"k": None, "n": 2, "lo": 3, "s": 7},
     ]
+
+
+def test_window_ops_null_partition_keys(ray_session):
+    """PARTITION BY over a nullable key: null forms its own partition
+    (SQL semantics).  Regression: Ray's sort raises TypeError comparing
+    None boundary samples, so the window family routes through the same
+    null-safe (flag, filled) sort as agg_by_keys."""
+    import pandas as pd
+    import ray
+
+    from orc_ray.functions.aggregates import (
+        with_group_lag,
+        with_group_prefix_sum,
+        with_group_ranks,
+        with_group_tie_ranks,
+        with_group_cummax,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 500
+    keys = rng.choice(["a", "b", None, "c"], n).tolist()
+    o = np.arange(n, dtype=np.int64)
+    v = rng.integers(0, 100, n)
+    t = pa.table({"k": pa.array(keys, pa.string()), "o": pa.array(o), "v": pa.array(v)})
+    pdf = t.to_pandas()
+
+    def collect(out_ds):
+        return pa.concat_tables(
+            out_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        ).sort_by("o").to_pandas()
+
+    ds = lambda: ray.data.from_arrow(t).repartition(5)  # noqa: E731
+
+    got = collect(with_group_ranks(ds(), ["k"], ["o"], out="r"))
+    exp = pdf.groupby("k", dropna=False)["o"].rank(method="first").astype("int64")
+    assert got["r"].tolist() == exp.tolist()
+    assert got["k"].isna().sum() == pdf["k"].isna().sum()
+
+    got = collect(with_group_prefix_sum(ds(), ["k"], ["o"], "v", out="s"))
+    exp = pdf.groupby("k", dropna=False)["v"].cumsum()
+    assert got["s"].tolist() == exp.tolist()
+
+    got = collect(with_group_lag(ds(), ["k"], ["o"], "v", out="lag"))
+    exp = pdf.groupby("k", dropna=False)["v"].shift(1)
+    both_null = got["lag"].isna() & exp.isna()
+    assert (both_null | (got["lag"] == exp)).all()
+
+    got = collect(with_group_tie_ranks(ds(), ["k"], ["v"], out="r", dense=True))
+    exp = pdf.groupby("k", dropna=False)["v"].rank(method="dense").astype("int64")
+    assert got["r"].tolist() == exp.tolist()
+
+    got = collect(with_group_cummax(ds(), ["k"], ["o"], "v", out="m"))
+    exp = pdf.groupby("k", dropna=False)["v"].cummax()
+    assert got["m"].tolist() == exp.tolist()
+
+
+def test_null_keys_fast_path_sparse(ray_session):
+    """Sparse nulls that survive Ray's boundary sampling take the FAST
+    (untagged) sort path: null groups must still aggregate to ONE row
+    (they are forced onto the healing path regardless of placement) and
+    the window carry walk must still rank them correctly."""
+    import pandas as pd
+    import ray
+
+    from orc_ray.functions.aggregates import with_group_ranks
+
+    rng = np.random.default_rng(31)
+    n = 50_000
+    keys = [f"k{int(x):04d}" for x in rng.integers(0, 500, n)]
+    null_at = rng.choice(n, 25, replace=False)
+    for i in null_at:
+        keys[i] = None
+    o = np.arange(n, dtype=np.int64)
+    v = rng.integers(0, 100, n)
+    t = pa.table({"k": pa.array(keys, pa.string()), "o": pa.array(o), "v": pa.array(v)})
+    ds = ray.data.from_arrow(t).repartition(16)
+
+    got = _collect(agg_by_keys(ds, ["k"], [("v", "sum", "s"), ("v", "count_all", "n")]))
+    df = got.to_pandas()
+    null_rows = df[df["k"].isna()]
+    assert len(null_rows) == 1  # ONE healed null group, not one per block
+    assert int(null_rows["n"].iloc[0]) == 25
+    assert int(null_rows["s"].iloc[0]) == int(v[null_at].sum())
+    assert len(df) == len(set(k for k in keys if k is not None)) + 1
+
+    got2 = _collect(sum_by_keys(ds, ["k"], "v", out="s")).to_pandas()
+    nr = got2[got2["k"].isna()]
+    assert len(nr) == 1 and int(nr["s"].iloc[0]) == int(v[null_at].sum())
+
+    ranked = pa.concat_tables(
+        with_group_ranks(ds, ["k"], ["o"], out="r").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("o").to_pandas()
+    exp = (
+        pd.DataFrame({"k": keys, "o": o})
+        .groupby("k", dropna=False)["o"]
+        .rank(method="first")
+        .astype("int64")
+    )
+    assert ranked["r"].tolist() == exp.tolist()
