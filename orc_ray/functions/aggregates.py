@@ -804,7 +804,9 @@ def with_group_tie_ranks(ds, keys: list[str], order_by: list[str],
     return ray.data.from_arrow_refs(out_refs)
 
 
-def group_median_disc(ds, key: str, val: str, tiebreak: str) -> "pa.Table":
+def group_median_disc(
+    ds, key: str, val: str, tiebreak: str, emit_null_groups: bool = False
+) -> "pa.Table":
     """EXACT per-group discrete median (PERCENTILE_DISC(0.5) — the value
     at within-group rank ceil(n/2)) of integer column ``val``, returned
     as a tiny (key, val) Table.
@@ -816,40 +818,99 @@ def group_median_disc(ds, key: str, val: str, tiebreak: str) -> "pa.Table":
     target — no per-group sort, no driver-side value lists; the result
     is O(groups)."""
     import ray
+    import pyarrow.compute as pc
 
-    counts = agg_by_keys(ds, [key], [(val, "count_all", "n")])
+    # Null handling (SQL quantile_disc semantics): null VALUES are
+    # dropped before ranking; a null KEY forms its own group, carried
+    # through the sort as a (__kn int8, type-zero-filled key) pair so
+    # neither Ray's sort nor the epilogue argsort ever compares None.
+    # A group whose EVERY value is null has no rankable rows: with
+    # emit_null_groups it yields SQL's (key, NULL) median row, without
+    # it the group is dropped (the filtered-input shape MAD composes).
+    def prep(t: pa.Table) -> pa.Table:
+        col = t.column(key)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        kn = pc.cast(pc.is_null(col), pa.int8())
+        if col.null_count:
+            col = pc.fill_null(col, _zero_scalar(col.type))
+        t = t.set_column(t.schema.get_field_index(key), key, col)
+        vcol = t.column(val)
+        vv = pc.cast(pc.is_valid(vcol).combine_chunks()
+                     if isinstance(vcol, pa.ChunkedArray) else pc.is_valid(vcol),
+                     pa.int64())
+        return t.append_column("__kn", kn).append_column("__vv", vv)
+
+    dsall = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def drop_null_vals(t: pa.Table) -> pa.Table:
+        vcol = t.column(val)
+        if vcol.null_count:
+            t = t.filter(pc.is_valid(vcol).combine_chunks()
+                         if isinstance(vcol, pa.ChunkedArray) else pc.is_valid(vcol))
+        return t.drop_columns(["__vv"])
+
+    ds2 = dsall.map_batches(drop_null_vals, batch_format="pyarrow", zero_copy_batch=True)
+
+    counts = agg_by_keys(dsall, ["__kn", key], [("__vv", "sum", "n")])
     ct = pa.concat_tables(
         [b for b in counts.iter_batches(batch_format="pyarrow", batch_size=None)]
     ).combine_chunks()
-    keys_list = ct.column(key).to_pylist()
+    kn_list = ct.column("__kn").to_numpy(zero_copy_only=False).astype(np.int64)
+    keys_list = ct.column(key).to_pylist()  # filled: no Nones
     ns = ct.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
-    order_k = np.argsort(np.asarray(keys_list, dtype=object))
+    key_type0 = ct.column(key).type
+    # all-null-value groups: zero rankable rows — route around the rank
+    # machinery entirely, surfacing SQL's NULL-median row on request
+    if (ns == 0).any():
+        zk = [(None if kzn else kz)
+              for kz, nz, kzn in zip(keys_list, ns, kn_list) if nz == 0]
+        null_rows = pa.table(
+            {key: pa.array(zk, key_type0),
+             val: pa.array([None] * len(zk), pa.int64())}
+        ) if emit_null_groups else None
+        keep = ns > 0
+        kn_list = kn_list[keep]
+        keys_list = [k for k, m in zip(keys_list, keep) if m]
+        ns = ns[keep]
+    else:
+        null_rows = None
+    order_k = np.lexsort((np.asarray(keys_list, dtype=object), kn_list))
+    kn_list = kn_list[order_k]
     keys_list = [keys_list[i] for i in order_k]
     ns = ns[order_k]
     group_start = np.zeros(len(keys_list), dtype=np.int64)
     np.cumsum(ns[:-1], out=group_start[1:])
     targets = group_start + (ns + 1) // 2
     key_type = ct.column(key).type
-    tref = ray.put((pa.array(keys_list, key_type), targets))
+    nn = kn_list == 0
+    null_tgt = int(targets[~nn][0]) if (~nn).any() else -1
+    tref = ray.put((pa.array([k for k, m in zip(keys_list, nn) if m], key_type),
+                    targets[nn], null_tgt))
 
-    ones = ds.map_batches(
+    ones = ds2.map_batches(
         lambda t: t.append_column("one", pa.array(np.ones(t.num_rows, np.int64))),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    scanned = with_prefix_sum(ones, [key, val, tiebreak], "one", out="rank", inclusive=True)
+    scanned = with_prefix_sum(
+        ones, ["__kn", key, val, tiebreak], "one", out="rank", inclusive=True
+    )
 
     def pick(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        type_arr, tgt_ranks = ray.get(tref)
+        type_arr, tgt_ranks, nulltgt = ray.get(tref)
         ranks = t.column("rank").to_numpy(zero_copy_only=False)
+        kn = t.column("__kn").to_numpy(zero_copy_only=False).astype(np.int64)
         idx = pc.index_in(t.column(key), value_set=type_arr)
         tgt = np.r_[tgt_ranks, -1][
             pc.fill_null(idx, len(tgt_ranks)).to_numpy(zero_copy_only=False).astype(np.int64)
         ]
+        tgt = np.where(kn == 1, nulltgt, tgt)
         sub = t.filter(pa.array(ranks == tgt))
-        return pa.table({key: sub.column(key), val: sub.column(val)})
+        kcol = sub.column(key).combine_chunks()
+        if sub.num_rows:
+            isn = pc.cast(sub.column("__kn").combine_chunks(), pa.bool_())
+            kcol = pc.if_else(isn, pa.scalar(None, kcol.type), kcol)
+        return pa.table({key: kcol, val: sub.column(val)})
 
     parts = [
         b
@@ -857,6 +918,10 @@ def group_median_disc(ds, key: str, val: str, tiebreak: str) -> "pa.Table":
         .iter_batches(batch_format="pyarrow", batch_size=None)
         if b.num_rows
     ]
+    if null_rows is not None and null_rows.num_rows:
+        if parts:
+            null_rows = null_rows.cast(parts[0].schema)
+        parts.append(null_rows)
     return pa.concat_tables(parts).combine_chunks().sort_by(key)
 
 

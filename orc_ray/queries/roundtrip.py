@@ -810,14 +810,16 @@ def q_union_tagged_values(sf_dir: str):
 
         def to_union(t: pa.Table) -> pa.Table:
             eid = t.column("event_id").to_numpy(zero_copy_only=False)
-            cents = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+            # null-propagating cents: a null value rides the int branch
+            # AS NULL (exercising the union child's PRESENT stream)
+            cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64()).combine_chunks()
             et = t.column("event_type").combine_chunks()
             codes = (eid % 2 != 0).astype(np.int8)  # 0 = int branch, 1 = string
             n0 = int((codes == 0).sum())
             offs = np.zeros(eid.size, np.int32)
             offs[codes == 0] = np.arange(n0, dtype=np.int32)
             offs[codes == 1] = np.arange(eid.size - n0, dtype=np.int32)
-            ints = pa.array(cents[codes == 0])
+            ints = cents.filter(pa.array(codes == 0))
             strs = et.filter(pa.array(codes == 1))
             u = pa.UnionArray.from_dense(
                 pa.array(codes, pa.int8()), pa.array(offs, pa.int32()),
@@ -839,12 +841,13 @@ def q_union_tagged_values(sf_dir: str):
         u = t.column("v").combine_chunks()
         codes = np.asarray(u.type_codes)
         offs = np.asarray(u.offsets)
-        ints = u.child(0).to_numpy(zero_copy_only=False)
         i_sel = offs[codes == 0]
+        ints = u.child(0).take(pa.array(i_sel))
         return pa.table(
             {
                 "n_int": pa.array([int((codes == 0).sum())], pa.int64()),
-                "sum_cents": pa.array([int(ints[i_sel].sum())], pa.int64()),
+                # pc.sum ignores null cents (SQL SUM over the CASE arm)
+                "sum_cents": pa.array([int(pc.sum(ints).as_py() or 0)], pa.int64()),
                 "n_str": pa.array([int((codes == 1).sum())], pa.int64()),
             }
         )
@@ -888,16 +891,20 @@ def q_map_tagged_values(sf_dir: str):
             np.cumsum(cnt, out=off[1:])
             total = int(off[-1])
             keys = np.empty(total, object)
-            vals = np.empty(total, np.int64)
+            vals = np.zeros(total, np.int64)
+            vmask = np.zeros(total, bool)  # True = null item value
             keys[off[:-1]] = "k"
             vals[off[:-1]] = k
             extra = off[:-1][odd] + 1
             keys[extra] = "u"
-            vals[extra] = uid[odd]
+            uodd = uid[odd]
+            unull = np.isnan(uodd) if uodd.dtype.kind == "f" else np.zeros(uodd.size, bool)
+            vals[extra] = np.where(unull, 0, np.nan_to_num(uodd)).astype(np.int64)
+            vmask[extra] = unull  # a null user_id stays a NULL map value
             ma = pa.MapArray.from_arrays(
                 pa.array(off.astype(np.int32), pa.int32()),
                 pa.array(keys.tolist(), pa.string()),
-                pa.array(vals),
+                pa.array(vals, mask=vmask),
             )
             return pa.table({"event_id": t.column("event_id"), "m": ma})
 
@@ -956,11 +963,11 @@ def q_struct_pruned_read(sf_dir: str):
     if load_committed(out)["totals"].get("rows") != src_rows:
 
         def to_struct(t: pa.Table) -> pa.Table:
-            cents = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+            cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
             s = pa.StructArray.from_arrays(
                 [t.column("user_id").combine_chunks(),
                  t.column("event_type").combine_chunks(),
-                 pa.array(cents)],
+                 cents.combine_chunks()],
                 names=["uid", "etype", "cents"],
             )
             return pa.table({"event_id": t.column("event_id"), "s": s})
@@ -981,8 +988,9 @@ def q_struct_pruned_read(sf_dir: str):
         return pa.table(
             {
                 "n": pa.array([t.num_rows], pa.int64()),
-                "sum_uid": pa.array([int(s.field("uid").to_numpy(zero_copy_only=False).sum())], pa.int64()),
-                "sum_cents": pa.array([int(s.field("cents").to_numpy(zero_copy_only=False).sum())], pa.int64()),
+                # pc.sum ignores null children (SQL SUM); numpy would NaN out
+                "sum_uid": pa.array([int(pc.sum(s.field("uid")).as_py() or 0)], pa.int64()),
+                "sum_cents": pa.array([int(pc.sum(s.field("cents")).as_py() or 0)], pa.int64()),
             }
         )
 

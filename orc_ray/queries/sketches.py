@@ -45,7 +45,9 @@ def q_approx_distinct_users(sf_dir: str):
     ex = q_distinct_users(sf_dir)
     exact = dict(zip(ex.column("event_type").to_pylist(), ex.column("n_users").to_pylist()))
     for g, e in zip(est.column("group").to_pylist(), est.column("approx_distinct").to_pylist()):
-        x = exact[g]
+        # approx_distinct canonicalizes the null group to '__null__';
+        # the exact pipeline keeps the SQL NULL key
+        x = exact[None if g == "__null__" else g]
         assert abs(e - x) <= max(2.0, 5 * 0.01625 * x), (g, e, x)
     return est
 
@@ -74,6 +76,12 @@ def q_heavy_users(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         col = t.column("user_id").combine_chunks() if isinstance(t.column("user_id"), pa.ChunkedArray) else t.column("user_id")
+        # the NULL user is one SQL group: count it exactly on the side
+        # (a per-batch int riding the sketch row) — it can't flow through
+        # the int64 candidate/CMS lanes
+        n_null = col.null_count
+        if n_null:
+            col = col.drop_null()
         regs = cms_partial(col, W)
         vc = pc.value_counts(col)
         vals = vc.field("values").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -96,11 +104,13 @@ def q_heavy_users(sf_dir: str):
                 "cleared": pa.array(np.r_[cleared, [False]]),
                 "is_sketch": pa.array([False] * (n - 1) + [True]),
                 "regs": pa.array(regcol, pa.large_binary()),
+                "null_cnt": pa.array([0] * (n - 1) + [int(n_null)], pa.int64()),
             }
         )
 
     mixed = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
     sk = mixed.filter(mixed.column("is_sketch").combine_chunks())
+    total_null = int(pc.sum(sk.column("null_cnt")).as_py() or 0)
     cms = cms_merge(
         [np.frombuffer(b, np.int64).reshape(CMS_D, W).copy() for b in sk.column("regs").to_pylist()]
     )
@@ -131,8 +141,18 @@ def q_heavy_users(sf_dir: str):
     final = parts.group_by("user_id").aggregate([("cnt", "sum")])
     u = final.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
     c = final.column("cnt_sum").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((u, -c))[:K]
-    return pa.table({"user_id": pa.array(u[order]), "cnt": pa.array(c[order])})
+    # the null group competes in the top-K like any other (ORDER BY cnt
+    # DESC, user_id -> NULLS LAST among count ties)
+    rows = sorted(
+        [(-int(cc), 0, int(uu), uu) for uu, cc in zip(u, c)]
+        + ([(-total_null, 1, 0, None)] if total_null else [])
+    )[:K]
+    return pa.table(
+        {
+            "user_id": pa.array([r[3] for r in rows], pa.int64()),
+            "cnt": pa.array([-r[0] for r in rows], pa.int64()),
+        }
+    )
 
 
 def q_profile_lineitem(sf_dir: str):

@@ -157,8 +157,12 @@ def q_window_hourly_events(sf_dir: str):
         {
             "event_type": final.column("event_type"),
             "hour_epoch": final.column("hour_epoch"),
-            "total_value_cents": pa.array(
-                np.rint(final.column("value_sum_sum").to_numpy() * 100).astype(np.int64)
+            # Arrow arithmetic, not np.rint: a group whose every value is
+            # null sums to NULL (SQL SUM semantics) and must STAY null —
+            # to_numpy would turn it into NaN and the int cast into garbage
+            "total_value_cents": pc.cast(
+                pc.round(pc.multiply(final.column("value_sum_sum"), 100.0)),
+                pa.int64(),
             ),
             "n_events": final.column("value_count_sum"),
         }
@@ -242,12 +246,15 @@ def q_median_value(sf_dir: str):
     ds = _decoded(sf_dir, "events", columns=["event_id", "event_type", "value"])
 
     def cents(t: pa.Table) -> pa.Table:
-        v = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        # Arrow math so null values STAY null (group_median_disc drops
+        # them, matching SQL aggregates); np.rint would turn NaN into
+        # INT64_MIN garbage that ranks as a real value
+        v = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
         return pa.table(
             {
                 "event_type": t.column("event_type"),
                 "event_id": t.column("event_id"),
-                "v": pa.array(v),
+                "v": v,
             }
         )
 
@@ -256,6 +263,9 @@ def q_median_value(sf_dir: str):
         "event_type",
         "v",
         "event_id",
+        # SQL quantile_disc emits a (key, NULL) row for a group whose
+        # every value is null; MAD's two filtered-input passes don't
+        emit_null_groups=True,
     )
     return pa.table(
         {"event_type": med.column("event_type"), "median_cents": med.column("v")}
@@ -347,6 +357,9 @@ def q_global_quantiles(sf_dir: str):
     ds = _decoded(sf_dir, "events", columns=["value"])
 
     def quant(t: pa.Table) -> pa.Table:
+        vcol = t.column("value")
+        if vcol.null_count:
+            t = t.filter(pc.is_valid(vcol))  # SQL quantiles ignore nulls
         v = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 1_000_000).astype(
             np.int64
         )
@@ -797,11 +810,13 @@ def q_group_quantiles(sf_dir: str):
     ds = _decoded(sf_dir, "events", columns=["event_type", "value"])
 
     def quant(t: pa.Table) -> pa.Table:
-        v = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 1_000_000).astype(
-            np.int64
-        )
+        # null-propagating Arrow math: null values form their own
+        # (g, NULL) histogram cell, so a group whose EVERY value is
+        # null still reaches the epilogue (SQL emits its NULL-quantile
+        # row); np.rint would turn NaN into INT64_MIN garbage
+        v = pc.cast(pc.round(pc.multiply(t.column("value"), 1_000_000.0)), pa.int64())
         g = (
-            pa.table({"g": t.column("event_type"), "v": pa.array(v)})
+            pa.table({"g": t.column("event_type"), "v": v})
             .group_by(["g", "v"])
             .aggregate([([], "count_all")])
         )
@@ -811,17 +826,27 @@ def q_group_quantiles(sf_dir: str):
         ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True), ["g", "v"], "c"
     )
     tbl = _to_table(dist)
+    # Arrow sort, not np.lexsort: a null group key (None in an object
+    # array) would hit Python's None-vs-str '<'; nulls order LAST.
+    # The run break below is safe: None != None is False for objects.
+    tbl = tbl.sort_by([("g", "ascending"), ("v", "ascending")])
     gs = tbl.column("g").to_numpy(zero_copy_only=False)
-    v = tbl.column("v").to_numpy(zero_copy_only=False)
+    vvalid = pc.is_valid(tbl.column("v")).to_numpy(zero_copy_only=False)
+    v = tbl.column("v").fill_null(0).to_numpy(zero_copy_only=False)
     c = tbl.column("c").to_numpy(zero_copy_only=False)
-    order = np.lexsort((v, gs))
-    gs, v, c = gs[order], v[order], c[order]
     brk = np.ones(gs.size, dtype=bool)
     brk[1:] = gs[1:] != gs[:-1]
     starts = np.flatnonzero(brk)
     ends = np.r_[starts[1:], gs.size]
     out_g, out_q, out_v = [], [], []
     for st, en in zip(starts, ends):
+        en = st + int(vvalid[st:en].sum())  # null cell sorts last in-group
+        if en == st:  # every value in the group is null -> NULL quantiles
+            for label in ("p50", "p90", "p99"):
+                out_g.append(gs[st])
+                out_q.append(label)
+                out_v.append(None)
+            continue
         cum = np.cumsum(c[st:en])
         n = int(cum[-1])
         for label, q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
@@ -1280,10 +1305,15 @@ def q_value_histogram(sf_dir: str):
     ds = _decoded(sf_dir, "events", columns=["value"])
 
     def bucketize(t: pa.Table) -> pa.Table:
-        v = t.column("value").to_numpy(zero_copy_only=False)
+        vcol = t.column("value")
+        valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+        v = np.nan_to_num(vcol.to_numpy(zero_copy_only=False))
+        # a null value lands in the SQL NULL bucket group, not in a
+        # garbage NaN->int bucket; null keys flow through sum_by_keys
         b = np.minimum(np.floor(v / 25.0).astype(np.int64), 19)
         out = (
-            pa.table({"bucket": pa.array(b), "one": pa.array(np.ones(len(b), np.int64))})
+            pa.table({"bucket": pa.array(b, mask=~valid),
+                      "one": pa.array(np.ones(len(b), np.int64))})
             .group_by("bucket")
             .aggregate([("one", "sum")])
         )
@@ -1655,11 +1685,14 @@ def q_argmax_events(sf_dir: str):
         )
 
     parts = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    # Arrow sort (nulls last), not np.lexsort: a null event_type group
+    # would hit Python's None-vs-str '<' in the object-array sort
+    parts = parts.sort_by(
+        [("event_type", "ascending"), ("mv", "descending"), ("eid", "ascending")]
+    )
     et = parts.column("event_type").to_numpy(zero_copy_only=False)
     mv = parts.column("mv").to_numpy(zero_copy_only=False)
     eid = parts.column("eid").to_numpy(zero_copy_only=False)
-    order = np.lexsort((eid, -mv, et))  # per type: max value first, then min id
-    et, mv, eid = et[order], mv[order], eid[order]
     first = np.ones(et.size, dtype=bool)
     first[1:] = et[1:] != et[:-1]
     return pa.table(
@@ -2081,7 +2114,7 @@ def q_percentile_cont(sf_dir: str):
         lo = float(v[np.searchsorted(cum, lo_rank + 1)])
         hi = float(v[np.searchsorted(cum, min(lo_rank + 1, n - 1) + 1)])
         out_q.append(int(q * 100))
-        out_v.append(int(np.floor(lo + (hi - lo) * frac)))
+        out_v.append(int(np.floor(lo * (1.0 - frac) + hi * frac)))  # DuckDB's exact interpolation expression (ulp-identical)
     return pa.table(
         {"q_pct": pa.array(out_q, pa.int64()), "val_e2_floor": pa.array(out_v, pa.int64())}
     )
@@ -2118,9 +2151,15 @@ def q_distinct_users_by_type(sf_dir: str):
             return pa.table(
                 {"event_type": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
             )
-        g = t.group_by("event_type").aggregate([([], "count_all")])
+        # COUNT(DISTINCT user_id) ignores null user_ids, but the GROUP
+        # BY still emits the group: count the VALID distinct pairs per
+        # type (a type whose only pair is the null-uid one gets n = 0)
+        t = t.append_column(
+            "isreal", pc.cast(pc.is_valid(t.column("user_id")), pa.int64())
+        )
+        g = t.group_by("event_type").aggregate([("isreal", "sum")])
         return pa.table(
-            {"event_type": g.column("event_type"), "n": g.column("count_all").cast(pa.int64())}
+            {"event_type": g.column("event_type"), "n": g.column("isreal_sum").cast(pa.int64())}
         )
 
     agg = sum_by_keys(
@@ -2295,9 +2334,12 @@ def q_group_percentile_cont(sf_dir: str):
                 {"g": pa.array([], pa.string()), "v": pa.array([], pa.int64()),
                  "c": pa.array([], pa.int64())}
             )
-        v = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 1_000_000).astype(np.int64)
+        # null-propagating Arrow math: a group whose EVERY value is null
+        # still reaches the epilogue as a lone (g, NULL) cell, matching
+        # SQL's NULL-percentile row (np.rint would NaN->INT64_MIN it)
+        v = pc.cast(pc.round(pc.multiply(t.column("value"), 1_000_000.0)), pa.int64())
         g = (
-            pa.table({"g": t.column("event_type"), "v": pa.array(v)})
+            pa.table({"g": t.column("event_type"), "v": v})
             .group_by(["g", "v"])
             .aggregate([([], "count_all")])
         )
@@ -2306,17 +2348,27 @@ def q_group_percentile_cont(sf_dir: str):
     tbl = _to_table(
         sum_by_keys(ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True), ["g", "v"], "c")
     )
+    # Arrow sort, not np.lexsort: a null group key (None in an object
+    # array) would hit Python's None-vs-str '<'; nulls order LAST.
+    # The run break below is safe: None != None is False for objects.
+    tbl = tbl.sort_by([("g", "ascending"), ("v", "ascending")])
     gs = tbl.column("g").to_numpy(zero_copy_only=False)
-    v = tbl.column("v").to_numpy(zero_copy_only=False)
+    vvalid = pc.is_valid(tbl.column("v")).to_numpy(zero_copy_only=False)
+    v = tbl.column("v").fill_null(0).to_numpy(zero_copy_only=False)
     c = tbl.column("c").to_numpy(zero_copy_only=False)
-    order = np.lexsort((v, gs))
-    gs, v, c = gs[order], v[order], c[order]
     brk = np.ones(gs.size, dtype=bool)
     brk[1:] = gs[1:] != gs[:-1]
     starts = np.flatnonzero(brk)
     ends = np.r_[starts[1:], gs.size]
     out_g, out_q, out_v = [], [], []
     for st, en in zip(starts, ends):
+        en = st + int(vvalid[st:en].sum())  # null cell sorts last in-group
+        if en == st:  # all-null group -> NULL percentiles
+            for pct in (50, 90):
+                out_g.append(gs[st])
+                out_q.append(pct)
+                out_v.append(None)
+            continue
         cum = np.cumsum(c[st:en])
         n = int(cum[-1])
         for pct, q in [(50, 0.5), (90, 0.9)]:
@@ -2326,7 +2378,7 @@ def q_group_percentile_cont(sf_dir: str):
             hi = float(v[st + np.searchsorted(cum, min(lo_rank + 1, n - 1) + 1)])
             out_g.append(gs[st])
             out_q.append(pct)
-            out_v.append(int(np.floor(lo + (hi - lo) * frac)))
+            out_v.append(int(np.floor(lo * (1.0 - frac) + hi * frac)))  # DuckDB's exact interpolation expression (ulp-identical)
     return pa.table(
         {
             "event_type": pa.array(out_g, pa.string()),
@@ -2354,6 +2406,9 @@ def q_winsorized_stats(sf_dir: str):
                 {"g": pa.array([], pa.string()), "v": pa.array([], pa.int64()),
                  "c": pa.array([], pa.int64())}
             )
+        vcol = t.column("value")
+        if vcol.null_count:
+            t = t.filter(pc.is_valid(vcol))  # SQL quantiles ignore nulls
         v = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 1_000_000).astype(np.int64)
         g = (
             pa.table({"g": t.column("event_type"), "v": pa.array(v)})
@@ -2365,11 +2420,13 @@ def q_winsorized_stats(sf_dir: str):
     tbl = _to_table(
         sum_by_keys(ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True), ["g", "v"], "c")
     )
+    # Arrow sort, not np.lexsort: a null group key (None in an object
+    # array) would hit Python's None-vs-str '<'; nulls order LAST.
+    # The run break below is safe: None != None is False for objects.
+    tbl = tbl.sort_by([("g", "ascending"), ("v", "ascending")])
     gs = tbl.column("g").to_numpy(zero_copy_only=False)
     v = tbl.column("v").to_numpy(zero_copy_only=False)
     c = tbl.column("c").to_numpy(zero_copy_only=False)
-    order = np.lexsort((v, gs))
-    gs, v, c = gs[order], v[order], c[order]
     brk = np.ones(gs.size, dtype=bool)
     brk[1:] = gs[1:] != gs[:-1]
     starts = np.flatnonzero(brk)
@@ -2844,12 +2901,15 @@ def q_mad_value(sf_dir: str):
     ds = _decoded(sf_dir, "events", columns=["event_id", "event_type", "value"])
 
     def cents(t: pa.Table) -> pa.Table:
-        v = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        # Arrow math so null values STAY null (group_median_disc drops
+        # them, matching SQL aggregates); np.rint would turn NaN into
+        # INT64_MIN garbage that ranks as a real value
+        v = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
         return pa.table(
             {
                 "event_type": t.column("event_type"),
                 "event_id": t.column("event_id"),
-                "v": pa.array(v),
+                "v": v,
             }
         )
 
@@ -2859,6 +2919,9 @@ def q_mad_value(sf_dir: str):
 
     def dev(t: pa.Table, *, ref=mref) -> pa.Table:
         types, meds = ray.get(ref)
+        vcol = t.column("v")
+        if vcol.null_count:
+            t = t.filter(pc.is_valid(vcol))  # SQL: ABS(NULL - med) is ignored
         idx = pc.index_in(t.column("event_type"), value_set=types)
         m = meds[idx.to_numpy(zero_copy_only=False).astype(np.int64)]
         d = np.abs(t.column("v").to_numpy(zero_copy_only=False) - m)
@@ -3826,9 +3889,11 @@ ORACLE_SQL = {
     """,
     "mad_value": """
         WITH v AS (
+            -- null values excluded up front (SQL aggregate semantics);
+            -- the rank-median below then counts only real values
             SELECT event_type, event_id,
                    CAST(ROUND(value * 100) AS BIGINT) AS ve2
-            FROM events
+            FROM events WHERE value IS NOT NULL
         ),
         m AS (
             SELECT event_type, ve2 AS med FROM (
@@ -3841,7 +3906,7 @@ ORACLE_SQL = {
         ),
         d AS (
             SELECT v.event_type, v.event_id, ABS(v.ve2 - m.med) AS dd
-            FROM v JOIN m USING (event_type)
+            FROM v JOIN m ON v.event_type IS NOT DISTINCT FROM m.event_type
         ),
         mad AS (
             SELECT event_type, dd AS mad FROM (
@@ -3853,7 +3918,8 @@ ORACLE_SQL = {
             ) WHERE rn = (n + 1) // 2
         )
         SELECT m.event_type, m.med AS median_cents, mad.mad AS mad_cents
-        FROM m JOIN mad USING (event_type) ORDER BY m.event_type
+        FROM m JOIN mad ON m.event_type IS NOT DISTINCT FROM mad.event_type
+        ORDER BY m.event_type
     """,
     "volume_shipping": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -3996,7 +4062,10 @@ ORACLE_SQL = {
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "value_histogram": """
-        SELECT LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19) AS bucket,
+        -- explicit NULL bucket: DuckDB's LEAST IGNORES null arguments,
+        -- which would silently fold null values into bucket 19
+        SELECT CASE WHEN value IS NULL THEN NULL
+               ELSE LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19) END AS bucket,
                COUNT(*) AS n
         FROM events GROUP BY bucket ORDER BY bucket
     """,
@@ -4110,7 +4179,8 @@ ORACLE_SQL = {
         SELECT e.event_type,
                CAST(ROUND(m.mv * 1000000) AS BIGINT) AS max_value_e6,
                MIN(e.event_id) AS argmax_event_id
-        FROM events e JOIN m ON e.event_type = m.event_type AND e.value = m.mv
+        FROM events e JOIN m ON e.event_type IS NOT DISTINCT FROM m.event_type
+                             AND e.value = m.mv
         GROUP BY e.event_type, m.mv ORDER BY e.event_type
     """,
     "status_moments": """
@@ -4259,7 +4329,9 @@ ORACLE_SQL = {
     """,
     "winsorized_stats": """
         WITH v AS (
-          SELECT event_type, CAST(ROUND(value * 1000000) AS BIGINT) AS ve FROM events
+          -- null values excluded (SQL quantile/aggregate semantics)
+          SELECT event_type, CAST(ROUND(value * 1000000) AS BIGINT) AS ve
+          FROM events WHERE value IS NOT NULL
         ),
         b AS (
           SELECT event_type,
@@ -4270,7 +4342,7 @@ ORACLE_SQL = {
         SELECT v.event_type, CAST(b.lo AS BIGINT) AS lo_e6, CAST(b.hi AS BIGINT) AS hi_e6,
                CAST(SUM(LEAST(GREATEST(v.ve, b.lo), b.hi)) AS BIGINT) AS winsorized_sum_e6,
                CAST(b.n AS BIGINT) AS n
-        FROM v JOIN b ON v.event_type = b.event_type
+        FROM v JOIN b ON v.event_type IS NOT DISTINCT FROM b.event_type
         GROUP BY v.event_type, b.lo, b.hi, b.n ORDER BY v.event_type
     """,
     "pythagorean_means": """

@@ -105,7 +105,14 @@ def _session_partition(t: pa.Table) -> pa.Table:
     exact per partition with no cross-partition healing."""
     from ..codecs.hashmix import splitmix64_mix
 
-    uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+    col = t.column("user_id")
+    if col.null_count:
+        # the SQL NULL user is ONE window partition: sentinel -1 (real
+        # ids are non-negative) keeps the int64 hash/pack lanes intact;
+        # outputs that surface user_id restore the null afterwards
+        col = pc.fill_null(col, -1)
+        t = t.set_column(t.schema.get_field_index("user_id"), "user_id", col)
+    uid = col.to_numpy(zero_copy_only=False).astype(np.uint64)
     part = (splitmix64_mix(uid) % np.uint64(SESSION_PARTITIONS)).astype(np.int64)
     return t.append_column("part", pa.array(part))
 
@@ -160,7 +167,10 @@ def q_session_windows(sf_dir: str):
         return _sessionize(np.array([], np.int64), np.array([], np.int64)).add_column(
             1, "session_id", pa.array([], pa.int64())
         )
-    return t.sort_by([("user_id", "ascending"), ("session_id", "ascending")])
+    t = t.sort_by([("user_id", "ascending"), ("session_id", "ascending")])
+    ucol = t.column("user_id").combine_chunks()
+    restored = pc.if_else(pc.equal(ucol, -1), pa.scalar(None, pa.int64()), ucol)
+    return t.set_column(t.schema.get_field_index("user_id"), "user_id", restored)
 
 
 SLIDE_HOURS = 3  # sliding window length; slide step = 1 h
@@ -203,8 +213,11 @@ def q_sliding_window_events(sf_dir: str):
         {
             "event_type": final.column("event_type"),
             "win_start_epoch": final.column("win_start_epoch"),
-            "total_value_cents": pa.array(
-                np.rint(final.column("value_sum_sum").to_numpy() * 100).astype(np.int64)
+            # null-propagating Arrow math: an all-null-value window sums
+            # to NULL (SQL), never NaN->int garbage
+            "total_value_cents": pc.cast(
+                pc.round(pc.multiply(final.column("value_sum_sum"), 100.0)),
+                pa.int64(),
             ),
             "n_events": final.column("value_count_sum"),
         }
@@ -218,7 +231,10 @@ def _week_partial(t: pa.Table) -> pa.Table:
     """Per-batch DISTINCT (user, week) combiner: shrinks the shuffle from
     O(events) to O(distinct user-weeks per batch) before the hash
     partition."""
-    uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    col = t.column("user_id")
+    if col.null_count:
+        col = pc.fill_null(col, -1)  # the NULL user is one DISTINCT user
+    uid = col.to_numpy(zero_copy_only=False).astype(np.int64)
     wk = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // WEEK_US
     key = np.unique(uid * np.int64(1 << 20) + wk)  # weeks fit far below 2^20
     return pa.table({"user_id": pa.array(key >> 20), "wk": pa.array(key & ((1 << 20) - 1))})
@@ -235,7 +251,13 @@ def _retention_partition(t: pa.Table) -> pa.Table:
     aw, ac = np.unique(wk, return_counts=True)
     # sorted composite keys: user's weeks are adjacent ascending — a
     # retained week w is one whose successor row is (same user, w+1)
-    ret = (uid[1:] == uid[:-1]) & (wk[1:] == wk[:-1] + 1) if key.size > 1 else np.array([], bool)
+    # a NULL user (sentinel -1) counts as active but never as retained:
+    # the SQL mirror's a.user_id = b.user_id self-join cannot match NULL
+    ret = (
+        (uid[1:] == uid[:-1]) & (wk[1:] == wk[:-1] + 1) & (uid[:-1] != -1)
+        if key.size > 1
+        else np.array([], bool)
+    )
     rw, rc = np.unique(wk[:-1][ret], return_counts=True)
     return pa.table(
         {
@@ -496,10 +518,23 @@ def q_first_last_touch(sf_dir: str):
             [("event_id", "count_all", "n_events")],
         )
     )
-    out = first.join(last, keys=["user_id"]).join(counts, keys=["user_id"])
+    # Arrow hash joins drop null keys (SQL equality), but the NULL user
+    # is a window PARTITION here and must survive: sentinel -1 through
+    # the two one-row-per-user joins, restored after
+    def seal(t: pa.Table) -> pa.Table:
+        col = t.column("user_id").combine_chunks()
+        if col.null_count:
+            t = t.set_column(
+                t.schema.get_field_index("user_id"), "user_id", pc.fill_null(col, -1)
+            )
+        return t
+
+    out = seal(first).join(seal(last), keys=["user_id"]).join(seal(counts), keys=["user_id"])
+    ucol = out.column("user_id").combine_chunks()
+    ucol = pc.if_else(pc.equal(ucol, -1), pa.scalar(None, pa.int64()), ucol)
     return pa.table(
         {
-            "user_id": out.column("user_id"),
+            "user_id": ucol,
             "first_type": out.column("first_type"),
             "last_type": out.column("last_type"),
             "n_events": out.column("n_events").cast(pa.int64()),
@@ -519,11 +554,23 @@ def q_value_rank_events(sf_dir: str):
         ds = _decoded(sf_dir, "events", columns=["event_id", "event_type", "value"])
 
         def add_bucket(t: pa.Table) -> pa.Table:
-            b = np.floor(t.column("value").to_numpy(zero_copy_only=False) / 10.0).astype(np.int64)
+            vcol = t.column("value")
+            valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+            v = np.nan_to_num(vcol.to_numpy(zero_copy_only=False))
+            # NULL bucket ranks LAST as one tie run (DuckDB ORDER BY
+            # default): INT64_MAX sentinel — unreachable by floor(v/10)
+            # for any real double here; never surfaced (only ranks leave)
+            b = np.where(valid, np.floor(v / 10.0), 0).astype(np.int64)
+            b[~valid] = np.iinfo(np.int64).max
+            # the NULL event_type is one PARTITION; sentinel string keeps
+            # the Arrow join on event_type from dropping the group
+            et = t.column("event_type")
+            if et.null_count:
+                et = pc.fill_null(et, "\x00__null_type__")
             return pa.table(
                 {
                     "event_id": t.column("event_id"),
-                    "event_type": t.column("event_type"),
+                    "event_type": et,
                     "bucket": pa.array(b),
                 }
             )
@@ -565,11 +612,23 @@ def q_percentile_ranks(sf_dir: str):
         ds = _decoded(sf_dir, "events", columns=["event_id", "event_type", "value"])
 
         def add_bucket(t: pa.Table) -> pa.Table:
-            b = np.floor(t.column("value").to_numpy(zero_copy_only=False) / 10.0).astype(np.int64)
+            vcol = t.column("value")
+            valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+            v = np.nan_to_num(vcol.to_numpy(zero_copy_only=False))
+            # NULL bucket ranks LAST as one tie run (DuckDB ORDER BY
+            # default): INT64_MAX sentinel — unreachable by floor(v/10)
+            # for any real double here; never surfaced (only ranks leave)
+            b = np.where(valid, np.floor(v / 10.0), 0).astype(np.int64)
+            b[~valid] = np.iinfo(np.int64).max
+            # the NULL event_type is one PARTITION; sentinel string keeps
+            # the Arrow join on event_type from dropping the group
+            et = t.column("event_type")
+            if et.null_count:
+                et = pc.fill_null(et, "\x00__null_type__")
             return pa.table(
                 {
                     "event_id": t.column("event_id"),
-                    "event_type": t.column("event_type"),
+                    "event_type": et,
                     "bucket": pa.array(b),
                 }
             )
@@ -826,9 +885,9 @@ def q_time_weighted_value(sf_dir: str):
                 "ts_us": us,
                 "neg_ts": pc.negate(us),
                 "neg_key": pc.negate(t.column("event_id")),
-                "cents": pa.array(
-                    np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-                ),
+                # null-propagating: a null value must not become NaN->int
+                # garbage; SUM(cents*held) ignores those terms like SQL
+                "cents": pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64()),
             }
         )
 
@@ -848,31 +907,38 @@ def q_time_weighted_value(sf_dir: str):
             )
         nxt = t.column("next_us").to_numpy(zero_copy_only=False)
         ts = t.column("ts_us").to_numpy(zero_copy_only=False).astype(np.float64)
-        c = t.column("cents").to_numpy(zero_copy_only=False)
+        ccol = t.column("cents")
+        cvalid = pc.is_valid(ccol).to_numpy(zero_copy_only=False)
+        c = np.where(cvalid, np.nan_to_num(ccol.to_numpy(zero_copy_only=False)), 0).astype(np.int64)
         # exact microseconds (epoch_us parity): timestamps are us-precision
         # ints, so the difference is exact — no sub-second truncation rule
         # to mirror.  cents x us stays under int64 through ~10^6 events per
         # user at this value range (use seconds at larger scales).
         held = np.where(np.isnan(nxt), 0, np.nan_to_num(nxt) - ts).astype(np.int64)
+        # nc counts the non-null cents*held terms: SUM over an all-null
+        # set is NULL in SQL, restored in the epilogue when nc == 0
+        nc = (cvalid & (held != 0)).astype(np.int64)
         g = (
             pa.table(
                 {
                     "user_id": t.column("user_id"),
                     "wv": pa.array(c * held),
                     "w": pa.array(held),
+                    "nc": pa.array(nc),
                 }
             )
             .group_by("user_id")
-            .aggregate([("wv", "sum"), ("w", "sum")])
+            .aggregate([("wv", "sum"), ("w", "sum"), ("nc", "sum")])
         )
         ng = g.num_rows
         return pa.table(
             {
-                "user_id": pa.concat_arrays([g.column("user_id").combine_chunks()] * 2),
-                "k": pa.array(["wv"] * ng + ["w"] * ng),
+                "user_id": pa.concat_arrays([g.column("user_id").combine_chunks()] * 3),
+                "k": pa.array(["wv"] * ng + ["w"] * ng + ["nc"] * ng),
                 "v": pa.concat_arrays(
                     [g.column("wv_sum").cast(pa.int64()).combine_chunks(),
-                     g.column("w_sum").cast(pa.int64()).combine_chunks()]
+                     g.column("w_sum").cast(pa.int64()).combine_chunks(),
+                     g.column("nc_sum").cast(pa.int64()).combine_chunks()]
                 ),
             }
         )
@@ -884,20 +950,22 @@ def q_time_weighted_value(sf_dir: str):
             "v",
         )
     )
-    uid = agg.column("user_id").to_numpy(zero_copy_only=False)
-    kk = agg.column("k").to_numpy(zero_copy_only=False)
-    vv = agg.column("v").to_numpy(zero_copy_only=False)
-    order = np.lexsort((kk, uid))
-    uid, kk, vv = uid[order], kk[order], vv[order]
-    # rows alternate (w, wv) per user after the lexsort
-    w = vv[kk == "w"]
-    wv = vv[kk == "wv"]
-    users = uid[kk == "w"]
+    # Arrow sort (null user_id sorts last) then per-k slices: every user
+    # emits all three k rows, so the slices align row-for-row
+    agg = agg.sort_by([("user_id", "ascending"), ("k", "ascending")])
+    kk = agg.column("k")
+    wtab = agg.filter(pc.equal(kk, "w"))
+    w = wtab.column("v").to_numpy(zero_copy_only=False)
+    wv = agg.filter(pc.equal(kk, "wv")).column("v").to_numpy(zero_copy_only=False)
+    nc = agg.filter(pc.equal(kk, "nc")).column("v").to_numpy(zero_copy_only=False)
     keep = w > 0  # single-event users have no held time
+    kmask = pa.array(keep)
+    wv_col = pa.array(np.where(nc > 0, wv, 0), pa.int64())
+    wv_col = pc.if_else(pa.array(nc > 0), wv_col, pa.scalar(None, pa.int64()))
     return pa.table(
         {
-            "user_id": pa.array(users[keep], pa.int64()),
-            "weighted_cents_sum": pa.array(wv[keep], pa.int64()),
+            "user_id": wtab.column("user_id").combine_chunks().filter(kmask),
+            "weighted_cents_sum": wv_col.filter(kmask),
             "held_us": pa.array(w[keep], pa.int64()),
         }
     ).sort_by("user_id")
@@ -917,8 +985,18 @@ def q_running_low_value(sf_dir: str):
 
     ds = _decoded(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
+    # window MIN ignores null values: a null contributes a +sentinel
+    # (2^40 — far above any real cents, small enough that the segmented
+    # offset trick keeps its int64 headroom) and a still-sentinel running
+    # min afterwards means "no real value yet" -> SQL NULL
+    NULL_SENT = np.int64(1) << 40
+
     def cents(t: pa.Table) -> pa.Table:
-        v = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        vcol = t.column("value")
+        valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+        v = np.where(
+            valid, np.rint(np.nan_to_num(vcol.to_numpy(zero_copy_only=False)) * 100), NULL_SENT
+        ).astype(np.int64)
         return pa.table(
             {
                 "event_id": t.column("event_id"),
@@ -935,8 +1013,10 @@ def q_running_low_value(sf_dir: str):
         "v",
         out="run_min_cents",
     )
-    out = _to_table(run).select(["event_id", "run_min_cents"])
-    return out.sort_by("event_id")
+    out = _to_table(run).select(["event_id", "run_min_cents"]).sort_by("event_id")
+    rcol = out.column("run_min_cents").combine_chunks()
+    rcol = pc.if_else(pc.equal(rcol, int(NULL_SENT)), pa.scalar(None, pa.int64()), rcol)
+    return out.set_column(1, "run_min_cents", rcol)
 
 
 def q_running_high_order(sf_dir: str):
@@ -1106,12 +1186,19 @@ def q_hourly_seasonality(sf_dir: str):
 
     def stage(t: pa.Table) -> pa.Table:
         us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        cents = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        vcol = t.column("value")
+        valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+        v = np.nan_to_num(vcol.to_numpy(zero_copy_only=False))
+        # null value -> 0 cents + nv flag 0: SUM ignores nulls while
+        # COUNT(*) still counts the row; nv lets the epilogue restore
+        # the SQL NULL for a group whose every value is null
+        cents = np.where(valid, np.rint(v * 100), 0).astype(np.int64)
         return pa.table(
             {
                 "event_type": t.column("event_type"),
                 "hod": pa.array((us // HOUR_US) % 24),
                 "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "nv": pa.array(valid.astype(np.int64)),
                 "cents": pa.array(cents),
             }
         )
@@ -1119,10 +1206,20 @@ def q_hourly_seasonality(sf_dir: str):
     agg = agg_by_keys(
         ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True),
         ["event_type", "hod"],
-        [("one", "sum", "n"), ("cents", "sum", "value_cents")],
+        [("one", "sum", "n"), ("cents", "sum", "value_cents"), ("nv", "sum", "nv")],
     )
-    return _to_table(agg).sort_by(
-        [("event_type", "ascending"), ("hod", "ascending")]
+    t = _to_table(agg).sort_by([("event_type", "ascending"), ("hod", "ascending")])
+    cents_out = pc.if_else(
+        pc.equal(t.column("nv"), 0), pa.scalar(None, pa.int64()),
+        t.column("value_cents").combine_chunks(),
+    )
+    return pa.table(
+        {
+            "event_type": t.column("event_type"),
+            "hod": t.column("hod"),
+            "n": t.column("n"),
+            "value_cents": cents_out,
+        }
     )
 
 
