@@ -23,6 +23,31 @@ from ..pipeline.encode import encode_dataset
 from ._shared import CACHE_ROOT, _decoded, _to_table, store_for
 
 
+def _rnd_i64(col, mul: float = 1.0, fill: int | None = None):
+    """CAST(ROUND(col * mul) AS BIGINT) with SQL half-away-from-zero
+    rounding (pc.round's default half_to_even diverges on exact .5).
+    Nulls propagate (``fill=None``) or become ``fill`` — fill=0 mirrors
+    SQL SUM over a null term (the term contributes nothing) wherever a
+    validity count guards the all-null-group NULL case or the consumer
+    provably never sees one."""
+    x = pc.multiply(col, float(mul)) if mul != 1.0 else col
+    out = pc.cast(pc.round(x, round_mode="half_towards_infinity"), pa.int64())
+    if fill is not None:
+        out = pc.fill_null(out, fill)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def _rev_e4_arr(t: pa.Table, fill: int | None = 0):
+    """Per-line revenue ROUND(e*100) * (100 - ROUND(d*100)) as int64 with
+    SQL null propagation: a null price OR discount nulls the term."""
+    e = _rnd_i64(t.column("l_extendedprice"), 100)
+    d = _rnd_i64(t.column("l_discount"), 100)
+    rev = pc.multiply(e, pc.subtract(pa.scalar(100, pa.int64()), d))
+    if fill is not None:
+        rev = pc.fill_null(rev, fill)
+    return rev.combine_chunks() if isinstance(rev, pa.ChunkedArray) else rev
+
+
 def q_agg_pricing_summary(sf_dir: str):
     """TPC-H Q1-style aggregate over the decoded lineitem stream."""
     ds = _decoded(
@@ -32,8 +57,10 @@ def q_agg_pricing_summary(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
+        # COUNT(*) (count_all), not COUNT(col): the oracle's count_order
+        # and AVG denominator count rows with null measures too
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("l_discount", "sum"), ("l_quantity", "count")]
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("l_discount", "sum"), ([], "count_all")]
         )
         return g
 
@@ -41,21 +68,21 @@ def q_agg_pricing_summary(sf_dir: str):
     # pre-aggregation keeps the shuffle O(groups), not O(rows)
     partials = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
     final = partials.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-        [("l_quantity_sum", "sum"), ("l_extendedprice_sum", "sum"), ("l_discount_sum", "sum"), ("l_quantity_count", "sum")]
+        [("l_quantity_sum", "sum"), ("l_extendedprice_sum", "sum"), ("l_discount_sum", "sum"), ("count_all", "sum")]
     )
-    cnt = final.column("l_quantity_count_sum").to_numpy().astype(np.int64)
+    cnt = final.column("count_all_sum").to_numpy().astype(np.int64)
     # integer-scaled outputs: the driver compares exact value hashes, and
-    # float sums differ by ULPs between engines depending on add order
+    # float sums differ by ULPs between engines depending on add order;
+    # Arrow null-propagating rounding so an all-null group stays NULL
     out = pa.table(
         {
             "l_returnflag": final.column("l_returnflag"),
             "l_linestatus": final.column("l_linestatus"),
-            "sum_qty": pa.array(np.rint(final.column("l_quantity_sum_sum").to_numpy()).astype(np.int64)),
-            "sum_base_price_cents": pa.array(
-                np.rint(final.column("l_extendedprice_sum_sum").to_numpy() * 100).astype(np.int64)
-            ),
-            "avg_disc_e6": pa.array(
-                np.rint(final.column("l_discount_sum_sum").to_numpy() / cnt * 1e6).astype(np.int64)
+            "sum_qty": _rnd_i64(final.column("l_quantity_sum_sum")),
+            "sum_base_price_cents": _rnd_i64(final.column("l_extendedprice_sum_sum"), 100),
+            "avg_disc_e6": _rnd_i64(
+                pc.divide(final.column("l_discount_sum_sum"), pc.cast(pa.array(cnt), pa.float64())),
+                1e6,
             ),
             "count_order": pa.array(cnt),
         }
@@ -101,23 +128,25 @@ def q_join_orders_customer(sf_dir: str):
         # (no per-query actor pool spawn).
         keys, segs = ray.get(ref)
         idx = pc.index_in(t.column("o_custkey"), value_set=keys)
-        seg = pc.take(segs, idx)  # unmatched keys -> null segment
+        # INNER-join semantics: a null or unmatched o_custkey never joins
+        # (idx is null for both) — drop those rows; a matched row whose
+        # customer has a NULL segment is a legitimate SQL null group
+        t = t.filter(pc.is_valid(idx))
+        seg = pc.take(segs, idx.filter(pc.is_valid(idx)))
         t = t.append_column("c_mktsegment", seg)
-        return t.group_by("c_mktsegment").aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+        return t.group_by("c_mktsegment").aggregate([("o_totalprice", "sum"), ([], "count_all")])
 
     partials = _to_table(
         ds.map_batches(add_segment, batch_format="pyarrow", zero_copy_batch=True)
     )
     final = partials.group_by("c_mktsegment").aggregate(
-        [("o_totalprice_sum", "sum"), ("o_totalprice_count", "sum")]
+        [("o_totalprice_sum", "sum"), ("count_all", "sum")]
     )
     return pa.table(
         {
             "c_mktsegment": final.column("c_mktsegment"),
-            "revenue_cents": pa.array(
-                np.rint(final.column("o_totalprice_sum_sum").to_numpy() * 100).astype(np.int64)
-            ),
-            "n_orders": final.column("o_totalprice_count_sum"),
+            "revenue_cents": _rnd_i64(final.column("o_totalprice_sum_sum"), 100),
+            "n_orders": final.column("count_all_sum").cast(pa.int64()),
         }
     ).sort_by("c_mktsegment")
 
@@ -395,10 +424,10 @@ def q_join_lineitem_orders(sf_dir: str):
     li = _decoded(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def to_cents(t: pa.Table) -> pa.Table:
-        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
-        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        # null price/discount nulls the term (SQL SUM skips it): fill 0 is
+        # sum-equivalent, and the order row itself still joins and counts
         return pa.table(
-            {"l_orderkey": t.column("l_orderkey"), "rev_e4": pa.array(e * (100 - d))}
+            {"l_orderkey": t.column("l_orderkey"), "rev_e4": _rev_e4_arr(t)}
         )
 
     from ..functions.aggregates import sum_by_keys
@@ -475,10 +504,10 @@ def q_top_segment_revenue(sf_dir: str):
     )
 
     def to_cents(t: pa.Table) -> pa.Table:
-        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
-        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        # null price/discount nulls the term (SQL SUM skips it): fill 0 is
+        # sum-equivalent, and the order row itself still joins and counts
         return pa.table(
-            {"l_orderkey": t.column("l_orderkey"), "rev_e4": pa.array(e * (100 - d))}
+            {"l_orderkey": t.column("l_orderkey"), "rev_e4": _rev_e4_arr(t)}
         )
 
     rev = sum_by_keys(
@@ -581,13 +610,11 @@ def q_nation_revenue(sf_dir: str):
         s_nat = pc.take(sn, pc.index_in(t.column("l_suppkey"), value_set=sk))
         keep = pc.is_in(s_nat, value_set=asia_k)
         t = t.append_column("s_nat", s_nat).filter(keep)
-        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
-        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
         return pa.table(
             {
                 "l_orderkey": t.column("l_orderkey"),
                 "s_nat": t.column("s_nat"),
-                "rev_e4": pa.array(e * (100 - d)),
+                "rev_e4": _rev_e4_arr(t),
             }
         )
 
@@ -695,10 +722,10 @@ def q_promo_share(sf_dir: str):
         isp = pc.take(promo, pc.index_in(t.column("l_partkey"), value_set=pk))
         us = t.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
         month_id = _month_id_from_epoch_us(us)
-        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
-        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
-        rev = e * (100 - d)
-        ispn = isp.to_numpy(zero_copy_only=False).astype(bool)
+        # null price/discount terms contribute 0 to both sums (SQL SUM
+        # skips the NULL term); NULL LIKE 'PROMO%' is not true -> False
+        rev = _rev_e4_arr(t).to_numpy(zero_copy_only=False)
+        ispn = pc.fill_null(isp, False).to_numpy(zero_copy_only=False).astype(bool)
         g = pa.table(
             {
                 "month_id": pa.array(month_id),
@@ -742,14 +769,12 @@ def q_rollup_revenue(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
-        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
         base = (
             pa.table(
                 {
                     "f": t.column("l_returnflag"),
                     "s": t.column("l_linestatus"),
-                    "rev": pa.array(e * (100 - d)),
+                    "rev": _rev_e4_arr(t),
                 }
             )
             .group_by(["f", "s"])
@@ -920,10 +945,8 @@ def q_bloom_join(sf_dir: str, stats_out: dict | None = None):
                           "rev_e4": pa.array([0], pa.int64()),
                           "n_items": pa.array([0], pa.int64())})
         else:
-            e = np.rint(sub.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
-            d = np.rint(sub.column("l_discount").to_numpy() * 100).astype(np.int64)
             g = pa.table(
-                {"o_orderpriority": pc.take(prio, pos), "rev_e4": pa.array(e * (100 - d))}
+                {"o_orderpriority": pc.take(prio, pos), "rev_e4": _rev_e4_arr(sub)}
             ).group_by("o_orderpriority").aggregate([("rev_e4", "sum"), ([], "count_all")])
             g = g.rename_columns(["o_orderpriority", "rev_e4", "n_items"])
         # per-batch pruning counters ride on the first group row; summed in
@@ -998,12 +1021,17 @@ def q_revenue_quartiles(sf_dir: str):
     ds = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
 
     def prep(t: pa.Table) -> pa.Table:
-        cents = np.rint(t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        # NULL price ranks LAST (DuckDB ORDER BY default): +INT64_MAX
+        # sentinel orders it; cv excludes it from the bucket SUM while
+        # COUNT(*) still counts the row
+        c = _rnd_i64(t.column("o_totalprice"), 100)
+        cv = pc.cast(pc.is_valid(c), pa.int64())
         return pa.table(
             {
                 "g": pa.array(np.zeros(t.num_rows, np.int64)),
                 "o_orderkey": t.column("o_orderkey"),
-                "cents": pa.array(cents),
+                "cents": pc.fill_null(c, np.iinfo(np.int64).max),
+                "cv": cv,
             }
         )
 
@@ -1025,9 +1053,10 @@ def q_revenue_quartiles(sf_dir: str):
         cut = r_ * (q_ + 1)
         b = np.where(rnk <= cut, (rnk - 1) // max(q_ + 1, 1), r_ + (rnk - 1 - cut) // max(q_, 1))
         cents = t.column("cents").to_numpy(zero_copy_only=False)
+        cv = t.column("cv").to_numpy(zero_copy_only=False).astype(bool)
         out = np.zeros(4, np.int64)
         cnt = np.zeros(4, np.int64)
-        np.add.at(out, b, cents)
+        np.add.at(out, b[cv], cents[cv])
         np.add.at(cnt, b, 1)
         return pa.table(
             {
@@ -1069,9 +1098,11 @@ def q_forecast_revenue(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
-        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
-        return pa.table({"rev_e4": pa.array([int((e * d).sum())], pa.int64())})
+        # ROUND(e*100)*ROUND(d*100): a null factor nulls the term (SQL SUM skip)
+        e = _rnd_i64(t.column("l_extendedprice"), 100)
+        d = _rnd_i64(t.column("l_discount"), 100)
+        rev = pc.fill_null(pc.multiply(e, d), 0).to_numpy(zero_copy_only=False)
+        return pa.table({"rev_e4": pa.array([int(rev.sum())], pa.int64())})
 
     parts = _to_table(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
     total = int(pc.sum(parts.column("rev_e4")).as_py() or 0)
@@ -1092,8 +1123,10 @@ def q_large_orders(sf_dir: str):
     li = _decoded(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 
     def qty(t: pa.Table) -> pa.Table:
-        q = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
-        return pa.table({"l_orderkey": t.column("l_orderkey"), "qty": pa.array(q)})
+        # ROUND(null) is NULL and SUM skips it == contributes 0; HAVING
+        # sum>150 agrees (NULL>150 is false, 0>150 is false)
+        q = _rnd_i64(t.column("l_quantity"), fill=0)
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "qty": q})
 
     sums = sum_by_keys(
         li.map_batches(qty, batch_format="pyarrow", zero_copy_batch=True),
@@ -1128,14 +1161,17 @@ def q_large_orders(sf_dir: str):
     def with_name(t: pa.Table, *, ref=cref) -> pa.Table:
         ck, cn = ray.get(ref)
         pos = pc.index_in(t.column("o_custkey"), value_set=ck)
-        price_e2 = np.rint(t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        # INNER JOIN customer: null/unmatched custkeys never join
+        t = t.filter(pc.is_valid(pos))
+        pos = pos.filter(pc.is_valid(pos))
+        price_e2 = _rnd_i64(t.column("o_totalprice"), 100)  # NULLS LAST in the top-k
         return pa.table(
             {
                 "c_name": pc.take(cn, pos),
                 "o_custkey": t.column("o_custkey"),
                 "o_orderkey": t.column("o_orderkey"),
                 "o_orderdate": t.column("o_orderdate"),
-                "price_e2": pa.array(price_e2),
+                "price_e2": price_e2,
                 "sum_qty": t.column("sum_qty"),
             }
         )
@@ -1164,14 +1200,12 @@ def q_cube_revenue(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
-        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
         base = (
             pa.table(
                 {
                     "f": t.column("l_returnflag"),
                     "s": t.column("l_linestatus"),
-                    "rev": pa.array(e * (100 - d)),
+                    "rev": _rev_e4_arr(t),
                 }
             )
             .group_by(["f", "s"])
@@ -1244,12 +1278,11 @@ def q_anti_join_customers(sf_dir: str):
     def cents(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({})
-        bal = np.rint(t.column("c_acctbal").to_numpy() * 100).astype(np.int64)
         return pa.table(
             {
                 "c_custkey": t.column("c_custkey"),
                 "c_name": t.column("c_name"),
-                "acctbal_e2": pa.array(bal),
+                "acctbal_e2": _rnd_i64(t.column("c_acctbal"), 100),
             }
         )
 
@@ -1336,14 +1369,21 @@ def q_corr_moments(sf_dir: str):
     ds = _decoded(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
 
     def partial(t: pa.Table) -> pa.Table:
-        x = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
-        y = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        # per-sum SQL null skipping: a null factor nulls the product term
+        # (an INT64_MIN-garbage cast would only cancel when the null count
+        # happens to be even); COUNT(*) still counts every row
+        xa = t.column("l_quantity")
+        ya = t.column("l_extendedprice")
+        xv = pc.is_valid(xa).to_numpy(zero_copy_only=False)
+        yv = pc.is_valid(ya).to_numpy(zero_copy_only=False)
+        x = np.where(xv, np.rint(np.nan_to_num(xa.to_numpy(zero_copy_only=False))), 0).astype(np.int64)
+        y = np.where(yv, np.rint(np.nan_to_num(ya.to_numpy(zero_copy_only=False)) * 100), 0).astype(np.int64)
         return pa.table(
             {
-                "n": pa.array([len(x)], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
                 "sx": pa.array([int(x.sum())], pa.int64()),
                 "sy": pa.array([int(y.sum())], pa.int64()),
-                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxy": pa.array([int((x * y * (xv & yv)).sum())], pa.int64()),
                 "sxx": pa.array([int((x * x).sum())], pa.int64()),
                 "syy": pa.array([int((y * y).sum())], pa.int64()),
             }
@@ -1382,10 +1422,10 @@ def q_returned_item_revenue(sf_dir: str):
     )
 
     def to_cents(t: pa.Table) -> pa.Table:
-        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
-        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        # null price/discount nulls the term (SQL SUM skips it): fill 0 is
+        # sum-equivalent, and the order row itself still joins and counts
         return pa.table(
-            {"l_orderkey": t.column("l_orderkey"), "rev_e4": pa.array(e * (100 - d))}
+            {"l_orderkey": t.column("l_orderkey"), "rev_e4": _rev_e4_arr(t)}
         )
 
     rev_per_order = sum_by_keys(
@@ -1410,13 +1450,14 @@ def q_returned_item_revenue(sf_dir: str):
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     )
-    nmap = pc.take(
-        nation.column("n_name").combine_chunks(),
-        pc.index_in(
-            cust.column("c_nationkey").cast(pa.int32()),
-            value_set=nation.column("n_nationkey").combine_chunks(),
-        ),
+    nidx = pc.index_in(
+        cust.column("c_nationkey").cast(pa.int32()),
+        value_set=nation.column("n_nationkey").combine_chunks(),
     )
+    # INNER JOIN nation: a customer with a null/unmatched c_nationkey
+    # never reaches the output — drop before the broadcast
+    cust = cust.filter(pc.is_valid(nidx))
+    nmap = pc.take(nation.column("n_name").combine_chunks(), nidx.filter(pc.is_valid(nidx)))
     cref = ray.put(
         (
             cust.column("c_custkey").combine_chunks(),
@@ -1431,13 +1472,16 @@ def q_returned_item_revenue(sf_dir: str):
             return pa.table({})
         ck, cn, bal, nn = ray.get(ref)
         pos = pc.index_in(t.column("o_custkey"), value_set=ck)
-        acct = np.rint(pc.take(bal, pos).to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        # INNER JOIN customer: null/unmatched custkeys never join
+        t = t.filter(pc.is_valid(pos))
+        pos = pos.filter(pc.is_valid(pos))
+        acct = _rnd_i64(pc.take(bal, pos), 100)  # ROUND(NULL) stays NULL
         return pa.table(
             {
                 "c_custkey": t.column("o_custkey"),
                 "c_name": pc.take(cn, pos),
                 "n_name": pc.take(nn, pos),
-                "acctbal_e2": pa.array(acct),
+                "acctbal_e2": acct,
                 "rev_e4": t.column("rev_e4"),
             }
         )
@@ -1586,9 +1630,10 @@ def q_disjunctive_revenue(sf_dir: str):
         c2 = (brand == "Brand#2") & (size >= 10) & (size <= 30) & (q >= 10) & (q <= 35)
         c3 = (brand == "Brand#3") & (size >= 20) & (size <= 50) & (q >= 20) & (q <= 50)
         keep = c1 | c2 | c3
-        e = np.rint(t.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep] * 100).astype(np.int64)
-        d = np.rint(t.column("l_discount").to_numpy(zero_copy_only=False)[keep] * 100).astype(np.int64)
-        return pa.table({"revenue_e4": pa.array([int((e * (100 - d)).sum())], pa.int64())})
+        # NaN/None comparisons above are already False (SQL NULL-pred);
+        # null price/discount terms contribute 0 to the SUM (SQL skip)
+        rev = _rev_e4_arr(t).to_numpy(zero_copy_only=False)
+        return pa.table({"revenue_e4": pa.array([int(rev[keep].sum())], pa.int64())})
 
     parts = _to_table(joined.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True))
     return pa.table(
@@ -1826,9 +1871,7 @@ def q_grouping_sets_revenue(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
-        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
-        rev = pa.array(e * (100 - d))
+        rev = _rev_e4_arr(t)
         levels = []
         for keep in ("f", "s"):  # one partial per grouping set
             g = (
@@ -1881,18 +1924,24 @@ def q_above_avg_orders(sf_dir: str):
     ds = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
     def cents(t: pa.Table) -> pa.Table:
-        c = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        # null o_custkey never joins (SQL equality) -> drop up front; a
+        # null price contributes 0 to SUM (skip-equivalent) but still
+        # counts in COUNT(*), and pv excludes it from the comparison
+        # (NULL * n > sum is never true)
+        t = t.filter(pc.is_valid(t.column("o_custkey")))
+        price = t.column("o_totalprice")
         return pa.table(
             {
                 "o_orderkey": t.column("o_orderkey"),
                 "o_custkey": t.column("o_custkey"),
-                "cents": pa.array(c),
+                "cents": _rnd_i64(price, 100, fill=0),
+                "pv": pc.cast(pc.is_valid(price), pa.int8()).combine_chunks(),
             }
         )
 
     cds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
     per_cust = agg_by_keys(
-        cds, ["o_custkey"], [("cents", "sum", "sum_c"), ("cents", "count", "n_c")]
+        cds, ["o_custkey"], [("cents", "sum", "sum_c"), ("cents", "count_all", "n_c")]
     )
 
     def rename(t: pa.Table) -> pa.Table:
@@ -1922,7 +1971,8 @@ def q_above_avg_orders(sf_dir: str):
         c = t.column("cents").to_numpy(zero_copy_only=False)
         s = t.column("sum_c").to_numpy(zero_copy_only=False)
         n = t.column("n_c").to_numpy(zero_copy_only=False)
-        keep = c * n > s  # price > sum/n in exact integers
+        pv = t.column("pv").to_numpy(zero_copy_only=False).astype(bool)
+        keep = (c * n > s) & pv  # price > sum/n in exact integers
         return pa.table(
             {
                 "o_orderkey": t.column("o_orderkey").filter(pa.array(keep)),
@@ -2201,10 +2251,17 @@ def q_mode_priority(sf_dir: str):
     s = counts.column("s").to_numpy(zero_copy_only=False)
     p = counts.column("p").to_numpy(zero_copy_only=False)
     n = counts.column("n").to_numpy(zero_copy_only=False)
-    order = np.lexsort((p, -n, s))  # per status: max count first, then min priority
-    s, p, n = s[order], p[order], n[order]
+    # None is not ordered by np.lexsort: a NULL priority ties LAST
+    # (DuckDB ORDER BY default) via a max-codepoint sentinel, restored
+    # below; a NULL status group sorts via its own null lane
+    p_null = np.array([v is None for v in p])
+    ps = np.where(p_null, "￿", p.astype(object))
+    s_null = np.array([v is None for v in s])
+    ss = np.where(s_null, "", s.astype(object))
+    order = np.lexsort((ps, -n, ss, s_null))  # per status: max count, then min priority
+    s, p, n, s_null = s[order], p[order], n[order], s_null[order]
     first = np.ones(s.size, dtype=bool)
-    first[1:] = s[1:] != s[:-1]
+    first[1:] = (s[1:] != s[:-1]) | (s_null[1:] != s_null[:-1])
     return pa.table(
         {
             "o_orderstatus": pa.array(s[first], pa.string()),
@@ -2598,14 +2655,12 @@ def q_volume_shipping(sf_dir: str):
         )
         us = t.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
         year = _month_id_from_epoch_us(us) // 12
-        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
-        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
         return pa.table(
             {
                 "l_orderkey": t.column("l_orderkey"),
                 "s_nat": t.column("s_nat"),
                 "l_year": pa.array(year.astype(np.int64)),
-                "rev_e4": pa.array(e * (100 - d)),
+                "rev_e4": _rev_e4_arr(t),
             }
         )
 
@@ -2733,9 +2788,7 @@ def q_top_supplier(sf_dir: str):
     )
 
     def rev(t: pa.Table) -> pa.Table:
-        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
-        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
-        return pa.table({"l_suppkey": t.column("l_suppkey"), "rev_e4": pa.array(e * (100 - d))})
+        return pa.table({"l_suppkey": t.column("l_suppkey"), "rev_e4": _rev_e4_arr(t)})
 
     revenue = sum_by_keys(
         li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
@@ -2820,13 +2873,11 @@ def q_market_share(sf_dir: str):
         pk, sk, sn, _ = ray.get(ref)
         t = t.filter(pc.is_in(t.column("l_partkey"), value_set=pk))
         s_nat = pc.take(sn, pc.index_in(t.column("l_suppkey"), value_set=sk))
-        e = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
-        d = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
         return pa.table(
             {
                 "l_orderkey": t.column("l_orderkey"),
                 "s_nat": s_nat,
-                "rev_e4": pa.array(e * (100 - d)),
+                "rev_e4": _rev_e4_arr(t),
             }
         )
 
@@ -3220,13 +3271,15 @@ def q_profit_by_nation(sf_dir: str):
         pk, sk, sn = ray.get(ref)
         t = t.filter(pc.is_in(t.column("l_partkey"), value_set=pk))
         nat = pc.take(sn, pc.index_in(t.column("l_suppkey"), value_set=sk))
-        e = np.rint(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        d = np.rint(t.column("l_discount").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        # INNER JOIN supplier/nation: a null s_nationkey (or unmatched
+        # suppkey) never reaches the rollup
+        nv = pc.is_valid(nat)
+        t, nat = t.filter(nv), nat.filter(nv)
         return pa.table(
             {
                 "l_orderkey": t.column("l_orderkey"),
                 "nat": nat.cast(pa.int64()),
-                "profit_e4": pa.array(e * (100 - d)),
+                "profit_e4": _rev_e4_arr(t),
             }
         )
 
@@ -3403,12 +3456,15 @@ def q_small_qty_revenue(sf_dir: str):
                     "n": pa.array([], pa.int64()),
                 }
             )
-        g = t.group_by("l_partkey").aggregate([("l_quantity", "sum"), ("l_quantity", "count")])
+        # SUM skips null quantities, COUNT(*) does not; a part whose every
+        # quantity is null has q = NULL in SQL (its compare is never true)
+        # -> sentinel -2^62 keeps the strict < false without a null lane
+        g = t.group_by("l_partkey").aggregate([("l_quantity", "sum"), ([], "count_all")])
         return pa.table(
             {
                 "l_partkey": g.column("l_partkey"),
-                "q": pa.array(np.rint(g.column("l_quantity_sum").to_numpy()).astype(np.int64)),
-                "n": g.column("l_quantity_count").cast(pa.int64()),
+                "q": _rnd_i64(g.column("l_quantity_sum"), fill=-(1 << 62)),
+                "n": g.column("count_all").cast(pa.int64()),
             }
         )
 
@@ -3431,9 +3487,12 @@ def q_small_qty_revenue(sf_dir: str):
         if t.num_rows == 0:
             return pa.table({"c": pa.array([0], pa.int64())})
         i = pc.index_in(t.column("l_partkey"), value_set=keys).to_numpy(zero_copy_only=False).astype(np.int64)
-        qty = np.rint(t.column("l_quantity").to_numpy(zero_copy_only=False)).astype(np.int64)
-        keep = 5 * qty * ns.to_numpy()[i] < qs.to_numpy()[i]
-        cents = np.rint(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        qcol = t.column("l_quantity")
+        qv = pc.is_valid(qcol).to_numpy(zero_copy_only=False)
+        qty = np.rint(np.nan_to_num(qcol.to_numpy(zero_copy_only=False))).astype(np.int64)
+        # NULL qty -> NULL compare -> row excluded; null price adds 0 (SUM skip)
+        keep = (5 * qty * ns.to_numpy()[i] < qs.to_numpy()[i]) & qv
+        cents = _rnd_i64(t.column("l_extendedprice"), 100, fill=0).to_numpy(zero_copy_only=False)
         return pa.table({"c": pa.array([int(cents[keep].sum())], pa.int64())})
 
     tot = _to_table(li.map_batches(pass2, batch_format="pyarrow", zero_copy_batch=True))
@@ -3477,7 +3536,9 @@ def q_excess_suppliers(sf_dir: str):
         t2 = pa.table(
             {
                 "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
-                "qty": pa.array(np.rint(t.column("l_quantity").to_numpy(zero_copy_only=False)).astype(np.int64)),
+                # null qty contributes 0 (SQL SUM skip; an all-null
+                # supplier fails ship_qty*n > tot either way)
+                "qty": _rnd_i64(t.column("l_quantity"), fill=0),
             }
         )
         g = t2.group_by("l_suppkey").aggregate([("qty", "sum")])
@@ -3528,7 +3589,8 @@ def q_waiting_suppliers(sf_dir: str):
     li = _decoded(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"])
 
     def line_stage(t: pa.Table) -> pa.Table:
-        r = pc.equal(t.column("l_returnflag"), "R").to_numpy(zero_copy_only=False)
+        # NULL = 'R' is not true: the CASE lands in ELSE 0
+        r = pc.fill_null(pc.equal(t.column("l_returnflag"), "R"), False).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "l_orderkey": t.column("l_orderkey"),
