@@ -310,14 +310,24 @@ def q_running_revenue(sf_dir: str):
 
     ds = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
 
+    PACK = 1 << 21  # validity rides the low bits: v = cents*PACK + is_valid
+
     def cents(t: pa.Table) -> pa.Table:
-        c = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        # SQL window SUM skips null terms and is NULL until the first
+        # valid one; ONE prefix sum carries both via the pack (documented
+        # headroom: < 2^21 rows and < 2^42 cents per customer partition).
+        # The NULL customer is ONE partition: sentinel -1 (ids are >= 0).
+        c = _rnd_i64(t.column("o_totalprice"), 100)
+        ck = t.column("o_custkey")
+        ck = pc.fill_null(ck, -1) if ck.null_count else ck
+        v = pc.add(pc.multiply(pc.fill_null(c, 0), PACK),
+                   pc.cast(pc.is_valid(c), pa.int64()))
         return pa.table(
             {
                 "o_orderkey": t.column("o_orderkey"),
-                "o_custkey": t.column("o_custkey"),
+                "o_custkey": ck,
                 "o_orderdate": t.column("o_orderdate").cast(pa.int64()),
-                "cents": pa.array(c),
+                "cents": v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v,
             }
         )
 
@@ -328,13 +338,17 @@ def q_running_revenue(sf_dir: str):
         "cents",
         out="running_cents",
     )
-    return _to_table(
+    out = _to_table(
         scanned.map_batches(
             lambda t: t.select(["o_orderkey", "running_cents"]),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
     ).sort_by("o_orderkey")
+    packed = out.column("running_cents").to_numpy(zero_copy_only=False)
+    rc = pa.array(packed >> 21, pa.int64())
+    rc = pc.if_else(pa.array((packed & (PACK - 1)) == 0), pa.scalar(None, pa.int64()), rc)
+    return out.set_column(1, "running_cents", rc)
 
 
 def q_order_gaps(sf_dir: str):
@@ -2327,7 +2341,9 @@ def q_revenue_trend_slope(sf_dir: str):
         day = (t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
                // 86_400_000_000)
         x = day - 9131  # 1995-01-01 epoch-days; keeps x*y products well inside int64
-        y = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        # y fill-0 mirrors the oracle exactly: SUM(y)/SUM(x*y) skip the
+        # null term while COUNT(*)/SUM(x)/SUM(x*x) still include the row
+        y = _rnd_i64(t.column("o_totalprice"), 100, fill=0).to_numpy(zero_copy_only=False)
         g = (
             pa.table(
                 {
@@ -3210,11 +3226,14 @@ def q_revenue_share(sf_dir: str):
 
     def stage(t: pa.Table, *, ref=cref) -> pa.Table:
         ck, cn = ray.get(ref)
-        nat = pc.take(cn, pc.index_in(t.column("o_custkey"), value_set=ck))
-        cents = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(
-            np.int64
-        )
-        return pa.table({"nation": nat.cast(pa.int64()), "cents": pa.array(cents)})
+        idx = pc.index_in(t.column("o_custkey"), value_set=ck)
+        # INNER JOIN customer drops null/unmatched custkeys; a matched
+        # customer with a NULL c_nationkey is the legitimate NULL nation
+        # group (flows through the null-keyed sum); null price adds 0
+        t = t.filter(pc.is_valid(idx))
+        nat = pc.take(cn, idx.filter(pc.is_valid(idx)))
+        cents = _rnd_i64(t.column("o_totalprice"), 100, fill=0)
+        return pa.table({"nation": nat.cast(pa.int64()), "cents": cents})
 
     per_nat = _to_table(
         sum_by_keys(

@@ -669,27 +669,42 @@ def q_percentile_ranks(sf_dir: str):
 
 def _daily_revenue(sf_dir: str) -> pa.Table:
     """Shared daily-revenue series: O(rows) day bucketing + exact cents
-    partial sums through ONE distributed sum_by_keys; returns the sorted
-    O(days) table both frame-window queries consume."""
-    from ..functions.aggregates import sum_by_keys
+    partial sums through ONE distributed agg_by_keys; returns the sorted
+    O(days) table the frame-window queries consume.  ``cv`` counts the
+    day's non-null prices: a day whose EVERY price is null still exists
+    in the series but its SUM is SQL NULL (cv == 0) — consumers decide
+    what that means for their frame."""
+    from ..functions.aggregates import agg_by_keys
 
     ds = _decoded(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
 
     def per_day(t: pa.Table) -> pa.Table:
         day = pc.floor(pc.divide(t.column("o_orderdate").cast(pa.int64()), 86_400_000_000))
-        cents = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        g = (
-            pa.table({"day": day.cast(pa.int64()), "cents": pa.array(cents)})
-            .group_by("day")
-            .aggregate([("cents", "sum")])
+        price = t.column("o_totalprice")
+        cents = pc.cast(
+            pc.round(pc.multiply(price, 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
         )
-        return pa.table({"day": g.column("day"), "cents": g.column("cents_sum")})
+        g = (
+            pa.table(
+                {
+                    "day": day.cast(pa.int64()),
+                    "cents": pc.fill_null(cents, 0),
+                    "cv": pc.cast(pc.is_valid(price), pa.int64()),
+                }
+            )
+            .group_by("day")
+            .aggregate([("cents", "sum"), ("cv", "sum")])
+        )
+        return pa.table(
+            {"day": g.column("day"), "cents": g.column("cents_sum"), "cv": g.column("cv_sum")}
+        )
 
     return _to_table(
-        sum_by_keys(
+        agg_by_keys(
             ds.map_batches(per_day, batch_format="pyarrow", zero_copy_batch=True),
             ["day"],
-            "cents",
+            [("cents", "sum", "cents"), ("cv", "sum", "cv")],
         )
     ).sort_by("day")
 
@@ -703,14 +718,20 @@ def q_moving_avg_revenue(sf_dir: str):
     daily = _daily_revenue(sf_dir)
     day = daily.column("day").to_numpy(zero_copy_only=False)
     rev = daily.column("cents").to_numpy(zero_copy_only=False)
+    cv = daily.column("cv").to_numpy(zero_copy_only=False)
     cum = np.concatenate([[0], np.cumsum(rev)])
+    vcum = np.concatenate([[0], np.cumsum(cv > 0)])
     lo = np.maximum(np.arange(day.size) - 6, 0)
-    win_sum = cum[np.arange(day.size) + 1] - cum[lo]
-    win_n = np.arange(day.size) - lo + 1
+    hi = np.arange(day.size) + 1
+    win_sum = cum[hi] - cum[lo]  # 0-filled nulls == SQL SUM skip
+    win_n = np.arange(day.size) - lo + 1  # COUNT(*) counts null-cents days too
+    ws = pa.array(win_sum, pa.int64())
+    # a frame with NO valid day sums to SQL NULL, not 0
+    ws = pc.if_else(pa.array(vcum[hi] - vcum[lo] == 0), pa.scalar(None, pa.int64()), ws)
     return pa.table(
         {
             "day": pa.array(day, pa.int64()),
-            "win_sum_cents": pa.array(win_sum, pa.int64()),
+            "win_sum_cents": ws,
             "win_days": pa.array(win_n.astype(np.int64)),
         }
     )
@@ -726,15 +747,20 @@ def q_gap_fill_revenue(sf_dir: str):
     daily = _daily_revenue(sf_dir)
     day = daily.column("day").to_numpy(zero_copy_only=False)
     rev = daily.column("cents").to_numpy(zero_copy_only=False)
+    cv = daily.column("cv").to_numpy(zero_copy_only=False)
     cal = np.arange(day[0], day[-1] + 1, dtype=np.int64)
-    pos = np.searchsorted(day, cal, side="right") - 1  # last observed <= d
-    filled = rev[pos]
+    # LOCF carries the last NON-NULL day (LAST_VALUE ... IGNORE NULLS):
+    # an all-null-price day is treated as absent — filled, not a source
+    vday, vrev = day[cv > 0], rev[cv > 0]
+    pos = np.searchsorted(vday, cal, side="right") - 1  # last valid <= d
+    filled = pa.array(vrev[np.maximum(pos, 0)], pa.int64())
+    filled = pc.if_else(pa.array(pos < 0), pa.scalar(None, pa.int64()), filled)
     is_filled = np.ones(cal.size, dtype=bool)
-    is_filled[day - cal[0]] = False  # days actually present
+    is_filled[vday - cal[0]] = False  # days present with a real value
     return pa.table(
         {
             "day": pa.array(cal),
-            "rev_cents": pa.array(filled),
+            "rev_cents": filled,
             "is_filled": pa.array(is_filled),
         }
     )
@@ -789,13 +815,17 @@ def q_range_frame_revenue(sf_dir: str):
     daily = _daily_revenue(sf_dir)
     day = daily.column("day").to_numpy(zero_copy_only=False)
     rev = daily.column("cents").to_numpy(zero_copy_only=False)
+    cv = daily.column("cv").to_numpy(zero_copy_only=False)
     cum = np.concatenate([[0], np.cumsum(rev)])
+    vcum = np.concatenate([[0], np.cumsum(cv > 0)])
     lo = np.searchsorted(day, day - 6, side="left")
     hi = np.arange(day.size) + 1
+    rs = pa.array(cum[hi] - cum[lo], pa.int64())
+    rs = pc.if_else(pa.array(vcum[hi] - vcum[lo] == 0), pa.scalar(None, pa.int64()), rs)
     return pa.table(
         {
             "day": pa.array(day, pa.int64()),
-            "range_sum_cents": pa.array(cum[hi] - cum[lo]),
+            "range_sum_cents": rs,
             "range_days": pa.array((hi - lo).astype(np.int64)),
         }
     )
