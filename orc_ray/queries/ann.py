@@ -348,13 +348,20 @@ def q_pagerank(sf_dir: str):
                                         zero_copy_batch=True),
                      ["c", "s"], "one", out="w")
 
+    NULL_NODE = -1  # sentinel for the SQL NULL customer (real keys are >= 0)
+
     def both_dirs(t: pa.Table) -> pa.Table:
-        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        cc = t.column("c")
+        valid = (pc.is_valid(cc).combine_chunks().to_numpy(zero_copy_only=False)
+                 if cc.null_count else np.ones(t.num_rows, bool))
+        c = pc.fill_null(cc, NULL_NODE).to_numpy(zero_copy_only=False).astype(np.int64)
         s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64) + SUPP_OFF
         w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"u": pa.array(np.concatenate([c, s])),
-                         "v": pa.array(np.concatenate([s, c])),
-                         "w": pa.array(np.concatenate([w, w]))})
+        # the NULL customer RECEIVES rank (it is a join v) but its outgoing
+        # edges never match e.u = r.u in SQL, so the u-side arm drops them
+        return pa.table({"u": pa.array(np.concatenate([c[valid], s])),
+                         "v": pa.array(np.concatenate([s[valid], c])),
+                         "w": pa.array(np.concatenate([w[valid], w]))})
 
     edges = eo.map_batches(both_dirs, batch_format="pyarrow").materialize()
 
@@ -380,13 +387,27 @@ def q_pagerank(sf_dir: str):
 
         sums = _to_table(sum_by_keys(
             edges.map_batches(contrib, batch_format="pyarrow"), ["v"], "p"))
+        sv = sums.column("v").to_numpy(zero_copy_only=False)
+        sp = sums.column("p").to_numpy(zero_copy_only=False)
+        nm = sv == NULL_NODE
+        # the NULL node's rank never feeds back (no matching outgoing edges)
+        r_null = BASE + (D_NUM * int(sp[nm].sum())) // D_DEN if nm.any() else None
         s = np.zeros(nodes.size, np.int64)
-        vi = np.searchsorted(nodes, sums.column("v").to_numpy(zero_copy_only=False))
-        s[vi] = sums.column("p").to_numpy(zero_copy_only=False)
+        s[np.searchsorted(nodes, sv[~nm])] = sp[~nm]
         r = BASE + (D_NUM * s) // D_DEN
 
-    top = np.lexsort((nodes, -r))[:20]
-    return pa.table({"node": pa.array(nodes[top]), "rank_e9": pa.array(r[top])})
+    allr, ids = r, nodes
+    isnull = np.zeros(nodes.size, bool)
+    if r_null is not None:
+        allr = np.concatenate([r, np.array([r_null], np.int64)])
+        # NULL sorts after every real id on rank ties (ORDER BY u ASC NULLS LAST)
+        ids = np.concatenate([nodes, np.array([np.iinfo(np.int64).max], np.int64)])
+        isnull = np.concatenate([isnull, np.array([True])])
+    top = np.lexsort((ids, -allr))[:20]
+    return pa.table({
+        "node": pa.array([None if isnull[i] else int(ids[i]) for i in top], pa.int64()),
+        "rank_e9": pa.array(allr[top]),
+    })
 
 
 def q_kmeans_step(sf_dir: str):

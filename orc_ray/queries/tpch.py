@@ -1782,14 +1782,20 @@ def q_status_moments(sf_dir: str):
             )
         # floor(v/1000 + 0.5) = SQL ROUND half-away-from-zero for positive
         # prices (np.rint rounds half-to-even and diverges on exact X500.00)
-        x = np.floor(t.column("o_totalprice").to_numpy(zero_copy_only=False) / 1000.0 + 0.5).astype(np.int64)
-        # one group_by over five derived columns (no 5x row explosion);
+        xf = t.column("o_totalprice").to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = ~np.isnan(xf)
+        # SQL COUNT(*) counts null-price rows; SUM(x^p) skips them (fill 0);
+        # vn tracks the all-null group whose SQL power sums are NULL
+        x = np.floor(np.where(valid, xf, 0.0) / 1000.0 + 0.5).astype(np.int64)
+        x[~valid] = 0
+        # one group_by over six derived columns (no 6x row explosion);
         # melt to the (s, k, v) long form at O(groups) for sum_by_keys
         g = (
             pa.table(
                 {
                     "s": t.column("o_orderstatus"),
                     "n": pa.array(np.ones(len(x), np.int64)),
+                    "vn": pa.array(valid.astype(np.int64)),
                     "s1": pa.array(x),
                     "s2": pa.array(x * x),
                     "s3": pa.array(x**3),
@@ -1797,16 +1803,17 @@ def q_status_moments(sf_dir: str):
                 }
             )
             .group_by("s")
-            .aggregate([("n", "sum"), ("s1", "sum"), ("s2", "sum"), ("s3", "sum"), ("s4", "sum")])
+            .aggregate([("n", "sum"), ("vn", "sum"), ("s1", "sum"), ("s2", "sum"),
+                        ("s3", "sum"), ("s4", "sum")])
         )
         ng = g.num_rows
+        kinds = ["n", "vn", "s1", "s2", "s3", "s4"]
         return pa.table(
             {
-                "s": pa.concat_arrays([g.column("s").combine_chunks()] * 5),
-                "k": pa.array(["n"] * ng + ["s1"] * ng + ["s2"] * ng + ["s3"] * ng + ["s4"] * ng),
+                "s": pa.concat_arrays([g.column("s").combine_chunks()] * len(kinds)),
+                "k": pa.array([k for k in kinds for _ in range(ng)]),
                 "v": pa.concat_arrays(
-                    [g.column(f"{c}_sum").cast(pa.int64()).combine_chunks()
-                     for c in ["n", "s1", "s2", "s3", "s4"]]
+                    [g.column(f"{c}_sum").cast(pa.int64()).combine_chunks() for c in kinds]
                 ),
             }
         )
@@ -1825,8 +1832,13 @@ def q_status_moments(sf_dir: str):
     ):
         piv.setdefault(s, {})[k] = v
     rows = []
-    for s in sorted(piv):
+    for s in sorted(piv, key=lambda k: (k is None, k)):
         n, s1, s2, s3, s4 = (float(piv[s][k]) for k in ["n", "s1", "s2", "s3", "s4"])
+        if piv[s]["vn"] == 0:
+            # every price in the group is null: SQL SUM(x^p) is NULL, so
+            # the whole skew/kurt expression is NULL (n still counts rows)
+            rows.append((s, int(n), None, None))
+            continue
         mean = s1 / n
         m2 = s2 / n - mean * mean
         m3 = s3 / n - 3 * mean * s2 / n + 2 * mean**3
@@ -1858,12 +1870,12 @@ def q_prefix_scan_customers(sf_dir: str):
     )
 
     def cents(t: pa.Table) -> pa.Table:
-        bal = np.rint(t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         return pa.table(
             {
                 "c_custkey": t.column("c_custkey"),
                 "c_name": t.column("c_name"),
-                "acctbal_e2": pa.array(bal),
+                # ROUND(NULL)=NULL: a null balance stays null, not rint garbage
+                "acctbal_e2": _rnd_i64(t.column("c_acctbal"), 100),
             }
         )
 
@@ -2062,40 +2074,37 @@ def q_skyline_parts(sf_dir: str):
     operator's classic local-prune property), and the driver re-runs the
     same kernel over the O(sum of local skylines) candidates.  Dominance
     needs one strict dimension, so dim-tied points survive together —
-    mirrored exactly by the NOT EXISTS oracle."""
+    mirrored exactly by the NOT EXISTS oracle.  A null in EITHER dimension
+    makes the point SQL-incomparable (every <=/< against it is NULL): it
+    always survives and never dominates, so null rows bypass the kernel."""
     ds = _decoded(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
 
+    def prune(base: pa.Table) -> pa.Table:
+        ok = pc.and_kleene(
+            pc.is_valid(base.column("p_size")), pc.is_valid(base.column("price_e2"))
+        ).combine_chunks()
+        good, nulls = base.filter(ok), base.filter(pc.invert(ok))
+        if good.num_rows:
+            keep = _skyline_min2(
+                good.column("p_size").to_numpy(zero_copy_only=False),
+                good.column("price_e2").to_numpy(zero_copy_only=False),
+            )
+            good = good.filter(pa.array(keep))
+        return pa.concat_tables([good, nulls])
+
     def local(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
+        return prune(
+            pa.table(
                 {
-                    "p_partkey": pa.array([], pa.int64()),
-                    "p_size": pa.array([], pa.int64()),
-                    "price_e2": pa.array([], pa.int64()),
+                    "p_partkey": t.column("p_partkey"),
+                    "p_size": t.column("p_size").cast(pa.int64()),
+                    "price_e2": _rnd_i64(t.column("p_retailprice"), 100),
                 }
             )
-        size = t.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
-        price = np.rint(t.column("p_retailprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        keep = _skyline_min2(size, price)
-        return pa.table(
-            {
-                "p_partkey": t.column("p_partkey").to_numpy(zero_copy_only=False)[keep],
-                "p_size": pa.array(size[keep]),
-                "price_e2": pa.array(price[keep]),
-            }
         )
 
     cand = _to_table(ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True))
-    size = cand.column("p_size").to_numpy(zero_copy_only=False)
-    price = cand.column("price_e2").to_numpy(zero_copy_only=False)
-    keep = _skyline_min2(size, price)
-    return pa.table(
-        {
-            "p_partkey": pa.array(cand.column("p_partkey").to_numpy(zero_copy_only=False)[keep]),
-            "p_size": pa.array(size[keep]),
-            "price_e2": pa.array(price[keep]),
-        }
-    ).sort_by("p_partkey")
+    return prune(cand.combine_chunks()).sort_by("p_partkey")
 
 
 def q_left_join_returns(sf_dir: str):
@@ -2540,27 +2549,31 @@ def q_pythagorean_means(sf_dir: str):
                 {"s": pa.array([], pa.string()), "k": pa.array([], pa.string()),
                  "v": pa.array([], pa.float64())}
             )
-        x = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        x = t.column("o_totalprice").to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = ~np.isnan(x)
+        # COUNT(*) counts null rows; SUM(LN(x))/SUM(1/x) skip them (fill 0);
+        # vn flags the all-null group whose SQL sums (hence means) are NULL
+        safe = np.where(valid, x, 1.0)
         g = (
             pa.table(
                 {
                     "s": t.column("o_orderstatus"),
                     "n": pa.array(np.ones(x.size)),
-                    "lnx": pa.array(np.log(x)),
-                    "inv": pa.array(1.0 / x),
+                    "vn": pa.array(valid.astype(np.float64)),
+                    "lnx": pa.array(np.where(valid, np.log(safe), 0.0)),
+                    "inv": pa.array(np.where(valid, 1.0 / safe, 0.0)),
                 }
             )
             .group_by("s")
-            .aggregate([("n", "sum"), ("lnx", "sum"), ("inv", "sum")])
+            .aggregate([("n", "sum"), ("vn", "sum"), ("lnx", "sum"), ("inv", "sum")])
         )
         ng = g.num_rows
+        kinds = ["n", "vn", "lnx", "inv"]
         return pa.table(
             {
-                "s": pa.concat_arrays([g.column("s").combine_chunks()] * 3),
-                "k": pa.array(["n"] * ng + ["lnx"] * ng + ["inv"] * ng),
-                "v": pa.concat_arrays(
-                    [g.column(f"{c}_sum").combine_chunks() for c in ["n", "lnx", "inv"]]
-                ),
+                "s": pa.concat_arrays([g.column("s").combine_chunks()] * len(kinds)),
+                "k": pa.array([k for k in kinds for _ in range(ng)]),
+                "v": pa.concat_arrays([g.column(f"{c}_sum").combine_chunks() for c in kinds]),
             }
         )
 
@@ -2573,8 +2586,12 @@ def q_pythagorean_means(sf_dir: str):
     for s, k, v in zip(agg.column("s").to_pylist(), agg.column("k").to_pylist(), agg.column("v_sum").to_pylist()):
         piv.setdefault(s, {})[k] = float(v)
     rows = []
-    for s in sorted(piv):
+    for s in sorted(piv, key=lambda k: (k is None, k)):
         n, lnx, inv = piv[s]["n"], piv[s]["lnx"], piv[s]["inv"]
+        if piv[s].get("vn", 0) == 0:
+            # all prices null: SQL SUM(LN(x))/SUM(1/x) are NULL -> both means NULL
+            rows.append((s, int(n), None, None))
+            continue
         rows.append((s, int(n), int(np.floor(np.exp(lnx / n) * 100)), int(np.floor(n / inv * 100))))
     return pa.table(
         {
@@ -3034,10 +3051,10 @@ def q_full_join_daily(sf_dir: str):
 
     def od(t: pa.Table) -> pa.Table:
         us = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        cents = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(
-            np.int64
-        )
-        return pa.table({"day": pa.array(us // DAY_US), "revenue_cents": pa.array(cents)})
+        # fill 0 == SQL SUM skipping the null term; the all-null day is
+        # COALESCE(revenue,0) in the oracle, so 0 is right there too
+        cents = _rnd_i64(t.column("o_totalprice"), 100, fill=0)
+        return pa.table({"day": pa.array(us // DAY_US), "revenue_cents": cents})
 
     rev = sum_by_keys(
         orders.map_batches(od, batch_format="pyarrow", zero_copy_batch=True),
@@ -3159,16 +3176,22 @@ def q_weighted_median(sf_dir: str):
         columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice"],
     )
 
+    # the SQL NULL flag is ONE GROUP BY group; a sentinel below every real
+    # single-char flag keeps index_in/searchsorted null-free end-to-end
+    NULLK = "\x00"
+
     def rows(t: pa.Table) -> pa.Table:
-        v = np.rint(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(
-            np.int64
-        )
-        w = np.rint(t.column("l_quantity").to_numpy(zero_copy_only=False)).astype(np.int64)
+        k = t.column("l_returnflag")
+        if k.null_count:
+            k = pc.fill_null(k, NULLK)
         return pa.table(
             {
-                "k": t.column("l_returnflag"),
-                "v": pa.array(v),
-                "wt": pa.array(w),
+                "k": k,
+                "v": _rnd_i64(t.column("l_extendedprice"), 100),
+                # fill 0 == window SUM skipping the null weight; an all-null
+                # group sums to W=0 and its crossing test never fires, which
+                # is exactly SQL's cw >= (NULL+1)//2 never-true
+                "wt": _rnd_i64(t.column("l_quantity"), fill=0),
                 "t1": t.column("l_orderkey"),
                 "t2": t.column("l_linenumber").cast(pa.int64()),
             }
@@ -3202,9 +3225,12 @@ def q_weighted_median(sf_dir: str):
             {"l_returnflag": sub.column("k"), "wmedian_cents": sub.column("v")}
         )
 
-    return _to_table(
+    out = _to_table(
         scanned.map_batches(crossing, batch_format="pyarrow", zero_copy_batch=True)
     ).sort_by("l_returnflag")
+    # the oracle's JOIN tot USING (k) is an inner equality join: the NULL
+    # flag group never matches itself and vanishes from the result
+    return out.filter(pc.not_equal(out.column("l_returnflag"), NULLK))
 
 
 def q_revenue_share(sf_dir: str):

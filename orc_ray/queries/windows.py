@@ -25,8 +25,13 @@ from ._shared import CACHE_ROOT, _decoded, _to_table, store_for
 
 def _orders_build_side(sf_dir: str):
     o = pq.read_table(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate"])
+    # a NULL join key or NULL order date can never satisfy the ON clause
+    # (user_id = NULL / NULL <= ts are SQL-false): drop them here so the
+    # composite (key, time) index packs a clean int64 domain
+    ok = pc.and_kleene(pc.is_valid(o.column("o_custkey")), pc.is_valid(o.column("o_orderdate")))
+    o = o.filter(ok)
     return (
-        o.column("o_custkey").to_numpy(zero_copy_only=False),
+        o.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64),
         o.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False),
     )
 
