@@ -26,6 +26,8 @@ import functools
 import numpy as np
 import pyarrow as pa
 
+from .similarity import drop_invalid_embeddings
+
 
 def _embed_matrix(t: pa.Table, col: str) -> np.ndarray:
     arr = t.column(col).combine_chunks()
@@ -59,6 +61,7 @@ def kmeans(ds, col: str, k: int, max_iters: int = 20, id_col: str | None = None,
 
     # --- deterministic seeding: k smallest-id vectors
     def seed_rows(t: pa.Table) -> pa.Table:
+        t = drop_invalid_embeddings(t, col)
         x = _embed_matrix(t, col)
         if x.shape[0] == 0:
             return pa.table({"sid": pa.array([], pa.int64()), "vec": pa.array([], pa.large_binary())})
@@ -90,6 +93,7 @@ def kmeans(ds, col: str, k: int, max_iters: int = 20, id_col: str | None = None,
 
     def partial(t: pa.Table, *, cref) -> pa.Table:
         c = ray.get(cref)
+        t = drop_invalid_embeddings(t, col)
         x = _embed_matrix(t, col)
         if x.shape[0] == 0:
             return pa.table(
@@ -168,24 +172,59 @@ def kmeans_step_exact(ds, col: str, k: int, id_col: str):
     the driver merges O(k x batches) rows.  Returns
     (cluster=seed id, n_members, coord_sum) sorted by cluster.
     """
+    import pyarrow.compute as pc
     import ray
 
-    def q6(x: np.ndarray) -> np.ndarray:
-        return np.floor(x.astype(np.float64) * 1_000_000.0).astype(np.int64)
+    def members_and_mask(t: pa.Table):
+        """UNNEST semantics: a NULL list has no rows at all (the vector is
+        not a member); a null ELEMENT stays a member with that dimension
+        masked out of every SUM it touches.  Returns the member rows'
+        (e6-quantized matrix with masked dims zeroed, 0/1 dim mask, ids)."""
+        arr = t.column(col).combine_chunks()
+        if arr.null_count:
+            t = t.filter(pc.is_valid(arr))
+            arr = t.column(col).combine_chunks()
+        if t.num_rows == 0:
+            return np.zeros((0, 0), np.int64), np.zeros((0, 0), np.int64), np.zeros(0, np.int64)
+        flat = arr.flatten()
+        d = len(flat) // t.num_rows
+        valid = (np.ones(len(flat), bool) if flat.null_count == 0
+                 else pc.is_valid(flat).to_numpy(zero_copy_only=False))
+        vals = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+        qx = np.floor(np.where(valid, vals, 0.0) * 1_000_000.0).astype(np.int64)
+        qx[~valid] = 0
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return qx.reshape(-1, d), valid.astype(np.int64).reshape(-1, d), ids
 
-    # --- deterministic seeds: k smallest-id vectors, O(k x batches) driver
+    # --- deterministic seeds: k smallest-id rows of the TABLE (a null-list
+    # seed still occupies a LIMIT k slot but is inert — it has no q rows,
+    # so no distance ever selects it), O(k x batches) driver rows
     def seed_rows(t: pa.Table) -> pa.Table:
-        x = _embed_matrix(t, col)
-        if x.shape[0] == 0:
+        if t.num_rows == 0:
             return pa.table(
-                {"sid": pa.array([], pa.int64()), "vec": pa.array([], pa.large_binary())}
+                {"sid": pa.array([], pa.int64()), "vec": pa.array([], pa.large_binary()),
+                 "msk": pa.array([], pa.large_binary())}
             )
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ids, kind="stable")[:k]
+        sub = t.take(pa.array(order))
+        qx, msk, sub_ids = members_and_mask(sub)
+        live = set(sub_ids.tolist())
+        vecs, msks = [], []
+        j = 0
+        for i in order:
+            if int(ids[i]) in live:
+                vecs.append(qx[j].tobytes())
+                msks.append(msk[j].tobytes())
+                j += 1
+            else:
+                vecs.append(None)
+                msks.append(None)
         return pa.table(
             {
                 "sid": pa.array(ids[order]),
-                "vec": pa.array([q6(x[i]).tobytes() for i in order], pa.large_binary()),
+                "vec": pa.array(vecs, pa.large_binary()),
+                "msk": pa.array(msks, pa.large_binary()),
             }
         )
 
@@ -199,16 +238,25 @@ def kmeans_step_exact(ds, col: str, k: int, id_col: str):
     cand = pa.concat_tables(parts)
     sids = cand.column("sid").to_numpy(zero_copy_only=False)
     order = np.argsort(sids, kind="stable")[:k]
-    seed_ids = sids[order]
+    live = [i for i in order if cand.column("vec")[int(i)].as_py() is not None]
+    if not live:  # every seed slot is a NULL list: no distances, empty result
+        return pa.table(
+            {"cluster": pa.array([], pa.int64()), "n_members": pa.array([], pa.int64()),
+             "coord_sum": pa.array([], pa.int64())}
+        )
+    seed_ids = sids[live]
     cents = np.stack(
-        [np.frombuffer(cand.column("vec")[int(i)].as_py(), np.int64) for i in order]
+        [np.frombuffer(cand.column("vec")[int(i)].as_py(), np.int64) for i in live]
     )
-    cref = ray.put((seed_ids, cents))
+    cmask = np.stack(
+        [np.frombuffer(cand.column("msk")[int(i)].as_py(), np.int64) for i in live]
+    )
+    cref = ray.put((seed_ids, cents, cmask))
 
     def partial(t: pa.Table, *, cref) -> pa.Table:
-        seed_ids, c = ray.get(cref)
-        x = _embed_matrix(t, col)
-        if x.shape[0] == 0:
+        seed_ids, c, cm = ray.get(cref)
+        qx, mx, _ids = members_and_mask(t)
+        if qx.shape[0] == 0:
             return pa.table(
                 {
                     "cluster": pa.array([], pa.int64()),
@@ -216,12 +264,14 @@ def kmeans_step_exact(ds, col: str, k: int, id_col: str):
                     "coord_sum": pa.array([], pa.int64()),
                 }
             )
-        qx = q6(x)
-        # exact integer squared distances; argmin ties -> first (seed
-        # ids are ascending, matching ORDER BY d2, cid)
-        d2 = ((qx[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        # exact integer squared distances over jointly-observed dims only
+        # (a null element on EITHER side nulls that term in the SQL SUM):
+        # sum mx*cm*(q-s)^2 = q^2@cm.T + mx@(s^2).T - 2 q@s.T with the
+        # masked entries already zeroed in qx / c.  Argmin ties -> first
+        # (seed ids are ascending, matching ORDER BY d2, cid).
+        d2 = (qx * qx) @ cm.T + mx @ (c * c).T - 2 * (qx @ c.T)
         a = np.argmin(d2, axis=1)
-        rowsum = qx.sum(axis=1)
+        rowsum = qx.sum(axis=1)  # SUM(qv) skips masked dims (zeroed)
         n = np.bincount(a, minlength=c.shape[0]).astype(np.int64)
         # integer scatter-add (bincount weights would round through
         # float64; the oracle contract is exact int sums)

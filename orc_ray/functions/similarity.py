@@ -31,6 +31,32 @@ def _matrix(col, dtype=np.float32) -> np.ndarray:
     return flat.reshape(n, d)
 
 
+def _valid_embedding_mask(col) -> np.ndarray | None:
+    """Per-row validity of a list<float> column: the list is present AND
+    none of its elements is null.  Returns None on the all-valid fast
+    path (zero extra work).  ``_matrix``'s flatten-reshape silently skips
+    null lists (corrupting row alignment) and surfaces null elements as
+    NaN — callers must filter with this mask first."""
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count == 0 and arr.values.null_count == 0:
+        return None
+    lv = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    offs = arr.offsets.to_numpy()
+    bad = pc.is_null(arr.values).to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(bad)])
+    return lv & (cum[offs[1:]] - cum[offs[:-1]] == 0)
+
+
+def drop_invalid_embeddings(batch: pa.Table, vec_col: str) -> pa.Table:
+    """SQL cosine/distance against a NULL (or null-element) vector is
+    NULL: it can never enter a top-k, threshold set, or index bucket, so
+    such rows drop at every embedding-kernel ingestion point."""
+    m = _valid_embedding_mask(batch.column(vec_col))
+    return batch if m is None else batch.filter(pa.array(m))
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -51,6 +77,7 @@ class TopKCosineStage:
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = drop_invalid_embeddings(batch, self.vec_col)
         m = _matrix(batch.column(self.vec_col), self.dtype)
         if m.shape[0] == 0:
             return pa.table({"query_idx": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
@@ -201,7 +228,7 @@ def cosine_pairs(ds, threshold: float, id_col: str = "vec_id", vec_col: str = "e
         sample_t = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
     except ValueError:  # Ray raises on a fully-empty dataset
         return pa.table(_EMPTY_PAIRS)
-    sample = _matrix(pa.table(sample_t).column(vec_col))
+    sample = _matrix(drop_invalid_embeddings(pa.table(sample_t), vec_col).column(vec_col))
     if sample.shape[0] == 0:
         return pa.table(_EMPTY_PAIRS)
     cent = kmeans_fit(sample, n_clusters)
@@ -296,6 +323,7 @@ class IVFAssignStage:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = drop_invalid_embeddings(batch, self.vec_col)
         m = _normalize(_matrix(batch.column(self.vec_col)))
         assign = np.argmax(m @ self.cent.T, axis=1).astype(np.int32) if m.size else np.zeros(0, np.int32)
         return batch.append_column("ivf_partition", pa.array(assign))
@@ -336,7 +364,9 @@ def build_ivf_store(
         seen += b.num_rows
         if seen >= sample_rows:
             break
-    sample = _matrix(pa.concat_tables(batches).column(vec_col))[:sample_rows]
+    sample = _matrix(
+        drop_invalid_embeddings(pa.concat_tables(batches), vec_col).column(vec_col)
+    )[:sample_rows]
     cent = kmeans_fit(sample, n_clusters)
     cref = ray.put(cent)
     assigned = ray.data.read_parquet(emb_path).map_batches(
@@ -394,6 +424,7 @@ class LSHAssignStage:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = drop_invalid_embeddings(batch, self.vec_col)
         m = _matrix(batch.column(self.vec_col))
         if m.size:
             bits = (m @ self.planes) > 0  # (n, b)
@@ -516,7 +547,7 @@ def topk_cosine_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16, 
     import ray
 
     sample_t = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
-    sample = _matrix(pa.table(sample_t).column(vec_col))
+    sample = _matrix(drop_invalid_embeddings(pa.table(sample_t), vec_col).column(vec_col))
     cent = kmeans_fit(sample, n_clusters)
     cref = ray.put(cent)
     import functools

@@ -35,7 +35,14 @@ def _query_vec(sf_dir: str, vec_id: int = 0, dtype=np.float64) -> np.ndarray:
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "==", vec_id)],
     )
-    return np.array(emb.column("embedding")[0].as_py(), dtype)
+    vec = emb.column("embedding")[0].as_py() if emb.num_rows else None
+    if vec is None or any(e is None for e in vec):
+        # a NULL (or null-element) vector defines no similarity ordering;
+        # callers that REQUIRE this exact id fail loudly, probe loops skip
+        if vec_id == 0:
+            raise ValueError(f"query vector vec_id={vec_id} is NULL or has null elements")
+        return None
+    return np.array(vec, dtype)
 
 
 def q_ann_topk(sf_dir: str):
@@ -123,15 +130,19 @@ def _assert_mean_recall(probe, sf_dir: str, k: int, floor: float, vids=(0, 1, 2,
     from ..functions.similarity import topk_cosine
 
     ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    total = 0.0
+    total, used = 0.0, 0
     for vid in vids:
         q = _query_vec(sf_dir, vid, np.float32)
+        if q is None:  # a NULL stored vector is not a usable probe
+            continue
         exact = set(
             topk_cosine(ds, q.astype(np.float64), k=k, dtype=np.float64).column("vec_id").to_pylist()
         )
         got = set(probe(q).column("vec_id").to_pylist())
         total += len(got & exact) / k
-    mean = total / len(vids)
+        used += 1
+    assert used, "no valid probe vectors"
+    mean = total / used
     assert mean >= floor, (mean, floor)
 
 
@@ -215,14 +226,24 @@ def q_label_centroids(sf_dir: str):
 
     ds = _decoded(sf_dir, "embeddings", columns=["embedding", "label"])
 
+    SENT = np.int64(-(1 << 62))  # stands in for the SQL NULL label group
+
     def partial(t: pa.Table) -> pa.Table:
         arr = t.column("embedding").combine_chunks()
         off = arr.offsets.to_numpy()
         off = off - off[0]
-        vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        q = np.floor(vals * 1_000_000.0).astype(np.int64)
+        flat = arr.flatten()  # null LISTS vanish here == UNNEST of NULL
+        vals = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+        # a null ELEMENT stays an UNNEST row: COUNT(*) counts it, the SUM
+        # skips it (fill 0) — never floor(NaN) garbage
+        ev = (np.ones(len(flat), bool) if flat.null_count == 0
+              else pc.is_valid(flat).to_numpy(zero_copy_only=False))
+        q = np.floor(np.where(ev, vals, 0.0) * 1_000_000.0).astype(np.int64)
+        q[~ev] = 0
         lens = np.diff(off)
-        labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = pc.fill_null(
+            pc.cast(t.column("label"), pa.int64()), int(SENT)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
         ulab = np.unique(labels)
         lab_idx = np.searchsorted(ulab, np.repeat(labels, lens))
         dim = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], lens)
@@ -231,9 +252,11 @@ def q_label_centroids(sf_dir: str):
         np.add.at(mat, (lab_idx, dim), q)
         cnt = np.zeros((ulab.size, d_max), dtype=np.int64)
         np.add.at(cnt, (lab_idx, dim), 1)
+        rep = np.repeat(ulab, d_max)
+        isnull = rep == SENT
         return pa.table(
             {
-                "label": pa.array(np.repeat(ulab, d_max).astype(np.int32)),
+                "label": pa.array(np.where(isnull, 0, rep).astype(np.int32), mask=isnull),
                 "dim": pa.array(np.tile(np.arange(d_max), ulab.size).astype(np.int32)),
                 "s": pa.array(mat.ravel()),
                 "c": pa.array(cnt.ravel()),
@@ -470,8 +493,15 @@ def q_embedding_moments(sf_dir: str):
         arr = t.column("embedding").combine_chunks()
         off = arr.offsets.to_numpy()
         off = off - off[0]
-        vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        q = np.floor(vals * 1_000_000.0).astype(np.int64)
+        flat = arr.flatten()  # null LISTS vanish here == UNNEST of NULL
+        vals = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+        # null ELEMENT: COUNT(*) counts the UNNEST row, SUM(q)/SUM(q*q)
+        # skip it — floor(NaN)->INT64_MIN previously only cancelled when
+        # the null count was even (the wraparound coincidence)
+        ev = (np.ones(len(flat), bool) if flat.null_count == 0
+              else pc.is_valid(flat).to_numpy(zero_copy_only=False))
+        q = np.floor(np.where(ev, vals, 0.0) * 1_000_000.0).astype(np.int64)
+        q[~ev] = 0
         lens = np.diff(off)
         dim = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], lens)
         d_max = int(lens.max()) if lens.size else 0
@@ -611,11 +641,16 @@ ORACLE_SQL = {
         ORDER BY r DESC, u ASC LIMIT 20
     """,
     "ann_topk": """
+        -- cosine against a NULL (or null-element) vector is undefined:
+        -- such rows can never enter the top-k (the engine drops them at
+        -- the kernel; DuckDB's list_cosine_similarity refuses them)
         SELECT e.vec_id,
                CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
                     * 10000) AS BIGINT) AS sim_e4
         FROM embeddings e
+        WHERE e.embedding IS NOT NULL
+          AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
         ORDER BY sim_e4 DESC, e.vec_id LIMIT 10
     """,
     "label_centroids": """
@@ -736,6 +771,8 @@ ORACLE_SQL = {
                              (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
                             * 10000) AS BIGINT) AS sim_e4
                 FROM embeddings e
+                WHERE e.embedding IS NOT NULL
+                  AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
                 ORDER BY sim_e4 DESC, doc_id LIMIT 50)
         ),
         fused AS (

@@ -305,7 +305,10 @@ ORACLE_SQL = {
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
                CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                     CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS sim_e6
-        FROM embeddings a, embeddings b
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+                AND len(list_filter(embedding, x -> x IS NULL)) = 0) a,
+             (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+                AND len(list_filter(embedding, x -> x IS NULL)) = 0) b
         WHERE a.vec_id < b.vec_id
           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) > 0.4
