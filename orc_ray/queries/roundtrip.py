@@ -412,13 +412,18 @@ def q_acid_table_read(sf_dir: str):
     ds = read_table(acid_table_for(sf_dir))
 
     def partial(t: pa.Table) -> pa.Table:
-        cents = np.rint(t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        # SUM skips the ROUND(NULL) term (fill 0); COUNT(*) keeps the row
+        cents = pc.fill_null(
+            pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0),
+                             round_mode="half_towards_infinity"), pa.int64()),
+            0,
+        )
         upd = pc.equal(t.column("o_orderpriority"), "0-UPDATED").combine_chunks()
         g = (
             pa.table(
                 {
                     "o_orderstatus": t.column("o_orderstatus"),
-                    "price_e2": pa.array(cents),
+                    "price_e2": cents,
                     "n_updated": upd.cast(pa.int64()),
                     "one": pa.array(np.ones(t.num_rows, np.int64)),
                 }
@@ -477,10 +482,16 @@ def q_ivm_revenue(sf_dir: str):
     COLS = [key, "o_orderstatus", "o_totalprice"]
 
     def stage(t: pa.Table) -> pa.Table:
-        cents = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(
-            np.int64
+        # ROUND(NULL)=NULL: SUM skips the term (fill 0) while COUNT(*)
+        # still counts the row — np.rint(NaN) garbage previously drifted
+        # the maintained view away from the recomputed oracle
+        p = t.column("o_totalprice")
+        cents = pc.fill_null(
+            pc.cast(pc.round(pc.multiply(p, 100.0), round_mode="half_towards_infinity"),
+                    pa.int64()),
+            0,
         )
-        return pa.table({"o_orderstatus": t.column("o_orderstatus"), "cents": pa.array(cents)})
+        return pa.table({"o_orderstatus": t.column("o_orderstatus"), "cents": cents})
 
     def agg_stream(ds) -> pa.Table:
         rows = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
@@ -515,10 +526,13 @@ def q_ivm_revenue(sf_dir: str):
                 pa.table(
                     {
                         "o_orderstatus": ups.column("o_orderstatus"),
-                        "cents": pa.array(
-                            np.rint(
-                                ups.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
-                            ).astype(np.int64)
+                        "cents": pc.fill_null(
+                            pc.cast(
+                                pc.round(pc.multiply(ups.column("o_totalprice"), 100.0),
+                                         round_mode="half_towards_infinity"),
+                                pa.int64(),
+                            ),
+                            0,
                         ),
                         "one": pa.array(np.ones(ups.num_rows, np.int64)),
                     }
@@ -764,15 +778,24 @@ def q_encoded_groupby(sf_dir: str):
                 }
             )
         d = t.column("source").combine_chunks()
-        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         labels = d.dictionary
-        nch = t.column("n_chars").to_numpy(zero_copy_only=False)
-        cnt = np.bincount(codes, minlength=len(labels))
-        tot = np.bincount(codes, weights=nch, minlength=len(labels)).astype(np.int64)
+        nlab = len(labels)
+        # a NULL source is a null CODE: bucket it at nlab (its own group);
+        # a NULL n_chars counts in COUNT(*) but not the SUM (fill 0)
+        codes = pc.fill_null(d.indices, nlab).to_numpy(zero_copy_only=False).astype(np.int64)
+        nch_col = t.column("n_chars")
+        nch = pc.fill_null(nch_col, 0).to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = np.bincount(codes, minlength=nlab + 1)
+        tot = np.bincount(codes, weights=nch, minlength=nlab + 1).astype(np.int64)
         used = cnt > 0
+        idx = np.flatnonzero(used)
+        src_out = pa.concat_arrays(
+            [labels.take(pa.array(idx[idx < nlab])).cast(pa.string()),
+             pa.array([None] * int(used[nlab]), pa.string())]
+        )
         return pa.table(
             {
-                "source": labels.take(pa.array(np.flatnonzero(used))),
+                "source": src_out,
                 "n_docs": pa.array(cnt[used].astype(np.int64)),
                 "chars": pa.array(tot[used]),
             }
@@ -1107,7 +1130,9 @@ ORACLE_SQL = {
     """,
     "roundtrip_events": "SELECT * FROM events",
     "roundtrip_v011": "SELECT * FROM events",
-    "purged_documents": "SELECT * FROM documents WHERE lang <> 'de'",
+    # the purge predicate is lang = 'de': a NULL lang does not match, so
+    # it SURVIVES the purge (IS DISTINCT FROM, not the null-dropping <>)
+    "purged_documents": "SELECT * FROM documents WHERE lang IS DISTINCT FROM 'de'",
     "roundtrip_embeddings": "SELECT * FROM embeddings",
     "projection_pushdown": "SELECT l_orderkey, l_quantity FROM lineitem",
     "predicate_pushdown": "SELECT * FROM lineitem WHERE l_orderkey < 100",

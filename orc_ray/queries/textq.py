@@ -731,13 +731,18 @@ def q_collect_langs(sf_dir: str):
     brk[1:] = src[1:] != src[:-1]
     starts = np.flatnonzero(brk)
     ends = np.r_[starts[1:], src.size]
+    # STRING_AGG / COUNT DISTINCT ignore NULL langs; a source whose every
+    # lang is NULL keeps its group row with langs NULL and n_langs 0
+    out_langs, out_n = [], []
+    for st, en in zip(starts, ends):
+        ls = [x for x in lang[st:en] if x is not None]
+        out_langs.append(",".join(ls) if ls else None)
+        out_n.append(len(ls))
     return pa.table(
         {
             "source": pa.array(src[starts], pa.string()),
-            "langs": pa.array(
-                [",".join(lang[st:en]) for st, en in zip(starts, ends)], pa.string()
-            ),
-            "n_langs": pa.array((ends - starts).astype(np.int64)),
+            "langs": pa.array(out_langs, pa.string()),
+            "n_langs": pa.array(out_n, pa.int64()),
         }
     )
 
@@ -817,6 +822,10 @@ def q_source_lang_entropy(sf_dir: str):
     ends = np.r_[starts[1:], src.size]
     out_s, out_h, out_n = [], [], []
     for st, en in zip(starts, ends):
+        if src[st] is None:
+            # the oracle's c JOIN t ON c.source = t.source is an inner
+            # equality join: the NULL source group never matches itself
+            continue
         tot = n[st:en].sum()
         p = n[st:en] / tot
         h = float(-(p * np.log(p)).sum())
@@ -1425,7 +1434,9 @@ ORACLE_SQL = {
                COALESCE(pt.n_tok_sum, 0) AS n_tok_sum,
                COALESCE(pt.id_sum, 0) AS id_sum,
                COALESCE(pt.n_unk, 0) AS n_unk
-        FROM d LEFT JOIN pt ON d.source = pt.source
+        -- null-safe join: the NULL source is ONE group on both sides,
+        -- exactly like the engine's null-keyed aggregation
+        FROM d LEFT JOIN pt ON d.source IS NOT DISTINCT FROM pt.source
         ORDER BY d.source
     """,
     "bigram_logprob": """

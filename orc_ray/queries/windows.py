@@ -1063,10 +1063,17 @@ def q_running_high_order(sf_dir: str):
 
     ds = _decoded(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
 
+    # window MAX ignores null values: a null contributes a -sentinel and a
+    # still-sentinel running max afterwards means "no real value yet" ->
+    # SQL NULL (the mirror of running_low_value's +sentinel cummin)
+    NULL_SENT = -(np.int64(1) << 40)
+
     def cents(t: pa.Table) -> pa.Table:
-        v = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(
-            np.int64
-        )
+        vcol = t.column("o_totalprice")
+        valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+        v = np.where(
+            valid, np.rint(np.nan_to_num(vcol.to_numpy(zero_copy_only=False)) * 100), NULL_SENT
+        ).astype(np.int64)
         return pa.table(
             {
                 "o_orderkey": t.column("o_orderkey"),
@@ -1083,7 +1090,10 @@ def q_running_high_order(sf_dir: str):
         "v",
         out="run_max_cents",
     )
-    return _to_table(run).select(["o_orderkey", "run_max_cents"]).sort_by("o_orderkey")
+    out = _to_table(run).select(["o_orderkey", "run_max_cents"]).sort_by("o_orderkey")
+    rcol = out.column("run_max_cents").combine_chunks()
+    rcol = pc.if_else(pc.equal(rcol, int(NULL_SENT)), pa.scalar(None, pa.int64()), rcol)
+    return out.set_column(1, "run_max_cents", rcol)
 
 
 def q_median_interarrival(sf_dir: str):
