@@ -176,3 +176,29 @@ def test_rows_only_query_survives(name, sf_dir, ray_session):
     res = _run(name, sf_dir)
     t = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
     assert t.num_rows > 0
+
+
+def test_store_ops_on_null_keys(sf_dir, ray_session, tmp_path):
+    """sort_store / zorder_store over columns CONTAINING nulls: the
+    re-encode must keep every row (null keys included) byte-exact — a
+    user clustering a real warehouse table sorts on nullable columns."""
+    from orc_ray.pipeline.decode import decode_dataset
+    from orc_ray.pipeline.encode import encode_dataset, sort_store, zorder_store
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    base = str(tmp_path / "base")
+    encode_dataset([src], base)
+    want = pq.read_table(src).sort_by("o_orderkey")
+
+    for op, out in ((sort_store, str(tmp_path / "sorted")),
+                    (zorder_store, str(tmp_path / "zordered"))):
+        op(base, out, ["o_custkey", "o_totalprice"] if op is zorder_store
+           else ["o_custkey"])
+        got = pa.concat_tables(
+            list(decode_dataset(out).iter_batches(batch_format="pyarrow", batch_size=None))
+        ).sort_by("o_orderkey")
+        assert got.num_rows == want.num_rows
+        for col in ("o_orderkey", "o_custkey", "o_totalprice"):
+            assert got.column(col).combine_chunks().equals(
+                want.column(col).combine_chunks().cast(got.column(col).type)
+            ), col
