@@ -320,14 +320,19 @@ def read_csv(
     from pyarrow import csv as pacsv
 
     char_specs: dict[str, str] = {}
-    convert = None
+    # Arrow's CSV writer emits NULL as a bare empty field and the empty
+    # STRING as quoted "" — these options make the import honor that
+    # distinction, so null strings survive the text round-trip
+    null_opts = {"strings_can_be_null": True, "quoted_strings_can_be_null": False}
     if schema is not None:
         types, char_specs = parse_type_spec(schema)
         convert = pacsv.ConvertOptions(
-            column_types=types, include_columns=columns or None
+            column_types=types, include_columns=columns or None, **null_opts
         )
-    elif columns:
-        convert = pacsv.ConvertOptions(include_columns=columns)
+    else:
+        convert = pacsv.ConvertOptions(
+            include_columns=columns or None, **null_opts
+        )
     files = _text_files(paths, (".csv", ".csv.gz"))
     ds = ray.data.read_csv(
         files,

@@ -23,6 +23,24 @@ from ..pipeline.encode import encode_dataset
 from ._shared import CACHE_ROOT, _decoded, _to_table, store_for
 
 
+def _join_on_source(left: pa.Table, right: pa.Table) -> pa.Table:
+    """O(sources) driver-side merge of the dual-read aggregates.  Arrow's
+    Table.join drops NULL keys, so the SQL NULL source group would lose
+    its right-side column; a sentinel-filled index_in keeps it."""
+    SENT = "\x00"
+    lk = pc.fill_null(left.column("source"), SENT).combine_chunks()
+    rk = pc.fill_null(right.column("source"), SENT).combine_chunks()
+    idx = pc.index_in(lk, value_set=rk)
+    merged = left
+    for name in right.column_names:
+        if name == "source":
+            continue
+        merged = merged.append_column(
+            name, pc.take(right.column(name).combine_chunks(), idx)
+        )
+    return merged.sort_by("source")
+
+
 def q_roundtrip_documents(sf_dir: str):
     return _decoded(sf_dir, "documents")
 
@@ -149,7 +167,7 @@ def q_rekeyed_roundtrip(sf_dir: str):
     )
     left = _to_table(agg)
     right = _to_table(pub_agg)
-    return left.join(right, keys=["source"]).sort_by("source")
+    return _join_on_source(left, right)
 
 
 def q_roundtrip_v011(sf_dir: str):
@@ -239,7 +257,7 @@ def q_encrypted_roundtrip(sf_dir: str):
     )
     left = _to_table(agg)
     right = _to_table(pub_agg)
-    return left.join(right, keys=["source"]).sort_by("source")
+    return _join_on_source(left, right)
 
 
 def q_orc_file_roundtrip(sf_dir: str):
