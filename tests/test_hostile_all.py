@@ -62,8 +62,14 @@ QUERY_NAMES = [
     "status_transitions", "text_stats", "token_histogram",
     "tokenize_corpus", "unigram_logprob", "watermark_windows",
     "zorder_lookup", "upsert_read", "acid_table_read",
+    # format/store roundtrips: nulls through CSV text, AES dual reads,
+    # real .orc interop, RLEv1 streams, damage-salvage, schema union
+    "csv_roundtrip", "encrypted_roundtrip", "rekeyed_roundtrip",
+    "orc_file_roundtrip", "recovered_roundtrip", "roundtrip_v011",
+    "schema_union_read", "roundtrip_lineitem",
 ]
-ROWS_ONLY = ["approx_quantiles", "simhash", "dedup_minhash"]
+ROWS_ONLY = ["approx_quantiles", "simhash", "dedup_minhash",
+             "media_pipeline", "multimodal_features"]
 
 
 def _null_out(t, col, step, phase):
