@@ -55,3 +55,34 @@ def test_extreme_values_roundtrip_bit_exact(ray_session, tmp_path):
             assert (av[valid] == bv[valid]).all(), col
         else:
             assert a.cast(b.type).drop_null().equals(b.drop_null()), col
+
+
+def test_nan_inf_stats_never_false_prune(ray_session, tmp_path):
+    """Chunk/stride min-max pruning over a float column CONTAINING NaN and
+    ±inf must stay conservative (a NaN-poisoned stat comparing False must
+    KEEP the chunk, never drop it), and the row-level filter must treat
+    NaN like SQL (every comparison False)."""
+    import pyarrow.parquet as _pq
+
+    from orc_ray.pipeline.decode import decode_dataset, list_chunks
+    from orc_ray.pipeline.encode import encode_dataset
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(0, 100, 4000)
+    v[::97] = np.nan
+    v[5], v[13] = np.inf, -np.inf
+    src = str(tmp_path / "nan.parquet")
+    store = str(tmp_path / "store")
+    _pq.write_table(pa.table({"k": np.arange(4000, dtype=np.int64), "v": v}), src)
+    encode_dataset([src], store, batch_size=500)
+
+    ops = {"<=": np.less_equal, ">": np.greater, ">=": np.greater_equal}
+    for pred in [("v", ">", 50.0), ("v", "<=", -150.0), ("v", ">=", 0.0)]:
+        _, kept, total = list_chunks(store, [pred])
+        out = pa.concat_tables(list(
+            decode_dataset(store, predicates=[pred]).iter_batches(
+                batch_format="pyarrow", batch_size=None)
+        ))
+        with np.errstate(invalid="ignore"):
+            want = int(ops[pred[1]](v, pred[2]).sum())
+        assert out.num_rows == want, (pred, kept, total, out.num_rows, want)
