@@ -388,11 +388,25 @@ def q_pagerank(sf_dir: str):
 
     edges = eo.map_batches(both_dirs, batch_format="pyarrow").materialize()
 
-    # O(nodes) out-weights: the one driver-side vector (Pregel master state)
-    outw = _to_table(sum_by_keys(edges.select_columns(["u", "w"]), ["u"], "w", out="wu"))
+    # O(nodes) out-weights: per-block partials + ONE driver merge.  The
+    # distributed sort-based sum would be a full exchange of the edge set
+    # for an O(nodes)-sized answer; instead every block groups locally
+    # (O(distinct u per block) rows out) and the driver reduces
+    # O(nodes x blocks) tiny rows — the Pregel master-state pattern.
+    # Past broadcastable node counts this (and the rank vector) becomes a
+    # hash-partitioned join side — documented upgrade, same algebra.
+    def outw_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["u", "w"]).group_by("u").aggregate([("w", "sum")])
+        return pa.table({"u": g.column("u"), "wu": g.column("w_sum")})
+
+    outw = (
+        _to_table(edges.map_batches(outw_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+        .group_by("u").aggregate([("wu", "sum")])
+    )
     nodes = outw.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(nodes)
-    nodes, wu = nodes[order], outw.column("wu").to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    nodes, wu = nodes[order], outw.column("wu_sum").to_numpy(zero_copy_only=False).astype(np.int64)[order]
     r = np.full(nodes.size, SCALE, np.int64)
 
     for _ in range(3):
@@ -408,10 +422,15 @@ def q_pagerank(sf_dir: str):
                  .group_by("v").aggregate([("p", "sum")]))
             return pa.table({"v": g.column("v"), "p": g.column("p_sum")})
 
-        sums = _to_table(sum_by_keys(
-            edges.map_batches(contrib, batch_format="pyarrow"), ["v"], "p"))
+        # contrib already groups per block (O(distinct v per block) rows):
+        # a driver-side merge of O(nodes x blocks) partials replaces a full
+        # sort exchange of the edge set — one per iteration, 3 sorts saved
+        sums = (
+            _to_table(edges.map_batches(contrib, batch_format="pyarrow"))
+            .group_by("v").aggregate([("p", "sum")])
+        )
         sv = sums.column("v").to_numpy(zero_copy_only=False)
-        sp = sums.column("p").to_numpy(zero_copy_only=False)
+        sp = sums.column("p_sum").to_numpy(zero_copy_only=False)
         nm = sv == NULL_NODE
         # the NULL node's rank never feeds back (no matching outgoing edges)
         r_null = BASE + (D_NUM * int(sp[nm].sum())) // D_DEN if nm.any() else None
