@@ -4160,13 +4160,23 @@ ORACLE_SQL = {
         ORDER BY rev_e4 DESC, c.c_custkey
         LIMIT 20
     """,
-    "json_extract_stats": """
+    "json_extract_stats": r"""
+        -- the operator contract is the documented vectorized regex field
+        -- pull, not a strict JSON parse: the oracle mirrors the exact
+        -- regex so malformed / null / non-integer props rows degrade to
+        -- NULL identically on both sides (strict json_extract ERRORS on
+        -- any malformed row, which no total scan operator can do)
+        WITH x AS (
+          SELECT event_type,
+                 TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+          FROM events
+        )
         SELECT event_type,
-               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-               CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
-               CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+               CAST(SUM(k) AS BIGINT) AS k_sum,
+               CAST(MIN(k) AS BIGINT) AS k_min,
+               CAST(MAX(k) AS BIGINT) AS k_max,
                COUNT(*) AS n
-        FROM events GROUP BY event_type ORDER BY event_type
+        FROM x GROUP BY event_type ORDER BY event_type
     """,
     "value_histogram": """
         -- explicit NULL bucket: DuckDB's LEAST IGNORES null arguments,

@@ -107,6 +107,16 @@ def sf_dir(tmp_path_factory):
             t = _null_out(t, "user_id", 13, 3)
             t = _null_out(t, "event_type", 17, 5)
             t = _null_out(t, "value", 19, 7)
+            # malformed / null / non-integer JSON through the props regex
+            # pull (json_extract_stats): both sides must degrade to NULL
+            props = t.column("props").to_pylist()
+            bad = ["not json", "", None, "{", "[1,2]", '{"k": }',
+                   '{"k": "str"}', '{"K": 5}', '{"k": null}', '{"k": 1e99}']
+            for i in range(len(props)):
+                if i % 7 == 2:
+                    props[i] = bad[i % len(bad)]
+            t = t.set_column(t.schema.get_field_index("props"), "props",
+                             pa.array(props, pa.string()))
         elif name == "documents":
             texts = t.column("text").to_pylist()
             for i in range(len(texts)):
