@@ -354,7 +354,12 @@ def join_adaptive(
 
         def probe(b: pa.Table, *, ref, big_key, payload_cols, how) -> pa.Table:
             keys, payload = ray.get(ref)
-            pos = pc.index_in(b.column(big_key), value_set=keys)
+            bk = b.column(big_key)
+            pos = pc.index_in(bk, value_set=keys)
+            # SQL equality NEVER matches NULL = NULL, but Arrow's index_in
+            # pairs a null probe with a null build key: force the miss
+            if bk.null_count and keys.null_count:
+                pos = pc.if_else(pc.is_valid(bk), pos, pa.scalar(None, pos.type))
             if how == "inner":
                 hit = pc.is_valid(pos)
                 b = b.filter(hit)

@@ -3065,10 +3065,10 @@ def q_full_join_daily(sf_dir: str):
     events = _decoded(sf_dir, "events", columns=["ts"])
 
     def ed(t: pa.Table) -> pa.Table:
-        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"day": pa.array(us // DAY_US), "one": pa.array(np.ones(t.num_rows, np.int64))}
-        )
+        # arrow int division keeps a NULL ts as the SQL NULL day group
+        # (a float NaN day would break the int64 schema downstream)
+        day = pc.divide(t.column("ts").cast(pa.int64()), DAY_US)
+        return pa.table({"day": day, "one": pa.array(np.ones(t.num_rows, np.int64))})
 
     cnt = sum_by_keys(
         events.map_batches(ed, batch_format="pyarrow", zero_copy_batch=True),
@@ -3109,7 +3109,9 @@ def q_full_join_daily(sf_dir: str):
                 "revenue_cents": z,
                 "has_orders": z,
                 "n_events": t.column("n_events"),
-                "has_events": pa.array(np.ones(t.num_rows, np.int64)),
+                # the oracle's flag tests the day VALUE (ed.day IS NULL),
+                # so the NULL-day group carries has_events = 0
+                "has_events": pc.cast(pc.is_valid(t.column("day")), pa.int64()),
             }
         )
 

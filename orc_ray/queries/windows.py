@@ -76,7 +76,13 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 def _sessionize(uid: np.ndarray, us: np.ndarray) -> pa.Table:
     """Vectorized gap sessionization over (user, time)-SORTED rows: break
-    on user change or a >gap silence, one cumsum + reduceat pass."""
+    on user change or a >gap silence, one cumsum + reduceat pass.
+
+    NULL timestamps (float NaN from the int64-with-nulls numpy view) get
+    the window semantics the SQL mirror computes: NaN sorts last within
+    the user, a NaN-involved gap comparison is False so the null rows
+    join the user's LAST session (LAG/CASE ELSE 0), COUNT(*) counts them,
+    and MIN/MAX(ts) skip them (an all-null session has NULL bounds)."""
     n = uid.size
     if n == 0:
         return pa.table(
@@ -88,15 +94,35 @@ def _sessionize(uid: np.ndarray, us: np.ndarray) -> pa.Table:
             }
         )
     brk = np.ones(n, dtype=bool)
-    brk[1:] = (uid[1:] != uid[:-1]) | (np.diff(us) > SESSION_GAP_US)
+    with np.errstate(invalid="ignore"):
+        brk[1:] = (uid[1:] != uid[:-1]) | (np.diff(us) > SESSION_GAP_US)
     starts = np.flatnonzero(brk)
     ends = np.r_[starts[1:] - 1, n - 1]
+    isnan = np.isnan(us) if us.dtype.kind == "f" else None
+    if isnan is None or not isnan.any():
+        start_arr = pa.array(us[starts].astype(np.int64))
+        end_arr = pa.array(us[ends].astype(np.int64))
+    else:
+        vidx = np.flatnonzero(~isnan)
+        lo = np.searchsorted(vidx, starts, "left")
+        hi = np.searchsorted(vidx, ends, "right") - 1
+        has = hi >= lo
+        safe_lo = np.minimum(lo, max(vidx.size - 1, 0))
+        safe_hi = np.maximum(hi, 0)
+        if vidx.size == 0:
+            has = np.zeros(starts.size, bool)
+            sv = ev = np.zeros(starts.size, np.int64)
+        else:
+            sv = us[vidx[safe_lo]].astype(np.int64)
+            ev = us[vidx[safe_hi]].astype(np.int64)
+        start_arr = pa.array(np.where(has, sv, 0), mask=~has)
+        end_arr = pa.array(np.where(has, ev, 0), mask=~has)
     return pa.table(
         {
             "user_id": pa.array(uid[starts]),
             "n_events": pa.array((ends - starts + 1).astype(np.int64)),
-            "start_us": pa.array(us[starts]),
-            "end_us": pa.array(us[ends]),
+            "start_us": start_arr,
+            "end_us": end_arr,
         }
     )
 
@@ -230,6 +256,7 @@ def q_sliding_window_events(sf_dir: str):
 
 
 WEEK_US = 604_800 * 1_000_000
+WK_NULL = (1 << 20) - 1  # in-lane sentinel for the SQL NULL week group
 
 
 def _week_partial(t: pa.Table) -> pa.Table:
@@ -240,7 +267,12 @@ def _week_partial(t: pa.Table) -> pa.Table:
     if col.null_count:
         col = pc.fill_null(col, -1)  # the NULL user is one DISTINCT user
     uid = col.to_numpy(zero_copy_only=False).astype(np.int64)
-    wk = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // WEEK_US
+    # the NULL timestamp is one DISTINCT (user, NULL) week: sentinel at the
+    # top of the 20-bit lane (real weeks are ~3k); adjacency can never
+    # match it (no week equals SENTINEL+1 inside the lane) and the query
+    # epilogue restores it to the SQL NULL week group
+    wk_col = pc.divide(t.column("ts").cast(pa.int64()), WEEK_US)
+    wk = pc.fill_null(wk_col, WK_NULL).to_numpy(zero_copy_only=False).astype(np.int64)
     key = np.unique(uid * np.int64(1 << 20) + wk)  # weeks fit far below 2^20
     return pa.table({"user_id": pa.array(key >> 20), "wk": pa.array(key & ((1 << 20) - 1))})
 
@@ -308,9 +340,11 @@ def q_weekly_retention(sf_dir: str):
             }
         )
     final = parts.group_by("wk").aggregate([("active", "sum"), ("retained", "sum")])
+    wk = final.column("wk").combine_chunks()
+    wk = pc.if_else(pc.equal(wk, WK_NULL), pa.scalar(None, pa.int64()), wk.cast(pa.int64()))
     return pa.table(
         {
-            "wk": final.column("wk"),
+            "wk": wk,
             "active": final.column("active_sum"),
             "retained": final.column("retained_sum"),
         }
@@ -347,13 +381,22 @@ def _watermark_partition(t: pa.Table) -> pa.Table:
     order = np.lexsort((arr, uid))
     uid, us = uid[order], us[order]
     ts_s = us // 1_000_000  # second precision, mirrored in the SQL oracle
+    # NULL event-times (NaN lane): the window MAX skips them, so they
+    # never RAISE the watermark; the null row itself is on-time when its
+    # prev_s is NULL and counts in NEITHER bucket otherwise (both SQL
+    # CASE conditions go NULL); its hour is the SQL NULL hour group
+    valid = ~np.isnan(ts_s) if ts_s.dtype.kind == "f" else np.ones(ts_s.size, bool)
     brk = np.zeros(uid.size, bool)
     brk[0] = True
     brk[1:] = uid[1:] != uid[:-1]
     seg = np.cumsum(brk) - 1
-    rel = ts_s - ts_s.min()
+    base = np.min(ts_s[valid]) if valid.any() else 0.0
+    rel = np.where(valid, ts_s - base, 0).astype(np.int64)
     B = int(rel.max()) + 2
-    aug = seg.astype(np.int64) * B + rel
+    # a null row sits at seg*B - 1: below every in-segment valid value
+    # (never raises the cummax) yet above every earlier segment's range,
+    # and the prev//B == seg test reads it as "no valid predecessor"
+    aug = seg.astype(np.int64) * B + np.where(valid, rel, -1)
     cm = np.maximum.accumulate(aug)
     prev = np.empty_like(cm)
     prev[1:] = cm[:-1]
@@ -362,19 +405,28 @@ def _watermark_partition(t: pa.Table) -> pa.Table:
     # segments' cummax is < seg*B, detected by integer division
     has_prev = ~brk & (prev // B == seg)
     prev_rel = np.where(has_prev, prev - seg * B, np.int64(-(1 << 62)))
-    late = rel < prev_rel - _WM_LATENESS_S
-    hour = (ts_s // 3600) * 3600
-    key = hour * 2 + late.astype(np.int64)
+    late = valid & (rel < prev_rel - _WM_LATENESS_S)
+    neither = ~valid & has_prev  # null ts with a real watermark: both CASEs NULL
+    HSENT = np.int64(-(1 << 60))  # 3*HSENT stays inside int64
+    hour = np.where(valid, (np.where(valid, ts_s, 0).astype(np.int64) // 3600) * 3600, HSENT)
+    cls = late.astype(np.int64) + 2 * neither.astype(np.int64)  # 0 on, 1 late, 2 neither
+    key = hour * 3 + cls
     vals, cnts = np.unique(key, return_counts=True)
-    hrs = vals // 2
+    hrs = vals // 3  # numpy // floors, exact for any sign with cls in [0, 3)
+    m = vals - 3 * hrs
     uh = np.unique(hrs)
     on_t = np.zeros(uh.size, np.int64)
     lt = np.zeros(uh.size, np.int64)
     pos = np.searchsorted(uh, hrs)
-    np.add.at(on_t, pos[vals % 2 == 0], cnts[vals % 2 == 0])
-    np.add.at(lt, pos[vals % 2 == 1], cnts[vals % 2 == 1])
+    np.add.at(on_t, pos[m == 0], cnts[m == 0])
+    np.add.at(lt, pos[m == 1], cnts[m == 1])
+    isnull = uh == HSENT
     return pa.table(
-        {"hour_epoch": pa.array(uh), "n_on_time": pa.array(on_t), "n_late": pa.array(lt)}
+        {
+            "hour_epoch": pa.array(np.where(isnull, 0, uh), mask=isnull),
+            "n_on_time": pa.array(on_t),
+            "n_late": pa.array(lt),
+        }
     )
 
 
@@ -440,15 +492,20 @@ def _funnel_partition(t: pa.Table) -> pa.Table:
         return np.minimum.reduceat(arr, starts)
 
     day_us = 86_400_000_000
-    t1 = stage_min(code == 0)
+    # a NULL ts (NaN lane) never satisfies a threshold comparison and
+    # never becomes one (MIN skips it) — but a user whose ONLY signup has
+    # a null ts still GROUPs into s1 (COUNT counts the user, t1 is NULL)
+    valid = ~np.isnan(ts) if ts.dtype.kind == "f" else np.ones(ts.size, bool)
+    has_signup = np.maximum.reduceat((code == 0).astype(np.int8), starts) > 0
+    t1 = stage_min((code == 0) & valid)
     t1_row = np.repeat(t1, seglen)
-    with np.errstate(over="ignore"):
+    with np.errstate(over="ignore", invalid="ignore"):
         t2 = stage_min((code == 1) & (ts > t1_row) & (ts <= t1_row + day_us))
         t2_row = np.repeat(t2, seglen)
         t3 = stage_min((code == 2) & (ts > t2_row) & (ts <= t2_row + day_us))
     return pa.table(
         {
-            "n_signup": pa.array([int((t1 < _FUNNEL_SENT).sum())]),
+            "n_signup": pa.array([int(has_signup.sum())]),
             "n_click_after": pa.array([int((t2 < _FUNNEL_SENT).sum())]),
             "n_purchase_after": pa.array([int((t3 < _FUNNEL_SENT).sum())]),
         }
@@ -494,8 +551,19 @@ def q_first_last_touch(sf_dir: str):
     from ..functions.aggregates import agg_by_keys, with_group_ranks
 
     def pick(ds, direction_desc: bool, out_name: str):
+        # ORDER BY ts NULLS LAST (DuckDB default): FIRST/LAST_VALUE do NOT
+        # skip null-ts rows — a user's LAST row is a null-ts event when it
+        # has one.  A +inf sentinel (never output) reproduces that order
+        # in both directions: ASC puts it last, the DESC pass first.
+        def seal_ts(t: pa.Table) -> pa.Table:
+            ts = t.column("ts")
+            if ts.null_count:
+                ts = pc.fill_null(ts, pa.scalar((1 << 62), pa.int64()).cast(ts.type))
+                t = t.set_column(t.schema.get_field_index("ts"), "ts", ts)
+            return t
+
         ranked = with_group_ranks(
-            ds,
+            ds.map_batches(seal_ts, batch_format="pyarrow", zero_copy_batch=True),
             ["user_id"],
             ["ts", "event_id"],
             descending=[direction_desc, direction_desc],
@@ -913,12 +981,16 @@ def q_time_weighted_value(sf_dir: str):
 
     def prep(t: pa.Table) -> pa.Table:
         us = t.column("ts").cast(pa.int64())
+        # sort key only: NULL ts sorts LAST in the SQL ts order (+inf
+        # sentinel), while ts_us keeps the true null so LEAD of a row
+        # before a null-ts row is NULL -> held NULL -> excluded, like SQL
+        sort_ts = pc.fill_null(us, (1 << 62)) if us.null_count else us
         return pa.table(
             {
                 "event_id": t.column("event_id"),
                 "user_id": t.column("user_id"),
                 "ts_us": us,
-                "neg_ts": pc.negate(us),
+                "neg_ts": pc.negate(sort_ts),
                 "neg_key": pc.negate(t.column("event_id")),
                 # null-propagating: a null value must not become NaN->int
                 # garbage; SUM(cents*held) ignores those terms like SQL
@@ -949,7 +1021,9 @@ def q_time_weighted_value(sf_dir: str):
         # ints, so the difference is exact — no sub-second truncation rule
         # to mirror.  cents x us stays under int64 through ~10^6 events per
         # user at this value range (use seconds at larger scales).
-        held = np.where(np.isnan(nxt), 0, np.nan_to_num(nxt) - ts).astype(np.int64)
+        held = np.where(
+            np.isnan(nxt) | np.isnan(ts), 0, np.nan_to_num(nxt) - np.nan_to_num(ts)
+        ).astype(np.int64)
         # nc counts the non-null cents*held terms: SUM over an all-null
         # set is NULL in SQL, restored in the epilogue when nc == 0
         nc = (cvalid & (held != 0)).astype(np.int64)
@@ -1174,12 +1248,14 @@ def q_sliding_distinct_users(sf_dir: str):
     ds = _decoded(sf_dir, "events", columns=["ts", "user_id"])
 
     def fan_out(t: pa.Table) -> pa.Table:
-        h = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // HOUR_US
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        win = np.concatenate([h, h - 1, h - 2])
-        users = np.concatenate([u, u, u])
+        # arrow lanes keep the NULL hour: all three offsets of a null ts
+        # collapse into ONE (NULL win, user) DISTINCT pair, like the SQL
+        h = pc.divide(t.column("ts").cast(pa.int64()), HOUR_US).combine_chunks()
+        u = t.column("user_id").combine_chunks()
+        win = pa.concat_arrays([h, pc.subtract(h, 1), pc.subtract(h, 2)])
+        users = pa.concat_arrays([u, u, u])
         g = (
-            pa.table({"win": pa.array(win), "user_id": pa.array(users)})
+            pa.table({"win": win, "user_id": users})
             .group_by(["win", "user_id"])
             .aggregate([])
         )

@@ -107,6 +107,7 @@ def sf_dir(tmp_path_factory):
             t = _null_out(t, "user_id", 13, 3)
             t = _null_out(t, "event_type", 17, 5)
             t = _null_out(t, "value", 19, 7)
+            t = _null_out(t, "ts", 23, 9)  # null event-times through windows/joins
             # malformed / null / non-integer JSON through the props regex
             # pull (json_extract_stats): both sides must degrade to NULL
             props = t.column("props").to_pylist()

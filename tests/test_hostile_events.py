@@ -64,6 +64,7 @@ def sf_dir(tmp_path_factory):
     }
     uid_null = np.zeros(n, bool)
     val_null = np.zeros(n, bool)
+    ts_null = np.zeros(n, bool)
     for i in range(n):
         if i % 13 == 3:
             uid_null[i] = True
@@ -73,6 +74,8 @@ def sf_dir(tmp_path_factory):
             rows["value"][i] = 0.0
         if i % 29 == 13 and i > 0:
             rows["ts"][i] = rows["ts"][i - 1]  # exact duplicate timestamp
+        if i % 31 == 17:
+            ts_null[i] = True  # null event-time: windows/LAG/sessionization
     # one event_type whose EVERY value is null: SUM() must stay NULL
     for i in range(0, n, 151):
         rows["event_type"][i] = "ghost"
@@ -80,7 +83,7 @@ def sf_dir(tmp_path_factory):
     t = pa.table(
         {
             "event_id": pa.array(rows["event_id"]),
-            "ts": pa.array(rows["ts"]).cast(pa.timestamp("us")),
+            "ts": pa.array(rows["ts"], mask=ts_null).cast(pa.timestamp("us")),
             "user_id": pa.array(rows["user_id"], mask=uid_null),
             "event_type": pa.array(rows["event_type"], pa.string()),
             "value": pa.array(rows["value"], mask=val_null),
