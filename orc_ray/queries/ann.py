@@ -292,10 +292,15 @@ def q_order_clusters(sf_dir: str):
 
     def addmonth(t: pa.Table) -> pa.Table:
         us = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # SQL window PARTITION BY puts every NULL key in ONE partition;
+        # the join/star stages below use SQL join semantics (null keys
+        # never match), so fold NULL custkeys to a sentinel here — custkeys
+        # are positive, and only o_orderkey reaches the output.
+        ck = pc.fill_null(t.column("o_custkey"), -1)
         return pa.table(
             {
                 "o_orderkey": t.column("o_orderkey"),
-                "o_custkey": t.column("o_custkey"),
+                "o_custkey": ck,
                 "month_id": pa.array(_month_id_from_epoch_us(us)),
             }
         )
