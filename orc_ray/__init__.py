@@ -21,4 +21,30 @@ Layout:
 
 from . import _mem  # noqa: F401  (allocator tuning; see _mem.py)
 
+
+def _quiet_data_context() -> None:
+    """Turn off Ray Data's per-operator progress bars for this process.
+
+    Driver-side UI a headless engine has no use for: on tty hosts with
+    tqdm installed the bars cost rendering + stats plumbing per operator,
+    and without tqdm Ray prints a per-session install nag.  Measured here
+    (no tqdm, non-tty) the setting is timing-neutral — this is hygiene,
+    not a performance lever.  Set ORC_RAY_PROGRESS=1 to keep Ray's
+    default behavior (e.g. for interactive CLI sessions)."""
+    import os
+
+    if os.environ.get("ORC_RAY_PROGRESS", "0") not in ("", "0", "false"):
+        return
+    try:
+        from ray.data import DataContext
+
+        ctx = DataContext.get_current()
+        ctx.enable_progress_bars = False
+        ctx.enable_operator_progress_bars = False
+    except Exception:
+        pass  # ray.data absent/ancient: progress bars are cosmetic
+
+
+_quiet_data_context()
+
 __version__ = "0.1.0"
