@@ -662,6 +662,141 @@ def sum_by_keys(ds, keys: list[str], val: str, out: str | None = None,
     return interior_ds.union(ray.data.from_arrow(healed))
 
 
+def string_agg_by_key(ds, key: str, order: str, val: str, n: str,
+                      sep: str = " ", out: str = "joined",
+                      n_out: str = "n", stats_out: dict | None = None):
+    """STRING_AGG(val, sep ORDER BY order) + SUM(n) GROUP BY key, as a
+    ray.data.Dataset — the order-SENSITIVE sibling of sum_by_keys (string
+    concatenation is not commutative, so the healing pass must replay
+    block order, which the carried first-ORDER value per partial run
+    provides).
+
+    Shape: ONE range sort on (key, order) is the only shuffle; each block
+    joins its key runs with a vectorized pyarrow binary_join (no Python
+    loop over rows); only the <=2 runs per block that touch a block edge
+    reach the driver, are re-joined in (key, order) order with the same
+    kernel, and re-enter as a tiny dataset.  ``val`` pieces must be
+    non-null (callers construct them; SQL STRING_AGG would skip nulls).
+    ``stats_out`` receives {"boundary_rows": ...} for driver-ceiling
+    asserts.  Reference analog: none in ORC — this is query-surface
+    machinery (SURVEY.md §2.8 rule (a): compose map_batches + sort)."""
+    import ray
+    import pyarrow.compute as pc
+
+    def _join_runs(t: pa.Table, starts: np.ndarray):
+        """(joined strings, piece-count sums) for runs starting at
+        ``starts`` — one LargeList wrap + one binary_join."""
+        off = np.empty(starts.size + 1, dtype=np.int64)
+        off[:-1] = starts
+        off[-1] = t.num_rows
+        vals = t.column(val).combine_chunks()
+        if not isinstance(vals, pa.LargeStringArray):
+            vals = vals.cast(pa.large_string())
+        lists = pa.LargeListArray.from_arrays(pa.array(off), vals)
+        joined = pc.binary_join(lists, pa.scalar(sep, pa.large_string()))
+        cnt = t.column(n).to_numpy(zero_copy_only=False).astype(np.int64)
+        csum = np.zeros(cnt.size + 1, dtype=np.int64)
+        np.cumsum(cnt, out=csum[1:])
+        return joined, csum[off[1:]] - csum[starts]
+
+    def stage(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            if not t.column_names:  # schema-less empty sort partition
+                return pa.table({})
+            return pa.table(
+                {
+                    key: t.column(key),
+                    "_t": pa.array([], pa.large_string()),
+                    "_n": pa.array([], pa.int64()),
+                    "_g": t.column(order),
+                    "_edge": pa.array([], pa.bool_()),
+                }
+            )
+        if aux_names:
+            t = _restore_null_keys(t, [key], aux_names)
+        det = _key_detection_np(t, [key])
+        starts = _group_starts(det)
+        joined, sums = _join_runs(t, starts)
+        edge = np.zeros(starts.size, dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        for j in range(1, len(det), 2):
+            edge |= det[j][starts]
+        idx = pa.array(starts)
+        return pa.table(
+            {
+                key: t.column(key).take(idx),
+                "_t": joined,
+                "_n": pa.array(sums),
+                "_g": t.column(order).take(idx),
+                "_edge": pa.array(edge),
+            }
+        )
+
+    sorted_ds, aux_names = _sorted_for_keys(ds, [key], order_by=[order])
+    mixed = (
+        sorted_ds
+        .map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def interior_rows(t: pa.Table) -> pa.Table:
+        if "_edge" not in t.column_names:
+            return pa.table({})
+        keep = t.filter(pc.invert(t.column("_edge").combine_chunks()))
+        return pa.table(
+            {key: keep.column(key), out: keep.column("_t"), n_out: keep.column("_n")}
+        )
+
+    interior_ds = mixed.map_batches(interior_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        if "_edge" not in t.column_names:
+            return pa.table({})
+        sub = t.filter(t.column("_edge").combine_chunks())
+        return sub.select([key, "_t", "_n", "_g"])
+
+    bparts = [
+        p
+        for p in mixed.map_batches(edge_rows, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+        if p.num_rows
+    ]
+    if stats_out is not None:
+        stats_out["boundary_rows"] = sum(p.num_rows for p in bparts)
+    if not bparts:
+        return interior_ds
+    # heal: <=2 partial runs per block, re-joined in (key, order) order —
+    # the carried _g (first order value of the partial) replays the
+    # global order the block sort established
+    b = pa.concat_tables(bparts).combine_chunks()
+    b = b.sort_by([(key, "ascending"), ("_g", "ascending")])
+    det = _key_detection_np(b, [key])
+    starts = _group_starts(det)
+
+    def _heal_join(t: pa.Table, starts: np.ndarray):
+        off = np.empty(starts.size + 1, dtype=np.int64)
+        off[:-1] = starts
+        off[-1] = t.num_rows
+        vals = t.column("_t").combine_chunks()
+        if not isinstance(vals, pa.LargeStringArray):
+            vals = vals.cast(pa.large_string())
+        lists = pa.LargeListArray.from_arrays(pa.array(off), vals)
+        joined = pc.binary_join(lists, pa.scalar(sep, pa.large_string()))
+        cnt = t.column("_n").to_numpy(zero_copy_only=False)
+        csum = np.zeros(cnt.size + 1, dtype=np.int64)
+        np.cumsum(cnt, out=csum[1:])
+        return joined, csum[off[1:]] - csum[starts]
+
+    joined, sums = _heal_join(b, starts)
+    take = pa.array(starts)
+    healed = pa.table(
+        {key: b.column(key).take(take), out: joined, n_out: pa.array(sums)}
+    )
+    return interior_ds.union(ray.data.from_arrow(healed))
+
+
 def _order_change(t: pa.Table, order_by: list[str]) -> np.ndarray:
     """bool[n]: row i's order tuple differs from row i-1's (row 0 True)."""
     n = t.num_rows

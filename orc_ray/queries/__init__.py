@@ -75,6 +75,7 @@ QUERIES = {
     "session_windows": q_session_windows,
     "masked_export": q_masked_export,
     "pack_sequences": q_pack_sequences,
+    "pack_windows": q_pack_windows,
     "source_cap": q_source_cap,
     "hash_split": q_hash_split,
     "sliding_window_events": q_sliding_window_events,

@@ -106,6 +106,94 @@ def _pack_oracle_ctes(source_rel: str) -> str:
     """
 
 
+def q_pack_windows(sf_dir: str):
+    """Sequence packing, MATERIALIZED: the actual fixed-context training
+    rows, not just the window assignment.  Documents in doc_id order are
+    laid head-to-tail in token space and cut at every PACK_WINDOW_TOKENS
+    boundary — a document spanning a boundary is SPLIT, its tail starting
+    the next window (the GPT-style concat-then-chunk dataloader rule).
+
+    Shape: token counts -> distributed prefix scan (with_prefix_sum:
+    O(blocks) driver state) -> a per-batch piece stage that slices each
+    doc's word list at window boundaries (pieces are vectorized —
+    np.repeat position algebra + ONE pyarrow binary_join per batch; a doc
+    yields ~n_tok/window + 1 pieces) -> string_agg_by_key assembles each
+    window's text in global token order (one range sort; <=2 boundary
+    windows per block heal on the driver).  Output: (win_id, n_win_tok,
+    win_text) with every interior window exactly PACK_WINDOW_TOKENS
+    tokens."""
+    from ..functions.aggregates import string_agg_by_key, with_prefix_sum
+    from ..functions.text import _ws_words
+
+    L = PACK_WINDOW_TOKENS
+    docs = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        _, _, nw = _ws_words(t.column("text").combine_chunks())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": t.column("text"),
+                "n_tok": pa.array(nw.astype(np.int64)),
+            }
+        )
+
+    with_n = docs.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+    scanned = with_prefix_sum(with_n, ["doc_id"], "n_tok", out="cum_prev")
+
+    def pieces(t: pa.Table) -> pa.Table:
+        off, flat, nw = _ws_words(t.column("text").combine_chunks())
+        nw = nw.astype(np.int64)
+        total = int(nw.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "win_id": pa.array([], pa.int64()),
+                    "gpos": pa.array([], pa.int64()),
+                    "piece": pa.array([], pa.large_string()),
+                    "npc": pa.array([], pa.int64()),
+                }
+            )
+        cum = t.column("cum_prev").to_numpy(zero_copy_only=False)
+        # word -> (doc, local position); empty docs contribute nothing,
+        # which also drops the phantom '' word split("") produces
+        doc_idx = np.repeat(np.arange(nw.size), nw)
+        word_local = np.arange(total) - np.repeat(np.cumsum(nw) - nw, nw)
+        words = flat.take(pa.array(np.repeat(off[:-1], nw) + word_local))
+        g = np.repeat(cum, nw) + word_local  # global token positions
+        w = g // L
+        brk = np.ones(total, dtype=bool)
+        brk[1:] = (w[1:] != w[:-1]) | (doc_idx[1:] != doc_idx[:-1])
+        starts = np.flatnonzero(brk)
+        poff = np.empty(starts.size + 1, dtype=np.int64)
+        poff[:-1] = starts
+        poff[-1] = total
+        if not isinstance(words, pa.LargeStringArray):
+            words = words.cast(pa.large_string())
+        piece = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(poff), words),
+            pa.scalar(" ", pa.large_string()),
+        )
+        return pa.table(
+            {
+                "win_id": pa.array(w[starts]),
+                "gpos": pa.array(g[starts]),
+                "piece": piece,
+                "npc": pa.array(np.diff(poff)),
+            }
+        )
+
+    pcs = scanned.map_batches(pieces, batch_format="pyarrow", zero_copy_batch=True)
+    agg = string_agg_by_key(
+        pcs, "win_id", "gpos", "piece", "npc", sep=" ",
+        out="win_text", n_out="n_win_tok",
+    )
+    res = _to_table(agg).sort_by("win_id")
+    return res.select(["win_id", "n_win_tok", "win_text"]).set_column(
+        2, "win_text", res.column("win_text").cast(pa.string())
+    )
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing (concat-then-chunk): documents in doc_id order are
     laid head-to-tail in token space and cut into fixed
@@ -393,6 +481,30 @@ def q_normalize_text(sf_dir: str):
 # the SQL lives beside the pipeline it mirrors).
 ORACLE_SQL = {
     "pack_sequences": "WITH " + _pack_oracle_ctes("documents"),
+    "pack_windows": rf"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        off AS (
+            SELECT doc_id, toks,
+                   COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum
+            FROM tok
+        ),
+        g AS (
+            SELECT cum + i AS gpos, tok
+            FROM (SELECT cum, unnest(toks) AS tok,
+                         unnest(range(len(toks))) AS i FROM off)
+        )
+        SELECT CAST(gpos // {PACK_WINDOW_TOKENS} AS BIGINT) AS win_id,
+               COUNT(*) AS n_win_tok,
+               STRING_AGG(tok, ' ' ORDER BY gpos) AS win_text
+        FROM g GROUP BY win_id ORDER BY win_id
+    """,
     "source_cap": """
         SELECT source, doc_id, n_chars, rnk FROM (
             SELECT source, doc_id, n_chars,

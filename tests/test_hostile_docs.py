@@ -29,6 +29,7 @@ import pytest
 
 QUERY_NAMES = [
     "token_counts", "quality_scores", "repetition_stats", "pack_sequences",
+    "pack_windows",
     "dedup_exact", "dedup_ngram", "prefix_clusters", "vocab_table",
     "word_bigrams", "source_vocab_overlap", "stratified_sample",
     "weighted_sample", "decontaminate", "chunk_passages",
