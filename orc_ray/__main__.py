@@ -13,6 +13,7 @@ meta/data/scan/convert; C++ orc-metadata/orc-contents/orc-scan).
     python -m orc_ray zorder  STORE OUT --by x,y   # multi-column clustering
     python -m orc_ray compact STORE OUT            # small-files compaction
     python -m orc_ray shuffle STORE OUT --key id --seed 7   # deterministic global shuffle
+    python -m orc_ray pack    STORE OUT --window 2048  # fixed-context training rows
     python -m orc_ray sample  STORE OUT --key id --pct 10    # deterministic hash sample
     python -m orc_ray merge   OUT STORE1 STORE2…   # orc-tools merge analog
     python -m orc_ray profile STORE --cols a,b     # one-pass numeric profile
@@ -504,6 +505,17 @@ def cmd_shuffle(a) -> int:
     return 0
 
 
+def cmd_pack(a) -> int:
+    """Pack a pre-tokenized store into fixed-context training rows."""
+    _ray_up()
+    from .pipeline.encode import pack_store
+
+    rec = pack_store(a.store, a.out, tokens_col=a.tokens_col, key_col=a.key,
+                     window=a.window, batch_size=a.batch_size)
+    print(json.dumps(rec["totals"]))
+    return 0
+
+
 def cmd_sample(a) -> int:
     """Deterministic hash-fraction sample of a store (md5 bucket rule)."""
     _ray_up()
@@ -829,6 +841,17 @@ def main(argv=None) -> int:
     sh.add_argument("--seed", type=int, default=0)
     sh.add_argument("--batch-size", type=int, default=16384)
     sh.set_defaults(fn=cmd_shuffle)
+
+    pk = sub.add_parser("pack", help="pack a pre-tokenized store into fixed-context "
+                                     "training rows (concat-then-chunk, docs split at "
+                                     "window boundaries)")
+    pk.add_argument("store")
+    pk.add_argument("out")
+    pk.add_argument("--window", type=int, default=2048)
+    pk.add_argument("--key", default="doc_id")
+    pk.add_argument("--tokens-col", default="tokens")
+    pk.add_argument("--batch-size", type=int, default=16384)
+    pk.set_defaults(fn=cmd_pack)
 
     mem = sub.add_parser("memory",
                          help="reader memory estimate from manifest + sampled "

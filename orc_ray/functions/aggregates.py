@@ -797,6 +797,114 @@ def string_agg_by_key(ds, key: str, order: str, val: str, n: str,
     return interior_ds.union(ray.data.from_arrow(healed))
 
 
+def list_concat_by_key(ds, key: str, order: str, val: str,
+                       out: str = "concat", stats_out: dict | None = None):
+    """Ordered per-key LIST concatenation — ``string_agg_by_key`` for
+    ``list<T>`` columns: rows sharing ``key`` have their ``val`` lists
+    concatenated in ``order`` order into one list per key.  The token-
+    space assembly primitive behind pack_store (each training window's
+    pieces flow here).
+
+    Same shape as string_agg_by_key: ONE range sort on (key, order); per
+    block the run concat is pure offset arithmetic over the already-
+    contiguous flattened child (zero value copies beyond the take);
+    <=2 boundary runs per block heal on the driver in replayed order."""
+    import ray
+    import pyarrow.compute as pc
+
+    def _concat_runs(lists: pa.Array, starts: np.ndarray):
+        """One list per run: child values are already contiguous in run
+        order, so the concat is just coarser offsets."""
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        if lists.null_count:
+            # null list == empty list for concatenation purposes
+            lists = pc.fill_null(lists, pa.scalar([], lists.type))
+        loff = np.asarray(lists.offsets)
+        child = lists.values
+        roff = np.empty(starts.size + 1, dtype=np.int64)
+        roff[:-1] = loff[starts]
+        roff[-1] = loff[-1]
+        base = roff[0]
+        if base or len(child) != int(roff[-1] - base):
+            child = child.slice(int(base), int(roff[-1] - base))
+            roff = roff - base
+        if pa.types.is_large_list(lists.type):
+            return pa.LargeListArray.from_arrays(pa.array(roff), child)
+        return pa.ListArray.from_arrays(pa.array(roff.astype(np.int32), pa.int32()), child)
+
+    def stage(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            if not t.column_names:
+                return pa.table({})
+            return pa.table(
+                {
+                    key: t.column(key),
+                    "_l": t.column(val),
+                    "_g": t.column(order),
+                    "_edge": pa.array([], pa.bool_()),
+                }
+            )
+        if aux_names:
+            t = _restore_null_keys(t, [key], aux_names)
+        det = _key_detection_np(t, [key])
+        starts = _group_starts(det)
+        runs = _concat_runs(t.column(val), starts)
+        edge = np.zeros(starts.size, dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        for j in range(1, len(det), 2):
+            edge |= det[j][starts]
+        idx = pa.array(starts)
+        return pa.table(
+            {
+                key: t.column(key).take(idx),
+                "_l": runs,
+                "_g": t.column(order).take(idx),
+                "_edge": pa.array(edge),
+            }
+        )
+
+    sorted_ds, aux_names = _sorted_for_keys(ds, [key], order_by=[order])
+    mixed = (
+        sorted_ds
+        .map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def interior_rows(t: pa.Table) -> pa.Table:
+        if "_edge" not in t.column_names:
+            return pa.table({})
+        keep = t.filter(pc.invert(t.column("_edge").combine_chunks()))
+        return pa.table({key: keep.column(key), out: keep.column("_l")})
+
+    interior_ds = mixed.map_batches(interior_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        if "_edge" not in t.column_names:
+            return pa.table({})
+        return t.filter(t.column("_edge").combine_chunks()).select([key, "_l", "_g"])
+
+    bparts = [
+        p
+        for p in mixed.map_batches(edge_rows, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+        if p.num_rows
+    ]
+    if stats_out is not None:
+        stats_out["boundary_rows"] = sum(p.num_rows for p in bparts)
+    if not bparts:
+        return interior_ds
+    b = pa.concat_tables(bparts, promote_options="default").combine_chunks()
+    b = b.sort_by([(key, "ascending"), ("_g", "ascending")])
+    det = _key_detection_np(b, [key])
+    starts = _group_starts(det)
+    runs = _concat_runs(b.column("_l"), starts)
+    take = pa.array(starts)
+    healed = pa.table({key: b.column(key).take(take), out: runs})
+    return interior_ds.union(ray.data.from_arrow(healed))
+
+
 def _order_change(t: pa.Table, order_by: list[str]) -> np.ndarray:
     """bool[n]: row i's order tuple differs from row i-1's (row 0 True)."""
     n = t.num_rows

@@ -30,6 +30,7 @@ Scale notes (the 100 TB design points):
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 import os
@@ -459,6 +460,151 @@ def sort_store(
     ds = decode_dataset(in_dir)
     ds = ds.sort(by, descending=descending)
     return encode_dataset(None, out_dir, opts, ds=ds, batch_size=batch_size)
+
+
+def pack_store(
+    in_dir: str,
+    out_dir: str,
+    opts: EncodeOptions = DEFAULT_OPTIONS,
+    *,
+    tokens_col: str = "tokens",
+    key_col: str = "doc_id",
+    window: int = 2048,
+    batch_size: int = 16384,
+) -> dict:
+    """Pack a pre-tokenized store into fixed-context training rows — the
+    token-level concat-then-chunk op the north-star corpus exists for:
+    documents in ``key_col`` order are laid head-to-tail in token space
+    and cut every ``window`` tokens, documents spanning a boundary are
+    SPLIT, and the output rows (seq_id, tokens:list<T> of exactly
+    ``window`` tokens except the final remainder, n_tok) re-encode into
+    ``out_dir`` through the normal streaming pipeline.
+
+    Shape: list lengths -> distributed prefix scan (O(blocks) driver
+    state) -> a vectorized per-batch piece stage (offset algebra over the
+    already-flattened child; a doc yields ~n_tok/window + 1 pieces) ->
+    list_concat_by_key window assembly (ONE range sort; <=2 boundary
+    windows per block heal on the driver, each bounded by ``window``
+    values).  Null token lists pack as empty; null ELEMENTS ride through
+    verbatim (the packer moves tokens, it does not judge them).
+    Deterministic: same (store, key, window) -> byte-identical output,
+    preserving the retry/resume contract of the other re-encode ops."""
+    import pyarrow.compute as pc
+
+    from ..functions.aggregates import list_concat_by_key, with_prefix_sum
+    from .decode import decode_dataset
+
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    _wipe_target(in_dir, out_dir)
+
+    def counts(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.list_value_length(t.column(tokens_col)), 0)
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                tokens_col: t.column(tokens_col),
+                "_n": n.cast(pa.int64()),
+            }
+        )
+
+    scanned = with_prefix_sum(
+        decode_dataset(in_dir, columns=[key_col, tokens_col]).map_batches(
+            counts, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        [key_col],
+        "_n",
+        out="_cum",
+    )
+
+    def pieces(t: pa.Table) -> pa.Table:
+        lists = t.column(tokens_col)
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        child_type = lists.type.value_type
+        empty = pa.table(
+            {
+                "seq_id": pa.array([], pa.int64()),
+                "_g": pa.array([], pa.int64()),
+                "_piece": pa.array([], pa.list_(child_type)),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        if lists.null_count:
+            lists = pc.fill_null(lists, pa.scalar([], lists.type))
+        loff = np.asarray(lists.offsets, dtype=np.int64)
+        nw = np.diff(loff)
+        total = int(nw.sum())
+        if total == 0:
+            return empty
+        cum = t.column("_cum").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(nw.size), nw)
+        local = np.arange(total) - np.repeat(np.cumsum(nw) - nw, nw)
+        src = np.repeat(loff[:-1], nw) + local  # absolute child indices
+        g = np.repeat(cum, nw) + local          # global token positions
+        w = g // window
+        brk = np.ones(total, dtype=bool)
+        brk[1:] = (w[1:] != w[:-1]) | (doc_idx[1:] != doc_idx[:-1])
+        starts = np.flatnonzero(brk)
+        poff = np.empty(starts.size + 1, dtype=np.int64)
+        poff[:-1] = starts
+        poff[-1] = total
+        vals = lists.values.take(pa.array(src))
+        piece = pa.ListArray.from_arrays(
+            pa.array(poff.astype(np.int32), pa.int32()), vals
+        )
+        return pa.table(
+            {
+                "seq_id": pa.array(w[starts]),
+                "_g": pa.array(g[starts]),
+                "_piece": piece,
+            }
+        )
+
+    pcs = scanned.map_batches(pieces, batch_format="pyarrow", zero_copy_batch=True)
+    packed = list_concat_by_key(pcs, "seq_id", "_g", "_piece", out=tokens_col)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or tokens_col not in t.column_names:
+            return pa.table({})
+        n = pc.list_value_length(t.column(tokens_col)).cast(pa.int32())
+        sid = t.column("seq_id")
+        return pa.table(
+            {
+                "seq_id": sid,
+                tokens_col: t.column(tokens_col),
+                "n_tok": n,
+                # chunk grouping derived from ROW SPACE (seq range), not
+                # stream topology: Ray's sort boundary sampling shifts
+                # block splits between runs, and content-addressed chunks
+                # would differ — grouping by seq_id // batch_size makes
+                # every chunk's contents a pure function of the data, so
+                # re-runs are byte-identical (the resume contract)
+                _SALT_COL: pc.divide(sid, batch_size).cast(pa.int64()),
+            }
+        )
+
+    grouped = (
+        packed.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(_SALT_COL)
+        .map_groups(
+            functools.partial(_encode_pack_group, out_dir=out_dir, opts=opts),
+            batch_format="pyarrow",
+        )
+    )
+    fstore.makedirs(mstate.manifest_dir(out_dir))
+    fstore.ray_write_parquet(grouped, mstate.manifest_dir(out_dir))
+    return mstate.commit(out_dir, None)
+
+
+def _encode_pack_group(g: pa.Table, *, out_dir: str, opts: EncodeOptions) -> pa.Table:
+    """Encode ONE seq-range group as its own chunk (pack_store's chunking
+    unit) — runs inside map_groups, writes the chunk, returns its
+    manifest row."""
+    if g.num_rows == 0:
+        return pa.table({}, schema=mstate.MANIFEST_SCHEMA)
+    g = g.sort_by("seq_id").drop_columns([_SALT_COL])
+    return EncoderActor(out_dir, opts)(g)
 
 
 def compact_store(
