@@ -95,6 +95,17 @@ def headline(num_cpus: int, sf: float) -> dict:
         dec_s = min(dec_s, time.time() - t0)
         assert decoded_rows == n_rows, (decoded_rows, n_rows)
 
+    # the training-side deliverable: pack the encoded store into
+    # fixed-context rows (token-level concat-then-chunk), timed once
+    from orc_ray.pipeline.encode import pack_store
+
+    pack_dir = os.path.join(BENCH_TMP, f"packed-{n_rows}-{num_cpus}")
+    shutil.rmtree(pack_dir, ignore_errors=True)
+    t0 = time.time()
+    prec = pack_store(out_dir, pack_dir, window=2048, batch_size=4096)
+    pack_s = time.time() - t0
+    pack_windows = prec["totals"]["rows"]
+
     # sampled bit-identity check: decode one chunk store table slice fully
     from orc_ray.chunk import decode_chunk
 
@@ -116,6 +127,9 @@ def headline(num_cpus: int, sf: float) -> dict:
         "decode_MiBps": round(raw / 2**20 / dec_s, 1),
         "cold_encode_s": round(cold_enc_s, 3),
         "cold_decode_s": round(cold_dec_s, 3),
+        "pack_s": round(pack_s, 3),
+        "pack_windows": pack_windows,
+        "pack_tokens_per_s": int(pack_windows * 2048 / pack_s),
     }
 
 

@@ -850,7 +850,8 @@ def main(argv=None) -> int:
     pk.add_argument("--window", type=int, default=2048)
     pk.add_argument("--key", default="doc_id")
     pk.add_argument("--tokens-col", default="tokens")
-    pk.add_argument("--batch-size", type=int, default=16384)
+    pk.add_argument("--batch-size", type=int, default=None,
+                    help="windows per chunk (default: ~16 MiB of tokens)")
     pk.set_defaults(fn=cmd_pack)
 
     mem = sub.add_parser("memory",

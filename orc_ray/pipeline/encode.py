@@ -470,7 +470,7 @@ def pack_store(
     tokens_col: str = "tokens",
     key_col: str = "doc_id",
     window: int = 2048,
-    batch_size: int = 16384,
+    batch_size: int | None = None,
 ) -> dict:
     """Pack a pre-tokenized store into fixed-context training rows — the
     token-level concat-then-chunk op the north-star corpus exists for:
@@ -496,6 +496,10 @@ def pack_store(
 
     if window <= 0:
         raise ValueError(f"window must be positive, got {window}")
+    if batch_size is None:
+        # ~16 MiB of int32 tokens per chunk: window rows are dense, so the
+        # row count per chunk shrinks as the window grows
+        batch_size = max(256, (4 << 20) // window)
     _wipe_target(in_dir, out_dir)
 
     def counts(t: pa.Table) -> pa.Table:
@@ -565,8 +569,19 @@ def pack_store(
     packed = list_concat_by_key(pcs, "seq_id", "_g", "_piece", out=tokens_col)
 
     def finish(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or tokens_col not in t.column_names:
-            return pa.table({})
+        if tokens_col not in t.column_names:
+            return pa.table({})  # schema-less empty sort partition
+        if t.num_rows == 0:
+            # typed empty: a bare pa.table({}) would make Ray unify
+            # mismatched schemas across blocks and warn
+            return pa.table(
+                {
+                    "seq_id": t.column("seq_id"),
+                    tokens_col: t.column(tokens_col),
+                    "n_tok": pa.array([], pa.int32()),
+                    _SALT_COL: pa.array([], pa.int64()),
+                }
+            )
         n = pc.list_value_length(t.column(tokens_col)).cast(pa.int32())
         sid = t.column("seq_id")
         return pa.table(
