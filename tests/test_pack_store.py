@@ -84,6 +84,19 @@ def test_pack_is_retry_deterministic(tmp_path, f1_store, ray_session):
     assert h[0] == h[1], "pack_store re-run is not byte-identical"
 
 
+@pytest.mark.parametrize("window", [7, WINDOW])
+def test_pack_extreme_split(tmp_path, f1_store, ray_session, window):
+    # window far below typical doc length: nearly every doc spans many
+    # windows, maximizing piece counts and boundary healing
+    out = str(tmp_path / f"w{window}")
+    pack_store(f1_store, out, window=window, batch_size=300)
+    src = _decode_all(f1_store)
+    packed = _decode_all(out).sort_by("seq_id")
+    assert _flat_tokens(packed, "seq_id", "tokens") == _flat_tokens(src, "doc_id", "tokens")
+    lens = packed.column("n_tok").to_pylist()
+    assert all(l == window for l in lens[:-1])
+
+
 def test_pack_hostile_lists(tmp_path, ray_session):
     # null lists, null elements, empty lists, docs spanning many windows
     rng = np.random.default_rng(5)
