@@ -521,7 +521,8 @@ def _decimal_scale(v: np.ndarray) -> int | None:
 
     def _ok(arr: np.ndarray, k: int) -> bool:
         s = 10.0**k
-        fs = arr.astype(np.float64) * s
+        with np.errstate(over="ignore"):  # inf is the reject signal below
+            fs = arr.astype(np.float64) * s
         if not np.all(np.isfinite(fs)) or np.abs(fs).max() >= 2**52:
             return False
         back = (np.rint(fs) / s).astype(v.dtype)
