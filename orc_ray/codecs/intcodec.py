@@ -48,7 +48,7 @@ import struct
 
 import numpy as np
 
-from .bitpack import align_width, pack, packed_nbytes, unpack
+from .bitpack import ALIGNED_WIDTHS, align_width, pack, packed_nbytes, unpack
 from .varint import decode_svarints, decode_varints, encode_svarints, encode_varints
 
 __all__ = ["encode_ints", "decode_ints", "encode_int64", "decode_int64", "INT_BLOCKS", "INT_RLE", "INT_BLOCKS32"]
@@ -174,21 +174,53 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed", dt: _Dt = _DT64)
                 # for the p90 element — same values, ~25% less stats time
                 pb.min(axis=1, out=mins[sl])
                 pb.max(axis=1, out=maxs[sl])
-                pb.partition(k, axis=1)
-                # column slices are non-contiguous; subtract first (two's-
-                # complement wraparound), then reinterpret the new array
-                p90[sl] = (pb[:, k] - mins[sl]).view(dt.udt)
-                # outlier count at the (aligned) p90 width, from cache
-                wp = _w(_exact_bit_width(p90[sl], dt))
-                th = np.zeros(hi - lo, dtype=dt.udt)
-                ltb_l = wp < dt.bits
-                th[ltb_l] = (dt.one << wp[ltb_l].astype(dt.udt)) - dt.one
                 ub = ubuf[: hi - lo]
                 np.subtract(pb, mins[sl][:, None], out=ub)
+                ubu = ub.view(dt.udt)
+                # p90 short-circuit: bit width is monotone in the unsigned
+                # shifted value, and PATCHED is rejected by the
+                # w_p90 < w_direct clause (both sides _w-aligned) no matter
+                # what n_patch says whenever align(width(p90)) ==
+                # align(width(span)).  That holds iff the p90 element
+                # >= 2^prev, where prev is the aligned width just BELOW
+                # align(W) (exact W-1 in compression mode) — i.e. iff
+                # count(ub < 2^prev) < k+1.  For such blocks p90 := span
+                # and n_patch := 0 reproduce the selection — and the
+                # bytes — exactly, and the introselect only ever runs on
+                # blocks whose p90 genuinely drops an alignment bucket
+                # (the partition was ~25% of token-corpus encode time).
+                span_l = (maxs[sl] - mins[sl]).view(dt.udt)
+                W_l = _exact_bit_width(span_l, dt)
+                if aligned:
+                    prev_l = ALIGNED_WIDTHS[
+                        np.maximum(np.searchsorted(ALIGNED_WIDTHS, W_l, side="left") - 1, 0)
+                    ]
+                else:
+                    prev_l = W_l - 1
+                thr = np.zeros(hi - lo, dtype=dt.udt)
+                wpos = W_l > 0
+                thr[wpos] = dt.one << prev_l[wpos].astype(dt.udt)
                 cb = cmp_buf[: hi - lo]
-                np.greater(ub.view(dt.udt), th[:, None], out=cb)
-                cb.sum(axis=1, out=n_patch[sl])
-                n_patch[sl][~ltb_l] = 0
+                np.less(ubu, thr[:, None], out=cb)
+                cnt_low = cb.sum(axis=1)
+                p90[sl] = span_l
+                n_patch[sl] = 0
+                slow = np.flatnonzero(wpos & (cnt_low >= k + 1))
+                if slow.size:
+                    # signed order of pb == unsigned order of ub, so the
+                    # kth of the unsigned copy IS (kth of pb) - min
+                    sub = ubu[slow]  # copy; introselect it in place
+                    sub.partition(k, axis=1)
+                    p90v = sub[:, k]
+                    gidx = base + lo + slow
+                    p90[gidx] = p90v
+                    # outlier count at the (aligned) p90 width, from cache
+                    wp = _w(_exact_bit_width(p90v, dt))
+                    th = np.zeros(slow.size, dtype=dt.udt)
+                    ltb_l = wp < dt.bits
+                    th[ltb_l] = (dt.one << wp[ltb_l].astype(dt.udt)) - dt.one
+                    n_patch[gidx] = (sub > th[:, None]).sum(axis=1)
+                    n_patch[gidx[~ltb_l]] = 0
         umins = mins.view(dt.udt)
         span = maxs.view(dt.udt) - umins
         w_direct = _w(_exact_bit_width(span, dt))
