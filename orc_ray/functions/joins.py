@@ -348,7 +348,11 @@ def join_adaptive(
                     batch_format="pyarrow",
                     zero_copy_batch=True,
                 )
-            return big_ds.filter(lambda _: False)
+            # empty build side + inner join -> no rows; emit empty slices
+            # (schema-preserving, vectorized) rather than a per-row filter
+            return big_ds.map_batches(
+                lambda b: b.slice(0, 0), batch_format="pyarrow", zero_copy_batch=True
+            )
         ref = ray.put((t.column(small_key).combine_chunks(),
                        {c: t.column(c).combine_chunks() for c in payload_cols}))
 

@@ -883,7 +883,7 @@ def q_union_tagged_values(sf_dir: str):
         codes = np.asarray(u.type_codes)
         offs = np.asarray(u.offsets)
         i_sel = offs[codes == 0]
-        ints = u.child(0).take(pa.array(i_sel))
+        ints = u.field(0).take(pa.array(i_sel))
         return pa.table(
             {
                 "n_int": pa.array([int((codes == 0).sum())], pa.int64()),

@@ -3749,8 +3749,12 @@ def q_sales_opportunity(sf_dir: str):
         t = t.filter(
             pc.is_in(t.column("c_nationkey"), value_set=pa.array(NATS, t.column("c_nationkey").type))
         )
-        cents = np.rint(t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        keep = cents * N > S
+        bal = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        # NULL acctbal is SQL-false in `c_acctbal > (SELECT AVG ...)`:
+        # exclude explicitly rather than letting NaN->int64 wrap decide
+        valid = ~np.isnan(bal)
+        cents = np.rint(np.where(valid, bal, 0.0) * 100).astype(np.int64)
+        keep = valid & (cents * N > S)
         return pa.table(
             {
                 "c_custkey": t.column("c_custkey"),
