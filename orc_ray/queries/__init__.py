@@ -184,6 +184,7 @@ QUERIES = {
     "zorder_lookup": q_zorder_lookup,
     "encoded_groupby": q_encoded_groupby,
     "unigram_logprob": q_unigram_logprob,
+    "nb_lang_confusion": q_nb_lang_confusion,
     "bigram_logprob": q_bigram_logprob,
     "oov_rate": q_oov_rate,
     "tokenize_corpus": q_tokenize_corpus,

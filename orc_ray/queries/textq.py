@@ -1165,10 +1165,100 @@ def q_bigram_logprob(sf_dir: str):
     ).sort_by("doc_id")
 
 
+def q_nb_lang_confusion(sf_dir: str):
+    """Multinomial Naive Bayes language classifier, trained AND evaluated
+    on the corpus's own (lang, text) pairs — the classifier-gating
+    curation op (fastText/CCNet family) with an exact confusion matrix
+    as the compact, ORACLE-EXACT deliverable.
+
+    Scale shape: train = ONE sum_by_keys over (lang, word) partials
+    (O(labels x vocab) shuffle, doc counts riding under a sentinel word);
+    the [(V+1) x C] e6-quantized model broadcasts once; predict is a
+    stateless vectorized pass; the confusion rollup is one tiny
+    agg_by_keys over O(C^2) groups.  Determinism: per-token log-probs
+    floor at e6 BEFORE the integer sums, so scores are order-independent
+    int64 and the argmax tie-break (ascending class name) matches the
+    SQL's ROW_NUMBER ORDER BY s DESC, c ASC.  See functions/classify.py
+    for the full contract."""
+    from ..functions.aggregates import agg_by_keys
+    from ..functions.classify import nb_predict, nb_train
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    # train and score the SAME labeled set (lang IS NOT NULL) so the SQL
+    # mirror is one corpus: NULL-lang docs carry no supervision and have
+    # no true row in the confusion matrix
+    def drop_unlabeled(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("lang")))
+
+    labeled = ds.map_batches(drop_unlabeled, batch_format="pyarrow", zero_copy_batch=True)
+    model = nb_train(labeled, text_col="text", label_col="lang")
+    preds = nb_predict(labeled, model, text_col="text")
+    conf = agg_by_keys(
+        preds,
+        ["lang", "pred"],
+        [("score_e6", "count", "n_docs"), ("score_e6", "sum", "score_sum_e6")],
+    )
+    return _to_table(conf).sort_by([("lang", "ascending"), ("pred", "ascending")])
+
+
 # --- DuckDB oracle SQL for this domain's queries; assembled into the
 # driver-contract registry by queries/__init__ (zero behavior change —
 # the SQL lives beside the pipeline it mirrors).
 ORACLE_SQL = {
+    "nb_lang_confusion": """
+        -- docs = labeled rows with >=1 whitespace word.  Derived FROM the
+        -- word set (not via trim(text) <> ''): SQL trim strips only
+        -- spaces, while the engine's utf8_trim_whitespace strips \\t\\n
+        -- etc, so a tabs-only doc would otherwise count in the priors on
+        -- one side only.
+        WITH words AS (
+          SELECT doc_id, lang, w FROM (
+            SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+          ) WHERE w <> ''
+        ),
+        docs AS (SELECT doc_id, any_value(lang) AS lang FROM words GROUP BY doc_id),
+        cw AS (SELECT lang AS c, w, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY 1, 2),
+        ct AS (SELECT c, CAST(SUM(n) AS BIGINT) AS t FROM cw GROUP BY 1),
+        v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS nv FROM words),
+        classes AS (SELECT DISTINCT lang AS c FROM docs),
+        vocab AS (SELECT DISTINCT w FROM words),
+        lpm AS (
+          SELECT vocab.w, cl.c,
+                 CAST(FLOOR(LN((CAST(COALESCE(cw.n, 0) AS DOUBLE) + 1.0)
+                               / (CAST(ct.t AS DOUBLE) + CAST(v.nv AS DOUBLE)))
+                            * 1000000) AS BIGINT) AS l
+          FROM vocab CROSS JOIN classes cl CROSS JOIN v
+          JOIN ct ON ct.c = cl.c
+          LEFT JOIN cw ON cw.c = cl.c AND cw.w = vocab.w
+        ),
+        prior AS (
+          SELECT lang AS c,
+                 CAST(FLOOR(LN(CAST(COUNT(*) AS DOUBLE)
+                               / (SELECT CAST(COUNT(*) AS DOUBLE) FROM docs))
+                            * 1000000) AS BIGINT) AS p
+          FROM docs GROUP BY 1
+        ),
+        scores AS (
+          SELECT w2.doc_id, lpm.c, pr.p + SUM(lpm.l) AS s
+          FROM words w2
+          JOIN lpm ON w2.w = lpm.w
+          JOIN prior pr ON pr.c = lpm.c
+          GROUP BY 1, 2, pr.p
+        ),
+        pred AS (
+          SELECT doc_id, c, s,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, c ASC) AS rn
+          FROM scores
+        )
+        SELECT d.lang, p.c AS pred,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(p.s) AS BIGINT) AS score_sum_e6
+        FROM pred p JOIN docs d USING (doc_id) WHERE p.rn = 1
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "text_stats": """
         SELECT doc_id, LENGTH(text) AS n_chars_calc,
                LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
