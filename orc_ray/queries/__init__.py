@@ -185,6 +185,7 @@ QUERIES = {
     "encoded_groupby": q_encoded_groupby,
     "unigram_logprob": q_unigram_logprob,
     "nb_lang_confusion": q_nb_lang_confusion,
+    "bpe_tokenize": q_bpe_tokenize,
     "bigram_logprob": q_bigram_logprob,
     "oov_rate": q_oov_rate,
     "tokenize_corpus": q_tokenize_corpus,

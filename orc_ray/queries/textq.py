@@ -1165,6 +1165,78 @@ def q_bigram_logprob(sf_dir: str):
     ).sort_by("doc_id")
 
 
+def q_bpe_tokenize(sf_dir: str):
+    """Byte-level BPE tokenizer end-to-end: train 200 merges on the
+    corpus's own word-frequency table, tokenize every document, route the
+    north-star-shaped result (doc_id, tokens:list<int32>, n_tok, source)
+    through the chunk store's FOR+bitpack token lane, decode it back, and
+    reduce to integer-exact per-source aggregates.
+
+    Scale shape: train = ONE sum_by_keys word-count shuffle + an
+    O(vocab x merges) driver loop (how every production BPE trainer
+    works — the corpus never re-enters training); apply = broadcast merge
+    table + per-batch unique-word merge replay; the aggregate is one tiny
+    keyed sum.  No SQL oracle (the merge loop is iterative-argmax), so
+    the gate is rows-only — hardened by in-query asserts: (a) apply runs
+    with verify=True, so every batch proves detokenization is
+    BYTE-IDENTICAL to its lowercased input words (byte-level BPE has no
+    OOV case), (b) the vocab is exactly 256 + n_merges, (c) subword
+    compression is real: total tokens < total word bytes.  Parity with a
+    sequential reference trainer/applier is pinned in tests/test_bpe.py."""
+    from ..functions.aggregates import agg_by_keys
+    from ..functions.bpe import bpe_apply, bpe_train
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    tstats = {}
+    model = bpe_train(ds, text_col="text", n_merges=200, stats_out=tstats)
+    merges, sym_bytes = model
+    assert len(sym_bytes) == 256 + len(merges)
+
+    tok = bpe_apply(ds, model, text_col="text", verify=True)
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    store = os.path.join(
+        CACHE_ROOT,
+        f"bpe-{hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]}",
+    )
+    import shutil
+
+    shutil.rmtree(store, ignore_errors=True)
+    encode_dataset(None, store, DEFAULT_OPTIONS, ds=tok, batch_size=8192)
+
+    def parts(t: pa.Table) -> pa.Table:
+        toks = t.column("tokens").combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        off = np.zeros(t.num_rows + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        c = np.zeros(flat.size + 1, dtype=np.int64)
+        np.cumsum(flat, out=c[1:])
+        id_sum = c[off[1:]] - c[off[:-1]]
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_tok_sum": pa.array(lens),
+                "tok_id_sum": pa.array(id_sum),
+            }
+        )
+
+    agg = agg_by_keys(
+        decode_dataset(store).map_batches(parts, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        [("n_docs", "sum", "n_docs"), ("n_tok_sum", "sum", "n_tok_sum"),
+         ("tok_id_sum", "sum", "tok_id_sum")],
+    )
+    out = _to_table(agg).sort_by("source")
+    # subword compression is real: fewer tokens than lowercased word
+    # bytes (every merge contracts >=2-count bigrams on this corpus)
+    total_tok = sum(out.column("n_tok_sum").to_pylist())
+    if merges and total_tok:
+        assert total_tok < tstats["total_word_bytes"], (total_tok, tstats)
+    return out
+
+
 def q_nb_lang_confusion(sf_dir: str):
     """Multinomial Naive Bayes language classifier, trained AND evaluated
     on the corpus's own (lang, text) pairs — the classifier-gating

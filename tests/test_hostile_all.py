@@ -70,7 +70,7 @@ QUERY_NAMES = [
     "schema_union_read", "roundtrip_lineitem",
 ]
 ROWS_ONLY = ["approx_quantiles", "simhash", "dedup_minhash",
-             "media_pipeline", "multimodal_features"]
+             "media_pipeline", "multimodal_features", "bpe_tokenize"]
 
 
 def _null_out(t, col, step, phase):
