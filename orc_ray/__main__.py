@@ -516,6 +516,23 @@ def cmd_pack(a) -> int:
     return 0
 
 
+def cmd_tokenize(a) -> int:
+    """Tokenize a text store into the pre-training token table with a
+    byte-level BPE trained on the store's own word frequencies."""
+    _ray_up()
+    from .pipeline.encode import tokenize_store
+
+    stats: dict = {}
+    rec = tokenize_store(
+        a.store, a.out, text_col=a.text_col, n_merges=a.merges,
+        top_words=a.top_words, batch_size=a.batch_size,
+        verify=not a.no_verify, stats_out=stats,
+    )
+    print(json.dumps({**rec["totals"], "n_merges": stats.get("n_merges"),
+                      "vocab_rows": stats.get("vocab_rows")}))
+    return 0
+
+
 def cmd_sample(a) -> int:
     """Deterministic hash-fraction sample of a store (md5 bucket rule)."""
     _ray_up()
@@ -853,6 +870,21 @@ def main(argv=None) -> int:
     pk.add_argument("--batch-size", type=int, default=None,
                     help="windows per chunk (default: ~16 MiB of tokens)")
     pk.set_defaults(fn=cmd_pack)
+
+    tk = sub.add_parser("tokenize", help="tokenize a text store into the pre-training "
+                                         "token table (byte-level BPE trained on the "
+                                         "store's own word frequencies; model persisted "
+                                         "as bpe_model.json)")
+    tk.add_argument("store")
+    tk.add_argument("out")
+    tk.add_argument("--text-col", default="text")
+    tk.add_argument("--merges", type=int, default=256)
+    tk.add_argument("--top-words", type=int, default=None,
+                    help="cap the driver-side word table (open vocabularies)")
+    tk.add_argument("--batch-size", type=int, default=8192)
+    tk.add_argument("--no-verify", action="store_true",
+                    help="skip the per-batch detokenization byte-identity assert")
+    tk.set_defaults(fn=cmd_tokenize)
 
     mem = sub.add_parser("memory",
                          help="reader memory estimate from manifest + sampled "

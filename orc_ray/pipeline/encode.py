@@ -622,6 +622,58 @@ def _encode_pack_group(g: pa.Table, *, out_dir: str, opts: EncodeOptions) -> pa.
     return EncoderActor(out_dir, opts)(g)
 
 
+def tokenize_store(
+    in_dir: str,
+    out_dir: str,
+    opts: EncodeOptions = DEFAULT_OPTIONS,
+    *,
+    text_col: str = "text",
+    n_merges: int = 256,
+    top_words: int | None = None,
+    batch_size: int = 8192,
+    verify: bool = True,
+    stats_out: dict | None = None,
+) -> dict:
+    """Tokenize a text store into the pre-training token table with a
+    byte-level BPE trained on the store's own word frequencies — the
+    "raw documents in, (.., tokens:list<int32>, n_tok) out" step in
+    front of `pack` (see functions/bpe.py for the trainer/apply
+    contract and scale shape).
+
+    Every non-text column rides through unchanged; the trained merge
+    table is persisted beside the manifest (bpe_model.json) so decoded
+    tokens remain interpretable and a later corpus can be tokenized with
+    the SAME model.  Wipe-first like every re-encode op."""
+    import base64
+    import json as _json
+
+    from ..functions.bpe import bpe_apply, bpe_train
+    from ..state import storage as fstore
+    from .decode import decode_dataset
+
+    _wipe_target(in_dir, out_dir)
+
+    ds = decode_dataset(in_dir)
+    tstats: dict = {}
+    merges, sym_bytes = bpe_train(
+        ds, text_col=text_col, n_merges=n_merges, top_words=top_words,
+        stats_out=tstats,
+    )
+    tok = bpe_apply(ds, (merges, sym_bytes), text_col=text_col, verify=verify)
+    rec = encode_dataset(None, out_dir, opts, ds=tok, batch_size=batch_size)
+    model = {
+        "alphabet": "bytes-256",
+        "n_merges": len(merges),
+        "merges": [[l, r, n] for l, r, n in merges],
+        "vocab_b64": [base64.b64encode(s).decode() for s in sym_bytes[256:]],
+    }
+    fstore.write_json_atomic(os.path.join(str(out_dir), "bpe_model.json"), model)
+    if stats_out is not None:
+        stats_out.update(tstats)
+        stats_out["n_merges"] = len(merges)
+    return rec
+
+
 def compact_store(
     in_dir: str,
     out_dir: str,

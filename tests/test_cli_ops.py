@@ -441,3 +441,50 @@ def test_memory_cli(ray_session, tmp_path, capsys):
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         main(["memory", store, "--columns", "nope"])
+
+
+def test_tokenize_cli(ray_session, tmp_path, capsys):
+    """Raw text store -> `tokenize` (byte-level BPE) -> `pack`: the full
+    pre-training data path through the CLI.  Checks the token store
+    schema, the persisted bpe_model.json, and window-exact packing."""
+    import json
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(40)], pa.string()),
+            "text": pa.array(
+                [f"the quick brown fox {i} jumps the" for i in range(40)],
+                pa.string(),
+            ),
+            "source": pa.array(["a", "b"] * 20, pa.string()),
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+    store = str(tmp_path / "store")
+    encode_dataset([src], store, batch_size=16)
+
+    tok = str(tmp_path / "tok")
+    assert main(["tokenize", store, tok, "--merges", "24"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["rows"] == 40 and rec["n_merges"] > 0
+
+    import os
+
+    model = json.load(open(os.path.join(tok, "bpe_model.json")))
+    assert model["alphabet"] == "bytes-256"
+    assert len(model["merges"]) == model["n_merges"] == rec["n_merges"]
+
+    from orc_ray.pipeline.decode import decode_dataset
+
+    b = pa.concat_tables(
+        list(decode_dataset(tok).iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    assert set(b.column_names) == {"doc_id", "source", "tokens", "n_tok"}
+    assert str(b.column("tokens").type.value_type) == "int32"
+    assert sum(b.column("n_tok").to_pylist()) > 0
+
+    packed = str(tmp_path / "packed")
+    assert main(["pack", tok, packed, "--window", "8"]) == 0
+    prec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert prec["rows"] > 0
