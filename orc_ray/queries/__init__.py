@@ -186,6 +186,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "nb_lang_confusion": q_nb_lang_confusion,
     "bpe_tokenize": q_bpe_tokenize,
+    "dsir_weights": q_dsir_weights,
     "bigram_logprob": q_bigram_logprob,
     "oov_rate": q_oov_rate,
     "tokenize_corpus": q_tokenize_corpus,

@@ -1165,6 +1165,108 @@ def q_bigram_logprob(sf_dir: str):
     ).sort_by("doc_id")
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hashed-n-gram (unigram + bigram) bucket counts over a TARGET domain
+    (lang='en' — the quality-domain proxy) vs the RAW corpus, per-doc
+    log importance weight = sum over its grams of
+    ln(p_target(bucket)/p_raw(bucket)), Laplace-smoothed.
+
+    Scale shape: ONE keyed sum over per-batch nonzero-bucket partials
+    (the shuffle is O(B)=4096 buckets, never O(grams)); the dense e6-
+    quantized log-weight vector (32 KB) broadcasts once; scoring is a
+    stateless bincount pass.  Determinism: md5-bucket hashing (the
+    hash_split/md5vec convention — bit-exact vs SQL), per-gram weights
+    floored at e6 BEFORE the integer sums.  Oracle-exact: the SQL mirror
+    reproduces buckets (substr(md5)::BIGINT % B), counts, lw and sums."""
+    import ray as _ray
+
+    from ..functions.aggregates import agg_by_keys
+    from ..functions.md5vec import md5_hex15_int
+    from ..functions.text import _concat_np, _ws_words
+
+    B = 4096
+    SEP = "\x1f"
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def _grams(t: pa.Table):
+        """(bucket ids int64, owning-doc index int64, n_grams per doc)."""
+        off, flat, n_words = _ws_words(_concat_np(t.column("text")), lower=True)
+        word_doc = np.repeat(np.arange(n_words.size, dtype=np.int64), np.diff(off))
+        real = n_words[word_doc] > 0
+        uni = flat.filter(pa.array(real))
+        uni_doc = word_doc[real]
+        # in-doc bigrams: every word except each real doc's last
+        keep = np.ones(int(off[-1]), bool)
+        last = off[1:] - 1
+        keep[last[last >= 0]] = False
+        keep &= n_words[word_doc] > 1
+        pos = np.flatnonzero(keep)
+        bi = pc.binary_join_element_wise(
+            flat.take(pa.array(pos)), flat.take(pa.array(pos + 1)), SEP
+        )
+        bi_doc = word_doc[pos]
+        buckets = np.concatenate(
+            [md5_hex15_int(uni) % B, md5_hex15_int(bi) % B]
+        ) if len(uni) or len(bi) else np.zeros(0, dtype=np.int64)
+        gram_doc = np.concatenate([uni_doc, bi_doc])
+        n_grams = n_words + np.maximum(n_words - 1, 0)
+        return buckets, gram_doc, n_grams
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        buckets, gram_doc, _ = _grams(t)
+        is_tgt = pc.fill_null(pc.equal(t.column("lang"), "en"), False)
+        tgt_doc = is_tgt.to_numpy(zero_copy_only=False)
+        c_all = np.bincount(buckets, minlength=B)
+        c_tgt = np.bincount(buckets[tgt_doc[gram_doc]], minlength=B)
+        nz = np.flatnonzero(c_all)
+        return pa.table(
+            {
+                "b": pa.array(nz),
+                "n_all": pa.array(c_all[nz]),
+                "n_tgt": pa.array(c_tgt[nz]),
+            }
+        )
+
+    counts = _to_table(
+        agg_by_keys(
+            ds.map_batches(bucket_counts, batch_format="pyarrow", zero_copy_batch=True),
+            ["b"],
+            [("n_all", "sum", "n_all"), ("n_tgt", "sum", "n_tgt")],
+        )
+    )
+    c_all = np.zeros(B, dtype=np.int64)
+    c_tgt = np.zeros(B, dtype=np.int64)
+    bb = counts.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+    c_all[bb] = counts.column("n_all").to_numpy(zero_copy_only=False)
+    c_tgt[bb] = counts.column("n_tgt").to_numpy(zero_copy_only=False)
+    t_all, t_tgt = float(c_all.sum()), float(c_tgt.sum())
+    lw = np.floor(
+        np.log(((c_tgt + 1.0) / (t_tgt + float(B))) / ((c_all + 1.0) / (t_all + float(B))))
+        * 1_000_000
+    ).astype(np.int64)
+    ref = _ray.put(lw)
+
+    def score(t: pa.Table, *, ref=ref) -> pa.Table:
+        lw = _ray.get(ref)
+        buckets, gram_doc, n_grams = _grams(t)
+        w = np.zeros(n_grams.size, dtype=np.int64)
+        np.add.at(w, gram_doc, lw[buckets])
+        keep = n_grams > 0
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").filter(pa.array(keep)),
+                "w_e6": pa.array(w[keep]),
+                "n_grams": pa.array(n_grams[keep].astype(np.int64)),
+            }
+        )
+
+    return _to_table(
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("doc_id")
+
+
 def q_bpe_tokenize(sf_dir: str):
     """Byte-level BPE tokenizer end-to-end: train 200 merges on the
     corpus's own word-frequency table, tokenize every document, route the
@@ -1278,6 +1380,44 @@ def q_nb_lang_confusion(sf_dir: str):
 # driver-contract registry by queries/__init__ (zero behavior change —
 # the SQL lives beside the pipeline it mirrors).
 ORACLE_SQL = {
+    "dsir_weights": """
+        WITH ws AS (
+          SELECT doc_id, lang,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS ws
+          FROM documents WHERE text IS NOT NULL
+        ),
+        uni AS (SELECT doc_id, lang, unnest(ws) AS g FROM ws),
+        bi AS (
+          SELECT doc_id, lang, ws[i] || chr(31) || ws[i + 1] AS g
+          FROM (SELECT doc_id, lang, ws,
+                       UNNEST(generate_series(1, len(ws) - 1)) AS i FROM ws)
+        ),
+        grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        gb AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS b
+          FROM grams
+        ),
+        counts AS (
+          SELECT b, CAST(COUNT(*) AS BIGINT) AS n_all,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+          FROM gb GROUP BY b
+        ),
+        tot AS (SELECT CAST(SUM(n_all) AS DOUBLE) AS t_all,
+                       CAST(SUM(n_tgt) AS DOUBLE) AS t_tgt FROM counts),
+        lw AS (
+          SELECT b,
+                 CAST(FLOOR(LN(((CAST(n_tgt AS DOUBLE) + 1.0) / (t_tgt + 4096.0))
+                               / ((CAST(n_all AS DOUBLE) + 1.0) / (t_all + 4096.0)))
+                            * 1000000) AS BIGINT) AS l
+          FROM counts, tot
+        )
+        SELECT gb.doc_id, CAST(SUM(lw.l) AS BIGINT) AS w_e6,
+               CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM gb JOIN lw USING (b)
+        GROUP BY gb.doc_id ORDER BY gb.doc_id
+    """,
     "nb_lang_confusion": """
         -- docs = labeled rows with >=1 whitespace word.  Derived FROM the
         -- word set (not via trim(text) <> ''): SQL trim strips only
