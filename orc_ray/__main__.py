@@ -516,6 +516,18 @@ def cmd_pack(a) -> int:
     return 0
 
 
+def cmd_dedup(a) -> int:
+    """Exact-dedup store rewrite: one surviving row per distinct key."""
+    _ray_up()
+    from .pipeline.encode import dedup_store
+
+    stats: dict = {}
+    rec = dedup_store(a.store, a.out, key_col=a.key, id_col=a.id_col,
+                      batch_size=a.batch_size, stats_out=stats)
+    print(json.dumps({**rec["totals"], "rows_kept": stats.get("rows_kept")}))
+    return 0
+
+
 def cmd_tokenize(a) -> int:
     """Tokenize a text store into the pre-training token table with a
     byte-level BPE trained on the store's own word frequencies."""
@@ -870,6 +882,16 @@ def main(argv=None) -> int:
     pk.add_argument("--batch-size", type=int, default=None,
                     help="windows per chunk (default: ~16 MiB of tokens)")
     pk.set_defaults(fn=cmd_pack)
+
+    dd = sub.add_parser("dedup", help="exact-dedup store rewrite: keep ONE row (the "
+                                      "smallest id) per distinct key value (double-"
+                                      "fingerprint grouping, distributed window-rank)")
+    dd.add_argument("store")
+    dd.add_argument("out")
+    dd.add_argument("--key", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--batch-size", type=int, default=16384)
+    dd.set_defaults(fn=cmd_dedup)
 
     tk = sub.add_parser("tokenize", help="tokenize a text store into the pre-training "
                                          "token table (byte-level BPE trained on the "

@@ -674,6 +674,70 @@ def tokenize_store(
     return rec
 
 
+def dedup_store(
+    in_dir: str,
+    out_dir: str,
+    opts: EncodeOptions = DEFAULT_OPTIONS,
+    *,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = 16384,
+    stats_out: dict | None = None,
+) -> dict:
+    """Exact-dedup store rewrite: keep ONE row (the smallest ``id_col``)
+    per distinct ``key_col`` value — the curation-side hard dedup as a
+    wipe-first store op, completing the CLI family next to dedup-cut
+    (substring spans) and purge (predicate deletes).
+
+    Scale shape: rows are grouped on a DOUBLE 64-bit content fingerprint
+    of the key bytes (never the key value itself — group keys stay 17
+    bytes/row however large the documents are); the winner-per-group
+    selection is the distributed window-rank operator (one range sort +
+    O(blocks) driver carries, nothing O(distinct keys) anywhere), and the
+    survivors stream straight into the encoder.  The full rows make one
+    exchange — inherent to a rewrite whose survivors must reach the
+    writer.  NULL keys form their own group, distinct from '' (SQL GROUP
+    BY semantics).  Two texts that collide on BOTH independent 64-bit
+    fingerprints (~2^-128 per pair) would merge; the query-side
+    dedup_exact documents the same double-fingerprint contract."""
+    import pyarrow.compute as pc
+
+    from ..functions.dedup import _varbytes, content_hash64
+    from .decode import decode_dataset
+
+    _wipe_target(in_dir, out_dir)
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        col = t.column(key_col)
+        concat, offsets = _varbytes(col)
+        fp = content_hash64(concat, offsets, 0x3C79AC492BA7B653)
+        fp2 = content_hash64(concat, offsets, key=0x9FB21C651E98DF25)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        isnull = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        t = t.append_column("__nul", pa.array(isnull))
+        t = t.append_column("__fp", pa.array(fp.astype(np.int64)))
+        return t.append_column("__fp2", pa.array(fp2.astype(np.int64)))
+
+    from ..functions.aggregates import with_group_ranks
+
+    ds = decode_dataset(in_dir).map_batches(
+        add_fp, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ranked = with_group_ranks(ds, ["__nul", "__fp", "__fp2"], [id_col], out="__rnk")
+
+    def first_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and not t.column_names:
+            return pa.table({})
+        keep = pc.equal(t.column("__rnk"), 1)
+        return t.filter(keep).drop_columns(["__nul", "__fp", "__fp2", "__rnk"])
+
+    survivors = ranked.map_batches(first_only, batch_format="pyarrow", zero_copy_batch=True)
+    rec = encode_dataset(None, out_dir, opts, ds=survivors, batch_size=batch_size)
+    if stats_out is not None:
+        stats_out["rows_kept"] = rec["totals"]["rows"]
+    return rec
+
+
 def compact_store(
     in_dir: str,
     out_dir: str,

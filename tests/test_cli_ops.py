@@ -488,3 +488,51 @@ def test_tokenize_cli(ray_session, tmp_path, capsys):
     assert main(["pack", tok, packed, "--window", "8"]) == 0
     prec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert prec["rows"] > 0
+
+
+def test_dedup_cli(ray_session, tmp_path, capsys):
+    """Exact-dedup store rewrite vs the DuckDB QUALIFY oracle: one
+    surviving row (smallest doc_id) per distinct text, NULL text its own
+    group distinct from '', every non-key column riding through."""
+    import duckdb
+    import json
+
+    texts = ["same", "same", "other", "", "", None, None, "same", "uniq"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "score": pa.array([float(i) * 1.5 for i in range(len(texts))]),
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+    store = str(tmp_path / "store")
+    encode_dataset([src], store, batch_size=3)
+
+    out = str(tmp_path / "dedup")
+    assert main(["dedup", store, out, "--key", "text", "--batch-size", "4"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    from orc_ray.pipeline.decode import decode_dataset
+
+    got = pa.concat_tables(
+        list(decode_dataset(out).iter_batches(batch_format="pyarrow", batch_size=None))
+    ).sort_by("doc_id")
+
+    exp = duckdb.connect().execute(
+        f"""SELECT * FROM read_parquet('{src}')
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+            ORDER BY doc_id"""
+    ).arrow()
+    assert got.num_rows == rec["rows_kept"] == exp.num_rows == 5
+    assert got.to_pydict() == exp.to_pydict()
+
+    # byte-identical re-run (retry/resume contract of every store op)
+    out2 = str(tmp_path / "dedup2")
+    assert main(["dedup", store, out2, "--key", "text", "--batch-size", "4"]) == 0
+    import os
+
+    a = sorted(os.listdir(os.path.join(out, "chunks")))
+    b = sorted(os.listdir(os.path.join(out2, "chunks")))
+    assert a == b  # content-addressed chunk ids identical
