@@ -538,7 +538,7 @@ def cmd_tokenize(a) -> int:
     rec = tokenize_store(
         a.store, a.out, text_col=a.text_col, n_merges=a.merges,
         top_words=a.top_words, batch_size=a.batch_size,
-        verify=not a.no_verify, stats_out=stats,
+        verify=not a.no_verify, model_path=a.model, stats_out=stats,
     )
     print(json.dumps({**rec["totals"], "n_merges": stats.get("n_merges"),
                       "vocab_rows": stats.get("vocab_rows")}))
@@ -906,6 +906,8 @@ def main(argv=None) -> int:
     tk.add_argument("--batch-size", type=int, default=8192)
     tk.add_argument("--no-verify", action="store_true",
                     help="skip the per-batch detokenization byte-identity assert")
+    tk.add_argument("--model", default=None,
+                    help="reuse a prior run's bpe_model.json (skip training)")
     tk.set_defaults(fn=cmd_tokenize)
 
     mem = sub.add_parser("memory",

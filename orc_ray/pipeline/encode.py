@@ -632,6 +632,7 @@ def tokenize_store(
     top_words: int | None = None,
     batch_size: int = 8192,
     verify: bool = True,
+    model_path: str | None = None,
     stats_out: dict | None = None,
 ) -> dict:
     """Tokenize a text store into the pre-training token table with a
@@ -643,7 +644,10 @@ def tokenize_store(
     Every non-text column rides through unchanged; the trained merge
     table is persisted beside the manifest (bpe_model.json) so decoded
     tokens remain interpretable and a later corpus can be tokenized with
-    the SAME model.  Wipe-first like every re-encode op."""
+    the SAME model — pass ``model_path`` (a prior run's bpe_model.json)
+    to SKIP training and reuse that model verbatim, the production flow
+    where one tokenizer serves every corpus.  Wipe-first like every
+    re-encode op."""
     import base64
     import json as _json
 
@@ -655,10 +659,22 @@ def tokenize_store(
 
     ds = decode_dataset(in_dir)
     tstats: dict = {}
-    merges, sym_bytes = bpe_train(
-        ds, text_col=text_col, n_merges=n_merges, top_words=top_words,
-        stats_out=tstats,
-    )
+    if model_path is not None:
+        m = _json.loads(fstore.read_bytes(str(model_path)).decode())
+        if m.get("alphabet") != "bytes-256":
+            raise ValueError(f"unsupported BPE model alphabet: {m.get('alphabet')!r}")
+        merges = [tuple(x) for x in m["merges"]]
+        sym_bytes = [bytes([b]) for b in range(256)] + [
+            base64.b64decode(s) for s in m["vocab_b64"]
+        ]
+        for left, right, new_id in merges:  # model self-consistency
+            if sym_bytes[new_id] != sym_bytes[left] + sym_bytes[right]:
+                raise ValueError(f"corrupt BPE model: merge {new_id} bytes mismatch")
+    else:
+        merges, sym_bytes = bpe_train(
+            ds, text_col=text_col, n_merges=n_merges, top_words=top_words,
+            stats_out=tstats,
+        )
     tok = bpe_apply(ds, (merges, sym_bytes), text_col=text_col, verify=verify)
     rec = encode_dataset(None, out_dir, opts, ds=tok, batch_size=batch_size)
     model = {

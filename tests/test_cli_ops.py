@@ -536,3 +536,80 @@ def test_dedup_cli(ray_session, tmp_path, capsys):
     a = sorted(os.listdir(os.path.join(out, "chunks")))
     b = sorted(os.listdir(os.path.join(out2, "chunks")))
     assert a == b  # content-addressed chunk ids identical
+
+
+def test_tokenize_model_reuse(ray_session, tmp_path, capsys):
+    """tokenize --model: a second corpus tokenized with the FIRST store's
+    persisted bpe_model.json produces identical ids for identical words
+    (one tokenizer serving every corpus — the production flow)."""
+    import json
+    import os
+
+    def mk(store_dir, texts):
+        t = pa.table(
+            {
+                "doc_id": pa.array([f"d{i}" for i in range(len(texts))], pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        src = str(tmp_path / (os.path.basename(store_dir) + ".parquet"))
+        pq.write_table(t, src)
+        encode_dataset([src], store_dir, batch_size=8)
+
+    s1 = str(tmp_path / "c1")
+    mk(s1, [f"hello help hero {i}" for i in range(20)])
+    tok1 = str(tmp_path / "t1")
+    assert main(["tokenize", s1, tok1, "--merges", "16"]) == 0
+    capsys.readouterr()
+
+    model = os.path.join(tok1, "bpe_model.json")
+
+    # 1) SAME corpus via --model: byte-identical store to the trained run
+    # (training skipped, identical merges -> identical tokens -> identical
+    # content-addressed chunk ids)
+    tok1b = str(tmp_path / "t1b")
+    assert main(["tokenize", s1, tok1b, "--model", model]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["vocab_rows"] is None  # no training pass ran
+    # loaded model's merges reported (trainer stopped below the cap of 16
+    # on this tiny corpus — the count must match the persisted model)
+    assert rec["n_merges"] == json.load(open(model))["n_merges"]
+    assert sorted(os.listdir(os.path.join(tok1, "chunks"))) == sorted(
+        os.listdir(os.path.join(tok1b, "chunks"))
+    )
+
+    # 2) a NEW corpus with unseen words still tokenizes (byte alphabet ->
+    # no OOV) and identical words get identical ids
+    s2 = str(tmp_path / "c2")
+    mk(s2, ["hello zzz-unseen hello"])
+    tok2 = str(tmp_path / "t2")
+    assert main(["tokenize", s2, tok2, "--model", model]) == 0
+    capsys.readouterr()
+
+    from orc_ray.pipeline.decode import decode_dataset
+
+    b1 = pa.concat_tables(list(decode_dataset(tok1).iter_batches(
+        batch_format="pyarrow", batch_size=None))).sort_by("doc_id")
+    b2 = pa.concat_tables(list(decode_dataset(tok2).iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    toks2 = b2.column("tokens")[0].as_py()
+    assert b2.column("n_tok")[0].as_py() == len(toks2) > 0
+    # "hello" occurs first in both corpora's first doc: same leading run
+    hello1 = b1.column("tokens")[0].as_py()
+    k = 0
+    while k < min(len(hello1), len(toks2)) and hello1[k] == toks2[k]:
+        k += 1
+    assert k >= 1
+
+    # 3) a corrupt model fails loudly
+    import pytest as _pytest
+
+    bad = str(tmp_path / "bad_model.json")
+    m = json.load(open(model))
+    if m["vocab_b64"]:
+        import base64
+
+        m["vocab_b64"][0] = base64.b64encode(b"\xff\xfe").decode()
+    json.dump(m, open(bad, "w"))
+    with _pytest.raises(ValueError, match="corrupt BPE model"):
+        main(["tokenize", s2, str(tmp_path / "t3"), "--model", bad])
