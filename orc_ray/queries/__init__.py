@@ -187,6 +187,7 @@ QUERIES = {
     "nb_lang_confusion": q_nb_lang_confusion,
     "bpe_tokenize": q_bpe_tokenize,
     "dsir_weights": q_dsir_weights,
+    "perplexity_buckets": q_perplexity_buckets,
     "bigram_logprob": q_bigram_logprob,
     "oov_rate": q_oov_rate,
     "tokenize_corpus": q_tokenize_corpus,

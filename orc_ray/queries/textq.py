@@ -841,23 +841,16 @@ def q_source_lang_entropy(sf_dir: str):
     )
 
 
-def q_unigram_logprob(sf_dir: str):
-    """Unigram-LM perplexity proxy — per document, the average
-    log-probability of its (lowercased, whitespace) tokens under the
-    corpus's own unigram distribution.  Two passes, both distributed:
-    (1) global token counts via ONE sum_by_keys (per-batch combiners, so
-    the shuffle is O(vocab), not O(tokens)); (2) the (token -> ln p)
-    table broadcasts once via ray.put and every batch scores its docs
-    with index_in + a segmented sum — no Python in either pass.  At 100
-    TB the vocab table is top-K + an OOV floor (documented); here the
-    full vocab keeps the SQL mirror exact.  Scores floor at e6 from
-    identical double math on exact integer counts."""
+def _unigram_scored(sf_dir: str, columns: list[str]):
+    """Shared unigram-LM scoring stream (see q_unigram_logprob for the
+    contract): returns a Dataset of the requested non-text ``columns``
+    plus (avg_lp_e6, n_words) for every doc with >=1 word."""
     import ray as _ray
 
     from ..functions.aggregates import sum_by_keys
     from ..functions.text import _concat_np, _ws_words
 
-    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _decoded(sf_dir, "documents", columns=columns + ["text"])
 
     def tok_counts(t: pa.Table, *, _ws_words=_ws_words, _concat_np=_concat_np) -> pa.Table:
         off, flat, n_words = _ws_words(_concat_np(t.column("text")), lower=True)
@@ -897,17 +890,107 @@ def q_unigram_logprob(sf_dir: str):
         sums = c[off[1:]] - c[off[:-1]]
         keep = n_words > 0  # empty docs have no distribution (SQL drops them)
         avg = sums[keep] / n_words[keep]
+        cols = {
+            name: t.column(name).filter(pa.array(keep))
+            for name in t.column_names
+            if name != "text"
+        }
+        cols["avg_lp_e6"] = pa.array(np.floor(avg * 1_000_000).astype(np.int64))
+        cols["n_words"] = pa.array(n_words[keep].astype(np.int64))
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Unigram-LM perplexity proxy — per document, the average
+    log-probability of its (lowercased, whitespace) tokens under the
+    corpus's own unigram distribution.  Two passes, both distributed:
+    (1) global token counts via ONE sum_by_keys (per-batch combiners, so
+    the shuffle is O(vocab), not O(tokens)); (2) the (token -> ln p)
+    table broadcasts once via ray.put and every batch scores its docs
+    with index_in + a segmented sum — no Python in either pass.  At 100
+    TB the vocab table is top-K + an OOV floor (documented); here the
+    full vocab keeps the SQL mirror exact.  Scores floor at e6 from
+    identical double math on exact integer counts."""
+    return _to_table(_unigram_scored(sf_dir, ["doc_id"])).sort_by("doc_id")
+
+
+def q_perplexity_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
+    language, documents split into head/middle/tail NTILE(3) tertiles of
+    their unigram-LM score (higher avg log-prob = head) — the standard
+    LM-quality partition run before sampling pre-training data.
+
+    Scale shape: the unigram scoring stream (one O(vocab) keyed sum +
+    broadcast score pass) feeds the distributed window-rank partitioned
+    by lang (one range sort, O(blocks) carries); per-language doc counts
+    (O(langs), from the rank carries' own aggregation) broadcast for the
+    NTILE split; output partials are O(langs x 3).  Integer-exact
+    (avg_lp_e6 sums), oracle-exact vs the NTILE window SQL."""
+    import ray as _ray
+
+    from ..functions.aggregates import agg_by_keys, with_group_ranks
+
+    scored = _unigram_scored(sf_dir, ["doc_id", "lang"])
+
+    def labeled_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("lang")))
+
+    scored = scored.map_batches(labeled_only, batch_format="pyarrow", zero_copy_batch=True)
+    # per-lang doc counts: O(langs) driver rows
+    counts = _to_table(
+        agg_by_keys(scored, ["lang"], [("avg_lp_e6", "count", "n")])
+    )
+    n_by_lang = dict(
+        zip(counts.column("lang").to_pylist(), counts.column("n").to_pylist())
+    )
+    ref = _ray.put(n_by_lang)
+
+    ranked = with_group_ranks(
+        scored, ["lang"], ["avg_lp_e6", "doc_id"], descending=[True, False]
+    )
+
+    def bucketize(t: pa.Table, *, ref=ref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()), "bucket": pa.array([], pa.int64()),
+                 "n_docs": pa.array([], pa.int64()), "lp_sum_e6": pa.array([], pa.int64())}
+            )
+        n_by_lang = _ray.get(ref)
+        langs = t.column("lang").to_pylist()
+        rnk = t.column("rnk").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.array([n_by_lang[x] for x in langs], dtype=np.int64)
+        # NTILE(3): first n%3 buckets hold n//3+1 rows, the rest n//3
+        q_, r_ = n // 3, n % 3
+        cut = r_ * (q_ + 1)
+        b = np.where(
+            rnk <= cut,
+            (rnk - 1) // np.maximum(q_ + 1, 1),
+            r_ + (rnk - 1 - cut) // np.maximum(q_, 1),
+        )
+        lp = t.column("avg_lp_e6").to_numpy(zero_copy_only=False)
+        g = (
+            pa.table({"lang": t.column("lang"), "bucket": pa.array(b),
+                      "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+                      "lp_sum_e6": pa.array(lp)})
+        )
+        out = g.group_by(["lang", "bucket"]).aggregate(
+            [("n_docs", "sum"), ("lp_sum_e6", "sum")]
+        )
         return pa.table(
-            {
-                "doc_id": t.column("doc_id").filter(pa.array(keep)),
-                "avg_lp_e6": pa.array(np.floor(avg * 1_000_000).astype(np.int64)),
-                "n_words": pa.array(n_words[keep].astype(np.int64)),
-            }
+            {"lang": out.column("lang"), "bucket": out.column("bucket"),
+             "n_docs": out.column("n_docs_sum"), "lp_sum_e6": out.column("lp_sum_e6_sum")}
         )
 
-    return _to_table(
-        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-    ).sort_by("doc_id")
+    agg = agg_by_keys(
+        ranked.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "bucket"],
+        [("n_docs", "sum", "n_docs"), ("lp_sum_e6", "sum", "lp_sum_e6")],
+    )
+    return _to_table(agg).sort_by(
+        [("lang", "ascending"), ("bucket", "ascending")]
+    )
 
 
 def q_oov_rate(sf_dir: str):
@@ -1417,6 +1500,34 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_grams
         FROM gb JOIN lw USING (b)
         GROUP BY gb.doc_id ORDER BY gb.doc_id
+    """,
+    "perplexity_buckets": """
+        WITH words AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+          ) WHERE w <> ''
+        ),
+        cnt AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS n FROM words GROUP BY w),
+        tot AS (SELECT SUM(n) AS t FROM cnt),
+        lp AS (SELECT w, LN(n / t) AS l FROM cnt, tot),
+        scored AS (
+          SELECT w2.doc_id,
+                 CAST(FLOOR(AVG(lp.l) * 1000000) AS BIGINT) AS avg_lp_e6
+          FROM words w2 JOIN lp ON w2.w = lp.w GROUP BY w2.doc_id
+        ),
+        nt AS (
+          SELECT d.lang, s.avg_lp_e6,
+                 NTILE(3) OVER (PARTITION BY d.lang
+                                ORDER BY s.avg_lp_e6 DESC, s.doc_id ASC) AS b
+          FROM scored s JOIN documents d USING (doc_id)
+          WHERE d.lang IS NOT NULL
+        )
+        SELECT lang, CAST(b - 1 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(avg_lp_e6) AS BIGINT) AS lp_sum_e6
+        FROM nt GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "nb_lang_confusion": """
         -- docs = labeled rows with >=1 whitespace word.  Derived FROM the

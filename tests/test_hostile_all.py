@@ -61,7 +61,7 @@ QUERY_NAMES = [
     "source_cap", "source_collocations", "source_lang_entropy",
     "status_transitions", "text_stats", "token_histogram",
     "tokenize_corpus", "unigram_logprob", "nb_lang_confusion",
-    "dsir_weights", "watermark_windows",
+    "dsir_weights", "perplexity_buckets", "watermark_windows",
     "zorder_lookup", "upsert_read", "acid_table_read",
     # format/store roundtrips: nulls through CSV text, AES dual reads,
     # real .orc interop, RLEv1 streams, damage-salvage, schema union
