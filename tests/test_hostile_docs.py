@@ -33,6 +33,10 @@ QUERY_NAMES = [
     "dedup_exact", "dedup_ngram", "prefix_clusters", "vocab_table",
     "word_bigrams", "source_vocab_overlap", "stratified_sample",
     "weighted_sample", "decontaminate", "chunk_passages",
+    # single-language corpus edges: NB with ONE class (priors ln(1)=0),
+    # DSIR with target == raw (every weight is exactly the smoothing
+    # residue on both sides), NTILE tertiles within one partition
+    "nb_lang_confusion", "dsir_weights", "perplexity_buckets",
 ]
 
 HOSTILE_TEXTS = [
