@@ -135,6 +135,96 @@ def topk_cosine(ds, queries: np.ndarray, k: int = 10, id_col="vec_id", vec_col="
     return t
 
 
+def quantize_int8(m: np.ndarray) -> np.ndarray:
+    """Symmetric per-vector int8 quantization of unit-normalized rows:
+    q = round(127 * v / ||v||).  Deterministic (IEEE round-half-even),
+    4x smaller than float32 in flight and in a quantized store."""
+    return np.clip(np.rint(_normalize(m) * 127.0), -127, 127).astype(np.int8)
+
+
+class TopKCosineInt8Stage:
+    """map_batches stage: per-batch approximate cosine top-k over int8
+    PRODUCT-QUANTIZED-style codes — the 4x-smaller scale path next to
+    the exact float stage.  Scores are exact int32 dots of the int8
+    codes (scale factors cancel in the ranking: both sides quantize
+    unit-normalized vectors by 127), so the stage is DETERMINISTIC —
+    approximation comes only from the quantization grid.  Callers
+    assert recall against the exact float top-k."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = quantize_int8(np.atleast_2d(np.asarray(q, np.float64))).astype(np.int32)
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = drop_invalid_embeddings(batch, self.vec_col)
+        m = _matrix(batch.column(self.vec_col), np.float64)
+        empty = pa.table(
+            {"query_idx": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+             "dot": pa.array([], pa.int64())}
+        )
+        if m.shape[0] == 0:
+            return empty
+        codes = quantize_int8(m).astype(np.int32)  # (n, d)
+        sims = codes @ self.q.T  # exact int32 dots
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        k = min(self.k, m.shape[0])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(self.q.shape[0]):
+            s = sims[:, qi]
+            top = np.argpartition(-s, k - 1)[:k]
+            out_q.append(np.full(k, qi, np.int64))
+            out_id.append(ids[top].astype(np.int64))
+            out_s.append(s[top].astype(np.int64))
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_id)),
+                "dot": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def topk_cosine_int8(ds, queries: np.ndarray, k: int = 10, id_col="vec_id", vec_col="embedding") -> pa.Table:
+    """Approximate global top-k under int8 quantization: distributed
+    partial top-k of exact integer code-dots + tiny merge.  Integer
+    scores make the merge fully deterministic (ties -> smallest vec_id),
+    shard- and retry-stable.  Returns (query_idx, vec_id, dot)."""
+    import functools
+
+    import ray
+
+    qref = ray.put(np.asarray(queries, np.float64))
+
+    def _stage(batch, *, qref, k, id_col, vec_col):
+        return TopKCosineInt8Stage(qref, k, id_col, vec_col)(batch)
+
+    cand = ds.map_batches(
+        functools.partial(_stage, qref=qref, k=k, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    parts = [b for b in cand.iter_batches(batch_format="pyarrow", batch_size=None)]
+    t = pa.concat_tables(parts) if parts else pa.table(
+        {"query_idx": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+         "dot": pa.array([], pa.int64())}
+    )
+    qi = t.column("query_idx").to_numpy()
+    dot = t.column("dot").to_numpy()
+    vid = t.column("vec_id").to_numpy()
+    keep_rows = []
+    for q in np.unique(qi):
+        mask = np.flatnonzero(qi == q)
+        order = mask[np.lexsort((vid[mask], -dot[mask]))][:k]
+        keep_rows.append(order)
+    if keep_rows:
+        t = t.take(pa.array(np.concatenate(keep_rows)))
+    return t
+
+
 _EMPTY_PAIRS = {
     "vec_id_a": pa.array([], pa.int64()),
     "vec_id_b": pa.array([], pa.int64()),

@@ -62,6 +62,7 @@ QUERIES = {
     "dedup_substrings": q_dedup_substrings,
     "simhash": q_simhash,
     "ann_topk": q_ann_topk,
+    "ann_topk_int8": q_ann_topk_int8,
     "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
     "point_lookup_events": q_point_lookup_events,

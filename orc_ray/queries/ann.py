@@ -69,6 +69,29 @@ def q_ann_topk(sf_dir: str):
     )
 
 
+def q_ann_topk_int8(sf_dir: str):
+    """Int8-quantized cosine top-10 — the 4x-smaller scale path beside
+    the exact float q_ann_topk: unit vectors quantize to int8 codes
+    (q = round(127 v/||v||)) and scores are EXACT int32 code dots, so
+    the whole pipeline is integer-deterministic; approximation lives
+    only in the quantization grid.  Rows-only gate (the grid is not
+    SQL), hardened by an in-query recall assert vs the exact float
+    top-k over the same decoded stream (measured 1.0 at sf0.001/sf0.01
+    on 64-dim embeddings; floor 0.8 catches a grid/packing regression
+    while tolerating genuine knife-edge neighbours)."""
+    from ..functions.similarity import topk_cosine, topk_cosine_int8
+
+    q = _query_vec(sf_dir, 0, np.float64)
+    ds = _decoded(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    t = topk_cosine_int8(ds, q, k=10)
+    exact = topk_cosine(ds, q.astype(np.float64), k=10, dtype=np.float64)
+    got = set(t.column("vec_id").to_pylist())
+    want = set(exact.column("vec_id").to_pylist())
+    recall = len(got & want) / max(len(want), 1)
+    assert recall >= 0.8, (recall, sorted(got), sorted(want))
+    return t.select(["vec_id", "dot"])
+
+
 def ivf_store_for(sf_dir: str, n_clusters: int = 8) -> str:
     """Build (once, cached) the IVF-partition-sorted chunk store for the
     embeddings table — chunks cover narrow partition ranges, so probes

@@ -42,7 +42,7 @@ ORACLE_BACKED = [
     "ann_topk", "label_centroids", "kmeans_step", "embedding_moments",
     "hybrid_retrieval", "dedup_embedding",
 ]
-SELF_ASSERTED = ["ann_ivf", "ann_lsh", "kmeans_embeddings"]
+SELF_ASSERTED = ["ann_ivf", "ann_lsh", "kmeans_embeddings", "ann_topk_int8"]
 
 
 @pytest.fixture(scope="module")
