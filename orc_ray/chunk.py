@@ -52,9 +52,14 @@ MAGIC = b"ORAY1"
 # bump when the buffer encoding changes incompatibly (v2: int32 codec lane +
 # layout-tagged RLE sub-streams).  Decode refuses other versions loudly
 # instead of mis-parsing; cache keys include it so stale stores rebuild.
-FORMAT_VERSION = 4  # v4: encrypted-stream IVs are keyed HMACs (header carries
-# no unkeyed plaintext digest); decode is value-compatible but v3 encrypted
-# bytes differ, so resume across the bump must re-encode rather than mix
+FORMAT_VERSION = 5  # v5: integer block payloads are byte-plane shuffled
+# (intcodec SHUF layouts — ~9% smaller token streams after framing); v4:
+# encrypted-stream IVs are keyed HMACs (header carries no unkeyed plaintext
+# digest).  Decode of the OLD int layouts is retained (layout-byte
+# dispatch), but resume across the bump re-encodes rather than mixing
+READABLE_VERSIONS = {4, 5}  # v4 chunks use layouts the v5 reader still
+# dispatches (the ConvertColumnReader-style forward-read guarantee); v<=3
+# streams predate the keyed-IV / 32-bit-lane formats and are refused
 STRIDE_ROWS = 2048  # row-index stride analog (per-stride stats + seek)
 
 
@@ -997,10 +1002,10 @@ def decode_chunk(
     mv = memoryview(data)
     if header is None:
         header = read_chunk_header(mv)
-    if header.get("v", 1) != FORMAT_VERSION:
+    if header.get("v", 1) not in READABLE_VERSIONS:
         raise ValueError(
-            f"chunk format v{header.get('v', 1)} != reader v{FORMAT_VERSION}; "
-            "re-encode the store (stale cache?)"
+            f"chunk format v{header.get('v', 1)} not in reader-supported "
+            f"{sorted(READABLE_VERSIONS)}; re-encode the store (stale cache?)"
         )
     (hlen,) = _struct.unpack_from("<I", mv, 5)
     off = 9 + hlen

@@ -60,8 +60,48 @@ INT_RLE = 1
 INT_BLOCKS32 = 2
 INT_V1 = 3  # RLEv1-analog layout (EncodeOptions file_version "0.11")
 INT_V1_32 = 4
+INT_BLOCKS_SHUF = 5  # block layout with byte-shuffled payload groups (v5)
+INT_BLOCKS32_SHUF = 6
 
 _MAX_PATCHES = 48  # per block; above this PATCHED stops paying off
+
+# streams below this many values keep the plain (interleaved) layout: the
+# shuffle's plane-separation gain needs enough bytes per plane for the
+# second-stage entropy coder to model; measured on short wide streams
+# (decimal lo-words, string offset lanes at a few thousand values) the
+# transpose LOST 5-10% while every tested >=64k-value stream gained
+# (tokens +9.4%, uniform-17-bit +11.6%, lognormal +7.2%) or was neutral
+# (sorted keys).  The decision is stream-level and carried by the layout
+# byte itself, so readers never recompute it.
+_SHUF_MIN_N = 1 << 16
+
+
+def _group_shuffled(tag: int, width: int) -> bool:
+    """Whether a (tag, width) payload group is stored byte-shuffled in the
+    SHUF layouts: whole-byte widths > 1 byte only, so the transform is a
+    pure transpose (no bit boundaries move) and sub-byte packs are
+    untouched.  DIRECT/PATCHED only: FOR-shifted values are (near-)i.i.d.
+    draws whose entropy concentrates per byte plane, while DELTA streams
+    carry sequential match structure that interleaving preserves for the
+    second-stage compressor (measured: shuffling deltas GREW timestamp
+    streams ~9%).  The predicate is a pure function of (tag, width) —
+    encoder and decoder agree with zero extra metadata."""
+    return tag != T_DELTA and width > 8 and width % 8 == 0
+
+
+def _byte_shuffle(gb: bytes, nbytes_per_value: int) -> bytes:
+    """Byte-plane transpose of a packed value-major payload: all byte-0s,
+    then all byte-1s, ... (the HDF5/Blosc shuffle filter applied to the
+    FOR-shifted fixed-width lanes).  Skewed value distributions — the
+    Zipf token corpus above all — put most of their entropy in the low
+    plane; separating planes lets the second-stage compressor's entropy
+    coder model each plane's (very different) byte distribution instead
+    of their interleaved mixture: measured 1.089 -> 0.988 B/token on the
+    north-star corpus at the default framing level.  Same length, so all
+    group/block payload offsets are unchanged and selective block decode
+    stays O(1)-addressable (two plane reads instead of one slice)."""
+    a = np.frombuffer(gb, np.uint8).reshape(-1, nbytes_per_value)
+    return np.ascontiguousarray(a.T).tobytes()
 
 
 class _Dt:
@@ -105,11 +145,15 @@ def _exact_bit_width(x: np.ndarray, dt: _Dt) -> np.ndarray:
     return np.searchsorted(dt.pow2, x, side="right")
 
 
-def _encode_blocks(values: np.ndarray, strategy: str = "speed", dt: _Dt = _DT64) -> bytes:
+def _encode_blocks(
+    values: np.ndarray, strategy: str = "speed", dt: _Dt = _DT64, shuffle: bool = False
+) -> bytes:
     """Encode an integer array with the 512-value block format.
 
     strategy: "speed" aligns pack widths to the fast byte-level kernel set
     (ORC SPEED alignment analog); "compression" keeps exact widths.
+    shuffle: byte-transpose whole-byte payload groups (SHUF layouts) —
+    see :func:`_byte_shuffle`.
     """
     v = np.ascontiguousarray(values, dtype=dt.idt)
     n = v.size
@@ -313,6 +357,16 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed", dt: _Dt = _DT64)
     # and the tail block pack separately with identical bytes — no
     # whole-group concatenate.
     payload: list[bytes] = []
+
+    def _emit(chunks: list[bytes], tag: int, width: int) -> None:
+        """Append one group's payload chunks, byte-shuffling the group as a
+        single plane domain when the SHUF layout applies to this group."""
+        if shuffle and chunks and _group_shuffled(tag, width):
+            gb = chunks[0] if len(chunks) == 1 else b"".join(chunks)
+            payload.append(_byte_shuffle(gb, width // 8))
+        else:
+            payload.extend(chunks)
+
     with np.errstate(over="ignore"):
         for tag, width, blocks in _groups(tags, widths):
             if width == 0:
@@ -336,7 +390,7 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed", dt: _Dt = _DT64)
                     if tag == T_PATCHED:
                         sht = sht & ((dt.one << dt.udt(width)) - dt.one)
                     chunks.append(pack(sht, width))
-                payload.extend(chunks)
+                _emit(chunks, tag, width)
             elif tag == T_DELTA:
                 has_tail = tail and blocks[-1] == nb - 1
                 fullb = blocks[:-1] if has_tail else blocks
@@ -349,7 +403,7 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed", dt: _Dt = _DT64)
                             t_m[0, 1:] - t_m[0, :-1],
                         ]
                     )
-                    payload.append(pack(_zigzag(d, dt), width))
+                    _emit([pack(_zigzag(d, dt), width)], tag, width)
                 else:
                     chunks = []
                     if fullb.size:
@@ -358,7 +412,7 @@ def _encode_blocks(values: np.ndarray, strategy: str = "speed", dt: _Dt = _DT64)
                     if has_tail:
                         dtl = t_m[0, 1:] - t_m[0, :-1]
                         chunks.append(pack(_zigzag(dtl, dt), width))
-                    payload.extend(chunks)
+                    _emit(chunks, tag, width)
 
     # per-block metadata as zigzag/plain varints (SerializationUtils
     # analog, codecs/varint.py) instead of fixed 8-byte words — the
@@ -385,10 +439,17 @@ def _groups(tags: np.ndarray, widths: np.ndarray):
             yield tag, width, np.flatnonzero(key == k)
 
 
-def _decode_blocks(data: memoryview, dt: _Dt = _DT64, block_sel: np.ndarray | None = None) -> np.ndarray:
+def _decode_blocks(
+    data: memoryview,
+    dt: _Dt = _DT64,
+    block_sel: np.ndarray | None = None,
+    shuffled: bool = False,
+) -> np.ndarray:
     """Decode the block format; ``block_sel`` (sorted block indices)
     decodes ONLY those blocks' rows (the seek-to-row-group analog) —
-    payload offsets of skipped groups are computed, not decoded."""
+    payload offsets of skipped groups are computed, not decoded.
+    ``shuffled`` selects the SHUF layouts' byte-plane payload order; group
+    byte lengths are identical, so all offset math is shared."""
     n, npatch, len_b, len_e, len_pp, len_pv = struct.unpack_from("<QI4I", data, 0)
     off = 28
     if n == 0:
@@ -445,12 +506,18 @@ def _decode_blocks(data: memoryview, dt: _Dt = _DT64, block_sel: np.ndarray | No
                 dec_blocks, dec_src = wanted, gpos
             else:
                 dec_blocks, dec_src = blocks, np.arange(blocks.size)
+            shuf = shuffled and _group_shuffled(tag, width)
             if tag == T_DIRECT or tag == T_PATCHED:
                 cnt = blocks.size * BLOCK
                 nbytes = packed_nbytes(cnt, width)
                 if sel_mask is None:
-                    vals = unpack(np.frombuffer(data, np.uint8, nbytes, off), cnt, width, dt.udt)
+                    raw = np.frombuffer(data, np.uint8, nbytes, off)
+                    if shuf:
+                        raw = _byte_unshuffle(raw, width // 8)
+                    vals = unpack(raw, cnt, width, dt.udt)
                     vals = vals.reshape(-1, BLOCK)
+                elif shuf:
+                    vals = _unpack_rows_shuf(data, off, width, BLOCK, dec_src, blocks.size, dt)
                 else:
                     vals = _unpack_rows(data, off, width, BLOCK, dec_src, dt)
                 out[local[dec_blocks]] = (
@@ -461,8 +528,13 @@ def _decode_blocks(data: memoryview, dt: _Dt = _DT64, block_sel: np.ndarray | No
                 cnt = blocks.size * (BLOCK - 1)
                 nbytes = packed_nbytes(cnt, width)
                 if sel_mask is None:
-                    zz = unpack(np.frombuffer(data, np.uint8, nbytes, off), cnt, width, dt.udt)
+                    raw = np.frombuffer(data, np.uint8, nbytes, off)
+                    if shuf:
+                        raw = _byte_unshuffle(raw, width // 8)
+                    zz = unpack(raw, cnt, width, dt.udt)
                     zz = zz.reshape(-1, BLOCK - 1)
+                elif shuf:
+                    zz = _unpack_rows_shuf(data, off, width, BLOCK - 1, dec_src, blocks.size, dt)
                 else:
                     zz = _unpack_rows(data, off, width, BLOCK - 1, dec_src, dt)
                 d = _unzigzag(zz.ravel(), dt).reshape(-1, BLOCK - 1)
@@ -494,6 +566,25 @@ def _decode_blocks(data: memoryview, dt: _Dt = _DT64, block_sel: np.ndarray | No
         return flat
     parts = [flat[i * BLOCK : i * BLOCK + int(keep_len[i])] for i in range(len(block_sel))]
     return np.concatenate(parts)
+
+
+def _byte_unshuffle(raw: np.ndarray, nbytes_per_value: int) -> np.ndarray:
+    """Inverse of :func:`_byte_shuffle`: plane-major uint8 -> value-major."""
+    return np.ascontiguousarray(raw.reshape(nbytes_per_value, -1).T).reshape(-1)
+
+
+def _unpack_rows_shuf(
+    data, off: int, width: int, per_block: int, rows: np.ndarray, g_blocks: int, dt: _Dt
+) -> np.ndarray:
+    """Selective block decode inside a byte-shuffled payload group: block
+    g's bytes for plane p live at plane offset g*per_block — still O(1)
+    addressable, just gathered from width//8 plane slices instead of one."""
+    s = width // 8
+    buf = np.frombuffer(data, np.uint8, g_blocks * per_block * s, off)
+    planes = buf.reshape(s, g_blocks, per_block)
+    sub = np.ascontiguousarray(planes[:, rows, :].transpose(1, 2, 0))  # (R, per_block, s)
+    vals = unpack(sub.reshape(-1), rows.size * per_block, width, dt.udt)
+    return vals.reshape(rows.size, per_block)
 
 
 def _unpack_rows(data, off: int, width: int, per_block: int, rows: np.ndarray, dt: _Dt) -> np.ndarray:
@@ -681,11 +772,16 @@ def encode_ints(values: np.ndarray, *, min_run_ratio: float = 2.5, strategy: str
     if values.dtype in (np.int32, np.uint32) and values.dtype == np.uint32:
         values = values.view(np.int32)
     if values.dtype == np.int32:
-        dt, layout = _DT32, INT_BLOCKS32
+        dt = _DT32
     else:
-        dt, layout = _DT64, INT_BLOCKS
+        dt = _DT64
         values = np.ascontiguousarray(values, dtype=np.int64)
     v = np.ascontiguousarray(values, dtype=dt.idt)
+    use_shuf = v.size >= _SHUF_MIN_N
+    if dt is _DT32:
+        layout = INT_BLOCKS32_SHUF if use_shuf else INT_BLOCKS32
+    else:
+        layout = INT_BLOCKS_SHUF if use_shuf else INT_BLOCKS
     if version == "0.11":
         lane = INT_V1_32 if dt is _DT32 else INT_V1
         return bytes([lane]) + _encode_v1(v, dt)
@@ -700,7 +796,7 @@ def encode_ints(values: np.ndarray, *, min_run_ratio: float = 2.5, strategy: str
                 a = encode_ints(run_vals, strategy=strategy)
                 b = encode_ints(run_lens.astype(np.int32) if run_lens.size == 0 or run_lens.max() < 2**31 else run_lens, strategy=strategy)
                 return b"".join([bytes([INT_RLE]), struct.pack("<I", len(a)), a, b])
-    return bytes([layout]) + _encode_blocks(v, strategy, dt)
+    return bytes([layout]) + _encode_blocks(v, strategy, dt, shuffle=use_shuf)
 
 
 def decode_ints(data: bytes | memoryview, block_sel: np.ndarray | None = None) -> np.ndarray:
@@ -714,6 +810,10 @@ def decode_ints(data: bytes | memoryview, block_sel: np.ndarray | None = None) -
         return _decode_blocks(data[1:], _DT64, block_sel)
     if layout == INT_BLOCKS32:
         return _decode_blocks(data[1:], _DT32, block_sel)
+    if layout == INT_BLOCKS_SHUF:
+        return _decode_blocks(data[1:], _DT64, block_sel, shuffled=True)
+    if layout == INT_BLOCKS32_SHUF:
+        return _decode_blocks(data[1:], _DT32, block_sel, shuffled=True)
     if layout == INT_RLE:
         (alen,) = struct.unpack_from("<I", data, 1)
         run_vals = decode_ints(data[5 : 5 + alen])

@@ -126,9 +126,28 @@ def _encrypted_table() -> pa.Table:
     )
 
 
+def _ints_shuf_table() -> pa.Table:
+    """>= _SHUF_MIN_N values per stream: pins the byte-shuffled (SHUF)
+    block layouts introduced in format v5 — Zipf tokens (the north-star
+    shape), a uniform 17-bit lane, and a tail block crossing shuffled and
+    narrow (non-shuffled) groups."""
+    rng = np.random.default_rng(2025)
+    n = (1 << 16) + 300  # tail block included
+    return pa.table(
+        {
+            "zipf32": pa.array((rng.zipf(1.3, n) % 50257).astype(np.int32)),
+            "uni17": pa.array(rng.integers(0, 1 << 17, n).astype(np.int32)),
+            "mixed64": pa.array(
+                np.where(rng.random(n) < 0.3, rng.integers(0, 50, n), rng.integers(0, 1 << 40, n))
+            ),
+        }
+    )
+
+
 CASES: dict[str, tuple] = {
     # name -> (table builder, EncodeOptions)
     "ints_zstd1": (_ints_table, EncodeOptions()),
+    "ints_shuf": (_ints_shuf_table, EncodeOptions()),
     "ints_lz4": (_ints_table, EncodeOptions(compression="lz4", compression_level=None)),
     "strings_zstd1": (_strings_table, EncodeOptions()),
     "strings_plain": (_strings_table, EncodeOptions(compression="none")),

@@ -159,7 +159,7 @@ def test_zipf_tokens_shape():
 # ---------------------------------------------------------------------------
 # round-2: 32-bit codec lane + partial (seek-style) block decode
 
-from orc_ray.codecs.intcodec import INT_BLOCKS32, decode_ints, encode_ints
+from orc_ray.codecs.intcodec import INT_BLOCKS32, INT_BLOCKS32_SHUF, decode_ints, encode_ints
 
 
 def test_int32_lane_roundtrip_patterns():
@@ -215,3 +215,68 @@ def test_partial_decode_compression_strategy_widths():
     blob = encode_ints(v, min_run_ratio=1e9, strategy="compression")
     got = decode_ints(blob, block_sel=np.array([1, 2]))
     np.testing.assert_array_equal(got, v[512:1536])
+
+
+# ---------------------------------------------------------------------------
+# round-5: byte-shuffled block payloads (SHUF layouts)
+
+from orc_ray.codecs.intcodec import _SHUF_MIN_N, INT_BLOCKS_SHUF  # noqa: E402
+
+
+def test_shuf_layout_selected_by_stream_size():
+    """Streams >= _SHUF_MIN_N values take the byte-shuffled layout; smaller
+    ones keep the plain layout (the measured win/loss boundary)."""
+    rng = np.random.default_rng(5)
+    big32 = (rng.zipf(1.3, _SHUF_MIN_N) % 50257).astype(np.int32)
+    assert encode_ints(big32, min_run_ratio=1e9)[0] == INT_BLOCKS32_SHUF
+    small32 = big32[: _SHUF_MIN_N - 1]
+    assert encode_ints(small32, min_run_ratio=1e9)[0] == INT_BLOCKS32
+    big64 = big32.astype(np.int64)
+    assert encode_ints(big64, min_run_ratio=1e9)[0] == INT_BLOCKS_SHUF
+
+
+def test_shuf_roundtrip_all_tags():
+    """Every sub-encoding through the shuffled lane: DIRECT narrow (<=8 bit,
+    transpose skipped), DIRECT wide, PATCHED, DELTA (never shuffled),
+    CONST, fixed-delta, tail block — values must round-trip exactly."""
+    rng = np.random.default_rng(6)
+    reps = _SHUF_MIN_N // 512 // 8 + 1
+    parts = [
+        rng.integers(0, 50257, 512),                    # DIRECT 16-bit
+        rng.integers(0, 50, 512),                       # DIRECT narrow
+        np.arange(512) * 3 + 7,                         # fixed delta
+        np.full(512, -9),                               # CONST
+        np.where(rng.random(512) < 0.02, 2**28, rng.integers(0, 9, 512)),  # PATCHED
+        np.cumsum(rng.integers(-300, 300, 512)),        # DELTA
+        rng.integers(-(2**40), 2**40, 512),             # DIRECT wide (64-bit lane)
+        rng.integers(0, 70000, 300),                    # tail
+    ]
+    for dtype in (np.int64,):
+        v = np.concatenate(parts * reps).astype(dtype)
+        assert v.size >= _SHUF_MIN_N
+        blob = encode_ints(v, min_run_ratio=1e9)
+        assert blob[0] == INT_BLOCKS_SHUF
+        np.testing.assert_array_equal(decode_ints(blob), v)
+        # selective block decode crosses shuffled and plain groups
+        sel = np.array([0, 1, 4, 6, v.size // 512], dtype=np.int64)
+        got = decode_ints(blob, block_sel=sel)
+        exp = np.concatenate([v[i * 512 : (i + 1) * 512] for i in sel])
+        np.testing.assert_array_equal(got, exp)
+    reps32 = _SHUF_MIN_N // 512 // 6 + 1
+    v32 = np.concatenate(parts[:6] * reps32 + [parts[7]]).astype(np.int32)
+    blob = encode_ints(v32, min_run_ratio=1e9)
+    assert blob[0] == INT_BLOCKS32_SHUF
+    np.testing.assert_array_equal(decode_ints(blob), v32)
+
+
+def test_shuf_compresses_better_on_zipf():
+    """The point of the layout: framed (zstd level 1) size of the shuffled
+    token stream beats the plain layout by a real margin."""
+    from orc_ray.codecs import framing
+    from orc_ray.codecs.intcodec import _encode_blocks, _DT32
+
+    rng = np.random.default_rng(7)
+    v = (rng.zipf(1.3, 500_000) % 50257).astype(np.int32)
+    shuf = framing.compress(bytes(_encode_blocks(v, "speed", _DT32, shuffle=True)), "zstd", level=1)
+    plain = framing.compress(bytes(_encode_blocks(v, "speed", _DT32, shuffle=False)), "zstd", level=1)
+    assert len(shuf) < 0.95 * len(plain)
