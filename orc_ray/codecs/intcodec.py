@@ -65,15 +65,34 @@ INT_BLOCKS32_SHUF = 6
 
 _MAX_PATCHES = 48  # per block; above this PATCHED stops paying off
 
-# streams below this many values keep the plain (interleaved) layout: the
-# shuffle's plane-separation gain needs enough bytes per plane for the
-# second-stage entropy coder to model; measured on short wide streams
-# (decimal lo-words, string offset lanes at a few thousand values) the
-# transpose LOST 5-10% while every tested >=64k-value stream gained
-# (tokens +9.4%, uniform-17-bit +11.6%, lognormal +7.2%) or was neutral
-# (sorted keys).  The decision is stream-level and carried by the layout
-# byte itself, so readers never recompute it.
-_SHUF_MIN_N = 1 << 16
+# byte-shuffle candidacy: streams below _SHUF_MIN_N values keep the plain
+# (interleaved) layout outright — the measured losers (decimal lo-words,
+# string-offset lanes with periodic structure) all live at a few thousand
+# values where the absolute stakes are a few hundred bytes.  At or above
+# it the encoder MEASURES: both layouts of a _SHUF_SAMPLE-value prefix are
+# probed through the same second-stage compressor the framing layer uses
+# (zstd level 1) and the smaller one wins — i.i.d./skewed streams (tokens
+# +9.4%, uniform-17-bit +11.6%, lognormal +7.2%) shuffle, while streams
+# whose interleaved bytes carry sequential match structure stay plain.
+# The decision is stream-level, deterministic (pure function of the
+# values), and carried by the layout byte itself, so readers never
+# recompute it.  Probe cost: two sub-encodes + two zstd passes over
+# <=256 KiB — well under 1 ms against the stream it sizes.
+_SHUF_MIN_N = 4096
+_SHUF_SAMPLE = 32768
+
+
+def _shuffle_wins(v: np.ndarray, strategy: str, dt: _Dt) -> bool:
+    """Measured stream-level shuffle decision (see _SHUF_MIN_N note)."""
+    s = v[:_SHUF_SAMPLE]
+    b1 = _encode_blocks(s, strategy, dt, shuffle=True)
+    b0 = _encode_blocks(s, strategy, dt, shuffle=False)
+    if b1 == b0:  # no payload group qualifies — nothing to gain
+        return False
+    import pyarrow as pa  # lazy: keep module import numpy-only
+
+    c = pa.Codec("zstd", compression_level=1)
+    return len(c.compress(b1)) < len(c.compress(b0))
 
 
 def _group_shuffled(tag: int, width: int) -> bool:
@@ -777,11 +796,6 @@ def encode_ints(values: np.ndarray, *, min_run_ratio: float = 2.5, strategy: str
         dt = _DT64
         values = np.ascontiguousarray(values, dtype=np.int64)
     v = np.ascontiguousarray(values, dtype=dt.idt)
-    use_shuf = v.size >= _SHUF_MIN_N
-    if dt is _DT32:
-        layout = INT_BLOCKS32_SHUF if use_shuf else INT_BLOCKS32
-    else:
-        layout = INT_BLOCKS_SHUF if use_shuf else INT_BLOCKS
     if version == "0.11":
         lane = INT_V1_32 if dt is _DT32 else INT_V1
         return bytes([lane]) + _encode_v1(v, dt)
@@ -796,6 +810,11 @@ def encode_ints(values: np.ndarray, *, min_run_ratio: float = 2.5, strategy: str
                 a = encode_ints(run_vals, strategy=strategy)
                 b = encode_ints(run_lens.astype(np.int32) if run_lens.size == 0 or run_lens.max() < 2**31 else run_lens, strategy=strategy)
                 return b"".join([bytes([INT_RLE]), struct.pack("<I", len(a)), a, b])
+    use_shuf = v.size >= _SHUF_MIN_N and _shuffle_wins(v, strategy, dt)
+    if dt is _DT32:
+        layout = INT_BLOCKS32_SHUF if use_shuf else INT_BLOCKS32
+    else:
+        layout = INT_BLOCKS_SHUF if use_shuf else INT_BLOCKS
     return bytes([layout]) + _encode_blocks(v, strategy, dt, shuffle=use_shuf)
 
 

@@ -223,16 +223,32 @@ def test_partial_decode_compression_strategy_widths():
 from orc_ray.codecs.intcodec import _SHUF_MIN_N, INT_BLOCKS_SHUF  # noqa: E402
 
 
-def test_shuf_layout_selected_by_stream_size():
-    """Streams >= _SHUF_MIN_N values take the byte-shuffled layout; smaller
-    ones keep the plain layout (the measured win/loss boundary)."""
+def test_shuf_layout_selected_by_measurement():
+    """Streams >= _SHUF_MIN_N values probe both layouts through the
+    second-stage compressor and take the smaller; sub-threshold streams
+    and streams whose interleaved bytes compress better stay plain."""
     rng = np.random.default_rng(5)
-    big32 = (rng.zipf(1.3, _SHUF_MIN_N) % 50257).astype(np.int32)
+    big32 = (rng.zipf(1.3, 1 << 16) % 50257).astype(np.int32)
     assert encode_ints(big32, min_run_ratio=1e9)[0] == INT_BLOCKS32_SHUF
     small32 = big32[: _SHUF_MIN_N - 1]
     assert encode_ints(small32, min_run_ratio=1e9)[0] == INT_BLOCKS32
     big64 = big32.astype(np.int64)
     assert encode_ints(big64, min_run_ratio=1e9)[0] == INT_BLOCKS_SHUF
+    # selection optimality: whatever the probe picks must frame no larger
+    # than the rejected layout (checked on the full stream, not the sample)
+    from orc_ray.codecs import framing
+    from orc_ray.codecs.intcodec import _DT64, _encode_blocks
+
+    per = np.empty(1 << 16, dtype=np.int64)
+    per[::2] = -1
+    per[1::2] = -800_000_000 + np.arange(1 << 15) * 3_794_708
+    for v in (per, big64):
+        chosen = encode_ints(v, min_run_ratio=1e9)
+        np.testing.assert_array_equal(decode_ints(chosen), v)
+        f_shuf = len(framing.compress(bytes(_encode_blocks(v, "speed", _DT64, shuffle=True)), "zstd", level=1))
+        f_plain = len(framing.compress(bytes(_encode_blocks(v, "speed", _DT64, shuffle=False)), "zstd", level=1))
+        f_chosen = f_shuf if chosen[0] == INT_BLOCKS_SHUF else f_plain
+        assert f_chosen <= min(f_shuf, f_plain) * 1.02  # sample probe, full-stream check
 
 
 def test_shuf_roundtrip_all_tags():
