@@ -46,7 +46,13 @@ import pyarrow as pa
 import pyarrow.compute  # noqa: F401 — register pa.compute for standalone imports
 
 from .codecs import framing, fsst
-from .codecs.intcodec import decode_ints, decode_ints_ranges, encode_ints
+from .codecs.intcodec import (
+    _SHUF_MIN_N,
+    _byte_shuffle,
+    decode_ints,
+    decode_ints_ranges,
+    encode_ints,
+)
 
 MAGIC = b"ORAY1"
 # bump when the buffer encoding changes incompatibly (v2: int32 codec lane +
@@ -197,6 +203,20 @@ def _stride_minmax_int(logical: np.ndarray, rows: int = STRIDE_ROWS) -> dict:
         smins.append(int(seg.min()))
         smaxs.append(int(seg.max()))
     return {"rows": rows, "mins": smins, "maxs": smaxs}
+
+
+def _raw_shuffle_wins(raw: bytes, isz: int) -> bool:
+    """Measured stream-level decision for the rawsh float codec (the
+    chunk-layer twin of intcodec._shuffle_wins): probe both layouts of a
+    value-aligned prefix through the framing compressor (zstd level 1)
+    and shuffle only when it measures smaller.  Deterministic — a pure
+    function of the bytes — so retry/resume stay byte-identical."""
+    from .codecs.intcodec import _SHUF_SAMPLE, _planes_beat_interleaved
+
+    n_vals = len(raw) // isz
+    if n_vals < _SHUF_MIN_N:
+        return False
+    return _planes_beat_interleaved(raw[: min(n_vals, _SHUF_SAMPLE) * isz], isz)
 
 
 def _stride_minmax_float(v: np.ndarray, rows: int = STRIDE_ROWS) -> dict:
@@ -449,6 +469,18 @@ def _encode_column(arr: pa.Array, opts: EncodeOptions, name: str = "") -> tuple[
                 bufs.append(encode_ints(ints, strategy=opts.strategy, version=opts.file_version))
                 return meta, bufs
             raw = v.tobytes()
+            # byte-plane shuffled IEEE floats (the int SHUF layouts' idea
+            # applied to the raw FLOAT/DOUBLE lane): sign/exponent bytes of
+            # real-valued columns repeat heavily, and separating planes
+            # lets the framing compressor's entropy stage model them —
+            # measured -8% on float32 embeddings, -29% on float64, at one
+            # extra transpose pass.  Same measured stream-level decision
+            # as intcodec._shuffle_wins; the codec name carries it.
+            isz = 4 if pa.types.is_float32(ty) else 8
+            if v.dtype.itemsize == isz and _raw_shuffle_wins(raw, isz):
+                meta.update(codec="rawsh")
+                bufs.append(_byte_shuffle(raw, isz))
+                return meta, bufs
         meta.update(codec="raw")
         bufs.append(raw)
         return meta, bufs
@@ -684,6 +716,14 @@ def _decode_column(meta: dict, bufs: list[bytes], ty: pa.DataType, ranges=None,
             out = pa.array(np.frombuffer(raw, dt), type=ty)
         return _apply_validity(out, vbits, n)
 
+    if codec == "rawsh":
+        dt = np.float32 if pa.types.is_float32(ty) else np.float64
+        isz = dt().itemsize
+        planes = np.frombuffer(bufs[i], np.uint8).reshape(isz, -1)
+        inter = np.ascontiguousarray(planes.T).reshape(-1)
+        out = pa.array(inter.view(dt), type=ty)
+        return _apply_validity(out, vbits, n)
+
     if codec == "fdec":
         ints = decode_ints(bufs[i]) if ranges is None else decode_ints_ranges(bufs[i], ranges)
         dt = np.float32 if pa.types.is_float32(ty) else np.float64
@@ -907,7 +947,7 @@ def _count_bufs(m: dict) -> int:
         c += (2 if m["mode"] == "dense" else 1) + sum(_count_bufs(ch) for ch in m["children"])
     elif codec == "int":
         c += 1
-    elif codec in ("raw", "fdec", "dec64"):
+    elif codec in ("raw", "rawsh", "fdec", "dec64"):
         c += 1
     elif codec in ("str", "bin", "ts", "dec128"):
         c += 2

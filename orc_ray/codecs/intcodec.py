@@ -69,30 +69,48 @@ _MAX_PATCHES = 48  # per block; above this PATCHED stops paying off
 # (interleaved) layout outright — the measured losers (decimal lo-words,
 # string-offset lanes with periodic structure) all live at a few thousand
 # values where the absolute stakes are a few hundred bytes.  At or above
-# it the encoder MEASURES: both layouts of a _SHUF_SAMPLE-value prefix are
-# probed through the same second-stage compressor the framing layer uses
-# (zstd level 1) and the smaller one wins — i.i.d./skewed streams (tokens
-# +9.4%, uniform-17-bit +11.6%, lognormal +7.2%) shuffle, while streams
-# whose interleaved bytes carry sequential match structure stay plain.
-# The decision is stream-level, deterministic (pure function of the
-# values), and carried by the layout byte itself, so readers never
-# recompute it.  Probe cost: two sub-encodes + two zstd passes over
-# <=256 KiB — well under 1 ms against the stream it sizes.
+# it the encoder MEASURES (after the (tag, width) groups are known, so
+# streams with no qualifying group skip the probe): plane-separated vs
+# interleaved compression of a _SHUF_SAMPLE-value raw-byte prefix through
+# the framing compressor (zstd level 1, see _planes_beat_interleaved) —
+# i.i.d./skewed streams (tokens +9.4%, uniform-17-bit +11.6%, lognormal
+# +7.2%, unit-norm float embeddings +8%) shuffle, while streams whose
+# interleaved bytes carry sequential match structure stay plain.  The
+# decision is stream-level, deterministic (pure function of the values),
+# and carried by the layout byte / codec name itself, so readers never
+# recompute it.  Probe cost: isz+1 zstd passes over <=256 KiB — well
+# under 1 ms against the stream it sizes.
 _SHUF_MIN_N = 4096
 _SHUF_SAMPLE = 32768
 
 
-def _shuffle_wins(v: np.ndarray, strategy: str, dt: _Dt) -> bool:
-    """Measured stream-level shuffle decision (see _SHUF_MIN_N note)."""
-    s = v[:_SHUF_SAMPLE]
-    b1 = _encode_blocks(s, strategy, dt, shuffle=True)
-    b0 = _encode_blocks(s, strategy, dt, shuffle=False)
-    if b1 == b0:  # no payload group qualifies — nothing to gain
-        return False
+def _planes_beat_interleaved(raw: bytes, isz: int) -> bool:
+    """Probe core: does plane-separated compression beat interleaved on
+    this value-aligned byte sample?  Each plane is compressed SEPARATELY —
+    compressing a transposed small sample as one buffer would be blind,
+    because a transpose permutes bytes without changing the histogram, and
+    inside a single zstd block the literal entropy table sees only the
+    histogram (measured: identical sizes on <=128 KiB float samples that
+    gain 8-29% at full stream size, where each plane spans whole framing
+    blocks).  A ~3% margin absorbs the proxy error near the boundary."""
     import pyarrow as pa  # lazy: keep module import numpy-only
 
     c = pa.Codec("zstd", compression_level=1)
-    return len(c.compress(b1)) < len(c.compress(b0))
+    z_inter = len(c.compress(raw))
+    a = np.frombuffer(raw, np.uint8).reshape(-1, isz)
+    z_planes = sum(
+        len(c.compress(np.ascontiguousarray(a[:, p]).tobytes())) for p in range(isz)
+    )
+    return z_planes < z_inter - (z_inter >> 5)
+
+
+def _shuffle_wins(v: np.ndarray, strategy: str, dt: _Dt) -> bool:
+    """Measured stream-level shuffle decision (see _SHUF_MIN_N note): the
+    probe runs on the raw value bytes of a prefix — the FOR-shifted packed
+    lanes share their low planes with the raw representation (base-0 fast
+    path), and the empty high planes cost both layouts equally."""
+    s = np.ascontiguousarray(v[:_SHUF_SAMPLE])
+    return _planes_beat_interleaved(s.tobytes(), dt.isize)
 
 
 def _group_shuffled(tag: int, width: int) -> bool:
@@ -167,17 +185,28 @@ def _exact_bit_width(x: np.ndarray, dt: _Dt) -> np.ndarray:
 def _encode_blocks(
     values: np.ndarray, strategy: str = "speed", dt: _Dt = _DT64, shuffle: bool = False
 ) -> bytes:
+    """Encode an integer array with the 512-value block format (fixed
+    shuffle decision; see :func:`_encode_blocks_ex` for the measured one)."""
+    return _encode_blocks_ex(values, strategy, dt, shuffle)[1]
+
+
+def _encode_blocks_ex(
+    values: np.ndarray, strategy: str = "speed", dt: _Dt = _DT64, shuffle=False
+) -> tuple[bool, bytes]:
     """Encode an integer array with the 512-value block format.
 
     strategy: "speed" aligns pack widths to the fast byte-level kernel set
     (ORC SPEED alignment analog); "compression" keeps exact widths.
     shuffle: byte-transpose whole-byte payload groups (SHUF layouts) —
-    see :func:`_byte_shuffle`.
+    see :func:`_byte_shuffle`.  Pass the string "auto" to decide here,
+    after the (tag, width) groups are known: streams with no qualifying
+    group stay plain without paying the probe, otherwise the measured
+    :func:`_shuffle_wins` verdict applies.  Returns (used_shuffle, bytes).
     """
     v = np.ascontiguousarray(values, dtype=dt.idt)
     n = v.size
     if n == 0:
-        return struct.pack("<QI4I", 0, 0, 0, 0, 0, 0)
+        return False, struct.pack("<QI4I", 0, 0, 0, 0, 0, 0)
     nb = (n + BLOCK - 1) // BLOCK
     nfull = n // BLOCK
     tail = n - nfull * BLOCK
@@ -375,6 +404,12 @@ def _encode_blocks(
     # == 0 (always for DIRECT/PATCHED: 512 values), so the full-block part
     # and the tail block pack separately with identical bytes — no
     # whole-group concatenate.
+    if shuffle == "auto":
+        qualifies = any(
+            width and _group_shuffled(tag, width) for tag, width, _ in _groups(tags, widths)
+        )
+        shuffle = qualifies and _shuffle_wins(v, strategy, dt)
+
     payload: list[bytes] = []
 
     def _emit(chunks: list[bytes], tag: int, width: int) -> None:
@@ -444,7 +479,7 @@ def _encode_blocks(
     head = struct.pack(
         "<QI4I", n, patch_pos.size, len(bases_b), len(extras_b), len(ppos_b), len(pval_b)
     )
-    return b"".join(
+    return bool(shuffle), b"".join(
         [head, tags.tobytes(), widths.tobytes(), bases_b, extras_b, ppos_b, pval_b] + payload
     )
 
@@ -810,12 +845,13 @@ def encode_ints(values: np.ndarray, *, min_run_ratio: float = 2.5, strategy: str
                 a = encode_ints(run_vals, strategy=strategy)
                 b = encode_ints(run_lens.astype(np.int32) if run_lens.size == 0 or run_lens.max() < 2**31 else run_lens, strategy=strategy)
                 return b"".join([bytes([INT_RLE]), struct.pack("<I", len(a)), a, b])
-    use_shuf = v.size >= _SHUF_MIN_N and _shuffle_wins(v, strategy, dt)
+    want = "auto" if v.size >= _SHUF_MIN_N else False
+    use_shuf, body = _encode_blocks_ex(v, strategy, dt, shuffle=want)
     if dt is _DT32:
         layout = INT_BLOCKS32_SHUF if use_shuf else INT_BLOCKS32
     else:
         layout = INT_BLOCKS_SHUF if use_shuf else INT_BLOCKS
-    return bytes([layout]) + _encode_blocks(v, strategy, dt, shuffle=use_shuf)
+    return bytes([layout]) + body
 
 
 def decode_ints(data: bytes | memoryview, block_sel: np.ndarray | None = None) -> np.ndarray:

@@ -41,7 +41,7 @@ class ColumnCodec:
 
 _REGISTRY: dict[str, ColumnCodec] = {}
 
-_BUILTIN = {"int", "raw", "fdec", "str", "bin", "dict", "fsst", "list", "map", "struct"}
+_BUILTIN = {"int", "raw", "rawsh", "fdec", "str", "bin", "dict", "fsst", "list", "map", "struct"}
 
 
 def register(codec: ColumnCodec) -> None:

@@ -191,3 +191,63 @@ def test_per_column_compression_override():
 
     # projection decode works on the mixed blob
     assert decode_chunk(mixed, columns=["text"]).equals(t.select(["text"]))
+
+
+# ---------------------------------------------------------------------------
+# round-5: byte-plane shuffled raw floats (codec "rawsh")
+
+def test_rawsh_float_roundtrip_and_selection():
+    """Large real-valued float streams take the shuffled raw lane by
+    measurement; values (incl. NaN/inf/-0.0 and nulls) round-trip exactly
+    and range decode slices correctly."""
+    from orc_ray.chunk import read_chunk_header
+
+    rng = np.random.default_rng(55)
+    n = 70000
+    f64 = rng.standard_normal(n) * 1e10
+    f64[5], f64[6], f64[7] = np.nan, np.inf, -0.0
+    nul = pa.array([None if i % 7 == 0 else float(i) * 0.1 for i in range(n)], pa.float64())
+    small = pa.array(rng.standard_normal(1000).astype(np.float32))
+    t = pa.table({"x": pa.array(f64), "nul": nul})
+    blob = encode_chunk(t)
+    codecs = {c["name"]: c["codec"] for c in read_chunk_header(memoryview(blob))["columns"]}
+    assert codecs["x"] == "rawsh"  # gaussian f64: measured -29% on this shape
+    out = decode_chunk(blob)
+    for c in t.column_names:
+        a, b = t.column(c).to_pylist(), out.column(c).to_pylist()
+        assert all((x == y) or (x != x and y != y) for x, y in zip(a, b)), c
+    # sub-threshold floats stay plain raw
+    blob_s = encode_chunk(pa.table({"s": small}))
+    assert read_chunk_header(memoryview(blob_s))["columns"][0]["codec"] == "raw"
+    # range decode (full-decode+slice guard path)
+    got = decode_chunk(blob, row_ranges=[(100, 200), (n - 100, n)])
+    exp = pa.concat_tables([t.slice(100, 100), t.slice(n - 100, 100)])
+    ga, ea = got.column("x").to_pylist(), exp.column("x").to_pylist()
+    assert all((x == y) or (x != x and y != y) for x, y in zip(ga, ea))
+
+
+def test_rawsh_list_float_child_and_size_win():
+    """The embeddings shape: list<float32> children ride the shuffled lane
+    and the chunk gets smaller than with the transform disabled."""
+    import orc_ray.chunk as chunkmod
+    from orc_ray.chunk import read_chunk_header
+
+    rng = np.random.default_rng(56)
+    vecs = rng.standard_normal((2000, 64)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)  # unit vectors, like real embeddings
+    emb = pa.table(
+        {"vec_id": pa.array(np.arange(2000)), "embedding": pa.array(list(vecs))}
+    )
+    blob = encode_chunk(emb)
+    hdr = read_chunk_header(memoryview(blob))
+    child = {c["name"]: c.get("child", {}).get("codec") for c in hdr["columns"]}
+    assert child["embedding"] == "rawsh"
+    assert decode_chunk(blob).column("embedding").to_pylist() == emb.column("embedding").to_pylist()
+    # the measured win is real: disabling the probe costs size
+    orig = chunkmod._raw_shuffle_wins
+    chunkmod._raw_shuffle_wins = lambda raw, isz: False
+    try:
+        plain = encode_chunk(emb)
+    finally:
+        chunkmod._raw_shuffle_wins = orig
+    assert len(blob) < 0.97 * len(plain)
