@@ -468,6 +468,39 @@ def cmd_export_parquet(a) -> int:
     return 0
 
 
+def cmd_export_bin(a) -> int:
+    """Decode a (id, tokens:list<int32>) chunk store into self-indexed
+    flat-token training shards (pipeline/orcio.write_bin_parts — the
+    Megatron-LM indexed-dataset idea as content-addressed parts): the
+    last stage of the pre-training data path, in the format a dataloader
+    memory-maps."""
+    _ray_up()
+    from .pipeline.decode import decode_dataset
+    from .pipeline.orcio import write_bin_parts
+
+    man = write_bin_parts(
+        decode_dataset(
+            a.store,
+            columns=[a.id_col, a.tokens_col],
+            predicates=_parse_where(a.where),
+        ),
+        a.out,
+        id_col=a.id_col,
+        tokens_col=a.tokens_col,
+        batch_size=a.batch_size,
+    )
+    print(
+        json.dumps(
+            {
+                "parts": man.num_rows,
+                "rows": sum(man.column("rows").to_pylist()),
+                "bytes": sum(man.column("bytes").to_pylist()),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_export_orc(a) -> int:
     """Decode a chunk store into partitioned real .orc files."""
     _ray_up()
@@ -1061,6 +1094,16 @@ def main(argv=None) -> int:
     ep.add_argument("--compression", default="zstd",
                     choices=["zstd", "snappy", "lz4", "gzip", "none"])
     ep.set_defaults(fn=cmd_export_parquet)
+
+    eb = sub.add_parser("export-bin",
+                        help="decode a token store into flat-token training shards (.bin)")
+    eb.add_argument("store")
+    eb.add_argument("out")
+    eb.add_argument("--id-col", default="doc_id")
+    eb.add_argument("--tokens-col", default="tokens")
+    eb.add_argument("--batch-size", type=int, default=65536)
+    eb.add_argument("--where", help='JSON predicates, e.g. \'[["col","<",100]]\'')
+    eb.set_defaults(fn=cmd_export_bin)
 
     m = sub.add_parser("merge", help="merge committed stores (orc-tools merge analog)")
     m.add_argument("out")

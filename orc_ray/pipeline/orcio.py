@@ -382,3 +382,113 @@ def write_csv_parts(
         num_cpus=1,
     )
     return _collect_manifest(man)
+
+
+# ---------------------------------------------------------------------------
+# Training-shard binary export (.bin indexed shards)
+# ---------------------------------------------------------------------------
+#
+# The last stage of the pre-training data path (tokenize -> dedup -> pack
+# -> EXPORT): flat little-endian int32 token payloads a dataloader can
+# memory-map directly, the idea of Megatron-LM's indexed .bin/.idx dataset
+# files re-expressed as self-contained content-addressed shards.  Each
+# shard carries its own index header (sequence ids + lengths) followed by
+# the 16-byte-aligned token payload, so a loader computes the payload
+# offset once and `np.frombuffer`s the rest; the sha-named parts give the
+# same idempotent-resume contract as every other sink in this module.
+
+BIN_MAGIC = b"ORBIN1"
+_BIN_ALIGN = 16
+
+
+def _serialize_bin(batch: pa.Table, *, id_col: str, tokens_col: str) -> bytes:
+    import numpy as np
+    import struct
+
+    ids = batch.column(id_col).cast(pa.string()).combine_chunks()
+    toks = batch.column(tokens_col).combine_chunks()
+    if toks.null_count:
+        toks = toks.fill_null([])
+    toks = toks.cast(pa.list_(pa.int32()))
+    n = batch.num_rows
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    lens = np.diff(offs).astype(np.uint32)
+    vals = toks.values.to_numpy(zero_copy_only=False).astype("<i4")[offs[0] : offs[-1]]
+    id_off = ids.buffers()[1]
+    io_np = np.frombuffer(id_off, np.int32, n + 1, ids.offset * 4)
+    id_lens = np.diff(io_np).astype(np.uint32)
+    id_bytes = ids.buffers()[2][io_np[0] : io_np[-1]] if ids.buffers()[2] is not None else b""
+    head = [
+        BIN_MAGIC,
+        struct.pack("<BBQQ", 1, 0, n, int(lens.sum())),  # version, dtype=int32
+        lens.astype("<u4").tobytes(),
+        id_lens.astype("<u4").tobytes(),
+        bytes(id_bytes),
+    ]
+    pre = sum(len(p) for p in head)
+    pad = (-pre) % _BIN_ALIGN
+    head.append(b"\x00" * pad)
+    head.append(vals.tobytes())
+    return b"".join(head)
+
+
+def read_bin_part(path: str) -> pa.Table:
+    """Read one shard back into (seq_id: string, tokens: list<int32>) —
+    the verification / re-ingestion direction.  The token payload is a
+    single aligned `np.frombuffer` view of the file tail."""
+    import numpy as np
+    import struct
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    if blob[: len(BIN_MAGIC)] != BIN_MAGIC:
+        raise ValueError(f"{path}: not an ORBIN1 shard")
+    ver, dtype_code, n, total = struct.unpack_from("<BBQQ", blob, len(BIN_MAGIC))
+    if ver != 1 or dtype_code != 0:
+        raise ValueError(f"{path}: unsupported shard version/dtype {ver}/{dtype_code}")
+    off = len(BIN_MAGIC) + 18
+    lens = np.frombuffer(blob, "<u4", n, off); off += 4 * n
+    id_lens = np.frombuffer(blob, "<u4", n, off); off += 4 * n
+    ids_end = off + int(id_lens.sum())
+    id_bytes = blob[off:ids_end]
+    pay = ids_end + ((-ids_end) % _BIN_ALIGN)
+    vals = np.frombuffer(blob, "<i4", int(total), pay)
+    id_offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(id_lens, out=id_offs[1:])
+    ids = pa.StringArray.from_buffers(
+        int(n), pa.py_buffer(id_offs.tobytes()), pa.py_buffer(id_bytes)
+    )
+    tok_offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=tok_offs[1:])
+    toks = pa.ListArray.from_arrays(
+        pa.array(tok_offs, pa.int32()), pa.array(vals, pa.int32())
+    )
+    return pa.table({"seq_id": ids, "tokens": toks})
+
+
+def write_bin_parts(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Streaming training-shard sink: one self-indexed ``part-<sha>.bin``
+    per block, flat int32 token payload, content-addressed idempotent
+    resume — the (doc_id, tokens) stream leaves the engine in the format
+    a pre-training dataloader memory-maps."""
+    os.makedirs(out_dir, exist_ok=True)
+    man = ds.map_batches(
+        functools.partial(
+            _write_part,
+            out_dir=out_dir,
+            ext="bin",
+            serialize=functools.partial(_serialize_bin, id_col=id_col, tokens_col=tokens_col),
+        ),
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        num_cpus=1,
+    )
+    return _collect_manifest(man)

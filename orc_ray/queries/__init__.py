@@ -120,6 +120,7 @@ QUERIES = {
     "hourly_seasonality": q_hourly_seasonality,
     "percentile_ranks": q_percentile_ranks,
     "normalize_text": q_normalize_text,
+    "bin_export": q_bin_export,
     "json_extract_stats": q_json_extract_stats,
     "value_histogram": q_value_histogram,
     "corr_moments": q_corr_moments,

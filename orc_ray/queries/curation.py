@@ -476,6 +476,100 @@ def q_normalize_text(sf_dir: str):
     ).sort_by("doc_id")
 
 
+def q_bin_export(sf_dir: str):
+    """Training-shard binary export gate — the last stage of the
+    pre-training data path (tokenize -> dedup -> pack -> EXPORT).  A
+    (doc_id, tokens:list<int32>) stream (tokens = byte lengths of the
+    whitespace words, so the oracle can derive the identical list in SQL)
+    is written through pipeline/orcio.write_bin_parts — self-indexed flat
+    int32 shards, the Megatron-LM indexed-dataset idea as
+    content-addressed parts — then READ BACK from the .bin files alone,
+    and per-sequence (n_tok, token sum, first/last token) are computed
+    from the binary payload.  Any infidelity in the shard writer, header
+    layout, alignment or reader breaks the value hash vs the SQL that
+    never saw the shards."""
+    import ray as _ray
+
+    from ..functions.text import _ws_words
+    from ..pipeline.orcio import read_bin_part, write_bin_parts
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        off, flat, n_words = _ws_words(t.column("text"), lower=False)
+        wl = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype(np.int32)
+        starts = off[:-1]
+        # an empty/whitespace-only doc contributed exactly one "" word
+        mask = np.ones(len(wl), dtype=bool)
+        mask[starts[np.flatnonzero(n_words == 0)]] = False
+        new_off = np.zeros(len(t) + 1, dtype=np.int32)
+        np.cumsum(n_words, out=new_off[1:])
+        tokens = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), pa.array(wl[mask], pa.int32())
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id").cast(pa.string()), "tokens": tokens}
+        )
+
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|binshards|v2".encode()).hexdigest()[:10]
+    shard_dir = os.path.join(CACHE_ROOT, f"binshards-{key}")
+    man = write_bin_parts(
+        ds.map_batches(tok, batch_format="pyarrow", zero_copy_batch=True),
+        shard_dir,
+        batch_size=4096,
+    )
+    paths = man.column("path").to_pylist()  # O(shards) driver rows
+
+    def summarize(b: pa.Table) -> pa.Table:
+        outs = []
+        for p in b.column("item").to_pylist():
+            t = read_bin_part(p)
+            toks = t.column("tokens").combine_chunks()
+            off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            off = off - off[0]
+            vals = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            n_tok = np.diff(off)
+            cs = np.zeros(len(vals) + 1, dtype=np.int64)
+            np.cumsum(vals, out=cs[1:])
+            sums = cs[off[1:]] - cs[off[:-1]]
+            has = n_tok > 0
+            first = np.where(has, vals[np.minimum(off[:-1], max(len(vals) - 1, 0))], 0)
+            last = np.where(has, vals[np.maximum(off[1:] - 1, 0)], 0)
+            outs.append(
+                pa.table(
+                    {
+                        "seq_id": t.column("seq_id"),
+                        "n_tok": pa.array(n_tok),
+                        "tok_sum": pa.array(sums),
+                        "first_tok": pa.array(first, pa.int64()),
+                        "last_tok": pa.array(last, pa.int64()),
+                        "has": pa.array(has),
+                    }
+                )
+            )
+        out = pa.concat_tables(outs) if outs else pa.table({})
+        if out.num_rows == 0:
+            return out
+        # NULL first/last for empty sequences (SQL list indexing parity)
+        has = out.column("has")
+        ft = pc.if_else(has, out.column("first_tok"), pa.scalar(None, pa.int64()))
+        lt = pc.if_else(has, out.column("last_tok"), pa.scalar(None, pa.int64()))
+        return pa.table(
+            {
+                "seq_id": out.column("seq_id"),
+                "n_tok": out.column("n_tok"),
+                "tok_sum": out.column("tok_sum"),
+                "first_tok": ft,
+                "last_tok": lt,
+            }
+        )
+
+    rb = _ray.data.from_items(paths).map_batches(
+        summarize, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _to_table(rb).sort_by("seq_id")
+
+
 # --- DuckDB oracle SQL for this domain's queries; assembled into the
 # driver-contract registry by queries/__init__ (zero behavior change —
 # the SQL lives beside the pipeline it mirrors).
@@ -533,6 +627,22 @@ ORACLE_SQL = {
         SELECT doc_id,
                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
         FROM documents ORDER BY doc_id
+    """,
+    "bin_export": r"""
+        WITH w AS (
+            SELECT CAST(doc_id AS VARCHAR) AS seq_id,
+                   list_transform(
+                       list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'),
+                                   x -> x <> ''),
+                       x -> CAST(strlen(x) AS BIGINT)) AS toks
+            FROM documents
+        )
+        SELECT seq_id,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               CAST(COALESCE(list_aggregate(toks, 'sum'), 0) AS BIGINT) AS tok_sum,
+               CASE WHEN len(toks) > 0 THEN toks[1] END AS first_tok,
+               CASE WHEN len(toks) > 0 THEN toks[len(toks)] END AS last_tok
+        FROM w ORDER BY seq_id
     """,
     "gopher_filter": r"""
         WITH base AS (

@@ -67,7 +67,7 @@ QUERY_NAMES = [
     # real .orc interop, RLEv1 streams, damage-salvage, schema union
     "csv_roundtrip", "encrypted_roundtrip", "rekeyed_roundtrip",
     "orc_file_roundtrip", "recovered_roundtrip", "roundtrip_v011",
-    "schema_union_read", "roundtrip_lineitem",
+    "schema_union_read", "roundtrip_lineitem", "bin_export",
 ]
 ROWS_ONLY = ["approx_quantiles", "simhash", "dedup_minhash",
              "media_pipeline", "multimodal_features", "bpe_tokenize"]

@@ -138,6 +138,7 @@ NEW_QUERIES = [
     "gini_user_activity",
     "csv_roundtrip",
     "tokenize_corpus",
+    "bin_export",
 ]
 
 
