@@ -21,6 +21,7 @@ meta/data/scan/convert; C++ orc-metadata/orc-contents/orc-scan).
     python -m orc_ray import-orc F.orc STORE / export-orc STORE DIR
     python -m orc_ray import-csv F.csv STORE --schema 'struct<a:int,b:char(3)>'
     python -m orc_ray import-jsonl F.jsonl STORE / export-csv STORE DIR
+    python -m orc_ray export-bin STORE DIR / import-bin DIR STORE  (training shards)
     python -m orc_ray table   create|delta|read|compact|vacuum|history DIR …
     python -m orc_ray query   NAME [--sf-dir D] [--limit N]   # run a library pipeline
     python -m orc_ray stats   STORE        # per-column file stats rollup (orc-statistics)
@@ -422,6 +423,21 @@ def cmd_import_csv(a) -> int:
     opts = _build_opts(a)
     opts.char_specs = {**char_specs, **opts.char_specs}
     rec = encode_dataset([], a.store, opts, ds=ds, batch_size=a.batch_size)
+    print(json.dumps(rec["totals"]))
+    return 0
+
+
+def cmd_import_bin(a) -> int:
+    """Encode training shards (.bin, ORBIN1) back into a chunk store —
+    the re-ingestion direction of export-bin, so a shard set re-enters
+    every store-side pipeline (dedup, pack, stats, queries)."""
+    _ray_up()
+    from .pipeline.encode import encode_dataset
+    from .pipeline.orcio import read_bin
+
+    rec = encode_dataset(
+        [], a.store, _build_opts(a), ds=read_bin(a.input), batch_size=a.batch_size
+    )
     print(json.dumps(rec["totals"]))
     return 0
 
@@ -1104,6 +1120,18 @@ def main(argv=None) -> int:
     eb.add_argument("--batch-size", type=int, default=65536)
     eb.add_argument("--where", help='JSON predicates, e.g. \'[["col","<",100]]\'')
     eb.set_defaults(fn=cmd_export_bin)
+
+    ib = sub.add_parser("import-bin",
+                        help="encode .bin training shards back into a chunk store")
+    ib.add_argument("input")
+    ib.add_argument("store")
+    ib.add_argument("--batch-size", type=int, default=16384)
+    ib.add_argument("--mask", action="append", help="COL=nullify|redact|sha256")
+    ib.add_argument("--encrypt", action="append", help="COL=KEYNAME (needs --keystore)")
+    ib.add_argument("--keystore", help="JSON keystore path")
+    ib.add_argument("--char", action="append", help="COL=char(n)|varchar(n)")
+    ib.add_argument("--file-version", default="0.12", choices=["0.11", "0.12"])
+    ib.set_defaults(fn=cmd_import_bin)
 
     m = sub.add_parser("merge", help="merge committed stores (orc-tools merge analog)")
     m.add_argument("out")

@@ -492,3 +492,28 @@ def write_bin_parts(
         num_cpus=1,
     )
     return _collect_manifest(man)
+
+
+def read_bin(paths) -> "ray.data.Dataset":
+    """Training shards -> Dataset of (seq_id, tokens:list<int32>) — the
+    re-ingestion direction (import-bin), one task per shard so a large
+    shard set streams."""
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".bin")
+            )
+        else:
+            files.append(p)
+    if not files:
+        raise ValueError(f"no .bin shards under {paths}")
+
+    def load(b: pa.Table) -> pa.Table:
+        return pa.concat_tables([read_bin_part(p) for p in b.column("item").to_pylist()])
+
+    return ray.data.from_items(files).map_batches(
+        load, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -120,3 +120,48 @@ def test_cli_export_bin(ray_session, tmp_path):
     srt = t.sort_by("doc_id")
     assert back.column("seq_id").to_pylist() == srt.column("doc_id").to_pylist()
     assert back.column("tokens").to_pylist() == srt.column("tokens").to_pylist()
+
+
+def test_import_bin_roundtrip(ray_session, tmp_path):
+    """store -> export-bin -> import-bin -> store: the full loop is
+    token-exact (the csv/orc/parquet sinks' round-trip contract)."""
+    import ray
+
+    from orc_ray.pipeline.decode import decode_dataset
+    from orc_ray.pipeline.encode import encode_dataset
+    from orc_ray.pipeline.orcio import read_bin
+
+    t = _mk(400, seed=11)
+    out = str(tmp_path / "shards")
+    write_bin_parts(ray.data.from_arrow(t), out, batch_size=128)
+    store2 = str(tmp_path / "store2")
+    encode_dataset(None, store2, ds=read_bin(out), batch_size=128)
+    back = pa.concat_tables(
+        list(decode_dataset(store2).iter_batches(batch_format="pyarrow", batch_size=None))
+    ).sort_by("seq_id")
+    src = t.sort_by("doc_id")
+    assert back.column("seq_id").to_pylist() == src.column("doc_id").to_pylist()
+    assert back.column("tokens").to_pylist() == src.column("tokens").to_pylist()
+
+
+def test_cli_import_bin(ray_session, tmp_path):
+    import subprocess
+    import sys
+
+    import ray
+
+    from orc_ray.pipeline.decode import decode_dataset
+
+    t = _mk(150, seed=13)
+    out = str(tmp_path / "shards")
+    write_bin_parts(ray.data.from_arrow(t), out, batch_size=64)
+    store = str(tmp_path / "store")
+    r = subprocess.run(
+        [sys.executable, "-m", "orc_ray", "import-bin", out, store],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    back = pa.concat_tables(
+        list(decode_dataset(store).iter_batches(batch_format="pyarrow", batch_size=None))
+    ).sort_by("seq_id")
+    assert back.column("tokens").to_pylist() == t.sort_by("doc_id").column("tokens").to_pylist()
