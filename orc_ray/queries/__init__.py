@@ -121,6 +121,7 @@ QUERIES = {
     "percentile_ranks": q_percentile_ranks,
     "normalize_text": q_normalize_text,
     "bin_export": q_bin_export,
+    "mixture_schedule": q_mixture_schedule,
     "json_extract_stats": q_json_extract_stats,
     "value_histogram": q_value_histogram,
     "corr_moments": q_corr_moments,

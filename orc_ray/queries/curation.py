@@ -570,6 +570,68 @@ def q_bin_export(sf_dir: str):
     return _to_table(rb).sort_by("seq_id")
 
 
+_MIX_K = 200
+_NULL_SRC = "\x00\x01orc-null-source"  # lookup sentinel, never a real source
+
+
+def q_mixture_schedule(sf_dir: str):
+    """Deterministic source-mixture scheduling — the exact-proportions
+    interleaving a pre-training mixer uses to realize per-source
+    temperature weights as a concrete document ORDER (stride scheduling
+    from the scheduler literature, the deterministic counterpart of
+    sampling-with-weights): source s's k-th document in doc_id order is
+    placed at virtual time k / sqrt(n_s) (temperature-0.5 weights, IEEE
+    sqrt/div bit-identical in SQL), and the first _MIX_K positions of
+    the global order are returned with their ordinal.  Rare sources
+    surface early and proportions converge exactly — no RNG, stable
+    across shards and cluster sizes.
+
+    Shape: per-batch per-source count partials (O(sources) driver rows)
+    -> distributed window rank (with_group_ranks: one range sort,
+    O(blocks) carries) -> broadcast sqrt-weights, vectorized virtual
+    times -> per-block top-_MIX_K candidates -> tiny driver merge.
+    Null sources form their own schedule lane (null-safe lookup via a
+    sentinel; SQL joins IS NOT DISTINCT FROM)."""
+    from ..functions.aggregates import with_group_ranks
+
+    ds = _decoded(sf_dir, "documents", columns=["doc_id", "source"])
+    counts = (
+        _to_table(
+            ds.map_batches(
+                lambda t: t.group_by("source").aggregate([([], "count_all")]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+        .group_by("source")
+        .aggregate([("count_all", "sum")])
+    )
+    srcs_filled = pc.fill_null(counts.column("source").combine_chunks(), _NULL_SRC)
+    sw = np.sqrt(counts.column("count_all_sum").to_numpy(zero_copy_only=False).astype(np.float64))
+    wref = ray.put((srcs_filled, pa.array(sw)))
+
+    ranked = with_group_ranks(ds, ["source"], ["doc_id"], out="k")
+    order = [("v_e9", "ascending"), ("source", "ascending"), ("doc_id", "ascending")]
+
+    def vtime(t: pa.Table, *, wref) -> pa.Table:
+        srcs, w_arr = ray.get(wref)
+        pos = pc.index_in(pc.fill_null(t.column("source").combine_chunks(), _NULL_SRC), value_set=srcs)
+        w = pc.take(w_arr, pos).to_numpy(zero_copy_only=False)
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.floor(k / w * 1000000000).astype(np.int64)
+        out = pa.table(
+            {"doc_id": t.column("doc_id"), "source": t.column("source"), "v_e9": pa.array(v)}
+        )
+        # the global top-K must be among each block's K smallest
+        return out.sort_by(order).slice(0, _MIX_K)
+
+    cand = ranked.map_batches(
+        functools.partial(vtime, wref=wref), batch_format="pyarrow", zero_copy_batch=True
+    )
+    top = _to_table(cand).sort_by(order).slice(0, _MIX_K)
+    return top.add_column(0, "pos", pa.array(np.arange(1, top.num_rows + 1)))
+
+
 # --- DuckDB oracle SQL for this domain's queries; assembled into the
 # driver-contract registry by queries/__init__ (zero behavior change —
 # the SQL lives beside the pipeline it mirrors).
@@ -627,6 +689,18 @@ ORACLE_SQL = {
         SELECT doc_id,
                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
         FROM documents ORDER BY doc_id
+    """,
+    "mixture_schedule": f"""
+        WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        r AS (SELECT doc_id, source,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS k
+              FROM documents),
+        v AS (SELECT r.doc_id, r.source,
+                     CAST(FLOOR(r.k / sqrt(cnt.n) * 1000000000) AS BIGINT) AS v_e9
+              FROM r JOIN cnt ON r.source IS NOT DISTINCT FROM cnt.source)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY v_e9, source, doc_id) AS BIGINT) AS pos,
+               doc_id, source, v_e9
+        FROM v ORDER BY v_e9, source, doc_id LIMIT {_MIX_K}
     """,
     "bin_export": r"""
         WITH w AS (

@@ -68,6 +68,7 @@ QUERY_NAMES = [
     "csv_roundtrip", "encrypted_roundtrip", "rekeyed_roundtrip",
     "orc_file_roundtrip", "recovered_roundtrip", "roundtrip_v011",
     "schema_union_read", "roundtrip_lineitem", "bin_export",
+    "mixture_schedule",
 ]
 ROWS_ONLY = ["approx_quantiles", "simhash", "dedup_minhash",
              "media_pipeline", "multimodal_features", "bpe_tokenize"]

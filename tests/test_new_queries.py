@@ -139,6 +139,7 @@ NEW_QUERIES = [
     "csv_roundtrip",
     "tokenize_corpus",
     "bin_export",
+    "mixture_schedule",
 ]
 
 
