@@ -165,3 +165,27 @@ def test_cli_import_bin(ray_session, tmp_path):
         list(decode_dataset(store).iter_batches(batch_format="pyarrow", batch_size=None))
     ).sort_by("seq_id")
     assert back.column("tokens").to_pylist() == t.sort_by("doc_id").column("tokens").to_pylist()
+
+
+def test_corrupt_shard_fails_loudly(tmp_path):
+    """Truncated or garbled shards raise, never return short/wrong data."""
+    t = _mk(64, seed=17)
+    p = str(tmp_path / "part.bin")
+    blob = _serialize_bin(t, id_col="doc_id", tokens_col="tokens")
+    with open(p, "wb") as f:
+        f.write(blob)
+    # truncated payload
+    with open(p, "wb") as f:
+        f.write(blob[: len(blob) - 8])
+    with pytest.raises(ValueError):
+        read_bin_part(p)
+    # wrong magic
+    with open(p, "wb") as f:
+        f.write(b"NOTBIN" + blob[6:])
+    with pytest.raises(ValueError):
+        read_bin_part(p)
+    # truncated header
+    with open(p, "wb") as f:
+        f.write(blob[:10])
+    with pytest.raises(Exception):
+        read_bin_part(p)
