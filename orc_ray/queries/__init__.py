@@ -122,6 +122,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "bin_export": q_bin_export,
     "mixture_schedule": q_mixture_schedule,
+    "dup_source_matrix": q_dup_source_matrix,
     "json_extract_stats": q_json_extract_stats,
     "value_histogram": q_value_histogram,
     "corr_moments": q_corr_moments,

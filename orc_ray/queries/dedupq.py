@@ -259,7 +259,213 @@ def q_dedup_substrings(sf_dir: str):
 # --- DuckDB oracle SQL for this domain's queries; assembled into the
 # driver-contract registry by queries/__init__ (zero behavior change —
 # the SQL lives beside the pipeline it mirrors).
+def q_dup_source_matrix(sf_dir: str):
+    """Cross-source duplication attribution: how many duplicate-document
+    PAIRS each (source, source) combination contributes, keyed on the
+    16-char text-prefix buckets prefix_clusters prefilters on — the
+    report a curation team reads to see WHERE boilerplate flows between
+    corpus slices (cc↔cc template spam vs wiki→forums mirroring).
+
+    Scale shape: ONE sum_by_keys over (prefix, source) is the only
+    shuffle.  Per block of the keyed stream, interior prefix runs
+    scatter into an (runs × S) count matrix (S = distinct sources,
+    broadcast once — the matrix is O(S²) by construction) and the
+    block's pair contribution is ONE matmul Mᵀ·M; only the ≤2 runs
+    touching each block edge reach the driver and heal with the same
+    kernel.  Driver state: S×S partial sums, never O(prefixes).
+    Cross-pairs(s1,s2) = Σ_fp c_s1·c_s2 (off-diagonal); within-pairs =
+    (diag − Σc)/2.  Null sources form their own lane, ordered last."""
+    from ..functions.aggregates import (
+        _group_starts,
+        _key_detection_np,
+        _restore_null_keys,
+        _sorted_for_keys,
+        sum_by_keys,
+    )
+
+    ds = _decoded(sf_dir, "documents", columns=["text", "source"])
+
+    def prefixes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "prefix": pc.utf8_slice_codeunits(t.column("text"), 0, 16),
+                "source": t.column("source"),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    counts = sum_by_keys(
+        ds.map_batches(prefixes, batch_format="pyarrow", zero_copy_batch=True),
+        ["prefix", "source"],
+        "one",
+        out="c",
+    )
+    # sum_by_keys guarantees each (prefix, source) GROUP is complete, but
+    # its healed boundary groups re-enter as an appended block — so one
+    # prefix's source-rows can sit in non-adjacent blocks, which would
+    # silently drop their cross pairs from the interior matmul.  One more
+    # keyed sort of the (much smaller) counts stream restores global
+    # prefix contiguity; the edge-run heal then covers exactly the <=2
+    # block-spanning prefixes per block.
+    counts, _aux = _sorted_for_keys(counts, ["prefix", "source"])
+    keys_aux = list(_aux)
+    # global source list (tiny): ascending, nulls last — the pair order
+    src_t = _to_table(
+        ds.map_batches(
+            lambda t: pa.table({"source": t.column("source").unique()}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    src_vals = sorted({s for s in src_t.column("source").to_pylist() if s is not None})
+    has_null = src_t.column("source").null_count > 0
+    sources = src_vals + ([None] if has_null else [])
+    S = len(sources)
+    lookup = pa.array(src_vals, pa.string())
+
+    def _src_idx(arr: pa.Array) -> np.ndarray:
+        pos = pc.index_in(arr, value_set=lookup).to_numpy(zero_copy_only=False)
+        return np.where(np.isnan(pos.astype(np.float64)), S - 1, pos).astype(np.int64)
+
+    def block_matrix(t: pa.Table) -> pa.Table:
+        if keys_aux and keys_aux[0] in t.column_names:
+            t = _restore_null_keys(t, ["prefix", "source"], keys_aux)
+        n = t.num_rows
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int8()),
+                "i": pa.array([], pa.int32()),
+                "j": pa.array([], pa.int32()),
+                "n": pa.array([], pa.int64()),
+                "prefix": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        det = _key_detection_np(t, ["prefix"])
+        starts = _group_starts(det)
+        nruns = starts.size
+        run_id = np.zeros(n, dtype=np.int64)
+        run_id[starts[1:]] = 1
+        np.cumsum(run_id, out=run_id)
+        interior = (run_id > 0) & (run_id < nruns - 1)
+        parts = []
+        if interior.any():
+            c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+            si = _src_idx(t.column("source").combine_chunks())
+            M = np.zeros((nruns, S), dtype=np.int64)
+            sel = np.flatnonzero(interior)
+            M[run_id[sel], si[sel]] = c[sel]
+            G = M.T @ M  # S×S pair partial for this block's interior runs
+            csum = np.zeros(S, dtype=np.int64)
+            np.add.at(csum, si[sel], c[sel])
+            G[np.diag_indices(S)] -= csum  # diag now Σc²−Σc = 2·within
+            ii, jj = np.nonzero(G)
+            parts.append(
+                pa.table(
+                    {
+                        "kind": pa.array(np.zeros(ii.size, np.int8)),
+                        "i": pa.array(ii.astype(np.int32)),
+                        "j": pa.array(jj.astype(np.int32)),
+                        "n": pa.array(G[ii, jj]),
+                        "prefix": pa.nulls(ii.size, pa.string()),
+                        "source": pa.nulls(ii.size, pa.string()),
+                        "c": pa.nulls(ii.size, pa.int64()),
+                    }
+                )
+            )
+        edge = ~interior
+        if edge.any():
+            e = t.filter(pa.array(edge))
+            parts.append(
+                pa.table(
+                    {
+                        "kind": pa.array(np.ones(e.num_rows, np.int8)),
+                        "i": pa.nulls(e.num_rows, pa.int32()),
+                        "j": pa.nulls(e.num_rows, pa.int32()),
+                        "n": pa.nulls(e.num_rows, pa.int64()),
+                        "prefix": e.column("prefix"),
+                        "source": e.column("source"),
+                        "c": e.column("c"),
+                    }
+                )
+            )
+        return pa.concat_tables(parts) if parts else empty
+
+    gathered = _to_table(
+        counts.map_batches(block_matrix, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    G = np.zeros((S, S), dtype=np.int64)
+    if gathered.num_rows:
+        mat = gathered.filter(pc.equal(gathered.column("kind"), 0))
+        if mat.num_rows:
+            np.add.at(
+                G,
+                (
+                    mat.column("i").to_numpy(zero_copy_only=False).astype(np.int64),
+                    mat.column("j").to_numpy(zero_copy_only=False).astype(np.int64),
+                ),
+                mat.column("n").to_numpy(zero_copy_only=False),
+            )
+        edge = gathered.filter(pc.equal(gathered.column("kind"), 1))
+        if edge.num_rows:  # heal boundary prefixes with the same kernel
+            e = edge.select(["prefix", "source", "c"]).sort_by(
+                [("prefix", "ascending"), ("source", "ascending")]
+            )
+            det = _key_detection_np(e, ["prefix"])
+            starts = _group_starts(det)
+            run_id = np.zeros(e.num_rows, dtype=np.int64)
+            run_id[starts[1:]] = 1
+            np.cumsum(run_id, out=run_id)
+            c = e.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+            si = _src_idx(e.column("source").combine_chunks())
+            M = np.zeros((starts.size, S), dtype=np.int64)
+            M[run_id, si] = c
+            Ge = M.T @ M
+            csum = np.zeros(S, dtype=np.int64)
+            np.add.at(csum, si, c)
+            Ge[np.diag_indices(S)] -= csum
+            G += Ge
+    # report: cross pairs from the upper triangle, within from diag/2
+    rows = []
+    for i in range(S):
+        w = G[i, i] // 2
+        if w > 0:
+            rows.append((sources[i], sources[i], int(w)))
+        for j in range(i + 1, S):
+            if G[i, j] > 0:
+                rows.append((sources[i], sources[j], int(G[i, j])))
+    rows.sort(key=lambda r: ((r[0] is None, r[0] or ""), (r[1] is None, r[1] or "")))
+    return pa.table(
+        {
+            "s1": pa.array([r[0] for r in rows], pa.string()),
+            "s2": pa.array([r[1] for r in rows], pa.string()),
+            "n_pairs": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 ORACLE_SQL = {
+    "dup_source_matrix": """
+        WITH f AS (SELECT substr(text, 1, 16) AS fp, source FROM documents),
+        c AS (SELECT fp, source, COUNT(*) AS c FROM f GROUP BY fp, source),
+        x AS (
+            SELECT a.source AS s1, b.source AS s2, SUM(a.c * b.c) AS n
+            FROM c a JOIN c b ON a.fp IS NOT DISTINCT FROM b.fp
+             AND (a.source < b.source OR (a.source IS NOT NULL AND b.source IS NULL))
+            GROUP BY a.source, b.source
+        ),
+        w AS (
+            SELECT source AS s1, source AS s2, SUM(c * (c - 1) // 2) AS n
+            FROM c WHERE c > 1 GROUP BY source
+        )
+        SELECT s1, s2, CAST(n AS BIGINT) AS n_pairs
+        FROM (SELECT * FROM x UNION ALL SELECT * FROM w)
+        WHERE n > 0
+        ORDER BY s1 NULLS LAST, s2 NULLS LAST
+    """,
     "dup_windows": """
         WITH w AS (
             SELECT doc_id, CAST(UNNEST(range(GREATEST(length(text) - 31, 0)))

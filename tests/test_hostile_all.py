@@ -69,6 +69,7 @@ QUERY_NAMES = [
     "orc_file_roundtrip", "recovered_roundtrip", "roundtrip_v011",
     "schema_union_read", "roundtrip_lineitem", "bin_export",
     "mixture_schedule",
+    "dup_source_matrix",
 ]
 ROWS_ONLY = ["approx_quantiles", "simhash", "dedup_minhash",
              "media_pipeline", "multimodal_features", "bpe_tokenize"]

@@ -140,6 +140,7 @@ NEW_QUERIES = [
     "tokenize_corpus",
     "bin_export",
     "mixture_schedule",
+    "dup_source_matrix",
 ]
 
 
