@@ -14,7 +14,7 @@ from orc_ray.pipeline.decode import decode_dataset
 from orc_ray.pipeline.encode import encode_dataset
 
 
-@pytest.fixture(scope="module", params=["0.12", "0.11"])
+@pytest.fixture(scope="module", params=["0.12", "0.11", "0.12-shuf"])
 def fuzz_store(request, tmp_path_factory, ray_session):
     rng = np.random.default_rng(77)
     n = 6000
@@ -24,6 +24,7 @@ def fuzz_store(request, tmp_path_factory, ray_session):
             "cat": pa.array([f"c{i}" if i % 5 else None for i in rng.integers(0, 12, n)]),
             "txt": pa.array([f"row text {i}" for i in range(n)]),
             "val": rng.normal(scale=100, size=n),
+            "tok": pa.array((rng.zipf(1.3, n) % 50257).astype(np.int32)),
             "s": pa.StructArray.from_arrays(
                 [pa.array(rng.integers(0, 1000, n)),
                  pa.array([f"tag-{i % 7}" for i in range(n)])],
@@ -34,14 +35,32 @@ def fuzz_store(request, tmp_path_factory, ray_session):
     src = str(tmp_path_factory.mktemp("fzsrc") / "in.parquet")
     pq.write_table(t, src)
     out = str(tmp_path_factory.mktemp("fzstore"))
-    # both file versions run the whole matrix: v0.11 integer streams
-    # (RLEv1-analog layout) must survive every projection x predicate x
-    # encoded-vector combination through the same reader dispatch
+    # all three write lanes run the whole matrix: v0.11 integer streams
+    # (RLEv1-analog layout) and the v5 byte-shuffled layouts (one
+    # 6000-row chunk puts the zipf/gaussian streams over the SHUF probe
+    # floor) must survive every projection x predicate x encoded-vector
+    # combination through the same reader dispatch
     from orc_ray.chunk import EncodeOptions
 
+    version, _, lane = request.param.partition("-")
     encode_dataset(
-        [src], out, EncodeOptions(file_version=request.param), batch_size=1500
+        [src], out, EncodeOptions(file_version=version),
+        batch_size=6000 if lane == "shuf" else 1500,
     )
+    if lane == "shuf":  # the lane must actually engage, or the param lies
+        import glob as _glob
+        import json as _json
+        import struct as _struct
+
+        from orc_ray.codecs.intcodec import INT_BLOCKS32_SHUF
+
+        p = _glob.glob(out + "/chunks/*.oray")[0]
+        with open(p, "rb") as f:
+            head = f.read(9)
+            (hlen,) = _struct.unpack_from("<I", head, 5)
+            hdr = _json.loads(f.read(hlen))
+        codecs = {c["name"]: c.get("codec") for c in hdr["columns"]}
+        assert codecs["val"] == "rawsh", codecs
     return out, t
 
 
