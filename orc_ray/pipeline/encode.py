@@ -71,6 +71,33 @@ def _unit_uid(pairs) -> str:
     return hashlib.sha256("|".join(f"{p}|{r}" for p, r in pairs).encode()).hexdigest()[:20]
 
 
+def _part_format_stale(out_dir: str, part: str) -> bool:
+    """True when a durable unit-manifest part's chunks were written by a
+    DIFFERENT chunk format version than this writer: reads the part's
+    first chunk_id and probes that chunk's header (9-byte magic+len plus
+    the JSON header — no data buffers).  Missing/corrupt chunks also
+    count as stale so resume re-encodes them instead of committing over
+    a hole."""
+    import struct as _struct
+
+    from ..chunk import FORMAT_VERSION, MAGIC
+
+    try:
+        ids = fstore.read_parquet(part, columns=["chunk_id"]).column("chunk_id").to_pylist()
+        if not ids:
+            return False  # empty part carries no chunks to mismatch
+        cpath = os.path.join(mstate.chunk_dir(out_dir), f"{ids[0]}.oray")
+        with fstore.open_file(cpath) as f:
+            head = f.read(9)
+            if bytes(head[:5]) != MAGIC:
+                return True
+            (hlen,) = _struct.unpack_from("<I", head, 5)
+            hdr = json.loads(f.read(hlen))
+        return hdr.get("v", 1) != FORMAT_VERSION
+    except (OSError, ValueError, KeyError):
+        return True
+
+
 def _plan_units(files: list[str], columns, unit_rows: int) -> list[dict]:
     """Split inputs into (file, row-group range) work units of ~unit_rows —
     the analog of ORC's stripe-aligned splits (OrcInputFormat.getSplits):
@@ -312,6 +339,14 @@ def encode_dataset(
                 todo_set = set(todo)
                 for part in fstore.glob_paths(os.path.join(mdir, "unit-*.parquet")):
                     if os.path.basename(part) in plan_names:
+                        # retained part: it must have been written by THIS
+                        # format version, or the resumed store would mix
+                        # formats and break the byte-identical contract
+                        # ("resume across a bump re-encodes, never mixes" —
+                        # chunk.py FORMAT_VERSION note).  One chunk-header
+                        # probe per part, O(parts) tiny reads.
+                        if _part_format_stale(out_dir, part):
+                            fstore.remove(part)
                         continue
                     pfiles = set(fstore.read_parquet(part, columns=["input_file"]).column("input_file").to_pylist())
                     if pfiles & todo_set:

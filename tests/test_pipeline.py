@@ -293,3 +293,63 @@ def test_purge_store_fuzz(ray_session, tmp_path):
         exp = t.filter(pa.compute.invert(pa.compute.fill_null(m, False)))
         assert got.num_rows == exp.num_rows, preds
         assert got.equals(exp.select(got.column_names)), preds
+
+
+def test_resume_rejects_stale_format_parts(ray_session, tmp_path):
+    """Resume across a FORMAT_VERSION bump re-encodes, never mixes: a
+    durable unit part whose chunks carry an older header version is
+    dropped at resume and its unit re-encoded, leaving the final store
+    byte-identical to a fresh run (chunk.py FORMAT_VERSION contract)."""
+    import glob
+    import json as _json
+    import shutil
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orc_ray.pipeline.encode import encode_dataset
+    from orc_ray.state import manifest as mstate
+
+    rng = np.random.default_rng(21)
+    t = pa.table(
+        {"k": pa.array(np.arange(3000)), "v": pa.array(rng.integers(0, 10**6, 3000))}
+    )
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src, row_group_size=500)
+    fresh = str(tmp_path / "fresh")
+    encode_dataset([src], fresh, batch_size=500)
+    stale = str(tmp_path / "stale")
+    encode_dataset([src], stale, batch_size=500)
+
+    def chunk_set(d):
+        return {
+            os.path.basename(p): open(p, "rb").read()
+            for p in glob.glob(os.path.join(d, "chunks", "*.oray"))
+        }
+
+    assert chunk_set(fresh) == chunk_set(stale)  # determinism baseline
+    # simulate a part written by an older format: rewrite one chunk's
+    # header version in place (same length, same chunk file name)
+    os.remove(os.path.join(stale, "_committed.json"))
+    victim = sorted(glob.glob(os.path.join(stale, "chunks", "*.oray")))[0]
+    blob = bytearray(open(victim, "rb").read())
+    (hlen,) = struct.unpack_from("<I", blob, 5)
+    hdr = _json.loads(bytes(blob[9 : 9 + hlen]))
+    old_v = hdr["v"]
+    patched = bytes(blob[9 : 9 + hlen]).replace(
+        f'"v":{old_v}'.encode(), f'"v":{old_v - 1}'.encode(), 1
+    )
+    assert len(patched) == hlen
+    blob[9 : 9 + hlen] = patched
+    with open(victim, "wb") as f:
+        f.write(bytes(blob))
+    rec = encode_dataset([src], stale, batch_size=500, resume=True)
+    assert rec["totals"]["rows"] == 3000
+    assert chunk_set(stale) == chunk_set(fresh)  # stale unit re-encoded
+    # every chunk in the resumed store carries the current version
+    from orc_ray.chunk import FORMAT_VERSION, read_chunk_header
+
+    for p in glob.glob(os.path.join(stale, "chunks", "*.oray")):
+        assert read_chunk_header(open(p, "rb").read())["v"] == FORMAT_VERSION
