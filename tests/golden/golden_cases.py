@@ -144,10 +144,36 @@ def _ints_shuf_table() -> pa.Table:
     )
 
 
+def _floats_shuf_table() -> pa.Table:
+    """Pins the rawsh (byte-plane shuffled raw float) lane added in
+    format v5: unit-norm float32 embedding values and wide float64
+    gaussians, both over the probe floor, plus a sub-floor plain-raw
+    column so the selection boundary is pinned too."""
+    rng = np.random.default_rng(77)
+    n = 6000
+    vecs = rng.standard_normal(n).astype(np.float32)
+    vecs /= np.abs(vecs).max()
+    g64 = rng.standard_normal(n) * 1e10
+    g64[8] = float("inf")  # NaN stays out: Table.equals is the gen sanity
+    g64[9] = -1e-310       # subnormal; NaN roundtrip is pinned in test_chunk
+    gvals = rng.standard_normal(n)
+    nul = [None if i % 13 == 0 else float(gvals[i]) for i in range(n)]  # rawsh + PRESENT
+    prices = np.round(rng.uniform(0, 1000, n), 2)  # fdec wins over rawsh
+    return pa.table(
+        {
+            "emb32": pa.array(vecs),
+            "g64": pa.array(g64),
+            "nul64": pa.array(nul, pa.float64()),
+            "price": pa.array(prices),
+        }
+    )
+
+
 CASES: dict[str, tuple] = {
     # name -> (table builder, EncodeOptions)
     "ints_zstd1": (_ints_table, EncodeOptions()),
     "ints_shuf": (_ints_shuf_table, EncodeOptions()),
+    "floats_shuf": (_floats_shuf_table, EncodeOptions()),
     "ints_lz4": (_ints_table, EncodeOptions(compression="lz4", compression_level=None)),
     "strings_zstd1": (_strings_table, EncodeOptions()),
     "strings_plain": (_strings_table, EncodeOptions(compression="none")),

@@ -251,3 +251,36 @@ def test_rawsh_list_float_child_and_size_win():
     finally:
         chunkmod._raw_shuffle_wins = orig
     assert len(blob) < 0.97 * len(plain)
+
+
+def test_reader_accepts_v4_chunks():
+    """Forward-read guarantee: v4 chunks (all pre-SHUF layouts) stay
+    decodable by the v5 reader; v3 and unknown future versions are
+    refused loudly.  A sub-probe-floor chunk's bytes are identical to
+    what the v4 writer produced for the same data except the header
+    version field, so patching it reconstructs a faithful v4 blob."""
+    import json as _json
+    import struct
+
+    from orc_ray.chunk import FORMAT_VERSION
+
+    rng = np.random.default_rng(91)
+    t = pa.table(
+        {"k": pa.array(np.arange(2000)), "v": pa.array(rng.integers(0, 10**6, 2000))}
+    )
+    blob = bytearray(encode_chunk(t))
+    (hlen,) = struct.unpack_from("<I", blob, 5)
+    hdr = bytes(blob[9 : 9 + hlen])
+    assert f'"v":{FORMAT_VERSION}'.encode() in hdr
+
+    def patched(v: int) -> bytes:
+        out = bytearray(blob)
+        out[9 : 9 + hlen] = hdr.replace(
+            f'"v":{FORMAT_VERSION}'.encode(), f'"v":{v}'.encode(), 1
+        )
+        return bytes(out)
+
+    assert decode_chunk(patched(4)).equals(t)  # v4 reads
+    for bad in (3, FORMAT_VERSION + 1):
+        with pytest.raises(ValueError, match="reader-supported"):
+            decode_chunk(patched(bad))
