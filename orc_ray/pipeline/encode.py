@@ -94,7 +94,8 @@ def _part_format_stale(out_dir: str, part: str) -> bool:
             (hlen,) = _struct.unpack_from("<I", head, 5)
             hdr = json.loads(f.read(hlen))
         return hdr.get("v", 1) != FORMAT_VERSION
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, _struct.error):
+        # struct.error: truncated header (crash mid-write) — stale, re-encode
         return True
 
 

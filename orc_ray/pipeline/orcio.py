@@ -406,6 +406,13 @@ def _serialize_bin(batch: pa.Table, *, id_col: str, tokens_col: str) -> bytes:
     import struct
 
     ids = batch.column(id_col).cast(pa.string()).combine_chunks()
+    if ids.null_count:
+        # ORBIN1 carries no id validity lane: coercing null -> "" would
+        # silently change the ids a re-ingested store dedups/joins on.
+        raise ValueError(
+            f"export-bin: {ids.null_count} null value(s) in id column "
+            f"{id_col!r}; fill or drop them before sharding"
+        )
     toks = batch.column(tokens_col).combine_chunks()
     if toks.null_count:
         toks = toks.fill_null([])

@@ -533,8 +533,12 @@ def q_bin_export(sf_dir: str):
             np.cumsum(vals, out=cs[1:])
             sums = cs[off[1:]] - cs[off[:-1]]
             has = n_tok > 0
-            first = np.where(has, vals[np.minimum(off[:-1], max(len(vals) - 1, 0))], 0)
-            last = np.where(has, vals[np.maximum(off[1:] - 1, 0)], 0)
+            if len(vals):
+                first = np.where(has, vals[np.minimum(off[:-1], len(vals) - 1)], 0)
+                last = np.where(has, vals[np.maximum(off[1:] - 1, 0)], 0)
+            else:  # shard of only empty sequences: no payload to index
+                first = np.zeros(len(n_tok), dtype=np.int64)
+                last = first
             outs.append(
                 pa.table(
                     {
@@ -614,6 +618,15 @@ def q_mixture_schedule(sf_dir: str):
     order = [("v_e9", "ascending"), ("source", "ascending"), ("doc_id", "ascending")]
 
     def vtime(t: pa.Table, *, wref) -> pa.Table:
+        if t.num_rows == 0 or "source" not in t.column_names:
+            # schema-less empty sort partition (_add_ranks convention)
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "v_e9": pa.array([], pa.int64()),
+                }
+            )
         srcs, w_arr = ray.get(wref)
         pos = pc.index_in(pc.fill_null(t.column("source").combine_chunks(), _NULL_SRC), value_set=srcs)
         w = pc.take(w_arr, pos).to_numpy(zero_copy_only=False)

@@ -309,13 +309,20 @@ def q_dup_source_matrix(sf_dir: str):
     # block-spanning prefixes per block.
     counts, _aux = _sorted_for_keys(counts, ["prefix", "source"])
     keys_aux = list(_aux)
-    # global source list (tiny): ascending, nulls last — the pair order
+    # global source list (tiny): ascending, nulls last — the pair order.
+    # Derived from the MATERIALIZED counts stream, not the lazy decoded
+    # dataset: a second `ds` scan would re-decode the whole corpus (text
+    # column included) just to list the distinct sources.  The sorted
+    # stream carries the null-fill aux columns, so restore before unique.
+    def _collect_sources(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return pa.table({"source": pa.array([], pa.string())})
+        if _aux and _aux[0] in t.column_names:
+            t = _restore_null_keys(t, ["prefix", "source"], list(_aux))
+        return pa.table({"source": t.column("source").unique()})
+
     src_t = _to_table(
-        ds.map_batches(
-            lambda t: pa.table({"source": t.column("source").unique()}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+        counts.map_batches(_collect_sources, batch_format="pyarrow", zero_copy_batch=True)
     )
     src_vals = sorted({s for s in src_t.column("source").to_pylist() if s is not None})
     has_null = src_t.column("source").null_count > 0

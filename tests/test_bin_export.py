@@ -189,3 +189,29 @@ def test_corrupt_shard_fails_loudly(tmp_path):
         f.write(blob[:10])
     with pytest.raises(Exception):
         read_bin_part(p)
+
+
+def test_null_ids_refused(tmp_path):
+    """ORBIN1 has no id validity lane, so null ids fail loudly instead of
+    silently becoming '' across an export/import round trip."""
+    t = pa.table(
+        {"doc_id": pa.array(["a", None, "c"]),
+         "tokens": pa.array([[1], [2], [3]], pa.list_(pa.int32()))}
+    )
+    with pytest.raises(ValueError, match="null value"):
+        _serialize_bin(t, id_col="doc_id", tokens_col="tokens")
+
+
+def test_all_empty_sequences_shard(tmp_path):
+    """A shard whose every sequence is empty (zero total tokens) must
+    round-trip — and the bin_export summarize path must not index an
+    empty payload."""
+    t = pa.table(
+        {"doc_id": pa.array([f"d{i}" for i in range(5)]),
+         "tokens": pa.array([[]] * 5, pa.list_(pa.int32()))}
+    )
+    p = str(tmp_path / "part.bin")
+    with open(p, "wb") as f:
+        f.write(_serialize_bin(t, id_col="doc_id", tokens_col="tokens"))
+    back = read_bin_part(p)
+    assert back.column("tokens").to_pylist() == [[]] * 5
