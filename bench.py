@@ -178,7 +178,7 @@ def main() -> None:
     _emit(result)
 
 
-def _emit(result: dict) -> None:
+def _emit(result: dict, artifact: str = "last_bench.json") -> None:
     """Print the full result line, persist it, then print a compact (<1 KB)
     final line: the driver captures only the last ~2000 chars of stdout, so
     a 130-query timings dict pushed the full JSON's opening brace out of the
@@ -188,7 +188,7 @@ def _emit(result: dict) -> None:
     BENCH/last_bench.json for round-over-round diffs."""
     print(json.dumps(result))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_bench.json"), "w") as f:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", artifact), "w") as f:
             json.dump(result, f, indent=1)
     except OSError:
         pass
@@ -251,7 +251,9 @@ def scaling() -> None:
         "decode_MiBps": {str(lo): dec_lo, str(hi): dec_hi},
         "decode_efficiency": round(eff_dec, 3),
     }
-    _emit(out)
+    # scaling persists to its own artifact: overwriting last_bench.json
+    # with a queries-less record would destroy the per-query diff base
+    _emit(out, artifact="last_scaling.json")
 
 
 if __name__ == "__main__":
