@@ -123,6 +123,7 @@ QUERIES = {
     "bin_export": q_bin_export,
     "mixture_schedule": q_mixture_schedule,
     "dup_source_matrix": q_dup_source_matrix,
+    "semdedup": q_semdedup,
     "json_extract_stats": q_json_extract_stats,
     "value_histogram": q_value_histogram,
     "corr_moments": q_corr_moments,

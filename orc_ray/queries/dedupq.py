@@ -222,6 +222,65 @@ def q_dedup_embedding(sf_dir: str):
     return cosine_pairs(ds, threshold=0.4)
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication at the
+    EMBEDDING level — cosine near-dup pairs over the vector space,
+    connected components over the similarity graph, one canonical
+    survivor (min vec_id) per semantic cluster, and the full per-vector
+    (canonical, kept) assignment.  The paper buckets by k-means cluster
+    before the pair scan; this engine's cosine_pairs gets the same
+    bucketing from IVF-sorted blocks with EXACT spherical-cap pruning,
+    so the composition stays oracle-exact end to end (threshold 0.4 —
+    eps = 0.6 in the paper's 1-eps terms; vectors with null rows/
+    elements can't pair and keep themselves).
+
+    Composition of three proved operators: q_dedup_embedding's pair
+    scan, pointer-doubling connected components (O(log diameter)
+    rounds), and the adaptive canonical join — the dedup_canonical
+    shape lifted from text shingles to embeddings."""
+    from ..functions.graph import connected_components
+    from ..functions.joins import join_adaptive
+
+    pairs = q_dedup_embedding(sf_dir)
+    vecs = _decoded(sf_dir, "embeddings", columns=["vec_id"])
+    if pairs.num_rows == 0:
+        ids = _to_table(vecs)
+        return pa.table(
+            {
+                "vec_id": ids.column("vec_id"),
+                "canonical": ids.column("vec_id"),
+                "kept": pa.array(np.ones(ids.num_rows, np.int64)),
+            }
+        ).sort_by("vec_id")
+    edges = ray.data.from_arrow(
+        pa.table({"a": pairs.column("vec_id_a"), "b": pairs.column("vec_id_b")})
+    )
+    labels = connected_components(edges)
+    joined = join_adaptive(vecs, labels, "vec_id", "node", ["label"], how="left")
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "canonical": pa.array([], pa.int64()),
+                    "kept": pa.array([], pa.int64()),
+                }
+            )
+        canon = pc.coalesce(t.column("label").cast(pa.int64()), t.column("vec_id"))
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "canonical": canon,
+                "kept": pc.equal(canon, t.column("vec_id")).cast(pa.int64()),
+            }
+        )
+
+    return _to_table(
+        joined.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("vec_id")
+
+
 def q_dup_windows(sf_dir: str):
     """Exact duplicated-substring stats (Lee et al. 2022 family): per doc,
     how many 32-byte windows occur >= 2 times corpus-wide.  Rolling-hash
@@ -526,6 +585,35 @@ ORACLE_SQL = {
           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) > 0.4
         ORDER BY vec_id_a, vec_id_b
+    """,
+    "semdedup": """
+        WITH RECURSIVE v AS (
+            SELECT * FROM embeddings WHERE embedding IS NOT NULL
+              AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        ),
+        pairs AS (
+            SELECT a.vec_id AS pa, b.vec_id AS pb
+            FROM v a, v b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) > 0.4
+        ),
+        e AS (
+            SELECT pa AS a, pb AS b FROM pairs
+            UNION ALL SELECT pb, pa FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM e
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        ),
+        mins AS (SELECT a, MIN(b) AS mn FROM reach GROUP BY a)
+        SELECT d.vec_id,
+               LEAST(d.vec_id, COALESCE(m.mn, d.vec_id)) AS canonical,
+               CASE WHEN LEAST(d.vec_id, COALESCE(m.mn, d.vec_id)) = d.vec_id
+                    THEN 1 ELSE 0 END AS kept
+        FROM embeddings d LEFT JOIN mins m ON m.a = d.vec_id
+        ORDER BY d.vec_id
     """,
     "dedup_ngram": """
         WITH sh AS (

@@ -40,7 +40,7 @@ TABLES = [
 
 ORACLE_BACKED = [
     "ann_topk", "label_centroids", "kmeans_step", "embedding_moments",
-    "hybrid_retrieval", "dedup_embedding",
+    "hybrid_retrieval", "dedup_embedding", "semdedup",
 ]
 SELF_ASSERTED = ["ann_ivf", "ann_lsh", "kmeans_embeddings", "ann_topk_int8"]
 

@@ -141,6 +141,7 @@ NEW_QUERIES = [
     "bin_export",
     "mixture_schedule",
     "dup_source_matrix",
+    "semdedup",
 ]
 
 
