@@ -163,8 +163,12 @@ def _sorted_for_keys(ds, keys: list[str], order_by: list[str] | None = None,
     except TypeError:
         pass  # driver-side sample comparison (rare: local/tiny datasets)
     except Exception as e:  # RayTaskError wraps the worker-side TypeError
-        msg = str(e)
-        if "'<' not supported" not in msg and "TypeError" not in msg:
+        # match the exact null-comparison signature ("'<' not supported
+        # between instances of 'NoneType' and ..."), not the bare word
+        # "TypeError": an unrelated TypeError raised in an upstream
+        # map_batches UDF must propagate, not trigger a silent re-execute
+        # of the whole pipeline through the tagged-sort retry
+        if "'<' not supported" not in str(e):
             raise
     sorted_ds, aux = _nullsafe_sorted(ds, keys, order_by, order_desc)
     return sorted_ds.materialize(), aux
@@ -179,10 +183,24 @@ def _block_total(t: pa.Table, val: str) -> int:
     return int(s or 0)
 
 
+def _sum_values_np(col) -> np.ndarray:
+    """int64 view of a SUM-family value column with SQL null semantics:
+    nulls contribute 0 (identical to pc.sum's null-skipping, which
+    _block_total already uses — the two lanes must agree or block
+    offsets desynchronize).  Without the fill, Arrow->numpy converts a
+    null-bearing int column through float64 NaN and astype(int64) turns
+    each null into ~INT64_MIN garbage."""
+    import pyarrow.compute as _pc
+
+    if getattr(col, "null_count", 0):
+        col = _pc.fill_null(col, 0)
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 def _add_scan(t: pa.Table, val: str, out: str, offset: int, inclusive: bool) -> pa.Table:
     if t.num_rows == 0:
         return pa.table({})  # dropped by consumers (0 rows)
-    v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+    v = _sum_values_np(t.column(val))
     c = np.cumsum(v) + np.int64(offset)
     if not inclusive:
         c -= v
@@ -324,7 +342,7 @@ def _block_key_sums(t: pa.Table, keys: list[str], val: str, aux: tuple = ()):
     if aux:
         t = _restore_null_keys(t, list(keys), list(aux))
     det = _key_detection_np(t, keys)
-    v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+    v = _sum_values_np(t.column(val))
     starts = _group_starts(det)
     first_key = _det_tuple(det, 0)
     last_key = _det_tuple(det, t.num_rows - 1)
@@ -338,7 +356,7 @@ def _add_group_scan(t: pa.Table, keys: list[str], val: str, out: str,
         return pa.table({})
     if aux:
         t = _restore_null_keys(t, list(keys), list(aux))
-    v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+    v = _sum_values_np(t.column(val))
     starts = _group_starts(_key_detection_np(t, keys))
     n = v.size
     c = np.cumsum(v)
@@ -593,7 +611,7 @@ def sum_by_keys(ds, keys: list[str], val: str, out: str | None = None,
         if aux_names:
             t = _restore_null_keys(t, keys, aux_names)
         det = _key_detection_np(t, keys)
-        v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = _sum_values_np(t.column(val))
         starts, sums = _run_sums(det, v)
         edge = np.zeros(starts.size, dtype=bool)
         edge[0] = True
@@ -650,7 +668,7 @@ def sum_by_keys(ds, keys: list[str], val: str, out: str | None = None,
     b = pa.concat_tables(bparts).combine_chunks()
     b = b.sort_by([(k, "ascending") for k in keys])  # Arrow: null-safe
     det = _key_detection_np(b, keys)
-    v = b.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+    v = _sum_values_np(b.column(val))
     starts, sums = _run_sums(det, v)
     take = pa.array(starts)
     healed = pa.table(
@@ -1140,6 +1158,8 @@ def group_median_disc(
     )
 
     def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rank" not in t.column_names:
+            return pa.table({})  # schema-less empty sort partition
         type_arr, tgt_ranks, nulltgt = ray.get(tref)
         ranks = t.column("rank").to_numpy(zero_copy_only=False)
         kn = t.column("__kn").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1165,7 +1185,23 @@ def group_median_disc(
         if parts:
             null_rows = null_rows.cast(parts[0].schema)
         parts.append(null_rows)
+    if not parts:  # every group dropped (all-null vals / empty input)
+        return pa.table({key: pa.array([], key_type), val: pa.array([], pa.int64())})
     return pa.concat_tables(parts).combine_chunks().sort_by(key)
+
+
+def _nonnull_values_np(col, op: str) -> np.ndarray:
+    """int64 view of a MIN/MAX-family value column: nulls are REFUSED
+    loudly — there is no identity element to fill with (0 would floor a
+    running MIN), and the Arrow->numpy NaN->int64 cast would produce
+    silent garbage.  Callers implement SQL null-skipping by pre-filling
+    sentinels (see with_group_cummin's query layer)."""
+    if getattr(col, "null_count", 0):
+        raise ValueError(
+            f"{op}: null values in the scanned column — pre-fill a "
+            "sentinel (SQL MIN/MAX skip nulls; the running scan cannot)"
+        )
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 def _block_key_mins(t: pa.Table, keys: list[str], val: str, aux: tuple = ()):
@@ -1176,7 +1212,7 @@ def _block_key_mins(t: pa.Table, keys: list[str], val: str, aux: tuple = ()):
     if aux:
         t = _restore_null_keys(t, list(keys), list(aux))
     det = _key_detection_np(t, keys)
-    v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+    v = _nonnull_values_np(t.column(val), "group_cummin")
     starts = _group_starts(det)
     first_key = _det_tuple(det, 0)
     last_key = _det_tuple(det, t.num_rows - 1)
@@ -1197,7 +1233,7 @@ def _add_group_cummin(t: pa.Table, keys: list[str], val: str, out: str, carry,
         return pa.table({})
     if aux:
         t = _restore_null_keys(t, list(keys), list(aux))
-    v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+    v = _nonnull_values_np(t.column(val), "group_cummin")
     starts = _group_starts(_key_detection_np(t, keys))
     n = v.size
     S = starts.size

@@ -403,6 +403,30 @@ class _DecodeChunks:
                 blobs = good
         else:
             blobs = batch.column("bytes").to_pylist()
+            if self.verify_checksums:
+                # bytes-mode callers must supply the content address to
+                # verify against — silently skipping verification here
+                # would defeat the AES-CTR-malleability guard the keyed
+                # default exists for (see __init__)
+                if "chunk_id" not in batch.column_names:
+                    raise ValueError(
+                        "verify_checksums with bytes-mode input requires a "
+                        "chunk_id column (the content address) per blob"
+                    )
+                import hashlib
+
+                good = []
+                for cid, blob in zip(batch.column("chunk_id").to_pylist(), blobs):
+                    got = hashlib.sha256(bytes(blob)).hexdigest()[: len(cid)]
+                    if got != cid:
+                        if self.on_corrupt == "skip":
+                            continue
+                        raise IOError(
+                            f"chunk {cid} fails its content checksum ({got}): "
+                            "corrupt or tampered blob"
+                        )
+                    good.append(blob)
+                blobs = good
         empty_schema = None
         for blob in blobs:
             header = read_chunk_header(blob)
@@ -659,13 +683,18 @@ def _limit_prefix(out_dir: str, paths: list[str], limit: int) -> list[str]:
 
 
 def store_schema(out_dir: str, keys: dict | None = None) -> pa.Schema:
-    """Arrow schema of a store from ONE chunk (the limit-pushdown plan
-    reads a single blob — the ORC footer-schema analog; our chunks are
-    self-describing, so the first chunk's decoded schema IS the store's)."""
-    ds = decode_dataset(out_dir, keys=keys, limit=1)
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
-        return b.schema
-    return pa.schema([])
+    """Arrow schema of a store from ONE chunk (the ORC footer-schema
+    analog; our chunks are self-describing, so the first chunk's decoded
+    schema IS the store's).  Reads that one blob directly and decodes a
+    single row — no Ray Dataset pipeline, so a multi-store union's
+    planning pass costs one small read per store instead of one dataset
+    round-trip per store."""
+    man = mstate.read_manifest(out_dir)
+    if man.num_rows == 0:
+        return pa.schema([])
+    cid = man.column("chunk_id")[0].as_py()
+    blob = fstore.read_bytes(os.path.join(mstate.chunk_dir(out_dir), f"{cid}.oray"))
+    return decode_chunk(blob, row_ranges=[(0, 1)], keys=keys).schema
 
 
 def decode_union(stores: list[str], *, predicates: list[tuple] | None = None,

@@ -224,7 +224,16 @@ class EncoderActor:
             codecs = {c["name"]: c["codec"] for c in hdr["columns"]}
             stats = {}
             for c in hdr["columns"]:
-                st: dict = {"n": c["n"], "nulls": c.get("nulls", 0)}
+                # plain columns have exact null knowledge (the header
+                # records 'nulls' only when > 0, so the 0-default is
+                # correct and keeps isnull pruning sharp); an ENCRYPTED
+                # column's public meta carries no stats at all (they live
+                # in the encrypted emeta) — fabricating nulls=0 there made
+                # isnull/notnull pruning silently drop every chunk of a
+                # masked keyless read, so its null count stays unknown
+                st: dict = {"n": c["n"]}
+                if c.get("codec") != "enc":
+                    st["nulls"] = c.get("nulls", 0)
                 if "min" in c:
                     st["min"], st["max"] = c["min"], c["max"]
                 stats[c["name"]] = st
