@@ -45,6 +45,15 @@ def _shingle_keys(concat: np.ndarray, offsets: np.ndarray, k: int = 8):
         h = keys[np.minimum(pos, keys.size - 1)].copy()
     else:  # every doc in the batch is empty
         h = np.zeros(total, dtype=np.uint64)
+    # the rolling pack always covers 8 bytes: for k < 8, EVERY window must
+    # be masked to its first k bytes — without this the trailing (8-k)
+    # windows of each doc absorbed the NEXT doc's bytes, so signatures
+    # depended on batch neighbors (observed: simhash of the same doc
+    # changed with its batchmate)
+    if k < 8:
+        from ..codecs.fsst import _MASKS
+
+        h &= _MASKS[k]
     # windows of docs shorter than k would read the next doc's bytes —
     # mask them to the doc's own length so signatures don't depend on
     # batch neighbors (determinism across batch splits)
@@ -92,14 +101,22 @@ def minhash_signature(concat: np.ndarray, offsets: np.ndarray, num_hashes: int =
     bucket = (h >> np.uint64(64 - nb)).astype(np.int64)
     sig = np.full((n, num_hashes), _EMPTY_SLOT, dtype=np.uint64)
     np.minimum.at(sig, (doc_ids, bucket), h)
-    # cyclic densification: empty buckets borrow the next non-empty value
+    # cyclic densification: empty buckets borrow the next non-empty value.
+    # Restricted to the ROWS that still have empties — a doc with d
+    # distinct shingles fills at most d buckets, so one short doc used to
+    # force ~num_hashes full-matrix roll passes over the whole batch;
+    # now each pass touches only the unfinished rows (typically a few).
+    need = np.flatnonzero((sig == _EMPTY_SLOT).any(axis=1))
     for s in range(1, num_hashes):
-        empty = sig == _EMPTY_SLOT
-        if not empty.any():
+        if need.size == 0:
             break
-        rolled = np.roll(sig, -s, axis=1)
+        sub = sig[need]
+        empty = sub == _EMPTY_SLOT
+        rolled = np.roll(sub, -s, axis=1)
         fill = empty & (rolled != _EMPTY_SLOT)
-        sig[fill] = rolled[fill]
+        sub[fill] = rolled[fill]
+        sig[need] = sub
+        need = need[(sub == _EMPTY_SLOT).any(axis=1)]
     return sig
 
 
@@ -449,9 +466,20 @@ def dedup_ngram_jaccard(
         # size contributions: members of kept interior groups, counted per doc
         kept_rows = np.repeat(interior & (glens <= max_df), glens)
         sd, sc = np.unique(d[kept_rows], return_counts=True)
-        # boundary members forwarded raw
-        bmask = ~np.repeat(interior, glens)
+        # boundary members forwarded raw — except an edge group whose
+        # LOCAL member count already exceeds max_df: its global df can
+        # only be larger, so the driver would discard it as a
+        # stop-shingle anyway (pairs AND size contributions — the
+        # excluded-on-both-sides rule).  Without this cap a boilerplate
+        # shingle with df ~ corpus forwarded O(df) rows per block and
+        # broke the documented O(blocks) driver ceiling.
+        fwd = (~interior) & (glens <= max_df)
+        bmask = np.repeat(fwd, glens)
         ms, md = s[bmask], d[bmask]
+        # a capped edge group may still have a SMALL sibling slice in the
+        # neighbouring block: ship one kind-3 stop marker so the driver
+        # discards the whole shingle instead of pairing the small slice
+        stop_s = s[starts[(~interior) & (glens > max_df)]]
         return pa.table(
             {
                 "kind": pa.array(
@@ -459,14 +487,16 @@ def dedup_ngram_jaccard(
                         np.zeros(a.size, np.int8),
                         np.ones(sd.size, np.int8),
                         np.full(md.size, 2, np.int8),
+                        np.full(stop_s.size, 3, np.int8),
                     ]
                 ),
-                "a": pa.array(np.concatenate([a, sd, md])),
-                "b": pa.array(np.concatenate([b, np.zeros(sd.size + md.size, np.int64)])),
-                "s": pa.array(np.concatenate([np.zeros(a.size + sd.size, np.int64), ms])),
+                "a": pa.array(np.concatenate([a, sd, md, np.zeros(stop_s.size, np.int64)])),
+                "b": pa.array(np.concatenate([b, np.zeros(sd.size + md.size + stop_s.size, np.int64)])),
+                "s": pa.array(np.concatenate([np.zeros(a.size + sd.size, np.int64), ms, stop_s])),
                 "c": pa.array(
                     np.concatenate(
-                        [pc_.astype(np.int64), sc.astype(np.int64), np.zeros(md.size, np.int64)]
+                        [pc_.astype(np.int64), sc.astype(np.int64),
+                         np.zeros(md.size + stop_s.size, np.int64)]
                     )
                 ),
             }
@@ -506,7 +536,21 @@ def dedup_ngram_jaccard(
         ).iter_batches(batch_format="pyarrow", batch_size=None)
         if p.num_rows
     ]
-    driver_rows = sum(p.num_rows for p in members_parts)
+    stop_parts = [
+        p
+        for p in mixed.map_batches(
+            functools.partial(_kind_stage, kk=3, cols={"s": "s"}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if p.num_rows
+    ]
+    stop_set = (
+        np.unique(pa.concat_tables(stop_parts).column("s").to_numpy(zero_copy_only=False))
+        if stop_parts
+        else np.empty(0, np.int64)
+    )
+    driver_rows = sum(p.num_rows for p in members_parts) + int(stop_set.size)
     bp_a, bp_b = [], []
     bsd, bsc = np.empty(0, np.int64), np.empty(0, np.int64)
     if members_parts:
@@ -519,10 +563,11 @@ def dedup_ngram_jaccard(
         gb[1:] = ms[1:] != ms[:-1]
         gstarts = np.flatnonzero(gb)
         kept_members = []
+        stopped = np.isin(ms[gstarts], stop_set) if stop_set.size else np.zeros(gstarts.size, bool)
         for i, st in enumerate(gstarts):
             en = gstarts[i + 1] if i + 1 < gstarts.size else ms.size
             mem = md[st:en]
-            if mem.size > max_df:
+            if mem.size > max_df or stopped[i]:
                 continue
             kept_members.append(mem)
             if mem.size >= 2:

@@ -61,6 +61,8 @@ class AsofIndex:
         """For each (key, t): index of the LAST build row with the same key
         and time <= t.  Returns (idx into sorted order, matched bool)."""
         keys = np.asarray(keys, np.int64)
+        if self.keys.size == 0:  # empty build side: LEFT semantics, no match
+            return np.full(keys.size, -1, np.int64), np.zeros(keys.size, bool)
         ckeys, ok = self._domain(keys)
         off = np.clip(np.asarray(times, np.int64) - self.tmin, -1, self.span - 1)
         probe = ckeys * self.span + off
@@ -99,10 +101,12 @@ def asof_join(
 
     def _probe(t: pa.Table, *, iref, probe_key, probe_time, out_col) -> pa.Table:
         index: AsofIndex = ray.get(iref)  # local zero-copy fetch
-        k = t.column(probe_key).to_numpy(zero_copy_only=False).astype(np.int64)
-        tt = t.column(probe_time).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k, kv = _int64_valid(t.column(probe_key))
+        tt, tv = _int64_valid(t.column(probe_time))
         idx, matched = index.asof(k, tt)
-        vals = pa.array(index.times[np.maximum(idx, 0)], pa.int64())
+        matched &= kv & tv  # NULL key/time never matches (SQL ASOF)
+        times = index.times[np.maximum(idx, 0)] if index.times.size else np.zeros(len(k), np.int64)
+        vals = pa.array(times, pa.int64())
         # null out unmatched probes (LEFT semantics) via take-with-null-idx
         sel = pa.array(np.arange(len(k), dtype=np.int64), mask=~matched)
         return t.append_column(out_col, vals.take(sel))
@@ -114,12 +118,63 @@ def asof_join(
     )
 
 
+def _int64_valid(col) -> tuple[np.ndarray, np.ndarray]:
+    """(int64 values with nulls filled as 0, validity mask) for a join
+    key/time column.  The bare to_numpy path converts a null-bearing int
+    column through float64 NaN, and NaN.astype(int64) is ~INT64_MIN —
+    which the composite-packing clip then WRAPS into a spurious match at
+    the key's latest build time.  SQL join/ASOF conditions never match on
+    NULL, so callers AND the validity mask into `matched`."""
+    import pyarrow.compute as pc
+
+    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = pa.array(col)
+    col = col.cast(pa.int64())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        valid = ~pc.is_null(col).to_numpy(zero_copy_only=False)
+        col = pc.fill_null(col, 0)
+    else:
+        valid = np.ones(len(col), dtype=bool)
+    return col.to_numpy(zero_copy_only=False).astype(np.int64), valid
+
+
 def _hash_part(k: np.ndarray, num_partitions: int) -> np.ndarray:
     """Fibonacci-mix hash partition of int64 keys (structured key values
     like user ids must not alias a partition stripe)."""
     x = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
     x ^= x >> np.uint64(29)
     return (x % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _key_partition(arr, num_partitions: int) -> np.ndarray:
+    """Per-row hash partition for ANY join-key type — the partitioned
+    semi/anti arm must accept string/binary keys, not force an int64
+    cast that raises the first time the arm engages in production.
+    Nulls land in partition 0 (null keys never match; they just need a
+    deterministic home)."""
+    import pyarrow.compute as pc
+
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    ty = arr.type
+    if pa.types.is_integer(ty) or pa.types.is_temporal(ty) or pa.types.is_boolean(ty):
+        k, _ = _int64_valid(arr)
+        return _hash_part(k, num_partitions)
+    if (
+        pa.types.is_string(ty)
+        or pa.types.is_large_string(ty)
+        or pa.types.is_binary(ty)
+        or pa.types.is_large_binary(ty)
+    ):
+        if arr.null_count:
+            arr = pc.fill_null(arr, "" if pa.types.is_string(ty) or pa.types.is_large_string(ty) else b"")
+        from .dedup import _varbytes
+        from .text import _fnv1a_segmented
+
+        concat, offsets = _varbytes(pa.table({"x": arr}).column("x"))
+        return (_fnv1a_segmented(concat, offsets) % np.uint64(num_partitions)).astype(np.int64)
+    raise TypeError(f"semi/anti join key type {ty} is not hash-partitionable")
 
 
 def asof_join_partitioned(
@@ -142,23 +197,23 @@ def asof_join_partitioned(
     probe_fields = list(probe_ds.schema().base_schema)
 
     def tag_probe(t: pa.Table) -> pa.Table:
-        k = t.column(probe_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        tt = t.column(probe_time).cast(pa.int64())
+        kcast = t.column(probe_key).cast(pa.int64())  # nulls preserved
+        kfill, _ = _int64_valid(kcast)
         cols = {f.name: t.column(f.name) for f in probe_fields}
-        cols["_k"] = pa.array(k)
-        cols["_t"] = tt
+        cols["_k"] = kcast
+        cols["_t"] = t.column(probe_time).cast(pa.int64())
         cols["_side"] = pa.array(np.ones(t.num_rows, np.int8))
-        cols["_part"] = pa.array(_hash_part(k, num_partitions))
+        cols["_part"] = pa.array(_hash_part(kfill, num_partitions))
         return pa.table(cols)
 
     def tag_build(t: pa.Table) -> pa.Table:
-        k = t.column(build_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        tt = t.column(build_time).cast(pa.int64())
+        kcast = t.column(build_key).cast(pa.int64())
+        kfill, _ = _int64_valid(kcast)
         cols = {f.name: pa.nulls(t.num_rows, f.type) for f in probe_fields}
-        cols["_k"] = pa.array(k)
-        cols["_t"] = tt
+        cols["_k"] = kcast
+        cols["_t"] = t.column(build_time).cast(pa.int64())
         cols["_side"] = pa.array(np.zeros(t.num_rows, np.int8))
-        cols["_part"] = pa.array(_hash_part(k, num_partitions))
+        cols["_part"] = pa.array(_hash_part(kfill, num_partitions))
         return pa.table(cols)
 
     tagged = probe_ds.map_batches(
@@ -177,14 +232,16 @@ def asof_join_partitioned(
         p = g.filter(pc.equal(side, 1))
         if p.num_rows == 0:
             return pa.table({n: pa.array([], t) for n, t in out_fields})
-        index = AsofIndex(
-            b.column("_k").to_numpy(zero_copy_only=False),
-            b.column("_t").to_numpy(zero_copy_only=False),
-        )
-        k = p.column("_k").to_numpy(zero_copy_only=False)
-        tt = p.column("_t").to_numpy(zero_copy_only=False)
+        bk, bkv = _int64_valid(b.column("_k"))
+        bt, btv = _int64_valid(b.column("_t"))
+        keep = bkv & btv  # null build key/time can never match — drop
+        index = AsofIndex(bk[keep], bt[keep])
+        k, kv = _int64_valid(p.column("_k"))
+        tt, tv = _int64_valid(p.column("_t"))
         idx, matched = index.asof(k, tt)
-        vals = pa.array(index.times[np.maximum(idx, 0)], pa.int64())
+        matched &= kv & tv
+        times = index.times[np.maximum(idx, 0)] if index.times.size else np.zeros(len(k), np.int64)
+        vals = pa.array(times, pa.int64())
         sel = pa.array(np.arange(len(k), dtype=np.int64), mask=~matched)
         cols = {f.name: p.column(f.name) for f in probe_fields}
         cols[out_col] = vals.take(sel)
@@ -239,9 +296,10 @@ def range_count_join(
 
     def _probe(t: pa.Table, *, iref, probe_key, probe_time, window, out_col) -> pa.Table:
         index: AsofIndex = ray.get(iref)
-        k = t.column(probe_key).to_numpy(zero_copy_only=False).astype(np.int64)
-        tt = t.column(probe_time).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k, kv = _int64_valid(t.column(probe_key))
+        tt, tv = _int64_valid(t.column(probe_time))
         n = index.range_count(k, tt - window, tt)
+        n = np.where(kv & tv, n, 0)  # NULL key/time joins nothing
         return t.append_column(out_col, pa.array(n.astype(np.int64)))
 
     return ds.map_batches(
@@ -278,14 +336,19 @@ def build_bloom_stream(ds, col: str, expected_items: int, fpp: float = 0.01) -> 
         f = bloom.build(t.column(col), m=m, k=k)
         return pa.table({"f": pa.array([f], pa.large_binary())})
 
+    # EVERY row of every block is a partial filter: a task that processed
+    # several batches coalesces its 1-row partials into one multi-row
+    # block, and taking only row 0 would drop the rest — bloom false
+    # NEGATIVES, i.e. silently deleted join rows
     parts = [
-        p.column("f")[0].as_py()
+        f
         for p in ds.map_batches(
             functools.partial(part, col=col, m=m, k=k),
             batch_format="pyarrow",
             zero_copy_batch=True,
         ).iter_batches(batch_format="pyarrow", batch_size=None)
         if p.num_rows
+        for f in p.column("f").to_pylist()
     ]
     if not parts:
         return bloom.build(pa.array([], pa.int64()), m=m, k=k)
@@ -377,8 +440,12 @@ def join_adaptive(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+    # project the small side to key + payload BEFORE the shuffle: the two
+    # arms must emit the same schema (the broadcast arm appends exactly
+    # payload_cols), and non-payload columns have no business in the
+    # exchange anyway
     return big_ds.join(
-        small,
+        small.select_columns([small_key] + list(payload_cols)),
         join_type="left_outer" if how == "left" else "inner",
         num_partitions=num_partitions,
         on=(big_key,),
@@ -431,21 +498,38 @@ def join_semi_anti(
     def uniq(t: pa.Table) -> pa.Table:
         return pa.table({keys_key: pc.unique(t.column(keys_key).combine_chunks())})
 
-    kparts = [
-        p
-        for p in keys_ds.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow", batch_size=None)
-        if p.num_rows
-    ]
+    # arm decision with a BOUNDED driver footprint: accumulate per-batch
+    # uniques with periodic re-dedup and bail to the partitioned arm the
+    # moment the running distinct count exceeds the threshold — the old
+    # collect-everything-then-count defeated the partitioned arm's whole
+    # purpose (a billion-distinct-key side OOM'd the driver before the
+    # arm was ever chosen).  Peak driver rows: ~2x threshold + one batch.
+    kparts: list[pa.Table] = []
+    running = 0
+    overflow = False
+    for p in keys_ds.map_batches(
+        uniq, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        if not p.num_rows:
+            continue
+        kparts.append(p)
+        running += p.num_rows
+        if running > threshold_rows:
+            merged = pc.unique(pa.concat_tables(kparts).column(keys_key).combine_chunks())
+            kparts = [pa.table({keys_key: merged})]
+            running = len(merged)
+            if running > threshold_rows:
+                overflow = True
+                break
     kset = (
         pc.unique(pa.concat_tables(kparts).column(keys_key).combine_chunks())
-        if kparts
+        if kparts and not overflow
         else None
     )
     if kset is not None and kset.null_count:
         kset = kset.drop_null()
 
-    if kset is None or len(kset) <= threshold_rows:
+    if not overflow and (kset is None or len(kset) <= threshold_rows):
         ref = ray.put(kset)
 
         def probe(b: pa.Table, *, ref) -> pa.Table:
@@ -466,21 +550,20 @@ def join_semi_anti(
     big_fields = list(big_ds.schema().base_schema)
 
     def tag_big(t: pa.Table) -> pa.Table:
-        k = t.column(big_key).cast(pa.int64()).fill_null(-1).to_numpy(zero_copy_only=False)
         cols = {f.name: t.column(f.name) for f in big_fields}
         cols["_side"] = pa.array(np.ones(t.num_rows, np.int8))
-        cols["_part"] = pa.array(_hash_part(k, num_partitions))
+        cols["_part"] = pa.array(_key_partition(t.column(big_key), num_partitions))
         return pa.table(cols)
 
     big_key_type = next(f.type for f in big_fields if f.name == big_key)
 
     def tag_keys(t: pa.Table) -> pa.Table:
         kc = pc.unique(t.column(keys_key).combine_chunks()).drop_null()
-        k = kc.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        kc = kc.cast(big_key_type)
         cols = {f.name: pa.nulls(len(kc), f.type) for f in big_fields}
-        cols[big_key] = kc.cast(big_key_type)
+        cols[big_key] = kc
         cols["_side"] = pa.array(np.zeros(len(kc), np.int8))
-        cols["_part"] = pa.array(_hash_part(k, num_partitions))
+        cols["_part"] = pa.array(_key_partition(kc, num_partitions))
         return pa.table(cols)
 
     tagged = big_ds.map_batches(

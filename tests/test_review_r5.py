@@ -115,3 +115,106 @@ def test_bytes_mode_checksum_verification(ray_session, tmp_path):
     # no chunk_id column -> loud refusal, not silent skip
     with pytest.raises(ValueError, match="chunk_id"):
         dec(pa.table({"bytes": pa.array([blob], pa.large_binary())}))
+
+
+# --- round-5 joins/dedup review pins ---------------------------------------
+
+def test_asof_empty_build_and_null_times(ray_session):
+    """Empty build side (globally or per hash partition) yields LEFT-join
+    nulls, never IndexError; null probe key/time never matches."""
+    import ray
+
+    from orc_ray.functions.joins import AsofIndex, asof_join, asof_join_partitioned
+
+    idx = AsofIndex(np.array([], np.int64), np.array([], np.int64))
+    i, m = idx.asof(np.array([1, 2]), np.array([10, 20]))
+    assert m.tolist() == [False, False]
+
+    probe = pa.table({"k": pa.array([1, 2, 1, None], pa.int64()),
+                      "t": pa.array([10, 10, None, 10], pa.int64())})
+    out = pa.concat_tables(list(
+        asof_join(ray.data.from_arrow(probe), np.array([1], np.int64),
+                  np.array([5], np.int64), "k", "t")
+        .iter_batches(batch_format="pyarrow", batch_size=None))).sort_by("k")
+    vals = dict(zip(out.column("k").to_pylist(), out.column("asof_time").to_pylist()))
+    # k=1,t=10 -> 5; k=2 unmatched; null t / null k -> null
+    rows = sorted(zip(out.column("k").to_pylist(), out.column("asof_time").to_pylist()),
+                  key=lambda r: (r[0] is None, r[0]))
+    assert rows == [(1, 5), (1, None), (2, None), (None, None)]
+
+    # partitioned arm: build keys {1}, probe keys {1,2} -> some partitions
+    # have probe rows but zero build rows
+    build = pa.table({"bk": pa.array([1], pa.int64()), "bt": pa.array([5], pa.int64())})
+    out2 = pa.concat_tables(list(
+        asof_join_partitioned(ray.data.from_arrow(probe.drop_null()),
+                              ray.data.from_arrow(build), "bk", "bt", "k", "t",
+                              num_partitions=16)
+        .iter_batches(batch_format="pyarrow", batch_size=None))).sort_by("k")
+    assert sorted(zip(out2.column("k").to_pylist(), out2.column("asof_time").to_pylist())) \
+        == [(1, 5), (2, None)]
+
+
+def test_semi_anti_string_keys_partitioned_arm(ray_session):
+    """String keys must work on BOTH arms (the int64 hash cast crashed
+    the partitioned arm the first time it engaged)."""
+    import ray
+
+    from orc_ray.functions.joins import join_semi_anti
+
+    big = pa.table({"u": pa.array([f"url{i % 7}" for i in range(200)]),
+                    "x": pa.array(np.arange(200))})
+    keys = pa.table({"u": pa.array(["url1", "url3"])})
+    for thr in (500_000, 0):  # broadcast arm, then forced partitioned arm
+        out = pa.concat_tables(list(
+            join_semi_anti(ray.data.from_arrow(big), ray.data.from_arrow(keys),
+                           "u", "u", threshold_rows=thr)
+            .iter_batches(batch_format="pyarrow", batch_size=None)))
+        assert sorted(set(out.column("u").to_pylist())) == ["url1", "url3"]
+        assert out.num_rows == sum(1 for i in range(200) if i % 7 in (1, 3))
+
+
+def test_join_adaptive_arm_schema_parity(ray_session):
+    """Both arms emit the big side's columns + exactly payload_cols."""
+    import ray
+
+    from orc_ray.functions.joins import join_adaptive
+
+    big = pa.table({"k": pa.array([1, 2, 3]), "v": pa.array([10, 20, 30])})
+    small = pa.table({"sk": pa.array([1, 2]), "p": pa.array(["a", "b"]),
+                      "extra": pa.array([9.0, 8.0])})
+    outs = []
+    for thr in (10, 0):
+        out = pa.concat_tables(list(
+            join_adaptive(ray.data.from_arrow(big), ray.data.from_arrow(small),
+                          "k", "sk", ["p"], threshold_rows=thr)
+            .iter_batches(batch_format="pyarrow", batch_size=None))).sort_by("k")
+        outs.append(out)
+    assert set(outs[0].column_names) == set(outs[1].column_names) == {"k", "v", "p"}
+    assert outs[0].select(["k", "v", "p"]).equals(outs[1].select(["k", "v", "p"]))
+
+
+def test_simhash_independent_of_batch_neighbors():
+    from orc_ray.functions.dedup import _varbytes, simhash64
+
+    def sig(texts):
+        concat, offsets = _varbytes(pa.table({"t": pa.array(texts)}).column("t"))
+        return simhash64(concat, offsets)
+
+    assert sig(["abcdef", "zzzzzzzz"])[0] == sig(["abcdef", "qqqqqqqq"])[0] == sig(["abcdef"])[0]
+
+
+def test_bloom_stream_merges_all_partials(ray_session):
+    """Multi-row partial-filter blocks must ALL merge (row-0-only dropped
+    filters and produced bloom false negatives = silently lost join rows)."""
+    import ray
+
+    from orc_ray.codecs import bloom
+    from orc_ray.functions.joins import build_bloom_stream
+
+    t = pa.table({"k": pa.array(np.arange(5000, dtype=np.int64))})
+    # many small blocks force several partials per output block
+    ds = ray.data.from_arrow(t).repartition(2).map_batches(
+        lambda b: b, batch_size=100, batch_format="pyarrow")
+    f = build_bloom_stream(ds, "k", expected_items=5000)
+    hits = bloom.might_contain_many(f, pa.array(np.arange(5000, dtype=np.int64)))
+    assert bool(np.asarray(hits).all()), "false negatives: partial filters dropped"
