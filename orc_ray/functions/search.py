@@ -55,8 +55,15 @@ def _postings_batch(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
     ids = t.column(id_col)
     ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
     doc_rep = pc.take(ids, pa.array(np.repeat(np.arange(t.num_rows), np.diff(off))))
+    toks = pa.table({"token": flat, "doc_id": doc_rep})
+    # split("") == [""]: empty/whitespace-only/null docs contribute a
+    # phantom '' word (n_words already says 0 for them — _meta_batch's dl
+    # agrees); drop it or the index gains a junk ''-token posting per
+    # empty doc, with df/idf computed for a token no real query has
+    if len(flat) and pc.any(pc.equal(flat, "")).as_py():
+        toks = toks.filter(pc.not_equal(toks.column("token"), ""))
     g = (
-        pa.table({"token": flat, "doc_id": doc_rep})
+        toks
         .group_by(["token", "doc_id"])
         .aggregate([([], "count_all")])
     )

@@ -40,13 +40,22 @@ def _valid_embedding_mask(col) -> np.ndarray | None:
     import pyarrow.compute as pc
 
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    if arr.null_count == 0 and arr.values.null_count == 0:
-        return None
-    lv = pc.is_valid(arr).to_numpy(zero_copy_only=False)
     offs = arr.offsets.to_numpy()
+    v = arr.values.to_numpy(zero_copy_only=False)
+    # zero-norm rows: SQL cosine divides by zero (NULL) while _normalize
+    # would fabricate sim 0.0 — they drop with the null rows.  Squares
+    # are non-negative, so a zero segment sum <=> an all-zero (or empty)
+    # vector; nan_to_num keeps a null element from poisoning LATER rows'
+    # running sums (null-element rows are dropped by the other mask).
+    sq = np.nan_to_num(np.asarray(v, np.float64) ** 2)
+    cs = np.concatenate([[0.0], np.cumsum(sq)])
+    nz = (cs[offs[1:]] - cs[offs[:-1]]) > 0.0
+    if arr.null_count == 0 and arr.values.null_count == 0:
+        return None if bool(nz.all()) else nz
+    lv = pc.is_valid(arr).to_numpy(zero_copy_only=False)
     bad = pc.is_null(arr.values).to_numpy(zero_copy_only=False).astype(np.int64)
     cum = np.concatenate([[0], np.cumsum(bad)])
-    return lv & (cum[offs[1:]] - cum[offs[:-1]] == 0)
+    return lv & (cum[offs[1:]] - cum[offs[:-1]] == 0) & nz
 
 
 def drop_invalid_embeddings(batch: pa.Table, vec_col: str) -> pa.Table:
@@ -120,7 +129,15 @@ def topk_cosine(ds, queries: np.ndarray, k: int = 10, id_col="vec_id", vec_col="
         zero_copy_batch=True,
     )
     parts = [b for b in cand.iter_batches(batch_format="pyarrow", batch_size=None)]
-    t = pa.concat_tables(parts) if parts else pa.table({"query_idx": [], "vec_id": [], "sim": []})
+    t = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table(
+            {"query_idx": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
+    )
     qi = t.column("query_idx").to_numpy()
     sim = t.column("sim").to_numpy()
     vid = t.column("vec_id").to_numpy()
@@ -605,7 +622,9 @@ def topk_cosine_lsh_store(
     planes = np.load(os.path.join(store_dir, "planes.npy"))
     q = _normalize(np.atleast_2d(np.asarray(queries, np.float32)))
     b = planes.shape[1]
-    weights = 1 << np.arange(b)
+    # int64 like the build side (LSHAssignStage): a default-int32 pack
+    # would wrap bit 31 negative and silently never match any bucket
+    weights = np.int64(1) << np.arange(b, dtype=np.int64)
     probe: set[int] = set()
     for qi in range(q.shape[0]):
         margins = q[qi] @ planes  # signed distances to each hyperplane
@@ -636,17 +655,24 @@ def topk_cosine_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16, 
     the probed partitions, exact search inside them."""
     import ray
 
-    sample_t = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+    empty = pa.table(
+        {"query_idx": pa.array([], pa.int64()),
+         "vec_id": pa.array([], pa.int64()),
+         "sim": pa.array([], pa.float64())}
+    )
+    try:
+        sample_t = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+    except ValueError:  # empty dataset
+        return empty
     sample = _matrix(drop_invalid_embeddings(pa.table(sample_t), vec_col).column(vec_col))
+    if sample.size == 0:  # every sampled row had a null/zero embedding
+        return empty
     cent = kmeans_fit(sample, n_clusters)
     cref = ray.put(cent)
     import functools
 
-    def _assign_batch(batch, *, cref, vec_col):
-        return IVFAssignStage(cref, vec_col)(batch)
-
     assigned = ds.map_batches(
-        functools.partial(_assign_batch, cref=cref, vec_col=vec_col),
+        functools.partial(_assign_batch_mod, cref=cref, vec_col=vec_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -218,3 +218,39 @@ def test_bloom_stream_merges_all_partials(ray_session):
     f = build_bloom_stream(ds, "k", expected_items=5000)
     hits = bloom.might_contain_many(f, pa.array(np.arange(5000, dtype=np.int64)))
     assert bool(np.asarray(hits).all()), "false negatives: partial filters dropped"
+
+
+# --- round-5 similarity/search review pins ---------------------------------
+
+def test_bm25_index_has_no_empty_token(ray_session, tmp_path):
+    """Empty/whitespace/null docs must not plant a '' posting."""
+    from orc_ray.functions.search import _postings_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["hello world", "   ", None])})
+    p = _postings_batch(t, "doc_id", "text")
+    toks = p.column("token").to_pylist()
+    assert "" not in toks
+    assert sorted(toks) == ["hello", "world"]
+
+
+def test_topk_cosine_empty_and_zero_norm(ray_session):
+    """Empty candidate sets return a TYPED empty table; zero-norm vectors
+    drop like null ones (SQL cosine is undefined for both)."""
+    import ray
+
+    from orc_ray.functions.similarity import drop_invalid_embeddings, topk_cosine
+
+    q = np.array([[1.0, 0.0]], np.float32)
+    empty_ds = ray.data.from_arrow(pa.table(
+        {"vec_id": pa.array([], pa.int64()),
+         "embedding": pa.array([], pa.list_(pa.float32()))}))
+    out = topk_cosine(empty_ds, q, k=3)
+    assert out.num_rows == 0
+    assert out.column("sim").type == pa.float64()
+
+    t = pa.table({"vec_id": pa.array([1, 2, 3], pa.int64()),
+                  "embedding": pa.array([[0.0, 0.0], [1.0, 0.0], None],
+                                        pa.list_(pa.float32()))})
+    kept = drop_invalid_embeddings(t, "embedding")
+    assert kept.column("vec_id").to_pylist() == [2]
