@@ -77,7 +77,10 @@ def connected_components(
 
     und = edges.map_batches(_und_edges, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
-    if driver_threshold and und.count() <= driver_threshold:
+    ntype = und.schema().base_schema.field("node").type
+    # und carries BOTH directions (2x the input edge rows) — compare the
+    # documented edge-row threshold against the input edge count
+    if driver_threshold and und.count() <= 2 * driver_threshold:
         from .dedup import _UnionFind
 
         uf = _UnionFind()
@@ -85,10 +88,12 @@ def connected_components(
             for a_v, b_v in zip(b.column("node").to_pylist(), b.column("nbr").to_pylist()):
                 uf.union(a_v, b_v)
         members = sorted(uf.parent)
+        # same node/label types as the distributed backend (ntype), even
+        # for the empty graph — the backends must be interchangeable
         return ray.data.from_arrow(
-            pa.table({"node": pa.array(members), "label": pa.array([uf.find(m) for m in members])})
+            pa.table({"node": pa.array(members, ntype),
+                      "label": pa.array([uf.find(m) for m in members], ntype)})
         )
-    ntype = und.schema().base_schema.field("node").type
 
     def _lab_empty() -> pa.Table:
         return pa.table({"lnode": pa.array([], ntype), "label": pa.array([], ntype)})

@@ -25,9 +25,19 @@ _DENOM = float(1 << 60) + 1.0  # uhex in [0, 2^60): (uhex+1)/_DENOM is in (0,1)
 
 
 def es_priority_e9(ids, weights: np.ndarray) -> np.ndarray:
-    """e9-quantized Efraimidis–Spirakis priority ln(u)/w per row."""
+    """e9-quantized Efraimidis–Spirakis priority ln(u)/w per row.
+
+    Clipped to the int64-safe range: a tiny weight (below ~5e-9) pushed
+    the product past int64 and the NaN/overflow astype landed on
+    INT64_MIN, whose negation WRAPS back to INT64_MIN and sorts FIRST —
+    silently selecting the LOWEST-probability rows.  The clip keeps the
+    ordering monotone (every clipped row ties at the worst priority);
+    the corpus-parity SQL mirror raises on such weights before it could
+    diverge."""
     u = (md5_hex15_int(ids) + 1.0) / _DENOM
-    return np.floor(np.log(u) / np.asarray(weights, np.float64) * 1e9).astype(np.int64)
+    raw = np.log(u) / np.asarray(weights, np.float64) * 1e9
+    raw = np.clip(raw, -(2.0**62), 2.0**62)
+    return np.floor(raw).astype(np.int64)
 
 
 def _top_by_priority(t: pa.Table, k: int, payload_cols: list[str]) -> pa.Table:
@@ -81,5 +91,13 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int, payload_cols: list
         if b.num_rows
     ]
     if not parts:
-        return pa.table({"id": pa.array([], pa.string()), "pri_e9": pa.array([], pa.int64())})
+        # schema-parity with the non-empty path: the id column keeps the
+        # source type and the requested payload columns are present
+        sch = ds.schema().base_schema
+        types = {f.name: f.type for f in sch}
+        cols = {"id": pa.array([], types.get(id_col, pa.string())),
+                "pri_e9": pa.array([], pa.int64())}
+        for c in payload_cols:
+            cols[c] = pa.array([], types.get(c, pa.string()))
+        return pa.table(cols)
     return _top_by_priority(pa.concat_tables(parts).combine_chunks(), k, payload_cols)

@@ -204,11 +204,22 @@ def cms_merge(parts: list[np.ndarray]) -> np.ndarray:
 
 def cms_estimate(regs: np.ndarray, col: pa.Array) -> np.ndarray:
     """Point-frequency estimates for each value in col (vectorized min
-    over the d rows; always an overestimate)."""
+    over the d rows; always an overestimate).  Row-aligned with the
+    input: null values estimate 0 — _cms_hashes drops nulls, and
+    returning a shorter array silently misattributed counts to the
+    wrong rows in any caller that zips estimates back onto the column."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     w = regs.shape[1]
     buckets = _cms_hashes(col, w)
     ests = np.stack([regs[i][buckets[i]] for i in range(CMS_D)])
-    return ests.min(axis=0)
+    out = ests.min(axis=0)
+    if col.null_count:
+        import pyarrow.compute as pc
+
+        full = np.zeros(len(col), dtype=out.dtype)
+        full[pc.is_valid(col).to_numpy(zero_copy_only=False)] = out
+        return full
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -270,8 +281,11 @@ def _compress(means: np.ndarray, weights: np.ndarray, delta: int) -> tuple[np.nd
 
 
 def tdigest_merge(parts: list[tuple[np.ndarray, np.ndarray]], delta: int = 200):
-    means = np.concatenate([p[0] for p in parts if p[0].size])
-    weights = np.concatenate([p[1] for p in parts if p[1].size])
+    kept = [p for p in parts if p[0].size]
+    if not kept:  # empty dataset / all-null column: quantiles are NaN
+        return np.empty(0), np.empty(0)
+    means = np.concatenate([p[0] for p in kept])
+    weights = np.concatenate([p[1] for p in kept])
     if means.size == 0:
         return np.empty(0), np.empty(0)
     order = np.argsort(means, kind="stable")
@@ -365,9 +379,12 @@ def approx_group_quantiles(ds, group_col: str, val_col: str, qs, delta: int = 20
         )
 
     merged: dict[str, list] = {}
+    gtype_seen = None
     for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
         batch_format="pyarrow", batch_size=None
     ):
+        if gtype_seen is None and b.num_rows:
+            gtype_seen = b.column("g").type
         for g, mb, wb in zip(
             b.column("g").to_pylist(), b.column("means").to_pylist(), b.column("weights").to_pylist()
         ):
@@ -385,7 +402,9 @@ def approx_group_quantiles(ds, group_col: str, val_col: str, qs, delta: int = 20
             rows_v.append(float(e))
     return pa.table(
         {
-            "group": pa.array(rows_g),  # keeps the source group type
+            # the source group type ALWAYS (inference drifted int32->int64
+            # and gave a null-typed column when no group survived)
+            "group": pa.array(rows_g, gtype_seen),
             "q": pa.array(rows_q, pa.float64()),
             "value_est": pa.array(rows_v, pa.float64()),
         }

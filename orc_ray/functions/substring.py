@@ -435,6 +435,15 @@ def _cut_arrays(data: np.ndarray, offs: np.ndarray, fs: np.ndarray, L: int):
     np.add.at(add, fs, 1)
     np.add.at(add, fs + L, -1)
     covered = np.cumsum(add[:n]) > 0
+    # windows start at every BYTE offset, so a span can begin or end in
+    # the middle of a multibyte UTF-8 character; snap coverage out to
+    # character boundaries (a partially covered character is fully cut)
+    # or the string cast rejects the dangling lead/continuation bytes
+    starts_mask = (data & 0xC0) != 0x80
+    if not starts_mask.all():
+        char_id = np.cumsum(starts_mask) - 1
+        np.maximum(char_id, 0, out=char_id)  # defensive: leading continuation byte
+        covered = (np.bincount(char_id[covered], minlength=int(char_id[-1]) + 1) > 0)[char_id]
     keep = ~covered
     kc = np.zeros(n + 1, np.int64)
     np.cumsum(keep, out=kc[1:])

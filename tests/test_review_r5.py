@@ -254,3 +254,50 @@ def test_topk_cosine_empty_and_zero_norm(ray_session):
                                         pa.list_(pa.float32()))})
     kept = drop_invalid_embeddings(t, "embedding")
     assert kept.column("vec_id").to_pylist() == [2]
+
+
+# --- round-5 sampling/sketch/substring/graph review pins --------------------
+
+def test_cut_spans_utf8_boundary():
+    """A dup span starting mid-character cuts the whole character instead
+    of leaving invalid UTF-8 (ArrowInvalid on the string cast)."""
+    from orc_ray.functions.substring import _cut_arrays
+
+    data = np.frombuffer(b"yyyy" + "é".encode() + b"z" * 31, np.uint8)
+    out, lens = _cut_arrays(data.copy(), np.array([0, data.size], np.int64),
+                            np.array([5], np.int64), 32)
+    assert out.to_pylist() == ["yyyy"]
+
+
+def test_es_priority_tiny_weight_no_wraparound():
+    """Weights below ~5e-9 used to overflow the e9 priority to INT64_MIN,
+    whose negation wraps and sorts FIRST — inverting the selection."""
+    from orc_ray.functions.sampling import es_priority_e9
+
+    pri = es_priority_e9(pa.array(["a", "b"]), np.array([1e-12, 1.0]))
+    assert pri[0] > np.iinfo(np.int64).min  # clipped, not wrapped
+    assert pri[0] < pri[1]  # tiny weight = worst priority, stays worst
+
+
+def test_tdigest_and_cms_degenerate_inputs():
+    from orc_ray.functions.sketch import cms_estimate, cms_partial, tdigest_merge
+
+    m, w = tdigest_merge([(np.empty(0), np.empty(0))])
+    assert m.size == 0
+    regs = cms_partial(pa.array(["a", "a", "b"]))
+    est = cms_estimate(regs, pa.array(["a", None, "b"]))
+    assert len(est) == 3 and est[1] == 0 and est[0] >= 2  # row-aligned
+
+
+def test_connected_components_backend_type_parity(ray_session):
+    import ray
+
+    from orc_ray.functions.graph import connected_components
+
+    edges = pa.table({"a": pa.array([1, 2], pa.int32()), "b": pa.array([2, 3], pa.int32())})
+    lo = connected_components(ray.data.from_arrow(edges))  # driver backend
+    hi = connected_components(ray.data.from_arrow(edges), driver_threshold=0)
+    tl = pa.concat_tables(list(lo.iter_batches(batch_format="pyarrow", batch_size=None)))
+    th = pa.concat_tables(list(hi.iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert tl.column("node").type == th.column("node").type
+    assert sorted(tl.to_pylist(), key=str) == sorted(th.to_pylist(), key=str)
